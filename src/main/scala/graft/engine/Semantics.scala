@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine semantics helpers (SURVEY §4 gotchas).
+  *
+  * The reference's queries execute in PostgreSQL (/root/reference/analytic.sql);
+  * our results are oracle-checked against DuckDB; we run on Spark. Every place
+  * the three engines disagree is normalized HERE, once, and every query goes
+  * through these helpers:
+  *
+  *  1. day-of-week numbering: PG/DuckDB `EXTRACT(DOW)` is 0=Sunday..6=Saturday;
+  *     Spark `dayofweek` is 1=Sunday..7=Saturday (analytic.sql:13,24,44).
+  *  2. integer division: PG bigint/bigint truncates (analytic.sql:22); Spark
+  *     `/` promotes to double — use `div`.
+  *  3. interval-valued MAX(ts)-MIN(ts) (analytic.sql:100): compared as whole
+  *     seconds (long) so all engines order identically.
+  *  4. float aggregates: rounded before comparison (summation order differs
+  *     across engines/partitionings at scale).
+  */
+object Semantics {
+
+  /** Day-of-week, PostgreSQL/DuckDB numbering: 0=Sunday .. 6=Saturday.
+    * (reference: EXTRACT(DOW FROM tstamp), analytic.sql:13,24,44,55) */
+  def pgDow(ts: Column): Column = (dayofweek(ts) - lit(1)).cast("long")
+
+  /** Hour-of-day as long (matches DuckDB EXTRACT(HOUR) → BIGINT).
+    * Session TZ is pinned UTC, mirroring AT TIME ZONE 'UTC' (analytic.sql:45). */
+  def hourOf(ts: Column): Column = hour(ts).cast("long")
+
+  /** PG-style truncating integer division of two bigints (analytic.sql:22).
+    * floor == truncate for the non-negative counts this is used on; Spark's
+    * SQL `div` operator has no Column-API equivalent. */
+  def intDiv(a: Column, b: Column): Column =
+    floor(a.cast("long") / b.cast("long")).cast("long")
+
+  /** Timestamp difference in whole seconds (engine-orderable stand-in for the
+    * interval of analytic.sql:100). */
+  def secondsBetween(later: Column, earlier: Column): Column =
+    (unix_timestamp(later) - unix_timestamp(earlier)).cast("long")
+
+  /** Service-key classification from PG DOW (reference transform.py:160-170,
+    * which uses Python weekday() 0=Mon; normalized here to pgDow). */
+  def serviceKey(dow0Sun: Column): Column =
+    when(dow0Sun === 6, "Saturday")
+      .when(dow0Sun === 0, "Sunday")
+      .otherwise("Weekday")
+
+  /** PG DOW → English day name (reference analytic.sql:13-21 CASE). */
+  def dayName(dow0Sun: Column): Column =
+    when(dow0Sun === 0, "Sunday")
+      .when(dow0Sun === 1, "Monday")
+      .when(dow0Sun === 2, "Tuesday")
+      .when(dow0Sun === 3, "Wednesday")
+      .when(dow0Sun === 4, "Thursday")
+      .when(dow0Sun === 5, "Friday")
+      .otherwise("Saturday")
+}
