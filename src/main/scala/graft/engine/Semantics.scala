@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Semantics {
 
+  /** Sargable event-date equality: `ts::date = d` (analytic.sql:4,8,31) as a
+    * half-open timestamp range, so the predicate pushes down to the parquet
+    * scan (and prunes date partitions at 100 TB) instead of wrapping the
+    * column in a cast that blocks pushdown. */
+  def onDate(ts: Column, date: String): Column = {
+    val d0 = to_timestamp(lit(date))
+    ts >= d0 && ts < d0 + expr("INTERVAL 1 DAY")
+  }
+
   /** Day-of-week, PostgreSQL/DuckDB numbering: 0=Sunday .. 6=Saturday.
     * (reference: EXTRACT(DOW FROM tstamp), analytic.sql:13,24,44,55) */
   def pgDow(ts: Column): Column = (dayofweek(ts) - lit(1)).cast("long")

@@ -1,6 +1,8 @@
 package graft.queries
 
-import graft.engine.{Semantics, Tables}
+import graft.engine.Semantics._
+import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's 13-query analytic surface (/root/reference/analytic.sql:1-191)
@@ -8,18 +10,224 @@ import org.apache.spark.sql.functions._
   * `events`/`lineitem`, Trip dim → `orders`. Pure Catalyst — every query is a
   * declarative DataFrame plan; pushdown/pruning/broadcast come from the
   * optimizer, not hand-scheduling.
+  *
+  * Determinism contract: every query ends in a full-tie-break ORDER BY and
+  * rounds float aggregates, so Spark and the DuckDB oracle agree row-for-row
+  * (SURVEY §4 gotchas).
   */
 object Relational extends QueryGroup {
 
-  /** Q1/Q2 (analytic.sql:2-9): COUNT(*) filtered to one event-date.
-    * P2 date-equality filter + A1 ungrouped count. The to_date cast filter
-    * compiles to a parquet-pushable range predicate on ts. */
+  /** Q1 (analytic.sql:2-4): COUNT(*) on one event-date. P2+A1. The date
+    * filter is a sargable ts range (pushed to the parquet scan; at 100 TB it
+    * prunes date partitions). */
   private val q01 = QueryDef(
     "q01_count_on_date",
     (s, dir) => Tables.events(s, dir)
-      .filter(to_date(col("ts")) === lit("2024-01-05"))
+      .filter(onDate(col("ts"), "2024-01-05"))
       .agg(count(lit(1)).as("cnt")),
     Some("SELECT count(*) AS cnt FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'"))
 
-  override val defs: Seq[QueryDef] = Seq(q01)
+  /** Q2 (analytic.sql:6-9): ungrouped COUNT(*) over the whole fact. A1. */
+  private val q02 = QueryDef(
+    "q02_count_all",
+    (s, dir) => Tables.events(s, dir).agg(count(lit(1)).as("cnt")),
+    Some("SELECT count(*) AS cnt FROM events"))
+
+  /** Q3 (analytic.sql:12-25): per-day-of-week average daily volume — grouped
+    * count, COUNT(DISTINCT date), PG integer division (A2/A3/A6/A7), CASE
+    * day-name labeling (F4), ORDER BY expression (O3). */
+  private val q03 = QueryDef(
+    "q03_events_per_dow",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(pgDow(col("ts")).as("dow"))
+      .agg(
+        intDiv(count(lit(1)), countDistinct(to_date(col("ts")))).as("events_per_day"),
+        count(lit(1)).as("cnt"))
+      .select(col("dow"), dayName(col("dow")).as("day_name"), col("events_per_day"), col("cnt"))
+      .orderBy(col("dow")),
+    Some("""SELECT extract(dow FROM ts) AS dow,
+           |  CASE extract(dow FROM ts)
+           |    WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+           |    WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+           |    ELSE 'Saturday' END AS day_name,
+           |  count(*) // count(DISTINCT CAST(ts AS DATE)) AS events_per_day,
+           |  count(*) AS cnt
+           |FROM events GROUP BY 1, 2 ORDER BY dow""".stripMargin))
+
+  /** Q4 (analytic.sql:28-34): DISTINCT entity ids inside a value range on one
+    * date (P2/P3, U3, O1). The reference's lat/lon bounding box becomes a
+    * range on `value`. */
+  private val q04 = QueryDef(
+    "q04_distinct_users_in_range",
+    (s, dir) => Tables.events(s, dir)
+      .filter(onDate(col("ts"), "2024-01-10") && col("value").between(50.0, 250.0))
+      .select(col("user_id")).distinct()
+      .orderBy(col("user_id")),
+    Some("""SELECT DISTINCT user_id FROM events
+           |WHERE CAST(ts AS DATE) = DATE '2024-01-10' AND value BETWEEN 50.0 AND 250.0
+           |ORDER BY user_id""".stripMargin))
+
+  /** Q5 (analytic.sql:38-57): fact⋈dim inner equi-join with extract-equality
+    * and range predicates (J1, P3, P6). orders is the small side — Catalyst
+    * broadcasts it (BHJ); at 100 TB rely on AQE + broadcast threshold. */
+  private val q05 = QueryDef(
+    "q05_join_dow_filter",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .filter(pgDow(col("o_orderdate")) === 1 && col("l_quantity").between(10.0, 30.0))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, o_totalprice
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE extract(dow FROM o_orderdate) = 1 AND l_quantity BETWEEN 10.0 AND 30.0
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Q6 (analytic.sql:81-83): MAX over a nullable measure with IS NOT NULL
+    * (A4, P4). */
+  private val q06 = QueryDef(
+    "q06_max_value",
+    (s, dir) => Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .agg(max(col("value")).as("max_value")),
+    Some("SELECT max(value) AS max_value FROM events WHERE value IS NOT NULL"))
+
+  /** Q7 (analytic.sql:86-93): grouped COUNT(DISTINCT) with multi-key
+    * mixed-direction ordering (A3, O2). */
+  private val q07 = QueryDef(
+    "q07_users_per_type",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy(desc("n_users"), asc("event_type")),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt
+           |FROM events GROUP BY event_type ORDER BY n_users DESC, event_type""".stripMargin))
+
+  /** Q8 (analytic.sql:96-104): longest per-entity time span, top-1 (A4, A9,
+    * O4). Interval compared as whole seconds so all engines order alike;
+    * user_id tie-break keeps top-k deterministic. Catalyst plans
+    * TakeOrderedAndProject — no global sort. */
+  private val q08 = QueryDef(
+    "q08_longest_span_top1",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(secondsBetween(max(col("ts")), min(col("ts"))).as("span_sec"))
+      .orderBy(desc("span_sec"), asc("user_id"))
+      .limit(1),
+    Some("""SELECT user_id,
+           |  epoch_us(max(CAST(ts AS TIMESTAMP)))//1000000 - epoch_us(min(CAST(ts AS TIMESTAMP)))//1000000 AS span_sec
+           |FROM events GROUP BY user_id ORDER BY span_sec DESC, user_id LIMIT 1""".stripMargin))
+
+  /** Q9 (analytic.sql:107-126): UNION ALL of three labeled single-date counts
+    * (U2, F15, P2). */
+  private val q09 = QueryDef(
+    "q09_union3_dates",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def branch(d: String, label: String) =
+        ev.filter(onDate(col("ts"), d))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(label).as("which_date"), col("cnt"))
+      branch("2024-01-05", "jan05")
+        .union(branch("2024-01-15", "jan15"))
+        .union(branch("2024-01-25", "jan25"))
+        .orderBy(col("which_date"))
+    },
+    Some("""SELECT 'jan05' AS which_date, count(*) AS cnt FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+           |UNION ALL
+           |SELECT 'jan15' AS which_date, count(*) AS cnt FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+           |UNION ALL
+           |SELECT 'jan25' AS which_date, count(*) AS cnt FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-25'
+           |ORDER BY which_date""".stripMargin))
+
+  /** Q10.1 (analytic.sql:130-154): rush-hour vs off-peak labeled averages —
+    * boolean combinators incl. NOT over OR-of-ranges (P5), hour extract (F3),
+    * NULL-skipping AVG (A5), UNION ALL (U1). Float aggregate rounded for
+    * cross-engine stability. */
+  private val q10 = QueryDef(
+    "q10_rush_hour_vs_offpeak",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val rush = hourOf(col("ts")).between(7, 8) || hourOf(col("ts")).between(16, 17)
+      def branch(cond: org.apache.spark.sql.Column, label: String) =
+        ev.filter(cond)
+          .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("cnt"))
+          .select(lit(label).as("time_period"), col("avg_value"), col("cnt"))
+      branch(rush, "Rush Hour").union(branch(!rush, "Off Peak"))
+        .orderBy(col("time_period"))
+    },
+    Some("""SELECT 'Rush Hour' AS time_period, round(avg(value), 4) AS avg_value, count(*) AS cnt
+           |FROM events WHERE value IS NOT NULL
+           |  AND (extract(hour FROM ts) BETWEEN 7 AND 8 OR extract(hour FROM ts) BETWEEN 16 AND 17)
+           |UNION ALL
+           |SELECT 'Off Peak' AS time_period, round(avg(value), 4) AS avg_value, count(*) AS cnt
+           |FROM events WHERE value IS NOT NULL
+           |  AND NOT (extract(hour FROM ts) BETWEEN 7 AND 8 OR extract(hour FROM ts) BETWEEN 16 AND 17)
+           |ORDER BY time_period""".stripMargin))
+
+  /** Q10.2 (analytic.sql:156-169): top-5 entities by average measure (A5, O4)
+    * with rounded sort key + id tie-break so both engines cut the same top-k. */
+  private val q11 = QueryDef(
+    "q11_top5_users_by_avg",
+    (s, dir) => Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("cnt"))
+      .orderBy(desc("avg_value"), asc("user_id"))
+      .limit(5),
+    Some("""SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS cnt
+           |FROM events WHERE value IS NOT NULL
+           |GROUP BY user_id ORDER BY avg_value DESC, user_id LIMIT 5""".stripMargin))
+
+  /** Q10.3 (analytic.sql:171-191): CASE-bucket ("quadrant") aggregation —
+    * searched CASE as group key (F4, A7), COUNT + COUNT(DISTINCT) per bucket.
+    * The reference's lat/lon quadrants become quantity×price quadrants. */
+  private val q12 = QueryDef(
+    "q12_quadrant_case",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val quadrant = when(col("l_quantity") < 25.0 && col("l_extendedprice") < 35000.0, "low_qty_low_price")
+        .when(col("l_quantity") < 25.0 && col("l_extendedprice") >= 35000.0, "low_qty_high_price")
+        .when(col("l_quantity") >= 25.0 && col("l_extendedprice") < 35000.0, "high_qty_low_price")
+        .otherwise("high_qty_high_price")
+      li.groupBy(quadrant.as("quadrant"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .orderBy(col("quadrant"))
+    },
+    Some("""SELECT CASE
+           |    WHEN l_quantity < 25.0 AND l_extendedprice < 35000.0 THEN 'low_qty_low_price'
+           |    WHEN l_quantity < 25.0 AND l_extendedprice >= 35000.0 THEN 'low_qty_high_price'
+           |    WHEN l_quantity >= 25.0 AND l_extendedprice < 35000.0 THEN 'high_qty_low_price'
+           |    ELSE 'high_qty_high_price' END AS quadrant,
+           |  count(*) AS cnt, count(DISTINCT l_suppkey) AS n_suppliers
+           |FROM lineitem GROUP BY 1 ORDER BY quadrant""".stripMargin))
+
+  /** A8+F11 (transform.py:146-183): dimension extraction — first event per
+    * entity (deterministic row_number, not dropDuplicates) classified into a
+    * service key, with the reference's constant 'Out' direction (F16). */
+  private val q13 = QueryDef(
+    "q13_dim_extract_first_event",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          serviceKey(pgDow(col("ts"))).as("service_key"), lit("Out").as("direction"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, first_event_id,
+           |  CASE WHEN dow = 6 THEN 'Saturday' WHEN dow = 0 THEN 'Sunday' ELSE 'Weekday' END AS service_key,
+           |  'Out' AS direction
+           |FROM (
+           |  SELECT user_id, event_id AS first_event_id, extract(dow FROM ts) AS dow,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+           |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
 }
