@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    Relational)
+    Relational, Etl)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's batch-ETL operators (/root/reference/transform.py),
+  * re-expressed as declarative Spark plans.
+  *
+  * Scale posture: every operator here is a window over
+  * `partitionBy(entity).orderBy(time)` or a key-partitioned join — both
+  * shuffle exactly once on the entity key and then stream; no driver-side
+  * loops, no collect. At 100 TB the trip/entity key is high-cardinality, so
+  * the shuffle is well-spread; AQE handles residual skew.
+  */
+object EtlOps {
+
+  /** F6 (transform.py:28-37, 149-157): parse the reference's
+    * `"25DEC2022:00:00:00"` OPD_DATE format. Done reference-faithfully with
+    * substring + month-name map (Java's `MMM` pattern is case-sensitive and
+    * would reject the uppercase month), all codegen-friendly built-ins. */
+  def parseOpdDate(opd: Column): Column = {
+    val datePart = substring_index(opd, ":", 1) // "25DEC2022"
+    val day = substring(datePart, 1, 2).cast("int")
+    val monName = substring(datePart, 3, 3)
+    val year = substring(datePart, 6, 4).cast("int")
+    val mon = Seq("JAN" -> 1, "FEB" -> 2, "MAR" -> 3, "APR" -> 4, "MAY" -> 5, "JUN" -> 6,
+      "JUL" -> 7, "AUG" -> 8, "SEP" -> 9, "OCT" -> 10, "NOV" -> 11, "DEC" -> 12)
+      .foldLeft(lit(null).cast("int")) { case (acc, (n, v)) =>
+        when(upper(monName) === n, v).otherwise(acc)
+      }
+    make_date(year, mon, day)
+  }
+
+  /** F7 (transform.py:40-59): OPD_DATE + ACT_TIME seconds-since-midnight →
+    * timestamp, where ACT_TIME may exceed 86400 (service day rolls past
+    * midnight). Interval addition handles the >24 h rollover natively. */
+  def synthesizeTimestamp(opdDate: Column, actTimeSec: Column): Column =
+    to_timestamp(opdDate) + make_dt_interval(lit(0), lit(0), lit(0), actTimeSec.cast("double"))
+
+  /** W1+W2 (transform.py:204-259): per-entity speed derivation.
+    *
+    * Within `partitionCol` ordered by `orderCols`:
+    * speed[i] = (meters[i] − meters[i−1]) / (timeSec[i] − timeSec[i−1]),
+    * NULL when there is no previous row or Δt ≤ 0 (transform.py:225);
+    * then the FIRST row of each entity backfills with the SECOND row's
+    * computed speed (transform.py:252-259) — singleton entities stay NULL.
+    *
+    * One shuffle on the entity key; everything after is a streaming window.
+    */
+  def deriveSpeed(df: DataFrame, partitionCol: Column, orderCols: Seq[Column],
+      meters: Column, timeSec: Column, out: String = "speed"): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(orderCols: _*)
+    val dv = meters - lag(meters, 1).over(w)
+    val dt = timeSec - lag(timeSec, 1).over(w)
+    val raw = when(dt > 0, dv / dt) // NULL on first row (lag null) or Δt<=0
+    df.withColumn("__speed_raw", raw)
+      .withColumn(out,
+        when(row_number().over(w) === 1, lead(col("__speed_raw"), 1).over(w))
+          .otherwise(col("__speed_raw")))
+      .drop("__speed_raw")
+  }
+
+  /** A8+F11+F16 (transform.py:146-183): dimension extraction — the first
+    * record per entity (deterministic order) defines the dim row. */
+  def extractDim(df: DataFrame, key: Column, orderCols: Seq[Column], dimCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .select(dimCols: _*)
+  }
+
+  /** J2 (transform.py:190-195): `ON CONFLICT DO NOTHING` ≙ left-anti join of
+    * incoming against existing keys, then append. No transactional sink in
+    * Spark — idempotency comes from re-runnable anti-join + partition
+    * overwrite (S9). The existing side is keys-only (pruned to the join
+    * columns), so at scale it broadcast- or shuffle-joins on the key alone. */
+  def upsertNewKeys(incoming: DataFrame, existingKeys: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existingKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** S7 (transform.py:114-126): corrupt-line-tolerant JSONL scan. PERMISSIVE
+    * mode mirrors the reference's skip-and-log loop: bad lines land in
+    * `_corrupt_record` instead of failing the job. Returns (good, corrupt). */
+  def readJsonlTolerant(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // one scan serves both splits; unpersist is the caller's call
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record"))
+    (good, bad)
+  }
+
+  /** S9 (transform.py:62-83): idempotent partition reload — the reference's
+    * DELETE-day-then-INSERT becomes dynamic partition overwrite: only the
+    * date partitions present in `df` are replaced, the rest untouched. */
+  def overwriteDatePartitions(df: DataFrame, dateCol: Column, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("date", to_date(dateCol))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+  }
+
+  /** S3 analogue (data_collector.py:68-79): raw ingest sink partitioned by
+    * vehicle and event date. */
+  def writeRawPartitioned(df: DataFrame, vehicleCol: Column, dateCol: Column, path: String): Unit =
+    df.withColumn("vehicle_id", vehicleCol).withColumn("date", to_date(dateCol))
+      .write.mode("append").partitionBy("vehicle_id", "date").json(path)
+}

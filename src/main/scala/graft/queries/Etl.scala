@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.operators.EtlOps
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked instantiations of the ETL operators (SURVEY §2.5, W1-W3;
+  * §2.8 F6/F7; §2.3 J2) over the `events` fixture per FIXTURES.md: `value`
+  * plays METERS, `ts` plays ACT_TIME, `user_id` plays trip_id.
+  */
+object Etl extends QueryGroup {
+
+  /** W1+W2 (transform.py:204-259): per-entity lag-difference derivative with
+    * first-row backfill. Δt computed on raw int64 nanos (`ts_ns`) so both
+    * engines do identical integer→double arithmetic; speed rounded to keep
+    * the float comparison stable. */
+  private val q14 = QueryDef(
+    "q14_speed_derivation",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EtlOps.deriveSpeed(ev,
+          partitionCol = col("user_id"),
+          orderCols = Seq(col("ts_ns"), col("event_id")),
+          meters = col("value"),
+          timeSec = col("ts_ns").cast("double") / 1e9)
+        .select(col("event_id"), col("user_id"), round(col("speed"), 6).as("speed"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH speeds AS (
+           |  SELECT event_id, user_id,
+           |    CASE WHEN (epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9 > 0
+           |      THEN (value - lag(value) OVER w) / ((epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9)
+           |    END AS speed_raw,
+           |    row_number() OVER w AS rn
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           |)
+           |SELECT event_id, user_id,
+           |  round(CASE WHEN rn = 1 THEN lead(speed_raw) OVER w2 ELSE speed_raw END, 6) AS speed
+           |FROM speeds
+           |WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+           |ORDER BY event_id""".stripMargin))
+
+  /** F6+F7 (transform.py:25-59): round-trip the reference's timestamp
+    * synthesis — format each event date as the reference's "05JAN2024" OPD
+    * string, take seconds-since-midnight + 86400 (forcing the >24 h service-
+    * day rollover path), parse the string back via substring+month-map and
+    * add the interval. synth_ts must land exactly one day after the original
+    * second-truncated timestamp. */
+  private val q15 = QueryDef(
+    "q15_timestamp_synthesis",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("opd_date",
+          concat(upper(date_format(col("ts"), "ddMMMyyyy")), lit(":00:00:00")))
+        .withColumn("act_time", (unix_timestamp(col("ts")) % 86400) + 86400)
+      ev.withColumn("synth_ts",
+          EtlOps.synthesizeTimestamp(EtlOps.parseOpdDate(col("opd_date")), col("act_time")))
+        .select(col("event_id"), col("opd_date"), col("act_time"),
+          col("synth_ts"), to_date(col("synth_ts")).as("rolled_date"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+           |  upper(strftime(CAST(ts AS TIMESTAMP), '%d%b%Y')) || ':00:00:00' AS opd_date,
+           |  epoch_us(CAST(ts AS TIMESTAMP))//1000000 % 86400 + 86400 AS act_time,
+           |  CAST(CAST(ts AS DATE) AS TIMESTAMP)
+           |    + to_seconds(epoch_us(CAST(ts AS TIMESTAMP))//1000000 % 86400 + 86400) AS synth_ts,
+           |  CAST(CAST(CAST(ts AS DATE) AS TIMESTAMP)
+           |    + to_seconds(epoch_us(CAST(ts AS TIMESTAMP))//1000000 % 86400 + 86400) AS DATE) AS rolled_date
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** J2 (transform.py:190-195): ON-CONFLICT-DO-NOTHING upsert as a left-anti
+    * join — incoming signups whose user already has an error event on the
+    * first day are dropped; the rest would be appended. */
+  private val q16 = QueryDef(
+    "q16_upsert_anti_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val incoming = ev.filter(col("event_type") === "signup")
+      val existing = ev.filter(col("event_type") === "error" &&
+        graft.engine.Semantics.onDate(col("ts"), "2024-01-01"))
+      EtlOps.upsertNewKeys(incoming, existing, Seq("user_id"))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id FROM events e
+           |WHERE event_type = 'signup' AND NOT EXISTS (
+           |  SELECT 1 FROM events x
+           |  WHERE x.user_id = e.user_id AND x.event_type = 'error'
+           |    AND CAST(x.ts AS DATE) = DATE '2024-01-01')
+           |ORDER BY event_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q14, q15, q16)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{BreadcrumbPipeline, EtlOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Edge-case semantics of the ETL operators, pinned to the reference's
+  * behavior (/root/reference/transform.py). */
+class EtlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def speeds(rows: Seq[(Long, Long, Double)]): Map[(Long, Long), Option[Double]] = {
+    val df = rows.toDF("trip", "t", "m")
+    EtlOps.deriveSpeed(df, col("trip"), Seq(col("t")), col("m"), col("t").cast("double"))
+      .collect()
+      .map(r => (r.getAs[Long]("trip"), r.getAs[Long]("t")) ->
+        Option(r.getAs[Any]("speed")).map(_.asInstanceOf[Double]))
+      .toMap
+  }
+
+  test("W1: speed = Δmeters/Δseconds within trip, ordered by time") {
+    val s = speeds(Seq((1L, 0L, 0.0), (1L, 10L, 50.0), (1L, 20L, 150.0)))
+    assert(s((1L, 10L)) === Some(5.0))
+    assert(s((1L, 20L)) === Some(10.0))
+  }
+
+  test("W2: first row backfills with the SECOND row's computed speed (transform.py:252-259)") {
+    val s = speeds(Seq((1L, 0L, 0.0), (1L, 10L, 50.0)))
+    assert(s((1L, 0L)) === Some(5.0)) // takes row 2's speed
+  }
+
+  test("W1: singleton trip has NULL speed (transform.py:217)") {
+    val s = speeds(Seq((7L, 5L, 42.0)))
+    assert(s((7L, 5L)) === None)
+  }
+
+  test("W1: Δt <= 0 yields NULL, and the NULL does not propagate (transform.py:225)") {
+    val s = speeds(Seq((1L, 0L, 0.0), (1L, 0L, 10.0), (1L, 10L, 30.0)))
+    // rows ordered (t=0,m=0),(t=0,m=10): second row Δt=0 → NULL
+    assert(s((1L, 10L)) === Some(2.0)) // third row measures from the Δt=0 row
+  }
+
+  test("W2: first row stays NULL when second row's speed is NULL") {
+    val s = speeds(Seq((1L, 0L, 0.0), (1L, 0L, 10.0)))
+    assert(s.values.forall(_.isEmpty)) // both NULL: Δt=0 second row, backfilled first row
+  }
+
+  test("F6: OPD_DATE parse handles all 12 uppercase month abbreviations") {
+    val months = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+    val df = months.zipWithIndex.map { case (m, i) => (s"15${m}2022:00:00:00", i + 1) }.toDF("opd", "expect")
+    val got = df.select(month(EtlOps.parseOpdDate(col("opd"))).as("m"), col("expect")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("F7: ACT_TIME > 86400 rolls into the next day (transform.py:40-54)") {
+    val df = Seq(("25DEC2022:00:00:00", 86400L + 3661L)).toDF("opd", "act")
+    val ts = df.select(EtlOps.synthesizeTimestamp(EtlOps.parseOpdDate(col("opd")), col("act")).as("ts"))
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as[String].head()
+    assert(ts === "2022-12-26 01:01:01")
+  }
+
+  test("J2: upsert drops rows whose key already exists; idempotent on re-run") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "x"), (3L, "y")).toDF("k", "v")
+    val once = EtlOps.upsertNewKeys(incoming, existing, Seq("k"))
+    assert(once.select("k").as[Long].collect().toSet === Set(3L))
+    val merged = existing.union(once)
+    val twice = EtlOps.upsertNewKeys(incoming, merged, Seq("k"))
+    assert(twice.count() === 0) // second application inserts nothing
+  }
+
+  test("S7: corrupt JSONL lines are isolated, good rows survive (transform.py:119-124)") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "breadcrumbs_2022-12-25.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"EVENT_NO_TRIP": 1, "OPD_DATE": "25DEC2022:00:00:00", "ACT_TIME": 100, "METERS": 5.0, "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6, "VEHICLE_ID": 99}""")
+    w.println("""this is not json at all""")
+    w.println("""{"EVENT_NO_TRIP": 1, "OPD_DATE": "25DEC2022:00:00:00", "ACT_TIME": 110, "METERS": 55.0, "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6, "VEHICLE_ID": 99}""")
+    w.close()
+    val (good, bad) = EtlOps.readJsonlTolerant(spark, f.getAbsolutePath, graft.engine.Tables.breadcrumbRawSchema)
+    assert(good.count() === 2)
+    assert(bad.count() === 1)
+  }
+
+  test("S9: dynamic partition overwrite replaces only the reloaded date (transform.py:62-83)") {
+    val dir = java.nio.file.Files.createTempDirectory("s9").toFile.getAbsolutePath + "/bc"
+    val day1 = Seq((1L, "2022-12-25 10:00:00"), (2L, "2022-12-26 10:00:00")).toDF("id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    EtlOps.overwriteDatePartitions(day1, col("ts"), dir)
+    // reload day 25 with different content; day 26 must survive
+    val reload = Seq((10L, "2022-12-25 11:00:00")).toDF("id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    EtlOps.overwriteDatePartitions(reload, col("ts"), dir)
+    val got = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(got === Set(10L, 2L))
+  }
+
+  test("pipeline: breadcrumbs + trips end-to-end on raw JSON rows (transform.py:86-312)") {
+    val raw = Seq(
+      (101L, "25DEC2022:00:00:00", 1000L, 0.0, 45.1, -122.1, 7L),
+      (101L, "25DEC2022:00:00:00", 1010L, 100.0, 45.2, -122.2, 7L),
+      (202L, "26DEC2022:00:00:00", 500L, 9.0, 45.3, -122.3, 8L) // singleton, Monday
+    ).toDF("EVENT_NO_TRIP", "OPD_DATE", "ACT_TIME", "METERS", "GPS_LATITUDE", "GPS_LONGITUDE", "VEHICLE_ID")
+    val bc = BreadcrumbPipeline.breadcrumbs(raw).collect().map(r =>
+      (r.getAs[Long]("trip_id"), Option(r.getAs[Any]("speed")))).toSet
+    assert(bc === Set((101L, Some(10.0)), (101L, Some(10.0)), (202L, None)))
+    val tr = BreadcrumbPipeline.trips(raw).collect()
+      .map(r => (r.getAs[Long]("trip_id"), r.getAs[Long]("vehicle_id"),
+        r.getAs[String]("service_key"), r.getAs[String]("direction"))).toSet
+    // 2022-12-25 is a Sunday, 2022-12-26 a Monday (Weekday)
+    assert(tr === Set((101L, 7L, "Sunday", "Out"), (202L, 8L, "Weekday", "Out")))
+  }
+}
