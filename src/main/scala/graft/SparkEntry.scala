@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    Relational, Etl)
+    Relational, Etl, Text, Dedup, Similarity, Events)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder prompt): image/audio/video travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample run per-partition over batches.
+  *
+  * The media codec itself is STUBBED (this container has no image/audio
+  * libraries — see [[StubCodec]]) behind the [[MediaCodec]] trait, but the
+  * Spark-side plumbing is real and tested: schema, encoders, partition
+  * batching, and the mapPartitions execution shape (the Scala analogue of
+  * mapInPandas — one codec instantiation per partition, streamed batches,
+  * no per-row setup cost).
+  */
+object MultimodalOps {
+
+  /** A media row: opaque payload + typed envelope. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      source: String)
+
+  /** Decoded features — what a real decoder would emit. */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      feature_hash: String)
+
+  /** Pluggable decoder. Implementations must be Serializable (shipped to
+    * executors) and cheap to construct once per partition. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], mediaType: String): (Int, Int, Long)
+  }
+
+  /** Deterministic fake decoder: derives plausible dimensions from the
+    * payload hash. A real deployment swaps in an image/audio library here —
+    * the surrounding plan is unchanged. */
+  object StubCodec extends MediaCodec {
+    override def decode(payload: Array[Byte], mediaType: String): (Int, Int, Long) = {
+      val h = java.util.Arrays.hashCode(payload).abs
+      mediaType match {
+        case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0L)
+        case "audio" => (0, 0, 1000L + h % 600000L)
+        case "video" => (64 + h % 1920, 64 + (h / 7) % 1080, 1000L + h % 3600000L)
+        case _ => (0, 0, 0L)
+      }
+    }
+  }
+
+  /** Decode/feature-extract over partition-local batches. One codec per
+    * partition, rows streamed — the execution shape that scales: no shuffle,
+    * no driver involvement, codec setup amortized across the partition. */
+  def extractFeatures(media: Dataset[MediaRecord], codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, d) = codec.decode(r.payload, r.media_type)
+        md.reset()
+        val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, w, h, d, hash)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th chunk of a video payload as its own
+    * row (the explode-shaped step of a frame pipeline). Chunking stands in
+    * for real frame boundaries; the plan shape (generator + no shuffle) is
+    * the real thing. */
+  def sampleFrames(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_chunks", (octet_length(col("payload")) / chunkBytes).cast("int") + 1)
+      .withColumn("frame_no", explode(sequence(lit(0), col("n_chunks") - 1, lit(stride))))
+      .withColumn("frame", substring(col("payload"), col("frame_no") * chunkBytes + 1, lit(chunkBytes)))
+      .drop("n_chunks")
+}

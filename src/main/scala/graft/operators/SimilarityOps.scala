@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over embedding columns (builder prompt;
+  * SURVEY §2.10 X3): brute-force cosine top-k as the exact baseline, and an
+  * IVF-style coarse-quantizer probe as the scale path.
+  *
+  * The dot product is a higher-order `zip_with`+`aggregate` over
+  * array<double> — pure Catalyst expressions (no UDF), evaluated inside
+  * codegen. At 100 TB the brute-force variant is a broadcast of the query
+  * vector + one linear scan with TakeOrderedAndProject (no shuffle of the
+  * corpus); IVF prunes the scan to matching coarse cells first.
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two array<double> columns — same
+    * operation order as DuckDB's list_dot_product, so oracle results agree
+    * to the last ulp before rounding. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * `queryRow` must be a single row (vec_id, embedding); it is broadcast —
+    * the corpus is never shuffled. */
+  def cosineTopK(corpus: DataFrame, queryRow: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queryRow.select(
+      col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb")))
+    corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine(col("emb"), col("q_emb")), 6))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style probe: restrict the scan to the query's coarse cell before
+    * ranking. Here the testdata's `label` column plays the coarse-quantizer
+    * assignment (production IVF k-means-trains centroids and assigns at
+    * write time, turning the cell into a partition key → partition-pruned
+    * scan at 100 TB). */
+  def cosineTopKIvf(corpus: DataFrame, queryRow: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val q = broadcast(queryRow.select(
+      col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"),
+      col(cellCol).as("q_cell")))
+    corpus
+      .select(col("vec_id"), col(cellCol).as("cell"), col("embedding").cast("array<double>").as("emb"))
+      .join(q, col("cell") === col("q_cell")) // cell-pruned candidate set
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine(col("emb"), col("q_emb")), 6))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batch k-NN join: top-k neighbors for EVERY query row (window ranking
+    * per query). Candidates bucket-bounded by `cellCol` (IVF-style), so the
+    * join is cell×cell, not corpus×corpus. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("vec_id").as("n_id"), col(cellCol).as("cell"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    val qs = queries.select(col("vec_id").as("q_id"), col(cellCol).as("cell"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
+    qs.join(c, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine(col("n_emb"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data pipeline extension
+  * surface (builder prompt; SURVEY §2.10 X4): tokenization, quality scoring,
+  * language-ID heuristics, fingerprinting, TF-IDF.
+  *
+  * Everything is built from codegen'd built-ins and higher-order array
+  * functions — no UDFs in the hot path, so WholeStageCodegen spans stay wide
+  * and the operators scale to 100 TB as pure map-side work (+ one shuffle
+  * for the corpus-level aggregates).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the engine-neutral baseline; a BPE-ish regex
+    * variant is [[tokenizeRegex]]). */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenizer: words, numbers, or single punctuation marks. */
+  def tokenizeRegex(text: Column): Column =
+    filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""), t => length(trim(t)) > 0)
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Count of stopword tokens (quality-scoring feature). */
+  def stopwordCount(tokens: Column, stops: Seq[String] = defaultStopwords): Column =
+    size(filter(tokens, t => t.isin(stops: _*))).cast("long")
+
+  /** Word 3-gram shingles (1-based element_at matches DuckDB list indexing,
+    * so oracle SQL mirrors this expression exactly). Empty array when the
+    * document has fewer than 3 tokens — sequence() would otherwise produce a
+    * descending range. */
+  def shingles3(tokens: Column): Column =
+    when(size(tokens) >= 3,
+      transform(sequence(lit(0), size(tokens) - lit(3)),
+        i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text,
+    * truncated to 16 hex chars. Deterministic, collision-safe enough for
+    * near-exact dedup keys at corpus scale. */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, 16)
+
+  /** Heuristic language-ID via stopword-marker hits, CASE-argmax with a
+    * fixed precedence for ties and 'und' when no marker fires. Mirrors the
+    * n-gram-heuristic class of language identifiers; deterministic and
+    * SQL-expressible so it stays oracle-checkable. */
+  def langIdScores(tokens: Column): Seq[(String, Column)] = Seq(
+    "en" -> Seq("the", "and", "of", "is"), "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "de", "que"), "fr" -> Seq("le", "les", "des", "est"))
+    .map { case (lang, markers) =>
+      lang -> size(filter(tokens, t => t.isin(markers: _*))).cast("long")
+    }
+
+  def langIdPredict(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en + de + es + fr === 0, "und")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
+  /** Composite quality score in [0,1]: stopword-ratio band + length prior.
+    * The exact formula is arbitrary (reference has none); what matters is
+    * that it is deterministic, engine-neutral, and built from the classic
+    * quality features (length / stopword ratio / mean word length). */
+  def qualityScore(nTokens: Column, stopRatio: Column, meanWordLen: Column): Column =
+    round(
+      lit(0.4) * when(stopRatio.between(0.05, 0.5), 1.0).otherwise(0.0) +
+      lit(0.3) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.0) +
+      lit(0.3) * least(nTokens.cast("double") / lit(100.0), lit(1.0)), 4)
+}

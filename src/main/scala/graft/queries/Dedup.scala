@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection queries over `documents` (builder prompt;
+  * SURVEY §2.10 X2): n-gram Jaccard, MinHash+LSH, SimHash. Candidate
+  * generation is always bucket-bounded (source bucket / LSH band / simhash
+  * band) — no unbounded cross joins at any scale. */
+object Dedup extends QueryGroup {
+
+  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("shset", array_distinct(TextOps.shingles3(TextOps.tokenize(col("text")))))
+
+  /** X2a: true n-gram Jaccard — top-20 most similar same-source pairs.
+    * Pairs only form on shared shingles inside a source bucket. */
+  private val q22 = QueryDef(
+    "q22_ngram_jaccard_topk",
+    (s, dir) => DedupOps.jaccardPairs(docShingles(s, dir), "doc_id", col("shset"), col("source"))
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
+      .orderBy(desc("jaccard"), col("a_id"), col("b_id"))
+      .limit(20),
+    Some("""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |sizes AS (SELECT doc_id, CAST(len(shset) AS BIGINT) AS setsize FROM sets WHERE len(shset) > 0),
+           |common AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+           |  FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, n_common,
+           |  round(CAST(n_common AS DOUBLE) / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) AS jaccard
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin))
+
+  /** X2b: MinHash+LSH candidate pairs — 8 md5-minhashes, band size 1 (tuned
+    * for the low-Jaccard test corpus; production uses r≥2), bucketed by
+    * source. Candidates are pairs agreeing on ≥1 minhash inside a bucket. */
+  private val q23 = QueryDef(
+    "q23_minhash_lsh_pairs",
+    (s, dir) => DedupOps
+      .minhashLshCandidates(docShingles(s, dir), "doc_id", col("shset"), 8, col("source"))
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |sigs AS (
+           |  SELECT doc_id, source,
+           |    list_transform(range(8), j ->
+           |      list_min(list_transform(shset, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+           |  FROM sets WHERE len(shset) > 0),
+           |bands AS (
+           |  SELECT doc_id, source, u.band - 1 AS band, sig[u.band] AS h
+           |  FROM sigs, unnest(range(1, 9)) AS u(band)),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+           |  FROM bands a JOIN bands b
+           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""".stripMargin))
+
+  /** X2c: SimHash-32 near-dups — signatures from md5 hex-digit votes, then
+    * same-source pairs within Hamming distance ≤ 8, top-20 closest. */
+  private val q24 = QueryDef(
+    "q24_simhash_neardup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("tokset", array_distinct(TextOps.tokenize(col("text"))))
+      val sigs = DedupOps.simhash32(docs, "doc_id", col("tokset"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"), col("source"))
+      val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"), col("source"))
+      a.join(b, "source")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("hamming"), col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, md5(t.tok) AS h
+           |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents) t),
+           |votes AS (
+           |  SELECT doc_id, p.pos,
+           |    sum(CASE WHEN substr(h, p.pos + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+           |  FROM toks, unnest(range(32)) AS p(pos)
+           |  GROUP BY 1, 2),
+           |sigs AS (
+           |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS simhash
+           |  FROM votes GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+           |  FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  JOIN sigs sa ON sa.doc_id = a.doc_id
+           |  JOIN sigs sb ON sb.doc_id = b.doc_id)
+           |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8
+           |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24)
+}

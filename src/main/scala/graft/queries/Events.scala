@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.operators.SessionOps
+import org.apache.spark.sql.functions._
+
+/** Event-stream extension queries (X5 JSON extraction, X6 sessionization)
+  * plus the multimodal metadata surface (binary columns). */
+object Events extends QueryGroup {
+
+  /** X5: JSON property extraction from `events.props` + grouped rollup.
+    * get_json_object is a real JSON-path evaluation (F14 class); the bucket
+    * keeps the output small and deterministic. */
+  private val q28 = QueryDef(
+    "q28_json_extract_agg",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_bucket")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           |  count(*) AS cnt, round(avg(value), 4) AS avg_value
+           |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
+
+  /** X6: gap-based sessionization (30 min) — lag gap-flag + running sum,
+    * then per-session rollup. Gap arithmetic on raw int64 nanos so both
+    * engines compare exactly. */
+  private val q29 = QueryDef(
+    "q29_sessionize",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      SessionOps.sessionize(ev,
+          entity = col("user_id"),
+          timeSec = col("ts_ns").cast("double") / 1e9,
+          orderCols = Seq(col("ts_ns"), col("event_id")),
+          gapSeconds = 1800.0)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+           |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+           |           OR (epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9 > 1800.0
+           |      THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+           |sessions AS (
+           |  SELECT user_id, event_id,
+           |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |  FROM flagged)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  min(event_id) AS first_event, max(event_id) AS last_event
+           |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
+
+  /** Multimodal metadata surface: documents' text as an opaque binary
+    * payload with typed metadata — byte length, content hash, chunk count.
+    * (The decode stage itself is the stubbed MediaCodec in MultimodalOps;
+    * this query is the schema/metadata plumbing that IS oracle-checkable.) */
+  private val q30 = QueryDef(
+    "q30_multimodal_meta",
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_hash"),
+        (floor(octet_length(col("payload")) / lit(256)) + 1).cast("long").as("n_chunks"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |  md5(text) AS content_hash,
+           |  octet_length(CAST(text AS BLOB)) // 256 + 1 AS n_chunks
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q28, q29, q30)
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings` (X3). */
+object Similarity extends QueryGroup {
+
+  /** Brute-force exact cosine top-10 for one query vector: broadcast query,
+    * linear corpus scan, TakeOrderedAndProject — the exact baseline every
+    * ANN variant is judged against. */
+  private val q25 = QueryDef(
+    "q25_cosine_topk_brute",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.cosineTopK(emb, emb.filter(col("vec_id") === 0), 10)
+    },
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |  round(list_dot_product(e.embedding::DOUBLE[], q.q_emb)
+           |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           |     * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+           |FROM embeddings e CROSS JOIN q
+           |WHERE e.vec_id <> 0
+           |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin))
+
+  /** IVF-style probe: scan only the query's coarse cell (`label` plays the
+    * quantizer assignment; at scale the cell is a partition key → pruned
+    * scan instead of full corpus). */
+  private val q26 = QueryDef(
+    "q26_cosine_ivf_probe",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.cosineTopKIvf(emb, emb.filter(col("vec_id") === 0), "label", 10)
+    },
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |  round(list_dot_product(e.embedding::DOUBLE[], q.q_emb)
+           |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           |     * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+           |FROM embeddings e JOIN q ON e.label = q.q_label
+           |WHERE e.vec_id <> 0
+           |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin))
+
+  /** Batch k-NN join: top-3 neighbors for every query in a query set,
+    * cell-bounded (IVF shape) + per-query window ranking. */
+  private val q31 = QueryDef(
+    "q31_knn_join",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.knnJoin(emb, emb.filter(col("vec_id") < 5), "label", 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH qs AS (SELECT vec_id AS q_id, label, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT qs.q_id, e.vec_id AS n_id,
+           |    round(list_dot_product(e.embedding::DOUBLE[], qs.q_emb)
+           |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           |       * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) AS cosine
+           |  FROM embeddings e JOIN qs ON e.label = qs.label
+           |  WHERE e.vec_id <> qs.q_id),
+           |ranked AS (
+           |  SELECT q_id, n_id, cosine,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank
+           |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31)
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension queries over `documents` (builder prompt: langid,
+  * quality scoring, token counting, fingerprinting, TF-IDF). All pure
+  * built-ins + higher-order array functions — map-side work plus one shuffle
+  * for corpus aggregates; scales as a linear scan at 100 TB. */
+object Text extends QueryGroup {
+
+  /** X1: exact dedup by content hash — hash-groupBy with deterministic
+    * min-id keeper. */
+  private val q17 = QueryDef(
+    "q17_dedup_exact",
+    (s, dir) => graft.operators.DedupOps
+      .exactDedupGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("content_hash")),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin))
+
+  /** Token counting per language: whitespace tokens, corpus rollup. */
+  private val q18 = QueryDef(
+    "q18_token_stats",
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("n_tokens", size(TextOps.tokenize(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Quality scoring: stopword ratio + mean word length + length prior. */
+  private val q19 = QueryDef(
+    "q19_quality_score",
+    (s, dir) => {
+      val stops = TextOps.defaultStopwords
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokenize(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("stop_ratio",
+          round(TextOps.stopwordCount(col("toks"), stops).cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("mean_word_len",
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("quality",
+          TextOps.qualityScore(col("n_tokens"), col("stop_ratio"), col("mean_word_len")))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"), col("mean_word_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, n_tokens,
+           |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','on','for'))) AS DOUBLE)
+           |      / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+           |    round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len
+           |  FROM t)
+           |SELECT doc_id, n_tokens, stop_ratio, mean_word_len,
+           |  round(0.4 * (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.0 END)
+           |      + 0.3 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 4) AS quality
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic: stopword-marker argmax with fixed tie order. */
+  private val q20 = QueryDef(
+    "q20_langid",
+    (s, dir) => {
+      val df = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokenize(col("text")))
+      val scored = TextOps.langIdScores(col("toks")).foldLeft(df) {
+        case (d, (lang, score)) => d.withColumn(s"${lang}_hits", score)
+      }
+      scored
+        .withColumn("predicted_lang",
+          TextOps.langIdPredict(col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits")))
+        .select(col("doc_id"), col("lang"), col("predicted_lang"),
+          col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is'))) AS BIGINT) AS en_hits,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','das'))) AS BIGINT) AS de_hits,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que'))) AS BIGINT) AS es_hits,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','les','des','est'))) AS BIGINT) AS fr_hits
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'und'
+           |       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           |       WHEN es_hits >= fr_hits THEN 'es'
+           |       ELSE 'fr' END AS predicted_lang,
+           |  en_hits, de_hits, es_hits, fr_hits
+           |FROM t ORDER BY doc_id""".stripMargin))
+
+  /** Fingerprint dedup: md5-of-normalized-text prefix as near-exact key. */
+  private val q21 = QueryDef(
+    "q21_fingerprint",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("fp")),
+    Some("""SELECT substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp,
+           |  min(doc_id) AS keeper_id, count(*) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
+
+  /** X4 TF-IDF: top-30 (doc, term) by tf·ln(N/df). Two hash aggregates +
+    * one broadcastable dim join (term→df) + a scalar N cross join; top-k via
+    * TakeOrderedAndProject. */
+  private val q27 = QueryDef(
+    "q27_tfidf_top_terms",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = docs.select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(n)
+        .withColumn("tfidf",
+          round(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(desc("tfidf"), col("doc_id"), col("term"))
+        .limit(30)
+    },
+    Some("""WITH terms AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+           |SELECT doc_id, term, tf, df,
+           |  round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+           |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+           |ORDER BY tfidf DESC, doc_id, term LIMIT 30""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantics of the extension operators (dedup, similarity, sessions,
+  * multimodal plumbing). */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("X1: exact dedup groups identical content under one keeper; idempotent") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val groups = DedupOps.exactDedupGroups(df, col("doc_id"), col("text"))
+    val m = groups.collect().map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(m === Map(1L -> 2L, 3L -> 1L))
+    // dedup applied twice == once (keepers only, re-grouped)
+    val keepers = df.join(groups.select(col("keeper_id").as("doc_id")), "doc_id")
+    assert(DedupOps.exactDedupGroups(keepers, col("doc_id"), col("text"))
+      .agg(max("n_copies")).as[Long].head() === 1L)
+  }
+
+  test("X2: identical docs agree on all minhashes; jaccard of identical shingle sets is 1") {
+    val docs = Seq((1L, "a b c d e", "s"), (2L, "a b c d e", "s"), (3L, "x y z w v", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("shset", array_distinct(TextOps.shingles3(TextOps.tokenize(col("text")))))
+    val cand = DedupOps.minhashLshCandidates(docs, "doc_id", col("shset"), 8, col("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared_bands")).toMap
+    assert(cand((1L, 2L)) === 8L) // identical sets agree on every hash
+    assert(!cand.contains((1L, 3L))) // disjoint sets share no minhash (w.h.p.)
+    val jac = DedupOps.jaccardPairs(docs, "doc_id", col("shset"), col("source"))
+      .filter(col("a_id") === 1 && col("b_id") === 2)
+      .select("jaccard").as[Double].head()
+    assert(jac === 1.0)
+  }
+
+  test("X2: simhash of identical token sets is identical; disjoint sets differ") {
+    val docs = Seq((1L, Seq("alpha", "beta", "gamma")), (2L, Seq("alpha", "beta", "gamma")),
+      (3L, Seq("zeta", "eta", "theta"))).toDF("doc_id", "tokset")
+    val sigs = DedupOps.simhash32(docs, "doc_id", col("tokset"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("X3: cosine top-k ranks an identical vector first with cosine 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f, 0.0f), 1), // identical to query
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), // orthogonal
+      (3L, Array(0.9f, 0.1f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.cosineTopK(emb, emb.filter(col("vec_id") === 0), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head === ((1L, 1.0)))
+    assert(top.last._1 === 2L) // orthogonal ranks last
+    assert(top.last._2 === 0.0)
+  }
+
+  test("X3: IVF probe only scans the query's cell") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f), 2), // perfect match but wrong cell
+      (2L, Array(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.cosineTopKIvf(emb, emb.filter(col("vec_id") === 0), "label", 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(2L)) // vec 1 pruned by cell
+  }
+
+  test("X6: sessionize splits exactly at gaps > threshold") {
+    val df = Seq(
+      (1L, 0.0, 1L), (1L, 100.0, 2L), (1L, 2000.0, 3L), // gap 1900 > 1800 → new session
+      (1L, 3000.0, 4L), // gap 1000 → same session
+      (2L, 0.0, 5L) // separate user
+    ).toDF("user_id", "t", "event_id")
+    val got = SessionOps.sessionize(df, col("user_id"), col("t"), Seq(col("t"), col("event_id")), 1800.0)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("multimodal: mapPartitions feature extraction preserves rows and derives stable features") {
+    import MultimodalOps._
+    val media = Seq(
+      MediaRecord(1L, "image", "fake-image-bytes".getBytes, "s0"),
+      MediaRecord(2L, "audio", "fake-audio-bytes".getBytes, "s0"),
+      MediaRecord(3L, "video", "fake-video-bytes".getBytes, "s1")
+    ).toDS()
+    val feats = extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats.size === 3)
+    assert(feats(1L).width > 0 && feats(1L).duration_ms === 0L)
+    assert(feats(2L).width === 0 && feats(2L).duration_ms > 0L)
+    assert(feats(3L).width > 0 && feats(3L).duration_ms > 0L)
+    assert(feats(1L).n_bytes === "fake-image-bytes".length.toLong)
+    // deterministic: second run yields identical hashes
+    val again = extractFeatures(media).collect().map(f => f.media_id -> f.feature_hash).toMap
+    assert(again === feats.map { case (k, v) => k -> v.feature_hash })
+  }
+
+  test("multimodal: frame sampling explodes chunks with stride") {
+    val media = Seq((1L, Array.fill[Byte](1024)(7))).toDF("media_id", "payload")
+    val frames = MultimodalOps.sampleFrames(media, chunkBytes = 256, stride = 2)
+    // 1024/256+1 = 5 chunks, stride 2 → frames 0,2,4
+    assert(frames.select("frame_no").as[Int].collect().toSeq.sorted === Seq(0, 2, 4))
+  }
+}
