@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's streaming ingest path (/root/reference/data_subscriber.py)
+  * re-expressed as Structured Streaming (SURVEY §2.9 T1-T6).
+  *
+  * Semantics mapping:
+  *  - T1 at-least-once ack/nack (data_subscriber.py:89,98) → source offsets +
+  *    an idempotent sink (partition overwrite / dedup downstream) =
+  *    effectively-once. There is no nack; failed micro-batches replay from
+  *    the checkpoint.
+  *  - T2 event-date routing (data_subscriber.py:74-79) → partitionBy on the
+  *    EVENT date parsed from the payload, falling back to processing time.
+  *  - T3 unbounded lateness (append-mode reopen, data_subscriber.py:49-56) →
+  *    the file sink appends to any date partition, no watermark needed;
+  *    stateful aggregations take an explicit watermark (divergence noted:
+  *    the reference keeps no in-stream agg state at all).
+  *  - T4 daily "window" = daily files (data_subscriber.py:52) → either the
+  *    partitioned sink (exact mirror) or a native tumbling window agg.
+  *  - T6 shutdown-triggered batch transform (data_subscriber.py:132-143) →
+  *    foreachBatch handoff running the batch ETL per micro-batch.
+  *
+  * Scale: the sink partitions by event date; per micro-batch work is a
+  * narrow map + file append. State (for windowed aggs) is bounded by the
+  * watermark. Nothing accumulates on the driver.
+  */
+object StreamingOps {
+
+  /** S5: streaming JSONL source with the reference's corrupt-line tolerance
+    * (PERMISSIVE + _corrupt_record, transform.py:119-124). `maxFilesPerTrigger`
+    * bounds micro-batch size (the Spark-side analogue of the publisher's
+    * batch-of-100 pacing, data_collector.py:111). */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** T2: event-date routing column — event time when parseable, else
+    * processing time (data_subscriber.py:74-79 exactly: payload `timestamp`
+    * field, fallback `datetime.now()`). */
+  def withEventDate(df: DataFrame, eventTs: String): DataFrame =
+    df.withColumn("date", to_date(coalesce(col(eventTs), current_timestamp())))
+
+  /** S6+T3: event-date-partitioned append sink. Append mode tolerates
+    * unbounded lateness for the file sink, mirroring the reference's
+    * reopen-old-file behavior. Checkpointed → exactly-once file manifest. */
+  def datePartitionedSink(df: DataFrame, outPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+      .outputMode("append")
+
+  /** T4: native tumbling event-time window aggregation with a watermark —
+    * the in-stream daily rollup the reference realizes as daily files +
+    * batch job. Late rows beyond the watermark are dropped (documented
+    * divergence from the reference's unbounded-lateness file append). */
+  def dailyCounts(df: DataFrame, eventTs: String, watermark: String = "1 day"): DataFrame =
+    df.withWatermark(eventTs, watermark)
+      .groupBy(window(col(eventTs), "1 day").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("day.start").as("day_start"), col("cnt"))
+
+  /** T6: stream→batch handoff — the reference chains transform.main(date)
+    * after ingest (data_subscriber.py:132-143); here each micro-batch runs
+    * the batch ETL function under the source's exactly-once envelope. */
+  def foreachBatchHandoff(df: DataFrame, checkpoint: String)(etl: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => etl(batch.toDF(), id))
+
+  /** Convenience: run a streaming query until all currently-available input
+    * is processed, then stop (test/batch-catchup harness). */
+  def runAvailableNow(w: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val q: StreamingQuery = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{DedupOps, EtlOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property tests (SURVEY §5.3): invariants that must hold for
+  * every input, not just the fixtures. */
+object InvariantProps extends Properties("graft") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val tripGen: Gen[List[(Long, Long, Double)]] = for {
+    nTrips <- Gen.choose(1, 4)
+    rows <- Gen.listOfN(nTrips, for {
+      trip <- Gen.choose(1L, 5L)
+      n <- Gen.choose(1, 6)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+      ms <- Gen.listOfN(n, Gen.choose(0.0, 10000.0))
+    } yield ts.zip(ms).map { case (t, m) => (trip, t, m) })
+  } yield rows.flatten
+
+  property("W1/W2: speed derivation preserves row count per trip") =
+    Prop.forAll(tripGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("trip", "t", "m")
+        val out = EtlOps.deriveSpeed(df, col("trip"), Seq(col("t"), col("m")), col("m"), col("t").cast("double"))
+        out.count() == rows.size &&
+          out.groupBy("trip").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+            rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      }
+    }
+
+  property("W1: singleton trips always have NULL speed") =
+    Prop.forAll(Gen.choose(0L, 100L), Gen.choose(0.0, 100.0)) { (t, m) =>
+      val df = List((1L, t, m)).toDF("trip", "t", "m")
+      EtlOps.deriveSpeed(df, col("trip"), Seq(col("t")), col("m"), col("t").cast("double"))
+        .filter(col("speed").isNull).count() == 1L
+    }
+
+  property("J2: upsert twice == upsert once (idempotence)") =
+    Prop.forAll(Gen.listOf(Gen.choose(1L, 10L)), Gen.listOf(Gen.choose(1L, 10L))) { (ex, in) =>
+      val existing = ex.map(k => (k, s"e$k")).toDF("k", "v")
+      val incoming = in.map(k => (k, s"i$k")).toDF("k", "v")
+      val once = EtlOps.upsertNewKeys(incoming, existing, Seq("k"))
+      val merged = existing.union(once)
+      EtlOps.upsertNewKeys(incoming, merged, Seq("k")).count() == 0L
+    }
+
+  property("U1: UNION ALL row counts are additive") =
+    Prop.forAll(Gen.listOf(Gen.choose(0, 100)), Gen.listOf(Gen.choose(0, 100))) { (a, b) =>
+      val da = a.toDF("x"); val db = b.toDF("x")
+      da.union(db).count() == a.size + b.size
+    }
+
+  property("X1: exact dedup groups partition the input (sum of n_copies == row count)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val groups = DedupOps.exactDedupGroups(df, col("doc_id"), col("text"))
+      groups.agg(sum("n_copies")).as[Long].head() == texts.size.toLong
+    }
+}

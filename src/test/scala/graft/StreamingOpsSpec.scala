@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.Tables
+import graft.operators.BreadcrumbPipeline
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming semantics T1-T6 (SURVEY §2.9), exercised end-to-end with real
+  * file sources/sinks in temp dirs. */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val goodLine =
+    """{"EVENT_NO_TRIP": 1, "OPD_DATE": "25DEC2022:00:00:00", "ACT_TIME": 100, "METERS": 5.0, "GPS_LATITUDE": 45.5, "GPS_LONGITUDE": -122.6, "VEHICLE_ID": 99, "timestamp": "2022-12-25 10:00:00"}"""
+  private val lateLine =
+    """{"EVENT_NO_TRIP": 2, "OPD_DATE": "20DEC2022:00:00:00", "ACT_TIME": 200, "METERS": 6.0, "GPS_LATITUDE": 45.6, "GPS_LONGITUDE": -122.7, "VEHICLE_ID": 98, "timestamp": "2022-12-20 09:00:00"}"""
+  private val noTsLine =
+    """{"EVENT_NO_TRIP": 3, "OPD_DATE": "26DEC2022:00:00:00", "ACT_TIME": 300, "METERS": 7.0, "GPS_LATITUDE": 45.7, "GPS_LONGITUDE": -122.8, "VEHICLE_ID": 97}"""
+
+  test("T2/T3/S6: stream routes rows to EVENT-date partitions, late dates included, fallback to processing date") {
+    val in = tmp("stream-in"); val out = tmp("stream-out"); val cp = tmp("stream-cp")
+    Files.writeString(java.nio.file.Paths.get(in, "batch1.jsonl"),
+      s"$goodLine\n$lateLine\n$noTsLine\n")
+    val stream = StreamingOps.jsonlStream(spark, in, Tables.breadcrumbRawSchema)
+    val routed = StreamingOps.withEventDate(stream, "timestamp")
+    StreamingOps.runAvailableNow(StreamingOps.datePartitionedSink(routed, out, cp))
+    val dates = spark.read.parquet(out).select(col("date").cast("string")).as[String].collect().toSet
+    assert(dates.contains("2022-12-25"))
+    assert(dates.contains("2022-12-20")) // unbounded lateness: old date still routed
+    assert(dates.size === 3) // third row fell back to today's processing date
+  }
+
+  test("T1: restart from checkpoint does not duplicate already-processed input (effectively-once)") {
+    val in = tmp("eo-in"); val out = tmp("eo-out"); val cp = tmp("eo-cp")
+    Files.writeString(java.nio.file.Paths.get(in, "a.jsonl"), s"$goodLine\n")
+    val run = () => {
+      val s = StreamingOps.withEventDate(
+        StreamingOps.jsonlStream(spark, in, Tables.breadcrumbRawSchema), "timestamp")
+      StreamingOps.runAvailableNow(StreamingOps.datePartitionedSink(s, out, cp))
+    }
+    run()
+    run() // same checkpoint, no new input → no new rows
+    assert(spark.read.parquet(out).count() === 1)
+    // new input after restart IS picked up
+    Files.writeString(java.nio.file.Paths.get(in, "b.jsonl"), s"$lateLine\n")
+    run()
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("T4: tumbling 1-day windowed counts with watermark") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    input.addData(
+      (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2022-12-25 23:00:00"), 2L),
+      (java.sql.Timestamp.valueOf("2022-12-26 01:00:00"), 3L))
+    val df = input.toDF().toDF("ts", "id")
+    val agg = StreamingOps.dailyCounts(df, "ts")
+    val q = agg.writeStream.format("memory").queryName("daily").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT CAST(day_start AS STRING) d, cnt FROM daily")
+        .as[(String, Long)].collect().toMap
+      assert(got === Map("2022-12-25 00:00:00" -> 2L, "2022-12-26 00:00:00" -> 1L))
+    } finally q.stop()
+  }
+
+  test("T6: foreachBatch handoff runs the batch ETL per micro-batch (stream -> Trip/BreadCrumb)") {
+    val in = tmp("hand-in"); val cp = tmp("hand-cp"); val out = tmp("hand-out")
+    Files.writeString(java.nio.file.Paths.get(in, "a.jsonl"),
+      s"$goodLine\n${goodLine.replace("\"ACT_TIME\": 100", "\"ACT_TIME\": 110").replace("5.0", "15.0")}\n")
+    val stream = StreamingOps.jsonlStream(spark, in, Tables.breadcrumbRawSchema)
+    val w = StreamingOps.foreachBatchHandoff(stream, cp) { (batch, _) =>
+      val good = batch.filter(col("_corrupt_record").isNull)
+      BreadcrumbPipeline.breadcrumbs(good).write.mode("append").parquet(s"$out/bc")
+      BreadcrumbPipeline.trips(good).write.mode("append").parquet(s"$out/trips")
+    }
+    StreamingOps.runAvailableNow(w)
+    val bc = spark.read.parquet(s"$out/bc")
+    assert(bc.count() === 2)
+    // speed derived inside the handoff: 10 m / 10 s = 1.0 on both rows (backfill)
+    assert(bc.select("speed").as[Double].collect().toSet === Set(1.0))
+    assert(spark.read.parquet(s"$out/trips").count() === 1)
+  }
+
+  test("S7-in-stream: corrupt lines survive to the sink isolated, good rows unaffected") {
+    val in = tmp("bad-in"); val out = tmp("bad-out"); val cp = tmp("bad-cp")
+    Files.writeString(java.nio.file.Paths.get(in, "a.jsonl"), s"$goodLine\nnot json\n")
+    val stream = StreamingOps.jsonlStream(spark, in, Tables.breadcrumbRawSchema)
+    val routed = StreamingOps.withEventDate(stream, "timestamp")
+    StreamingOps.runAvailableNow(StreamingOps.datePartitionedSink(routed, out, cp))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 2)
+    assert(rows.filter(col("_corrupt_record").isNotNull).count() === 1)
+  }
+}
