@@ -71,6 +71,23 @@ object DedupOps {
           (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))
   }
 
+  /** X2 (embedding-cosine near-dup): pairs whose embedding cosine meets the
+    * threshold, candidate generation bounded by a coarse cell (IVF-style
+    * quantizer cell / partition key at scale) so the join is cell×cell,
+    * never corpus×corpus. Production pipelines put a random-hyperplane LSH
+    * in front when cells are large; the verifier below is exact. */
+  def embeddingNearDups(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      threshold: Double): DataFrame = {
+    val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
+    val a = e.toDF("a_id", "cell", "a_v")
+    val b = e.toDF("b_id", "cell", "b_v")
+    a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(SimilarityOps.cosine(col("a_v"), col("b_v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** X2 (SimHash): 32-bit signature. Bit i of the signature is the sign of
     * the sum over the doc's distinct tokens of ±1, where the vote of a token
     * is the high bit of hex digit i of md5(token). Pure relational:

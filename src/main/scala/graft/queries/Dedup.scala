@@ -111,5 +111,22 @@ object Dedup extends QueryGroup {
            |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8
            |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24)
+  /** X2d: embedding-cosine near-dups — exact cosine over cell-bounded
+    * (label) candidate pairs, threshold 0.35 (tuned to the near-random test
+    * corpus; production thresholds sit near 0.95 on real embeddings). */
+  private val q32 = QueryDef(
+    "q32_embedding_neardup",
+    (s, dir) => DedupOps
+      .embeddingNearDups(Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"), 0.35)
+      .orderBy(desc("cosine"), col("a_id"), col("b_id")),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |  round(list_dot_product(a.v, b.v)
+           |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.v, b.v)
+           |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+           |ORDER BY cosine DESC, a_id, b_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32)
 }

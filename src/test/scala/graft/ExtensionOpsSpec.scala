@@ -67,6 +67,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got === Set(2L)) // vec 1 pruned by cell
   }
 
+  test("X2: embedding near-dup finds same-cell pairs above threshold only") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f), 1), // cosine ≈ 0.994 with vec 0
+      (2L, Array(0.0f, 1.0f), 1), // orthogonal to vec 0
+      (3L, Array(1.0f, 0.0f), 2)  // identical to vec 0 but different cell
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = DedupOps.embeddingNearDups(emb, "vec_id", col("embedding"), col("label"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L))) // orthogonal filtered, cross-cell pruned
+  }
+
   test("X6: sessionize splits exactly at gaps > threshold") {
     val df = Seq(
       (1L, 0.0, 1L), (1L, 100.0, 2L), (1L, 2000.0, 3L), // gap 1900 > 1800 → new session
