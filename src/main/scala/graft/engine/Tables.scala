@@ -29,6 +29,7 @@ object Tables {
     * value is output. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark) // idempotent
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

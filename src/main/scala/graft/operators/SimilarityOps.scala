@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two array<double> columns — same
-    * operation order as DuckDB's list_dot_product, so oracle results agree
-    * to the last ulp before rounding. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double> columns: the native codegen'd
+    * [[graft.functions.VecDot]] expression. Left-to-right accumulation —
+    * the same operation order as the HOF fold ([[dotFold]]) and DuckDB's
+    * list_dot_product, so oracle results agree to the last ulp. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** Higher-order-function fold variant of [[dot]] — kept as the
+    * built-ins-only reference implementation (CodegenFallback, ~20× slower
+    * per evaluation; used by specs to cross-check VecDot). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -10,15 +10,14 @@ import org.apache.spark.sql.functions._
   * band) — no unbounded cross joins at any scale. */
 object Dedup extends QueryGroup {
 
-  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir)
-      .withColumn("shset", array_distinct(TextOps.shingles3(TextOps.tokenize(col("text")))))
+  private def docShingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
+    TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text"))
 
   /** X2a: true n-gram Jaccard — top-20 most similar same-source pairs.
     * Pairs only form on shared shingles inside a source bucket. */
   private val q22 = QueryDef(
     "q22_ngram_jaccard_topk",
-    (s, dir) => DedupOps.jaccardPairs(docShingles(s, dir), "doc_id", col("shset"), col("source"))
+    (s, dir) => DedupOps.jaccardPairsFromRows(docShingleRows(s, dir))
       .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
       .orderBy(desc("jaccard"), col("a_id"), col("b_id"))
       .limit(20),
@@ -42,13 +41,14 @@ object Dedup extends QueryGroup {
            |JOIN sizes sb ON sb.doc_id = b_id
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin))
 
-  /** X2b: MinHash+LSH candidate pairs — 8 md5-minhashes, band size 1 (tuned
-    * for the low-Jaccard test corpus; production uses r≥2), bucketed by
-    * source. Candidates are pairs agreeing on ≥1 minhash inside a bucket. */
+  /** X2b: MinHash+LSH candidate pairs — 8 minhashes via Kirsch–Mitzenmacher
+    * (one md5 per shingle split into 40-bit h1/h2; hash j = min(h1 + j·h2)),
+    * band size 1 (tuned for the low-Jaccard test corpus; production uses
+    * r≥2), bucketed by source. Candidates agree on ≥1 minhash in a bucket. */
   private val q23 = QueryDef(
     "q23_minhash_lsh_pairs",
     (s, dir) => DedupOps
-      .minhashLshCandidates(docShingles(s, dir), "doc_id", col("shset"), 8, col("source"))
+      .minhashLshCandidatesFromRows(docShingleRows(s, dir), 8)
       .orderBy(col("a_id"), col("b_id")),
     Some("""WITH sets AS (
            |  SELECT doc_id, source,
@@ -57,14 +57,16 @@ object Dedup extends QueryGroup {
            |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
            |      ELSE [] END) AS shset
            |  FROM documents),
-           |sigs AS (
+           |ex AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |hashed AS (
            |  SELECT doc_id, source,
-           |    list_transform(range(8), j ->
-           |      list_min(list_transform(shset, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-           |  FROM sets WHERE len(shset) > 0),
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
            |bands AS (
-           |  SELECT doc_id, source, u.band - 1 AS band, sig[u.band] AS h
-           |  FROM sigs, unnest(range(1, 9)) AS u(band)),
+           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2, 3),
            |pairs AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
            |  FROM bands a JOIN bands b

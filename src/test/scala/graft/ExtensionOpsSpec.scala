@@ -33,6 +33,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(jac === 1.0)
   }
 
+  test("X2 row form: shingleRows + row jaccard + KM minhash match array-form semantics") {
+    val docs = Seq((1L, "a b c d e", "s"), (2L, "a b c d e", "s"), (3L, "x y z w v", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
+    // "a b c d e" → shingles {a b c, b c d, c d e}
+    assert(rows.filter(col("doc_id") === 1).select("sh").as[String].collect().toSet ===
+      Set("a b c", "b c d", "c d e"))
+    val jac = DedupOps.jaccardPairsFromRows(rows)
+      .filter(col("a_id") === 1 && col("b_id") === 2)
+      .select("jaccard").as[Double].head()
+    assert(jac === 1.0)
+    val cand = DedupOps.minhashLshCandidatesFromRows(rows, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared_bands")).toMap
+    assert(cand((1L, 2L)) === 8L) // identical sets agree on every hash
+    assert(!cand.contains((1L, 3L))) // disjoint sets share no minhash (w.h.p.)
+  }
+
   test("X2: simhash of identical token sets is identical; disjoint sets differ") {
     val docs = Seq((1L, Seq("alpha", "beta", "gamma")), (2L, Seq("alpha", "beta", "gamma")),
       (3L, Seq("zeta", "eta", "theta"))).toDF("doc_id", "tokset")

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** The native VecDot expression must agree exactly with the built-ins-only
+  * HOF fold it replaces (same left-to-right accumulation order). */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VecDot equals the HOF fold bit-for-bit, including interpreted path") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.1, 0.2), Array(0.3, 0.4)),
+      (3L, Array.fill(64)(0.123), Array.fill(64)(-0.456))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        SimilarityOps.dot(col("a"), col("b")).as("native"),
+        SimilarityOps.dotFold(col("a"), col("b")).as("fold"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"row ${r.getLong(0)}")
+    }
+    assert(got.find(_.getLong(0) == 1L).get.getDouble(1) === 32.0)
+  }
+
+  test("VecDot propagates null arrays") {
+    val df = Seq((1L, Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("id", "a", "b")
+    val r = df.select(SimilarityOps.dot(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("VecDot works through a full query (cosine top-k plan)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.cosineTopK(emb, emb.filter(col("vec_id") === 0), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head === ((1L, 1.0)))
+    assert(top.last === ((2L, 0.0)))
+  }
+}
