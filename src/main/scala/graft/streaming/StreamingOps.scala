@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's streaming ingest path (/root/reference/data_subscriber.py)
@@ -77,6 +77,46 @@ object StreamingOps {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => etl(batch.toDF(), id))
+
+  /** X6 (streaming, built-in): native session-window aggregation — the
+    * in-stream analogue of SessionOps.sessionize. One row per closed/updated
+    * (entity, session); state bounded by the watermark. */
+  def sessionWindowCounts(df: DataFrame, eventTs: String, entity: String,
+      gap: String, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(eventTs, watermark)
+      .groupBy(col(entity), session_window(col(eventTs), gap).as("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entity), col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"), col("n_events"))
+
+  /** Event record for [[runningSessions]] — `ts` in epoch seconds. */
+  case class UserEvent(user_id: Long, ts: Long)
+  /** Per-user session state carried across micro-batches. */
+  case class UserSessionState(nSessions: Long, lastTs: Long, currentEvents: Long)
+  /** Update-mode output: the user's session tally after each micro-batch. */
+  case class SessionProgress(user_id: Long, n_sessions: Long, current_session_events: Long)
+
+  /** X6 (streaming, custom state): gap-based sessionization via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset custom-state surface
+    * (T5). Within a micro-batch events are sorted by time; state is one
+    * fixed-size record per user (bounded, no per-event state). Run the query
+    * in Update output mode. */
+  def runningSessions(events: Dataset[UserEvent], gapSeconds: Long): Dataset[SessionProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionState, SessionProgress](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var s = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue, 0L))
+          it.toSeq.sortBy(_.ts).foreach { e =>
+            s = if (s.lastTs == Long.MinValue || e.ts - s.lastTs > gapSeconds)
+              UserSessionState(s.nSessions + 1, e.ts, 1L)
+            else
+              UserSessionState(s.nSessions, e.ts, s.currentEvents + 1)
+          }
+          state.update(s)
+          SessionProgress(uid, s.nSessions, s.currentEvents)
+      }
+  }
 
   /** Convenience: run a streaming query until all currently-available input
     * is processed, then stop (test/batch-catchup harness). */

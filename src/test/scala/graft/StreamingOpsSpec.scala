@@ -69,6 +69,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X6-stream: session_window splits a user's events at the gap") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    input.addData(
+      (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2022-12-25 10:10:00"), 1L),
+      (java.sql.Timestamp.valueOf("2022-12-25 12:00:00"), 1L)) // gap > 30 min → new session
+    val df = input.toDF().toDF("ts", "user_id")
+    val agg = StreamingOps.sessionWindowCounts(df, "ts", "user_id", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT CAST(session_start AS STRING) s, n_events FROM sess ORDER BY s")
+        .as[(String, Long)].collect().toSeq
+      assert(got === Seq("2022-12-25 10:00:00" -> 2L, "2022-12-25 12:00:00" -> 1L))
+    } finally q.stop()
+  }
+
+  test("T5/X6-stream: mapGroupsWithState keeps per-user session tallies across micro-batches") {
+    import StreamingOps.{SessionProgress, UserEvent}
+    val input = MemoryStream[UserEvent](spark)
+    val out = StreamingOps.runningSessions(input.toDS(), gapSeconds = 1800L)
+    val q = out.writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, 0L), UserEvent(1L, 100L), UserEvent(2L, 0L))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 2100L)) // gap 2000 > 1800 → user 1 starts session 2
+      q.processAllAvailable()
+      val last = spark.sql("SELECT * FROM running").as[SessionProgress].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_sessions) }
+      assert(last(1L) === SessionProgress(1L, 2L, 1L)) // second session, one event in it
+      assert(last(2L) === SessionProgress(2L, 1L, 1L)) // untouched by batch 2
+    } finally q.stop()
+  }
+
   test("T6: foreachBatch handoff runs the batch ETL per micro-batch (stream -> Trip/BreadCrumb)") {
     val in = tmp("hand-in"); val cp = tmp("hand-cp"); val out = tmp("hand-out")
     Files.writeString(java.nio.file.Paths.get(in, "a.jsonl"),
