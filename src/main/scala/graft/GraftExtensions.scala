@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.{GraftFunctions, VecDot}
+import graft.plans.SargableTimestampRules
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Standard `SparkSessionExtensions` entry point for graft's Catalyst
+  * extensions — the construction-time injection path:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) // or
+  * --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Sessions we don't construct (the driver's Verify/Bench harness) get the
+  * same behavior at runtime: Tables.table registers the function through the
+  * FunctionRegistry and the rule through experimental.extraOptimizations.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SargableTimestampRules)
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.VecDotName),
+      new ExpressionInfo(classOf[VecDot].getName, GraftFunctions.VecDotName),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+  }
+}

@@ -30,6 +30,8 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftFunctions.register(spark) // idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SargableTimestampRules))
+      spark.experimental.extraOptimizations ++= Seq(graft.plans.SargableTimestampRules)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -42,13 +44,16 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   /** `events` with `ts` exposed BOTH ways: `ts` = µs-truncated TimestampType
     * (what queries filter/group on) and `ts_ns` = raw int64 nanos (kept for
-    * precision-exact arithmetic like sessionization gaps). floor(ns/1000)
-    * matches DuckDB's CAST(ts AS TIMESTAMP) truncation for positive epochs. */
+    * precision-exact arithmetic like sessionization gaps). Integer `div`
+    * (not `/`, which promotes to double and rounds above 2^53 ns) matches
+    * DuckDB's CAST(ts AS TIMESTAMP) truncation exactly for positive epochs —
+    * and gives [[graft.plans.SargableTimestampRules]] a monotone integer
+    * chain it can invert to push date filters onto the raw ts_ns scan. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     table(spark, sfDir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
