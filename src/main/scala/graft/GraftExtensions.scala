@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, VecDot}
+import graft.functions.{GraftFunctions, StringPolyHash, VecDot}
 import graft.plans.SargableTimestampRules
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.VecDotName),
       new ExpressionInfo(classOf[VecDot].getName, GraftFunctions.VecDotName),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.PolyHashName),
+      new ExpressionInfo(classOf[StringPolyHash].getName, GraftFunctions.PolyHashName),
+      (exprs: Seq[Expression]) => StringPolyHash(exprs.head)))
   }
 }

@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expression for the embedding dot product.
   *
@@ -73,6 +73,54 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Polynomial rolling hash of a string (Rabin–Karp class): fold over the
+  * string's Unicode code points of `h ← (h·31 + cp) mod 1e9+7`, h₀ = 0.
+  * The document-fingerprinting primitive from the builder prompt — applied
+  * to whole documents for near-exact dedup keys, or to shingle rows for
+  * rolling window fingerprints. Engine-neutral: DuckDB reproduces it as
+  * `list_reduce(list_prepend(0, list_transform(string_split_regex(s,''),
+  * c -> ascii(c))), (h,c) -> (h*31+c) % 1000000007)`.
+  *
+  * Codegen emits a static call to [[StringPolyHash.hash]] — one virtual-free
+  * invocation per row, no CodegenFallback. */
+case class StringPolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = GraftFunctions.PolyHashName
+
+  override protected def nullSafeEval(s: Any): Any =
+    StringPolyHash.hash(s.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringPolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): StringPolyHash =
+    copy(child = newChild)
+}
+
+object StringPolyHash {
+  final val B = 31L
+  final val M = 1000000007L
+
+  /** Static hash core shared by interpreted eval and generated code. */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % M
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 /** Session-level registration + Column-API surface for graft's native
   * expressions. Registration goes through the public FunctionRegistry so the
   * expressions resolve in any session (including driver-owned ones we don't
@@ -80,10 +128,14 @@ case class VecDot(left: Expression, right: Expression)
 object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
+  val PolyHashName = "graft_poly_hash"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       VecDotName, exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PolyHashName, exprs => StringPolyHash(exprs.head), "built-in")
+  }
 
   /** Codegen'd dot product of two array<double> columns. Registers against
     * the active session at plan-construction time (idempotent), so any
@@ -91,5 +143,11 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(VecDotName, a, b)
+  }
+
+  /** Codegen'd polynomial rolling hash of a string column (long). */
+  def polyHash(s: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(PolyHashName, s)
   }
 }

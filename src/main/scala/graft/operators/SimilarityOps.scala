@@ -68,6 +68,46 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic random-hyperplane (sign-)LSH planes: `n` unit-free
+    * Gaussian vectors of dimension `dim`, fixed seed — every executor and
+    * every run derives identical buckets. */
+  def lshPlanes(n: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit j of the bucket is sign(v · p_j). Nearby
+    * vectors (small angle) agree on most hyperplane sides, so they land in
+    * the same bucket with high probability — the LSH-bucketed ANN scale
+    * path: bucket becomes the shuffle/partition key and candidate
+    * generation is bucket×bucket, never corpus×corpus. Each bit is one
+    * codegen'd VecDot against a literal plane. */
+  def signLshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(emb, typedlit(p)) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via sign-LSH buckets: rank only candidates sharing the
+    * query's bucket. Same output shape as [[cosineTopKIvf]]; recall is
+    * tunable by plane count (fewer planes → bigger buckets → higher recall,
+    * more compute). */
+  def cosineTopKLsh(corpus: DataFrame, queryRow: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = lshPlanes(numPlanes, dim)
+    val withBucket = (df: DataFrame) => df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", signLshBucket(col("emb"), planes))
+    val q = broadcast(withBucket(queryRow)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket")))
+    withBucket(corpus)
+      .join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine(col("emb"), col("q_emb")), 6))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch k-NN join: top-k neighbors for EVERY query row (window ranking
     * per query). Candidates bucket-bounded by `cellCol` (IVF-style), so the
     * join is cell×cell, not corpus×corpus. */

@@ -18,9 +18,13 @@ object TextOps {
     * variant is [[tokenizeRegex]]). */
   def tokenize(text: Column): Column = split(text, " ")
 
-  /** BPE-ish regex tokenizer: words, numbers, or single punctuation marks. */
+  /** BPE-ish regex tokenizer: runs of letters/digits, or single punctuation
+    * marks. regexp_extract_all (codegen'd, and RE2-safe so the DuckDB oracle
+    * evaluates the identical pattern) — not split-on-lookarounds, which RE2
+    * rejects and whose lambda filter falls out of codegen. */
+  val tokenPattern = """[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"""
   def tokenizeRegex(text: Column): Column =
-    filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""), t => length(trim(t)) > 0)
+    regexp_extract_all(text, lit(tokenPattern), lit(0))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
@@ -66,6 +70,13 @@ object TextOps {
     * near-exact dedup keys at corpus scale. */
   def fingerprint(text: Column): Column =
     substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, 16)
+
+  /** Rolling-hash fingerprint (Rabin–Karp polynomial over code points) via
+    * the native codegen'd [[graft.functions.StringPolyHash]]. Applied to a
+    * whole document it is a cheap integer dedup key; applied to
+    * [[shingleRows]]' `sh` column it yields the per-window rolling
+    * fingerprints used for content-defined chunking. */
+  def rollingHash(text: Column): Column = graft.functions.GraftFunctions.polyHash(text)
 
   /** Heuristic language-ID via stopword-marker hits, CASE-argmax with a
     * fixed precedence for ties and 'und' when no marker fires. Mirrors the

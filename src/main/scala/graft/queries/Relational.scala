@@ -20,6 +20,18 @@ object Relational extends QueryGroup {
   /** Q1 (analytic.sql:2-4): COUNT(*) on one event-date. P2+A1. The date
     * filter is a sargable ts range (pushed to the parquet scan; at 100 TB it
     * prunes date partitions). */
+  /** A3 scale variant: HyperLogLog++ distinct count beside the exact
+    * expand+two-phase one — at 100 TB the approx form is one pass with
+    * constant state instead of a full shuffle of the distinct keys. No ANSI
+    * oracle (HLL sketches are engine-specific) → driver rows-only check;
+    * the <3% relative-error property is ScalaTest-verified. */
+  private val q36 = QueryDef(
+    "q36_approx_distinct_users",
+    (s, dir) => Tables.events(s, dir)
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users")),
+    None)
+
   private val q01 = QueryDef(
     "q01_count_on_date",
     (s, dir) => Tables.events(s, dir)
@@ -229,5 +241,5 @@ object Relational extends QueryGroup {
            |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
   override val defs: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36)
 }

@@ -67,5 +67,18 @@ object Similarity extends QueryGroup {
            |SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank
            |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31)
+  /** Sign-LSH bucketed ANN (the LSH scale path beside IVF): top-10 from the
+    * query's hyperplane bucket only. No ANSI oracle — the bucket function is
+    * engine-specific — so the driver records the weaker rows-only check; the
+    * recall property vs. brute force is ScalaTest-verified. */
+  private val q35 = QueryDef(
+    "q35_cosine_lsh_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.cosineTopKLsh(emb, emb.filter(col("vec_id") === 0), 10,
+        numPlanes = 4, dim = 64)
+    },
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35)
 }

@@ -111,6 +111,51 @@ object Text extends QueryGroup {
            |  min(doc_id) AS keeper_id, count(*) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
 
+  /** Rolling-hash fingerprinting: whole-doc Rabin–Karp dedup key (native
+    * StringPolyHash expression) plus the doc's shingle-window rolling-hash
+    * extrema as a structural signature. */
+  private val q33 = QueryDef(
+    "q33_rolling_hash",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docFp = docs.select(col("doc_id"), TextOps.rollingHash(col("text")).as("doc_fp"))
+      val windows = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
+        .withColumn("wfp", TextOps.rollingHash(col("sh")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"), min(col("wfp")).as("min_wfp"), max(col("wfp")).as("max_wfp"))
+      docFp.join(windows, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("doc_fp"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          col("min_wfp"), col("max_wfp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ph AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(string_split_regex(text, ''), c -> ascii(c)::BIGINT)),
+           |      (h, c) -> (h * 31 + c) % 1000000007) AS doc_fp
+           |  FROM documents),
+           |sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id, count(*) AS n_windows,
+           |    min(list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(string_split_regex(sh, ''), c -> ascii(c)::BIGINT)),
+           |      (h, c) -> (h * 31 + c) % 1000000007)) AS min_wfp,
+           |    max(list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(string_split_regex(sh, ''), c -> ascii(c)::BIGINT)),
+           |      (h, c) -> (h * 31 + c) % 1000000007)) AS max_wfp
+           |  FROM (SELECT doc_id, unnest(shset) AS sh FROM sets) GROUP BY 1)
+           |SELECT ph.doc_id, ph.doc_fp,
+           |  coalesce(w.n_windows, 0) AS n_windows, w.min_wfp, w.max_wfp
+           |FROM ph LEFT JOIN w ON ph.doc_id = w.doc_id
+           |ORDER BY ph.doc_id""".stripMargin))
+
   /** X4 TF-IDF: top-30 (doc, term) by tf·ln(N/df). Two hash aggregates +
     * one broadcastable dim join (term→df) + a scalar N cross join; top-k via
     * TakeOrderedAndProject. */
@@ -139,5 +184,26 @@ object Text extends QueryGroup {
            |FROM tf JOIN dfreq USING (term) CROSS JOIN n
            |ORDER BY tfidf DESC, doc_id, term LIMIT 30""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27)
+  /** Token counting, whitespace vs BPE-ish regex tokenizer side by side
+    * (builder prompt's token-counting pair): per-language totals from both,
+    * plus the punctuation-token surplus the regex tokenizer surfaces. */
+  private val q34 = QueryDef(
+    "q34_token_regex_stats",
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("n_ws", size(TextOps.tokenize(col("text"))).cast("long"))
+      .withColumn("n_re", size(TextOps.tokenizeRegex(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_re")).as("re_tokens"),
+        round(avg((col("n_re") - col("n_ws")).cast("double")), 4).as("avg_extra"))
+      .orderBy(col("lang")),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           |  CAST(sum(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]'))) AS BIGINT) AS re_tokens,
+           |  round(avg(CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]'))
+           |    - len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_extra
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34)
 }

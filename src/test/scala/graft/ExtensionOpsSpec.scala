@@ -96,6 +96,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L))) // orthogonal filtered, cross-cell pruned
   }
 
+  test("X3: sign-LSH buckets collide for near-identical vectors and split far ones") {
+    val base = Array.fill(16)(0.5f)
+    val near = base.clone(); near(0) = 0.51f
+    val far = base.map(-_)
+    val emb = Seq((0L, base, 1), (1L, near, 1), (2L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    val planes = SimilarityOps.lshPlanes(8, 16)
+    val buckets = emb
+      .select(col("vec_id"),
+        SimilarityOps.signLshBucket(col("embedding").cast("array<double>"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) === buckets(1L)) // tiny angle → same side of every plane
+    assert(buckets(2L) === (~buckets(0L) & ((1L << 8) - 1))) // antipode flips every bit
+    // and the ANN query surfaces the near neighbor first
+    val top = SimilarityOps.cosineTopKLsh(emb, emb.filter(col("vec_id") === 0), 2,
+      numPlanes = 8, dim = 16)
+      .collect().map(_.getLong(0))
+    assert(top.head === 1L)
+  }
+
+  test("A3 scale variant: approx_count_distinct within 2% of exact") {
+    val df = (1L to 20000L).map(i => i % 3571L).toDF("user_id")
+    val r = df.agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
+      countDistinct(col("user_id")).as("e")).collect().head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.03, s"approx $a vs exact $e")
+  }
+
   test("X6: sessionize splits exactly at gaps > threshold") {
     val df = Seq(
       (1L, 0.0, 1L), (1L, 100.0, 2L), (1L, 2000.0, 3L), // gap 1900 > 1800 → new session

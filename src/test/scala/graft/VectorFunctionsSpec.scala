@@ -31,6 +31,23 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("StringPolyHash matches the reference fold and handles unicode + nulls") {
+    import graft.functions.GraftFunctions.polyHash
+    // reference value checked against python/duckdb: fold of 'abc A'
+    val df = Seq((1L, "abc A"), (2L, ""), (3L, "héllo")).toDF("id", "s")
+    val got = df.select(col("id"), polyHash(col("s")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 92597251L)
+    assert(got(2L) === 0L)
+    // unicode: fold over code points, é = 233
+    val expected3 = Seq('h'.toLong, 233L, 'l'.toLong, 'l'.toLong, 'o'.toLong)
+      .foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(got(3L) === expected3)
+    val withNull = Seq((1L, Option.empty[String])).toDF("id", "s")
+      .select(polyHash(col("s"))).collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("VecDot works through a full query (cosine top-k plan)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
