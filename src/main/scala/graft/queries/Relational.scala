@@ -240,6 +240,44 @@ object Relational extends QueryGroup {
            |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
            |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** A-class extension: ROLLUP over (event_type, dow) — multi-level
+    * aggregates in one pass (partial agg handles every grouping set;
+    * one shuffle). grouping_id disambiguates subtotal levels. */
+  private val q38 = QueryDef(
+    "q38_rollup_type_dow",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("event_type"), pgDow(col("ts")).as("dow"))
+      .rollup(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"), col("cnt"), col("gid"))
+      .orderBy(col("gid"), col("event_type"), col("dow")),
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+           |  coalesce(dow, -1) AS dow, count(*) AS cnt,
+           |  CAST(grouping(event_type) * 2 + grouping(dow) AS BIGINT) AS gid
+           |FROM (SELECT event_type, extract(dow FROM ts) AS dow FROM events)
+           |GROUP BY ROLLUP(event_type, dow)
+           |ORDER BY gid, event_type, dow""".stripMargin))
+
+  /** U-class extension: INTERSECT / EXCEPT — users active on BOTH of two
+    * dates vs. only the first, labeled and unioned. */
+  private val q39 = QueryDef(
+    "q39_intersect_except",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(onDate(col("ts"), "2024-01-05")).select(col("user_id")).distinct()
+      val b = ev.filter(onDate(col("ts"), "2024-01-06")).select(col("user_id")).distinct()
+      a.intersect(b).withColumn("which", lit("both"))
+        .union(a.except(b).withColumn("which", lit("only_first")))
+        .orderBy(col("which"), col("user_id"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'),
+           |b AS (SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-06')
+           |SELECT user_id, 'both' AS which FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+           |UNION ALL
+           |SELECT user_id, 'only_first' AS which FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+           |ORDER BY which, user_id""".stripMargin))
+
   override val defs: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39)
 }

@@ -205,5 +205,25 @@ object Text extends QueryGroup {
            |    - len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_extra
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34)
+  /** X4 custom-UDAF exercise: per-language stopword document frequencies via
+    * the typed DocFrequency Aggregator (bounded-vocab map buffer, partial
+    * aggregation merges constant-size state). */
+  private val q37 = QueryDef(
+    "q37_docfreq_udaf",
+    (s, dir) => {
+      val dfq = udaf(new graft.functions.DocFrequency(TextOps.defaultStopwords))
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.tokenize(col("text")).as("toks"))
+        .groupBy(col("lang"))
+        .agg(dfq(col("toks")).as("df_map"))
+        .select(col("lang"), explode(col("df_map")).as(Seq("term", "df")))
+        .orderBy(col("lang"), col("term"))
+    },
+    Some("""SELECT lang, term, count(*) AS df
+           |FROM (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS term
+           |      FROM documents)
+           |WHERE term IN ('the','a','an','of','and','to','in','is','it','on','for')
+           |GROUP BY 1, 2 ORDER BY lang, term""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37)
 }

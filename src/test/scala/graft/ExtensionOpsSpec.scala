@@ -135,6 +135,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("X4: DocFrequency Aggregator counts document membership once per doc, merges across partitions") {
+    val agg = new graft.functions.DocFrequency(Seq("the", "and"))
+    // reduce: repeated tokens in one doc count once
+    val afterDoc = agg.reduce(agg.zero, Seq("the", "the", "x", "and"))
+    assert(afterDoc === Map("the" -> 1L, "and" -> 1L))
+    // merge: partition maps add
+    assert(agg.merge(afterDoc, Map("the" -> 2L)) === Map("the" -> 3L, "and" -> 1L))
+    // end-to-end through the untyped udaf surface on a 4-partition frame
+    val df = Seq("the cat", "a the and", "no match", "and and and")
+      .toDF("text").repartition(4)
+    val dfq = udaf(agg)
+    val got = df.select(split(col("text"), " ").as("toks"))
+      .agg(dfq(col("toks")).as("m"))
+      .select(explode(col("m"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("the" -> 2L, "and" -> 2L))
+  }
+
   test("multimodal: mapPartitions feature extraction preserves rows and derives stable features") {
     import MultimodalOps._
     val media = Seq(
