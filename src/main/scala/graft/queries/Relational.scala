@@ -278,6 +278,20 @@ object Relational extends QueryGroup {
            |SELECT user_id, 'only_first' AS which FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
            |ORDER BY which, user_id""".stripMargin))
 
+  /** Skew path: two-phase salted aggregate over the low-cardinality
+    * event_type key (the skew-prone shape at scale — every heavy key
+    * otherwise lands on one reducer). Salting is semantics-preserving for
+    * the count/sum monoids, so the plain GROUP BY is the oracle. */
+  private val q40 = QueryDef(
+    "q40_salted_agg",
+    (s, dir) => graft.operators.SkewOps
+      .saltedCountSum(Tables.events(s, dir),
+        key = col("event_type"), value = col("value"), spread = col("event_id"), salts = 16)
+      .select(col("key").as("event_type"), col("cnt"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   override val defs: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39, q40)
 }
