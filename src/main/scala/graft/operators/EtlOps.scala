@@ -48,12 +48,19 @@ object EtlOps {
     * computed speed (transform.py:252-259) — singleton entities stay NULL.
     *
     * One shuffle on the entity key; everything after is a streaming window.
+    *
+    * `dtToSeconds` converts the raw Δtime to seconds AFTER the lag
+    * subtraction. Pass the time column in its native integer unit (e.g.
+    * int64 nanos) and convert the small delta here: casting absolute epoch
+    * nanos to double BEFORE differencing quantizes to 256 ns at 2024-epoch
+    * magnitudes and visibly corrupts the derivative's 6th decimal.
     */
   def deriveSpeed(df: DataFrame, partitionCol: Column, orderCols: Seq[Column],
-      meters: Column, timeSec: Column, out: String = "speed"): DataFrame = {
+      meters: Column, timeSec: Column, out: String = "speed",
+      dtToSeconds: Column => Column = identity): DataFrame = {
     val w = Window.partitionBy(partitionCol).orderBy(orderCols: _*)
     val dv = meters - lag(meters, 1).over(w)
-    val dt = timeSec - lag(timeSec, 1).over(w)
+    val dt = dtToSeconds(timeSec - lag(timeSec, 1).over(w))
     val raw = when(dt > 0, dv / dt) // NULL on first row (lag null) or Δt<=0
     df.withColumn("__speed_raw", raw)
       .withColumn(out,

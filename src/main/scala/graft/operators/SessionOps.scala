@@ -12,8 +12,10 @@ object SessionOps {
 
   /** Assign a 1-based session id per entity: a new session starts at the
     * first event or when the gap from the previous event exceeds
-    * `gapSeconds`. `timeSec` may be fractional (ns-derived) — comparisons
-    * stay exact because both sides derive from int64 nanos. */
+    * `gapSeconds` (same unit as `timeSec`). Pass integer time columns in
+    * their native unit (e.g. int64 nanos, gap in nanos): the lag difference
+    * is then exact, whereas converting absolute epoch values to double first
+    * quantizes them (256 ns at 2024-epoch nano magnitudes). */
   def sessionize(df: DataFrame, entity: Column, timeSec: Column, orderCols: Seq[Column],
       gapSeconds: Double): DataFrame = {
     val w = Window.partitionBy(entity).orderBy(orderCols: _*)

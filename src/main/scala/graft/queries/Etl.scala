@@ -11,29 +11,31 @@ import org.apache.spark.sql.functions._
 object Etl extends QueryGroup {
 
   /** W1+W2 (transform.py:204-259): per-entity lag-difference derivative with
-    * first-row backfill. Δt computed on raw int64 nanos (`ts_ns`) so both
-    * engines do identical integer→double arithmetic; speed rounded to keep
-    * the float comparison stable. */
+    * first-row backfill. Time basis is exact integer MICROS on both sides —
+    * Δ computed on integers before the double divide, and µs (not raw ns)
+    * because DuckDB's TIMESTAMP sees only µs: ns-resolution ordering or
+    * deltas would tie-break and quantize differently across engines. */
   private val q14 = QueryDef(
     "q14_speed_derivation",
     (s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
       EtlOps.deriveSpeed(ev,
           partitionCol = col("user_id"),
-          orderCols = Seq(col("ts_ns"), col("event_id")),
+          orderCols = Seq(col("ts_us"), col("event_id")),
           meters = col("value"),
-          timeSec = col("ts_ns").cast("double") / 1e9)
+          timeSec = col("ts_us"), // integer µs: Δ is exact
+          dtToSeconds = d => d.cast("double") / 1e6)
         .select(col("event_id"), col("user_id"), round(col("speed"), 6).as("speed"))
         .orderBy(col("event_id"))
     },
     Some("""WITH speeds AS (
            |  SELECT event_id, user_id,
-           |    CASE WHEN (epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9 > 0
-           |      THEN (value - lag(value) OVER w) / ((epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9)
+           |    CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 > 0
+           |      THEN (value - lag(value) OVER w) / ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6)
            |    END AS speed_raw,
            |    row_number() OVER w AS rn
            |  FROM events
-           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            |)
            |SELECT event_id, user_id,
            |  round(CASE WHEN rn = 1 THEN lead(speed_raw) OVER w2 ELSE speed_raw END, 6) AS speed

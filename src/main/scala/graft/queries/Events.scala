@@ -29,11 +29,15 @@ object Events extends QueryGroup {
     "q29_sessionize",
     (s, dir) => {
       val ev = Tables.events(s, dir)
-      SessionOps.sessionize(ev,
+      SessionOps.sessionize(ev.withColumn("ts_us", expr("ts_ns div 1000")),
           entity = col("user_id"),
-          timeSec = col("ts_ns").cast("double") / 1e9,
-          orderCols = Seq(col("ts_ns"), col("event_id")),
-          gapSeconds = 1800.0)
+          // integer MICROS with the gap in µs: lag diff exact (no double
+          // quantization of absolute epochs), and µs — not raw ns — because
+          // the DuckDB oracle's TIMESTAMP resolution is µs, so ordering
+          // ties and gap boundaries must be decided at µs on both sides
+          timeSec = col("ts_us"),
+          orderCols = Seq(col("ts_us"), col("event_id")),
+          gapSeconds = 1800.0 * 1e6)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),
@@ -41,15 +45,15 @@ object Events extends QueryGroup {
         .orderBy(col("user_id"), col("session_id"))
     },
     Some("""WITH flagged AS (
-           |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
-           |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-           |           OR (epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) / 1e9 > 1800.0
+           |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |           OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) > 1800.0 * 1e6
            |      THEN 1 ELSE 0 END AS new_session
            |  FROM events
-           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
            |sessions AS (
            |  SELECT user_id, event_id,
-           |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+           |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            |  FROM flagged)
            |SELECT user_id, session_id, count(*) AS n_events,
