@@ -83,14 +83,22 @@ object DedupOps {
     * inside a bucket (never the cross product), and the whole pipeline is
     * joins + hash aggregates — no interpreted array lambdas. */
   def jaccardPairsFromRows(shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("setsize"))
-    val common = shingles.toDF("a_id", "bucket", "sh")
-      .join(shingles.toDF("b_id", "bucket", "sh"), Seq("bucket", "sh"))
+    import org.apache.spark.sql.expressions.Window
+    // Set size rides along as a window count: HashPartitioning(doc_id) from
+    // shingleRows' window/distinct already satisfies it — no extra shuffle,
+    // and no separate `sizes` aggregate to join (which would re-evaluate the
+    // whole shingle pipeline twice more). Both self-join sides are then
+    // IDENTICAL subplans shuffled on (bucket, sh), so Spark's exchange reuse
+    // computes the pipeline once and reads it twice.
+    val ex = shingles.withColumn("setsize",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val a = ex.toDF("a_id", "bucket", "sh", "a_size")
+    val b = ex.toDF("b_id", "bucket", "sh", "b_size")
+    a.join(b, Seq("bucket", "sh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("a_id"), col("setsize").as("a_size")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("setsize").as("b_size")), "b_id")
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a_size")).as("a_size"), max(col("b_size")).as("b_size"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))

@@ -78,6 +78,16 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => etl(batch.toDF(), id))
 
+  /** X1 (streaming): in-stream dedup with bounded state — the idempotent-
+    * consumer half of the at-least-once delivery contract (T1): redelivered
+    * records drop here instead of relying on sink-side reconciliation.
+    * Dedup state is evicted once keys age past the watermark, so state is
+    * bounded regardless of stream length. */
+  def streamingDedup(df: DataFrame, eventTs: String, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(eventTs, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** X6 (streaming, built-in): native session-window aggregation — the
     * in-stream analogue of SessionOps.sessionize. One row per closed/updated
     * (entity, session); state bounded by the watermark. */

@@ -69,6 +69,24 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T1/X1-stream: dropDuplicatesWithinWatermark drops redelivered keys across micro-batches") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val df = input.toDF().toDF("ts", "k")
+    val out = StreamingOps.streamingDedup(df, "ts", Seq("k"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"), 1L),
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:01"), 1L), // in-batch redelivery
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:02"), 2L))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2022-12-25 10:05:00"), 1L)) // cross-batch redelivery
+      q.processAllAvailable()
+      val ks = spark.sql("SELECT k FROM dedup").as[Long].collect().sorted
+      assert(ks.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("X6-stream: session_window splits a user's events at the gap") {
     val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
     input.addData(
