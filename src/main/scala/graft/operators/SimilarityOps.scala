@@ -68,6 +68,53 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column — the coarse-
+    * quantizer TRAINING step of a real IVF index (q26 demonstrates the probe
+    * against a precomputed cell; this produces such cells from raw vectors).
+    *
+    * Deterministic by construction: initial centroids are the k lowest-id
+    * vectors (no sampling), assignment ties break on the lower cluster id.
+    * Each iteration is one broadcast of k centroids + one linear scan
+    * (assignment = argmin over k codegen'd VecDot distances) + one
+    * hash aggregate (posexplode to (cluster, dim, x) → avg) — no
+    * driver-side data beyond the k×dim centroid array. Scales as
+    * O(iters · n · k · dim) map work with k·dim driver state.
+    *
+    * Returns (assignments: vec_id → cluster, centroids). */
+  def kmeans(emb: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
+    import org.apache.spark.sql.Row
+    val vecs = emb.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
+    var centroids: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+
+    def assigned: DataFrame = {
+      // squared L2 distance via the codegen'd dot: |v|² − 2v·c + |c|²;
+      // |v|² is constant per row and drops out of the argmin.
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct((lit(-2d) * dot(col("v"), typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
+          lit(i).as("cluster"))
+      }
+      vecs.withColumn("best", array_min(array(scored: _*)))
+        .select(col("vec_id"), col("v"), col("best.cluster").as("cluster"))
+    }
+
+    for (_ <- 1 to iters) {
+      val next = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = next.groupBy(_.getAs[Int]("cluster"))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }
+    }
+    (assigned.select(col("vec_id"), col("cluster")), centroids)
+  }
+
   /** Deterministic random-hyperplane (sign-)LSH planes: `n` unit-free
     * Gaussian vectors of dimension `dim`, fixed seed — every executor and
     * every run derives identical buckets. */

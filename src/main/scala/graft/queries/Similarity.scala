@@ -80,5 +80,18 @@ object Similarity extends QueryGroup {
     },
     None)
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35)
+  /** IVF coarse-quantizer TRAINING (q26 probes such cells): deterministic
+    * Lloyd's k-means over the embedding corpus, reported as cluster sizes.
+    * Not ANSI-expressible → rows-only check; blob-recovery and centroid
+    * properties are ScalaTest-verified. */
+  private val q41 = QueryDef(
+    "q41_kmeans_train",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (assign, _) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)
+      assign.groupBy(col("cluster")).agg(count(lit(1)).as("n")).orderBy(col("cluster"))
+    },
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41)
 }

@@ -96,6 +96,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L))) // orthogonal filtered, cross-cell pruned
   }
 
+  test("X3: kmeans recovers well-separated blobs and their centroids") {
+    // ids interleaved across blobs so the deterministic lowest-id init
+    // seeds one centroid per blob (blobId = id % 3)
+    val centers = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+    val emb = (0 until 15).map { id =>
+      val (cx, cy) = centers(id % 3)
+      (id.toLong, Array((cx + (id / 3) * 0.01).toFloat, (cy - (id / 3) * 0.005).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (assign, centroids) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 3, iters = 5)
+    val clusters = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every blob lands in exactly one cluster, and blobs don't merge
+    val blobClusters = (0 until 3)
+      .map(b => (0 until 15).filter(_ % 3 == b).map(i => clusters(i.toLong)).toSet)
+    assert(blobClusters.forall(_.size == 1))
+    assert(blobClusters.flatten.toSet.size === 3)
+    // centroids sit on the blob means (within the intra-blob jitter)
+    val cx = centroids.map(_.head).sorted
+    assert(math.abs(cx.head - 0.0) < 0.1 && math.abs(cx.last - 10.0) < 0.1)
+  }
+
   test("X3: sign-LSH buckets collide for near-identical vectors and split far ones") {
     val base = Array.fill(16)(0.5f)
     val near = base.clone(); near(0) = 0.51f
