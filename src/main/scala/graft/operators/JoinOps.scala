@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks natively (builder prompt's custom-operator
+  * examples: as-of join, range join), built by composition — preference (a)
+  * from the prompt: no custom physical operator needed, and both shapes
+  * avoid the naive per-key cross product.
+  */
+object JoinOps {
+
+  /** AS-OF (backward) join: for every left row, the single latest right row
+    * with the same key and `rightTime <= leftTime`; left rows with no
+    * predecessor keep null payload (left-outer semantics, row count
+    * preserved — DuckDB's `ASOF LEFT JOIN` is the oracle).
+    *
+    * NOT an inequality join (which degenerates to a per-key cross product):
+    * both sides union into one stream, one window over
+    * partitionBy(key).orderBy(time, side) carries the last non-null right
+    * payload forward, and left rows read it — ONE shuffle on the key, linear
+    * scan, no candidate blowup. Right rows order before left rows at equal
+    * time, so `<=` is inclusive.
+    *
+    * Right rows must be unique per (key, time) — pre-aggregate duplicates
+    * (e.g. max payload) or the carried row is order-dependent. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((Seq(col(key), col(rightTime).as("__t")) ++ payload.map(c => col(c).as(s"__p_$c"))): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c + "_asof", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop((Seq("__t", "__side") ++ payload.map("__p_" + _)): _*)
+  }
+
+  /** Bucket-bounded range join: pairs with equal `key` and
+    * `rightTime ∈ [leftTime + lo, leftTime + hi]`.
+    *
+    * Naive `t BETWEEN` join conditions force a per-key nested loop; here
+    * both sides bucket time by the window span and join on
+    * (key, bucket) — each left row explodes to the ≤2-3 candidate buckets
+    * its window overlaps — then the exact range filter runs on the bounded
+    * candidates. Same bucket-bounded candidate-generation discipline as the
+    * LSH/IVF operators: never key×key. */
+  def rangeJoinByBucket(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, lo: Long, hi: Long): DataFrame = {
+    require(hi > lo, s"empty range [$lo, $hi]")
+    val width = hi - lo
+    val r = right.withColumn("__bucket", floor(col(rightTime) / width))
+    val l = left.withColumn("__bucket",
+      explode(sequence(floor((col(leftTime) + lo) / width), floor((col(leftTime) + hi) / width))))
+    l.join(r, Seq(key, "__bucket"))
+      .filter(col(rightTime) >= col(leftTime) + lo && col(rightTime) <= col(leftTime) + hi)
+      .drop("__bucket")
+  }
+}

@@ -92,5 +92,65 @@ object Etl extends QueryGroup {
            |    AND CAST(x.ts AS DATE) = DATE '2024-01-01')
            |ORDER BY event_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q14, q15, q16)
+  /** AS-OF join (builder prompt's operator-Spark-lacks example): every
+    * 'click' event matched to the user's latest 'signup' at-or-before it.
+    * union+window implementation — one key shuffle, no per-key cross
+    * product; DuckDB's native ASOF LEFT JOIN is the oracle. Right side
+    * deduped to one row per (user, µs) so the carried row is well-defined
+    * in both engines. */
+  private val q42 = QueryDef(
+    "q42_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_us").as("signup_us"))
+        .agg(max(col("event_id")).as("signup_event"))
+      graft.operators.JoinOps.asofJoinBackward(
+          clicks, signups, key = "user_id",
+          leftTime = "ts_us", rightTime = "signup_us", payload = Seq("signup_event"))
+        .select(col("event_id"), col("user_id"), col("signup_event_asof").as("signup_event"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH clicks AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+           |signups AS (
+           |  SELECT user_id, epoch_us(ts) AS signup_us, max(event_id) AS signup_event
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+           |SELECT c.event_id, c.user_id, s.signup_event
+           |FROM clicks c ASOF LEFT JOIN signups s
+           |  ON c.user_id = s.user_id AND c.ts_us >= s.signup_us
+           |ORDER BY c.event_id""".stripMargin))
+
+  /** Range join, bucket-bounded (the other operator-Spark-lacks example):
+    * per click, the count of the same user's 'error' events in the next
+    * hour (the fixture's event stream is sparse at minute scale). Candidates join on (user, span-bucket) — never a per-key cross
+    * product; the exact window filter runs on the bounded set. */
+  private val q43 = QueryDef(
+    "q43_range_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us").as("err_us"))
+      graft.operators.JoinOps.rangeJoinByBucket(
+          clicks, errors, key = "user_id",
+          leftTime = "ts_us", rightTime = "err_us", lo = 1L, hi = 3600L * 1000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_errors_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH clicks AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+           |errors AS (
+           |  SELECT user_id, epoch_us(ts) AS err_us FROM events WHERE event_type = 'error')
+           |SELECT c.event_id, count(*) AS n_errors_1h
+           |FROM clicks c JOIN errors e
+           |  ON c.user_id = e.user_id
+           |  AND e.err_us >= c.ts_us + 1 AND e.err_us <= c.ts_us + 3600::BIGINT * 1000000
+           |GROUP BY 1 ORDER BY event_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q14, q15, q16, q42, q43)
 }
