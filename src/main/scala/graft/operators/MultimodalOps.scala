@@ -70,6 +70,25 @@ object MultimodalOps {
     }
   }
 
+  /** A resized media row: payload transformed to the target dimensions. */
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize over partition-local batches — same mapPartitions shape as
+    * [[extractFeatures]] (no shuffle, per-partition setup amortized). The
+    * pixel transform itself is STUBBED (no image libraries in this
+    * container): the output payload is a deterministic byte-stretch of the
+    * input sized to the target dims; a real deployment swaps the body for
+    * an image library call and nothing else changes. */
+  def resizeImages(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val targetBytes = math.min(math.max(1, width * height / 64), 1 << 16)
+    media.mapPartitions(_.map { r =>
+      val src = if (r.payload.isEmpty) Array[Byte](0) else r.payload
+      val out = Array.tabulate[Byte](targetBytes)(i => (src((i * 31) % src.length) ^ (i & 0x7f)).toByte)
+      ResizedMedia(r.media_id, width, height, out)
+    })
+  }
+
   /** Frame sampling: every `stride`-th chunk of a video payload as its own
     * row (the explode-shaped step of a frame pipeline). Chunking stands in
     * for real frame boundaries; the plan shape (generator + no shuffle) is

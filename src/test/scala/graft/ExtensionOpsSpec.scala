@@ -191,6 +191,20 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(again === feats.map { case (k, v) => k -> v.feature_hash })
   }
 
+  test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {
+    import MultimodalOps._
+    val media = Seq(
+      MediaRecord(1L, "image", "payload-one".getBytes, "s0"),
+      MediaRecord(2L, "image", "payload-two".getBytes, "s0")).toDS()
+    val a = resizeImages(media, 32, 32).collect().map(r => r.media_id -> r).toMap
+    assert(a.size === 2)
+    assert(a(1L).width === 32 && a(1L).height === 32)
+    assert(a(1L).payload.length === 32 * 32 / 64)
+    val b = resizeImages(media, 32, 32).collect().map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(b(1L) === a(1L).payload.toSeq) // deterministic
+    assert(b(1L) !== b(2L)) // input-dependent
+  }
+
   test("multimodal: frame sampling explodes chunks with stride") {
     val media = Seq((1L, Array.fill[Byte](1024)(7))).toDF("media_id", "payload")
     val frames = MultimodalOps.sampleFrames(media, chunkBytes = 256, stride = 2)
