@@ -53,6 +53,28 @@ object InvariantProps extends Properties("graft") {
       da.union(db).count() == a.size + b.size
     }
 
+  property("as-of join equals the naive latest-predecessor lookup") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L))),
+      Gen.listOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))) { (ls, rs) =>
+      ls.isEmpty || {
+        // unique right (k,t) with value = t*10 (mirrors the op's uniqueness precondition)
+        val rightRows = rs.distinct.map { case (k, t) => (k, t, t * 10L) }
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val right = rightRows.toDF("k", "rt", "rv")
+        val got = graft.operators.JoinOps
+          .asofJoinBackward(left, right, "k", "t", "rt", Seq("rv"))
+          .select(col("lid"), col("rv_asof")).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        val naive = ls.zipWithIndex.map { case ((k, t), i) =>
+          val preds = rightRows.filter(r => r._1 == k && r._2 <= t)
+          i.toLong -> (if (preds.isEmpty) -1L else preds.maxBy(_._2)._3)
+        }.toMap
+        got == naive
+      }
+    }
+
   property("X1: exact dedup groups partition the input (sum of n_copies == row count)") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
