@@ -30,6 +30,20 @@ object Semantics {
     ts >= d0 && ts < d0 + expr("INTERVAL 1 DAY")
   }
 
+  /** round() with IEEE negative zero normalized to +0.0.
+    *
+    * A value like -1e-9 rounds to `-0.0` in DuckDB but `+0.0` in Spark (bit
+    * patterns 0x8000000000000000 vs 0x0), so a bitwise result hash diverges
+    * even though every comparison agrees — this cost q14 its round-1 hash
+    * match. Every rounded output column whose value can be NEGATIVE (speed
+    * deltas, cosines of random vectors) must go through this helper, and its
+    * oracle SQL must append `+ 0.0` after the round (IEEE: -0.0 + 0.0 = +0.0).
+    * Spark treats -0.0 = 0.0 in comparisons, so the `when` catches both. */
+  def roundz(c: Column, scale: Int): Column = {
+    val r = round(c, scale)
+    when(r === 0d, lit(0d)).otherwise(r)
+  }
+
   /** Day-of-week, PostgreSQL/DuckDB numbering: 0=Sunday .. 6=Saturday.
     * (reference: EXTRACT(DOW FROM tstamp), analytic.sql:13,24,44,55) */
   def pgDow(ts: Column): Column = (dayofweek(ts) - lit(1)).cast("long")

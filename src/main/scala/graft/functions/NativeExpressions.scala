@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * DuckDB's `list_dot_product`, so oracle results agree bit-for-bit.
   * Null ARRAYS propagate null (BinaryExpression's default); null ELEMENTS
   * are not supported (embeddings are dense — enforced upstream by the
-  * `cast("array<double>")` of a non-null float vector).
+  * `cast("array<double>")` of a non-null float vector). Mismatched lengths
+  * RAISE (same behavior as DuckDB's list_dot_product) — silently truncating
+  * to the shorter array would mask ragged-embedding data errors and diverge
+  * from the oracle.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +50,8 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) VecDot.lengthMismatch(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -60,7 +64,10 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  graft.functions.VecDot.lengthMismatch($n, $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -71,6 +78,14 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Shared by interpreted eval and generated code (static call keeps the
+    * generated method small and JIT-friendly). */
+  def lengthMismatch(a: Int, b: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_vec_dot: array length mismatch ($a vs $b) — embeddings must be dense and equal-dimension")
 }
 
 /** Polynomial rolling hash of a string (Rabin–Karp class): fold over the

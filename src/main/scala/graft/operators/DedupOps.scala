@@ -125,45 +125,95 @@ object DedupOps {
   }
 
   /** X2 (embedding-cosine near-dup): pairs whose embedding cosine meets the
-    * threshold, candidate generation bounded by a coarse cell (IVF-style
-    * quantizer cell / partition key at scale) so the join is cell×cell,
-    * never corpus×corpus. Production pipelines put a random-hyperplane LSH
-    * in front when cells are large; the verifier below is exact. */
+    * threshold. Candidate generation is bounded by (coarse cell ×
+    * sign-LSH bucket): the cell is the IVF-style quantizer / partition key,
+    * and when `planes` is non-empty a random-hyperplane bucket
+    * ([[SimilarityOps.signLshBucket]]) joins on top of it — round 1's
+    * cell-only join was all-pairs within a cell (199,666 pairs at sf0.1),
+    * the composed key keeps candidates density-bounded at any corpus size.
+    * Recall per LSH table is (1 − θ/π)^planes; production ORs several plane
+    * tables for high-recall thresholds. The verifier is exact cosine. */
   def embeddingNearDups(embs: DataFrame, id: String, emb: Column, cellCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, planes: Seq[Seq[Double]] = Nil): DataFrame = {
     // Norms are computed per VECTOR below the join's shuffle barrier (2 fold
     // evaluations per row), not per PAIR above it (which would be quadratic
     // in interpreted-lambda evaluations — the dot product is the only
     // per-pair fold left).
     val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
       .withColumn("nrm", SimilarityOps.l2norm(col("v")))
-    val a = e.toDF("a_id", "cell", "a_v", "a_nrm")
-    val b = e.toDF("b_id", "cell", "b_v", "b_nrm")
-    a.join(b, "cell")
+      .withColumn("bucket",
+        if (planes.isEmpty) lit(0L) else SimilarityOps.signLshBucket(col("v"), planes))
+    val a = e.toDF("a_id", "cell", "a_v", "a_nrm", "bucket")
+    val b = e.toDF("b_id", "cell", "b_v", "b_nrm", "bucket")
+    a.join(b, Seq("cell", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
-        round(SimilarityOps.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
+        graft.engine.Semantics.roundz(
+          SimilarityOps.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
-  /** X2 (SimHash): 32-bit signature. Bit i of the signature is the sign of
-    * the sum over the doc's distinct tokens of ±1, where the vote of a token
-    * is the high bit of hex digit i of md5(token). Pure relational:
-    * explode(tokens) × 32 positions → two hash aggregates — no UDF, and the
-    * same expression runs verbatim in the oracle engine. */
-  def simhash32(docs: DataFrame, id: String, tokenSet: Column): DataFrame = {
-    // posexplode(split(h, "")) yields one row per hex digit — identical votes
-    // to the earlier per-position lambda transform, but with no interpreted
-    // higher-order expression feeding the Generate (keeps codegen).
-    val toks = docs.select(col(id), explode(tokenSet).as("tok"))
+  /** X2 (SimHash): 63-bit signature (bits 0..62 from the first 16 hex
+    * digits of md5(token); bit 63 stays clear so the value is positive in
+    * every engine — a set sign bit would diverge between Spark's long sum
+    * and DuckDB's HUGEINT-promoted sum). Bit p of the signature is the sign
+    * of the ±1 vote sum over the doc's distinct tokens, where a token's vote
+    * for bit p is bit (3 − p%4) of hex digit p/4 of its md5. Pure
+    * relational: explode(tokens) × 16 hex digits → two hash aggregates — no
+    * UDF, no interpreted lambdas, and the same arithmetic runs verbatim in
+    * the oracle engine. */
+  def simhash63(docs: DataFrame, id: String, tokenSet: Column): DataFrame = {
+    // One row per (token, hex digit); the four bit-votes of a digit are four
+    // parallel sum() aggregates, so no second Generate is needed and the
+    // row volume is HALF the old 32-digit variant.
+    val digits = docs.select(col(id), explode(tokenSet).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bits = toks.select(col(id), posexplode(split(col("h"), "")).as(Seq("pos", "digit")))
-      .withColumn("vote",
-        when(col("digit").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L))
-      .groupBy(col(id), col("pos"))
-      .agg(sum(col("vote")).as("votes"))
-    bits.groupBy(col(id))
-      .agg(sum(when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L)).as("simhash"))
+      .select(col(id), posexplode(split(substring(col("h"), 1, 16), "")).as(Seq("dpos", "digit")))
+      .withColumn("dv", conv(col("digit"), 16, 10).cast("int"))
+    val voteCols = (0 to 3).map { b =>
+      sum(when(shiftright(col("dv"), 3 - b).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val votes = digits.groupBy(col(id), col("dpos"))
+      .agg(voteCols.head, voteCols.tail: _*)
+    val nibble = (0 to 3).map { b =>
+      when(col(s"v$b") > 0 && (col("dpos") * 4 + lit(b)) < 63,
+        expr(s"shiftleft(CAST(1 AS BIGINT), dpos * 4 + $b)")).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col(id), nibble.as("nib"))
+      .groupBy(col(id)).agg(sum(col("nib")).as("simhash"))
+  }
+
+  /** X2 (SimHash banded candidates — the scale path): near-dup pairs within
+    * `maxHamming` of each other, candidate generation through 7 bands of 9
+    * bits joined on (bucket, band, bits) — NEVER the within-bucket cross
+    * product (round 1's all-pairs plan grew 6k → 622k pairs from sf0.01 →
+    * sf0.1; this one's candidates track the corpus's true near-dup density).
+    *
+    * Recall is exact, not approximate: a pair with Hamming ≤ 6 has differing
+    * bits in at most 6 of the 7 disjoint bands (pigeonhole), so at least one
+    * band matches and the pair is generated — the result set equals the
+    * all-pairs scan, which is what the oracle runs. Hamming is verified on
+    * candidates only. Production corpora additionally cap pathological band
+    * buckets (like the hot-shingle df cap) at a small recall cost. */
+  def simhashNearDupsBanded(docs: DataFrame, id: String, tokenSet: Column,
+      bucketCol: Column, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6, "7 bands of 9 bits guarantee recall only for Hamming <= 6")
+    val sigs = simhash63(docs, id, tokenSet)
+      .join(docs.select(col(id), bucketCol.as("bucket")), id)
+    val bands = sigs.select(col(id), col("bucket"), col("simhash"),
+      posexplode(array((0 until 7).map(j => expr(s"(simhash >> ${9 * j}) & 511")): _*))
+        .as(Seq("band", "bits")))
+    // Both sides are the identical subplan shuffled on (bucket, band, bits):
+    // exchange reuse computes the signature pipeline once.
+    val a = bands.toDF("a_id", "bucket", "a_sim", "band", "bits")
+    val b = bands.toDF("b_id", "bucket", "b_sim", "band", "bits")
+    a.join(b, Seq("bucket", "band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")) // a pair may share several bands
+      .agg(max(col("a_sim")).as("a_sim"), max(col("b_sim")).as("b_sim"))
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 }

@@ -105,12 +105,13 @@ object EtlOps {
   /** S9 (transform.py:62-83): idempotent partition reload — the reference's
     * DELETE-day-then-INSERT becomes dynamic partition overwrite: only the
     * date partitions present in `df` are replaced, the rest untouched. */
-  def overwriteDatePartitions(df: DataFrame, dateCol: Column, path: String): Unit = {
-    val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def overwriteDatePartitions(df: DataFrame, dateCol: Column, path: String): Unit =
+    // Per-write option, NOT spark.conf.set: mutating the session conf would
+    // silently make every later partitioned overwrite in the session dynamic.
     df.withColumn("date", to_date(dateCol))
-      .write.mode("overwrite").partitionBy("date").parquet(path)
-  }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(path)
 
   /** S3 analogue (data_collector.py:68-79): raw ingest sink partitioned by
     * vehicle and event date. */

@@ -27,6 +27,7 @@ object JoinOps {
     * (e.g. max payload) or the carried row is order-dependent. */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofJoinBackward needs at least one payload column")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
@@ -36,11 +37,19 @@ object JoinOps {
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c + "_asof", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    // Carry the MATCHED right row as ONE struct: the struct is non-null for
+    // every right row even when all its payload fields are null, so a
+    // matched row with a NULL payload value is returned as-is (DuckDB ASOF
+    // LEFT JOIN semantics) — per-column last(payload, ignoreNulls) would
+    // skip it and wrongly resurrect an older non-null payload.
+    val withRow = unioned.withColumn("__r",
+      when(col("__side") === 0, struct(payload.map(c => col(s"__p_$c").as(c)): _*)))
+    val carried = payload.foldLeft(
+      withRow.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))) {
+      (df, c) => df.withColumn(c + "_asof", col("__asof").getField(c))
     }
     carried.filter(col("__side") === 1)
-      .drop((Seq("__t", "__side") ++ payload.map("__p_" + _)): _*)
+      .drop((Seq("__t", "__side", "__r", "__asof") ++ payload.map("__p_" + _)): _*)
   }
 
   /** Bucket-bounded range join: pairs with equal `key` and

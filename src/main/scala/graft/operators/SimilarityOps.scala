@@ -42,7 +42,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine(col("emb"), col("q_emb")), 6))
+      .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("emb"), col("q_emb")), 6))
       .select(col("vec_id"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
@@ -62,7 +62,7 @@ object SimilarityOps {
       .select(col("vec_id"), col(cellCol).as("cell"), col("embedding").cast("array<double>").as("emb"))
       .join(q, col("cell") === col("q_cell")) // cell-pruned candidate set
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine(col("emb"), col("q_emb")), 6))
+      .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("emb"), col("q_emb")), 6))
       .select(col("vec_id"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
@@ -149,7 +149,7 @@ object SimilarityOps {
     withBucket(corpus)
       .join(q, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine(col("emb"), col("q_emb")), 6))
+      .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("emb"), col("q_emb")), 6))
       .select(col("vec_id"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
@@ -167,7 +167,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
     qs.join(c, "cell")
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine(col("n_emb"), col("q_emb")), 6))
+      .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("n_emb"), col("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))

@@ -74,22 +74,18 @@ object Dedup extends QueryGroup {
            |  GROUP BY 1, 2)
            |SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""".stripMargin))
 
-  /** X2c: SimHash-32 near-dups — signatures from md5 hex-digit votes, then
-    * same-source pairs within Hamming distance ≤ 8, top-20 closest. */
+  /** X2c: SimHash-63 near-dups — same-source pairs within Hamming ≤ 6,
+    * top-20 closest. Spark-side candidates come from the BANDED plan (7
+    * bands × 9 bits; pigeonhole makes recall exact for Hamming ≤ 6), so the
+    * all-pairs oracle below computes the identical result while the Spark
+    * plan's candidate volume stays near-dup-density-bounded, not
+    * corpus²/sources (round-1's scale-killer). */
   private val q24 = QueryDef(
     "q24_simhash_neardup",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("tokset", array_distinct(TextOps.tokenize(col("text"))))
-      val sigs = DedupOps.simhash32(docs, "doc_id", col("tokset"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"), col("source"))
-      val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"), col("source"))
-      a.join(b, "source")
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
-        .filter(col("hamming") <= 8)
-        .select(col("a_id"), col("b_id"), col("hamming"))
+      DedupOps.simhashNearDupsBanded(docs, "doc_id", col("tokset"), col("source"), maxHamming = 6)
         .orderBy(col("hamming"), col("a_id"), col("b_id"))
         .limit(20)
     },
@@ -98,11 +94,11 @@ object Dedup extends QueryGroup {
            |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents) t),
            |votes AS (
            |  SELECT doc_id, p.pos,
-           |    sum(CASE WHEN substr(h, p.pos + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
-           |  FROM toks, unnest(range(32)) AS p(pos)
+           |    sum(CASE WHEN (('0x' || substr(h, pos//4 + 1, 1))::INT >> (3 - pos%4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           |  FROM toks, unnest(range(63)) AS p(pos)
            |  GROUP BY 1, 2),
            |sigs AS (
-           |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS simhash
+           |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << pos) ELSE 0 END) AS BIGINT) AS simhash
            |  FROM votes GROUP BY 1),
            |pairs AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -110,22 +106,29 @@ object Dedup extends QueryGroup {
            |  FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
            |  JOIN sigs sa ON sa.doc_id = a.doc_id
            |  JOIN sigs sb ON sb.doc_id = b.doc_id)
-           |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8
+           |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6
            |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin))
 
-  /** X2d: embedding-cosine near-dups — exact cosine over cell-bounded
-    * (label) candidate pairs, threshold 0.35 (tuned to the near-random test
-    * corpus; production thresholds sit near 0.95 on real embeddings). */
+  /** X2d: embedding-cosine near-dups — exact cosine over candidates bounded
+    * by (label cell × sign-LSH bucket), threshold 0.35 (tuned to the
+    * near-random test corpus; production thresholds sit near 0.95 on real
+    * embeddings, where per-table recall is far higher). The planes are
+    * literals (fixed seed), so the oracle reproduces the bucket exactly —
+    * round 1's cell-only all-pairs join is gone from both sides. */
+  private val q32Planes = graft.operators.SimilarityOps.lshPlanes(2, 64)
   private val q32 = QueryDef(
     "q32_embedding_neardup",
     (s, dir) => DedupOps
-      .embeddingNearDups(Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"), 0.35)
+      .embeddingNearDups(Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"),
+        0.35, q32Planes)
       .orderBy(desc("cosine"), col("a_id"), col("b_id")),
-    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |bk AS (SELECT vec_id, label, v,
+           |  ${OracleSql.signLshBucketSql("v", q32Planes)} AS bucket FROM e)
            |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |  round(list_dot_product(a.v, b.v)
-           |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
+           |FROM bk a JOIN bk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE round(list_dot_product(a.v, b.v)
            |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
            |ORDER BY cosine DESC, a_id, b_id""".stripMargin))

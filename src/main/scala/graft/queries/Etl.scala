@@ -25,7 +25,8 @@ object Etl extends QueryGroup {
           meters = col("value"),
           timeSec = col("ts_us"), // integer µs: Δ is exact
           dtToSeconds = d => d.cast("double") / 1e6)
-        .select(col("event_id"), col("user_id"), round(col("speed"), 6).as("speed"))
+        .select(col("event_id"), col("user_id"),
+          graft.engine.Semantics.roundz(col("speed"), 6).as("speed"))
         .orderBy(col("event_id"))
     },
     Some("""WITH speeds AS (
@@ -38,7 +39,7 @@ object Etl extends QueryGroup {
            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            |)
            |SELECT event_id, user_id,
-           |  round(CASE WHEN rn = 1 THEN lead(speed_raw) OVER w2 ELSE speed_raw END, 6) AS speed
+           |  round(CASE WHEN rn = 1 THEN lead(speed_raw) OVER w2 ELSE speed_raw END, 6) + 0.0 AS speed
            |FROM speeds
            |WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
            |ORDER BY event_id""".stripMargin))

@@ -19,3 +19,20 @@ final case class QueryDef(
 trait QueryGroup {
   def defs: Seq[QueryDef]
 }
+
+/** Oracle-SQL fragments shared across query groups. */
+object OracleSql {
+
+  /** DuckDB expression equivalent to
+    * [[graft.operators.SimilarityOps.signLshBucket]] over LITERAL
+    * hyperplanes: bit j of the bucket is sign(v · p_j). The planes are
+    * deterministic (fixed seed), so inlining their values keeps the bucket
+    * function ANSI-expressible — which is what lets the LSH-bucketed queries
+    * carry a hard hash oracle instead of a rows-only check. Both engines
+    * accumulate the dot product left-to-right, so the sign agrees to the
+    * last ulp. */
+  def signLshBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+}

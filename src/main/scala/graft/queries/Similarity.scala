@@ -20,7 +20,7 @@ object Similarity extends QueryGroup {
            |SELECT e.vec_id,
            |  round(list_dot_product(e.embedding::DOUBLE[], q.q_emb)
            |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-           |     * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+           |     * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) + 0.0 AS cosine
            |FROM embeddings e CROSS JOIN q
            |WHERE e.vec_id <> 0
            |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin))
@@ -38,7 +38,7 @@ object Similarity extends QueryGroup {
            |SELECT e.vec_id,
            |  round(list_dot_product(e.embedding::DOUBLE[], q.q_emb)
            |    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-           |     * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+           |     * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) + 0.0 AS cosine
            |FROM embeddings e JOIN q ON e.label = q.q_label
            |WHERE e.vec_id <> 0
            |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin))
@@ -57,7 +57,7 @@ object Similarity extends QueryGroup {
            |  SELECT qs.q_id, e.vec_id AS n_id,
            |    round(list_dot_product(e.embedding::DOUBLE[], qs.q_emb)
            |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-           |       * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) AS cosine
+           |       * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) + 0.0 AS cosine
            |  FROM embeddings e JOIN qs ON e.label = qs.label
            |  WHERE e.vec_id <> qs.q_id),
            |ranked AS (
@@ -68,9 +68,12 @@ object Similarity extends QueryGroup {
            |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
 
   /** Sign-LSH bucketed ANN (the LSH scale path beside IVF): top-10 from the
-    * query's hyperplane bucket only. No ANSI oracle — the bucket function is
-    * engine-specific — so the driver records the weaker rows-only check; the
-    * recall property vs. brute force is ScalaTest-verified. */
+    * query's hyperplane bucket only. The planes are deterministic literals
+    * (fixed seed), so the bucket IS ANSI-expressible — the oracle inlines
+    * the plane values and reproduces bucket assignment bit-for-bit (was
+    * rows-only in round 1). Recall vs. brute force is also ScalaTest-
+    * verified. */
+  private val q35Planes = SimilarityOps.lshPlanes(4, 64)
   private val q35 = QueryDef(
     "q35_cosine_lsh_topk",
     (s, dir) => {
@@ -78,7 +81,17 @@ object Similarity extends QueryGroup {
       SimilarityOps.cosineTopKLsh(emb, emb.filter(col("vec_id") === 0), 10,
         numPlanes = 4, dim = 64)
     },
-    None)
+    Some(s"""WITH bk AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    ${OracleSql.signLshBucketSql("embedding::DOUBLE[]", q35Planes)} AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, v AS q_v, bucket FROM bk WHERE vec_id = 0)
+           |SELECT bk.vec_id,
+           |  round(list_dot_product(bk.v, q.q_v)
+           |    / (sqrt(list_dot_product(bk.v, bk.v)) * sqrt(list_dot_product(q.q_v, q.q_v))), 6) + 0.0 AS cosine
+           |FROM bk JOIN q ON bk.bucket = q.bucket
+           |WHERE bk.vec_id <> q.q_id
+           |ORDER BY cosine DESC, bk.vec_id LIMIT 10""".stripMargin))
 
   /** IVF coarse-quantizer TRAINING (q26 probes such cells): deterministic
     * Lloyd's k-means over the embedding corpus, reported as cluster sizes.

@@ -53,10 +53,36 @@ class ExtensionOpsSpec extends SparkSpec {
   test("X2: simhash of identical token sets is identical; disjoint sets differ") {
     val docs = Seq((1L, Seq("alpha", "beta", "gamma")), (2L, Seq("alpha", "beta", "gamma")),
       (3L, Seq("zeta", "eta", "theta"))).toDF("doc_id", "tokset")
-    val sigs = DedupOps.simhash32(docs, "doc_id", col("tokset"))
+    val sigs = DedupOps.simhash63(docs, "doc_id", col("tokset"))
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
+    assert(sigs.values.forall(_ >= 0L)) // bit 63 never set: positive in every engine
+  }
+
+  test("X2: banded simhash candidates equal the all-pairs result for Hamming <= 6") {
+    // Near pairs guaranteed by construction: two identical-token-set groups
+    // (Hamming 0 within a group) plus one-token perturbations of group A
+    // (small nonzero Hamming), all in one bucket so the all-pairs scan is
+    // exhaustive and far pairs (A×B) are present too.
+    val setA = (0 until 40).map(j => s"a$j")
+    val setB = (0 until 40).map(j => s"b$j")
+    val docs = (
+      (0 until 5).map(i => (i.toLong, setA)) ++
+      (5 until 10).map(i => (i.toLong, setB)) ++
+      (10 until 20).map(i => (i.toLong, setA :+ s"extra$i"))
+    ).toDF("doc_id", "tokset").withColumn("source", lit("s"))
+    val banded = DedupOps.simhashNearDupsBanded(docs, "doc_id", col("tokset"), col("source"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // oracle: exhaustive all-pairs Hamming over the same signatures
+    val sigs = DedupOps.simhash63(docs, "doc_id", col("tokset"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val allPairs = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 6
+    } yield (a, b) -> h.toLong).toMap
+    assert(allPairs.nonEmpty, "fixture must contain near pairs for the test to bite")
+    assert(banded === allPairs) // pigeonhole: exact recall, no false drops
   }
 
   test("X3: cosine top-k ranks an identical vector first with cosine 1") {
