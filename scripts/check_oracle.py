@@ -8,11 +8,12 @@ DuckDB view, runs each oracle SQL, and compares against the Spark result
 parquet dumped by graft.Verify:
   - column name sets must match (driver sorts columns by name before hashing)
   - row counts must match
-  - values compared after sorting columns by name and rows by all columns,
-    with floats compared to 1e-9 relative tolerance (queries themselves are
-    expected to round any unstable float aggregates).
+  - values compared after sorting columns by name and rows by all columns.
+    Floats are compared BITWISE (IEEE-754 bit pattern), mirroring the
+    driver's hash: queries must round unstable float aggregates themselves,
+    and -0.0 != +0.0 here exactly as it differs in the driver's hash.
 """
-import json, math, sys, glob, os
+import json, math, sys, glob, os, struct
 import duckdb
 
 def canon(rows):
@@ -24,7 +25,7 @@ def canon(rows):
                 if math.isnan(v):
                     r.append("NaN")
                 else:
-                    r.append(round(v, 9))
+                    r.append(struct.pack("<d", v).hex())
             else:
                 r.append(str(v) if v is not None else None)
         out.append(tuple(r))

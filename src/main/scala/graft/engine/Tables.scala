@@ -28,10 +28,7 @@ object Tables {
     * likewise truncate (`CAST(ts AS TIMESTAMP)` in DuckDB) when a timestamp
     * value is output. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.functions.GraftFunctions.register(spark) // idempotent
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.SargableTimestampRules))
-      spark.experimental.extraOptimizations ++= Seq(graft.plans.SargableTimestampRules)
+    Engine.ensureInitialized(spark) // once per session, guarded
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -146,10 +146,13 @@ object GraftFunctions {
   val PolyHashName = "graft_poly_hash"
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      VecDotName, exprs => VecDot(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      PolyHashName, exprs => StringPolyHash(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(VecDotName))) {
+      reg.createOrReplaceTempFunction(
+        VecDotName, exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        PolyHashName, exprs => StringPolyHash(exprs.head), "built-in")
+    }
   }
 
   /** Codegen'd dot product of two array<double> columns. Registers against

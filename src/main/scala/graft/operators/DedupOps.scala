@@ -51,6 +51,22 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Hot-shingle document-frequency cap: drop (bucket, sh) groups present in
+    * more than `maxDf` documents BEFORE any shingle self-join. One
+    * ubiquitous real-world 3-gram ("of the and") otherwise makes the shared-
+    * shingle join quadratic in its df — the classic MinHash-literature
+    * hardening. Recall loss is negligible: a shingle shared by thousands of
+    * documents carries no near-dup signal, only join fan-out. The window's
+    * (bucket, sh) hash partitioning is exactly the distribution the
+    * downstream self-join requires, so the join itself adds no exchange. */
+  def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingles
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+  }
+
   /** X2 (MinHash+LSH, row form — the scale path): same candidate semantics
     * as [[minhashLshCandidates]] but over exploded (doc_id, bucket, sh) rows
     * from [[TextOps.shingleRows]], with Kirsch–Mitzenmacher hashing: ONE
@@ -60,8 +76,9 @@ object DedupOps {
     * interpreted per-j lambda-md5 variant), and 40-bit values keep
     * h1 + 7·h2 < 2^43, overflow-safe in engines that error on BIGINT
     * overflow (DuckDB). */
-  def minhashLshCandidatesFromRows(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = shingles
+  def minhashLshCandidatesFromRows(shingles: DataFrame, numHashes: Int,
+      maxDf: Int = 0): DataFrame = {
+    val hashed = (if (maxDf > 0) capShingleDf(shingles, maxDf) else shingles)
       .withColumn("h", md5(col("sh")))
       .withColumn("h1", conv(substring(col("h"), 1, 10), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("h"), 11, 10), 16, 10).cast("long"))
@@ -82,7 +99,7 @@ object DedupOps {
     * exploded (doc_id, bucket, sh) rows. Pairs form only on shared shingles
     * inside a bucket (never the cross product), and the whole pipeline is
     * joins + hash aggregates — no interpreted array lambdas. */
-  def jaccardPairsFromRows(shingles: DataFrame): DataFrame = {
+  def jaccardPairsFromRows(shingles: DataFrame, maxDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Set size rides along as a window count: HashPartitioning(doc_id) from
     // shingleRows' window/distinct already satisfies it — no extra shuffle,
@@ -90,8 +107,12 @@ object DedupOps {
     // whole shingle pipeline twice more). Both self-join sides are then
     // IDENTICAL subplans shuffled on (bucket, sh), so Spark's exchange reuse
     // computes the pipeline once and reads it twice.
-    val ex = shingles.withColumn("setsize",
+    // The df cap sits AFTER the setsize window (sizes stay full-set; only
+    // the intersection is capped) and shuffles to (bucket, sh) — which the
+    // join then reuses, so hardening costs zero additional exchanges.
+    val sized = shingles.withColumn("setsize",
       count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val ex = if (maxDf > 0) capShingleDf(sized, maxDf) else sized
     val a = ex.toDF("a_id", "bucket", "sh", "a_size")
     val b = ex.toDF("b_id", "bucket", "sh", "b_size")
     a.join(b, Seq("bucket", "sh"))

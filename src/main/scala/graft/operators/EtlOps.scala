@@ -113,6 +113,20 @@ object EtlOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date").parquet(path)
 
+  /** S8 (transform.py:263-288): the reference streams 1000-row
+    * `execute_values` batches into PostgreSQL. Spark-native equivalent:
+    * `df.write.jdbc` with `batchsize` — every executor writes its own
+    * partitions in `batchSize`-row round trips, so load parallelism equals
+    * the partition count (the reference's batching, at cluster width).
+    * Untested by design in this zero-egress container (no database to
+    * connect to); [[overwriteDatePartitions]] is the parquet stand-in the
+    * specs exercise. */
+  def writeJdbcBatched(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 1000): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(url, table, props)
+  }
+
   /** S3 analogue (data_collector.py:68-79): raw ingest sink partitioned by
     * vehicle and event date. */
   def writeRawPartitioned(df: DataFrame, vehicleCol: Column, dateCol: Column, path: String): Unit =

@@ -83,7 +83,12 @@ object SimilarityOps {
     * Returns (assignments: vec_id → cluster, centroids). */
   def kmeans(emb: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
     import org.apache.spark.sql.Row
+    // Cached for the duration of training: every Lloyd iteration re-scans the
+    // vectors, and without the cache each of the `iters` jobs re-reads (and
+    // re-decodes) the source parquet — at 100 TB that is `iters` extra full
+    // scans. MEMORY_AND_DISK so an overflowing corpus spills instead of OOM.
     val vecs = emb.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
 
@@ -112,7 +117,11 @@ object SimilarityOps {
         }
       }
     }
-    (assigned.select(col("vec_id"), col("cluster")), centroids)
+    val out = assigned.select(col("vec_id"), col("cluster"))
+    // Training scans are done; the returned (lazy) assignment recomputes
+    // from source in the caller's single pass.
+    vecs.unpersist(blocking = false)
+    (out, centroids)
   }
 
   /** Deterministic random-hyperplane (sign-)LSH planes: `n` unit-free

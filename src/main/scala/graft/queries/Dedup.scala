@@ -14,10 +14,13 @@ object Dedup extends QueryGroup {
     TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text"))
 
   /** X2a: true n-gram Jaccard — top-20 most similar same-source pairs.
-    * Pairs only form on shared shingles inside a source bucket. */
+    * Pairs only form on shared shingles inside a source bucket, and shingles
+    * with document frequency > 50 are dropped before the self-join (hot-
+    * shingle cap: inert on this fixture, max df 6 at sf0.1, but bounds the
+    * join fan-out of a ubiquitous 3-gram on a real corpus). */
   private val q22 = QueryDef(
     "q22_ngram_jaccard_topk",
-    (s, dir) => DedupOps.jaccardPairsFromRows(docShingleRows(s, dir))
+    (s, dir) => DedupOps.jaccardPairsFromRows(docShingleRows(s, dir), maxDf = 50)
       .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"))
       .orderBy(desc("jaccard"), col("a_id"), col("b_id"))
       .limit(20),
@@ -28,7 +31,8 @@ object Dedup extends QueryGroup {
            |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
            |      ELSE [] END) AS shset
            |  FROM documents),
-           |ex AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
            |sizes AS (SELECT doc_id, CAST(len(shset) AS BIGINT) AS setsize FROM sets WHERE len(shset) > 0),
            |common AS (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
@@ -48,7 +52,7 @@ object Dedup extends QueryGroup {
   private val q23 = QueryDef(
     "q23_minhash_lsh_pairs",
     (s, dir) => DedupOps
-      .minhashLshCandidatesFromRows(docShingleRows(s, dir), 8)
+      .minhashLshCandidatesFromRows(docShingleRows(s, dir), 8, maxDf = 50)
       .orderBy(col("a_id"), col("b_id")),
     Some("""WITH sets AS (
            |  SELECT doc_id, source,
@@ -57,7 +61,8 @@ object Dedup extends QueryGroup {
            |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
            |      ELSE [] END) AS shset
            |  FROM documents),
-           |ex AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
            |hashed AS (
            |  SELECT doc_id, source,
            |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,

@@ -59,15 +59,32 @@ object IngestOps {
 
   /** S4 sink: per-record publish batched per partition
     * (data_collector.py:81-142's futures-of-100). The publisher is
-    * pluggable; `batchSize` mirrors the reference's 100. Returns nothing —
-    * failure surfaces as task retry (at-least-once, pair with an idempotent
-    * consumer as in T1). */
+    * pluggable; `batchSize` mirrors the reference's 100.
+    *
+    * Returns the (published, failed) record tally — the reference's
+    * `(published, errors)` accounting (data_collector.py:130-134). A failed
+    * batch counts as failed and does NOT fail the job (the reference logs
+    * and continues); callers wanting at-least-once instead should rethrow
+    * in their publisher so task retry kicks in, paired with an idempotent
+    * consumer as in T1. */
   trait QueuePublisher extends Serializable {
     def publishBatch(records: Seq[String]): Unit
   }
 
-  def publishToQueue(df: DataFrame, publisher: QueuePublisher, batchSize: Int = 100): Unit =
-    df.toJSON.foreachPartition { (it: Iterator[String]) =>
-      it.grouped(batchSize).foreach(b => publisher.publishBatch(b))
-    }
+  def publishToQueue(df: DataFrame, publisher: QueuePublisher, batchSize: Int = 100): (Long, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.toJSON
+      .mapPartitions { it =>
+        var ok = 0L
+        var err = 0L
+        it.grouped(batchSize).foreach { b =>
+          try { publisher.publishBatch(b); ok += b.size }
+          catch { case scala.util.control.NonFatal(_) => err += b.size }
+        }
+        Iterator((ok, err))
+      }
+      .collect() // one (ok, err) pair per partition — driver state is O(partitions)
+      .foldLeft((0L, 0L)) { case ((o, e), (po, pe)) => (o + po, e + pe) }
+  }
 }

@@ -50,6 +50,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!cand.contains((1L, 3L))) // disjoint sets share no minhash (w.h.p.)
   }
 
+  test("X2: hot-shingle df cap bounds the shared-shingle join on a skewed corpus") {
+    // 40 docs all sharing one ubiquitous trigram ("hot hot hot"); docs 0 and
+    // 1 are true near-dups, the rest pairwise disjoint apart from the hot
+    // shingle — the real-world skew that makes an uncapped join quadratic.
+    val docs = (0 until 40).map { i =>
+      val body = if (i <= 1) "dup dup dup dup dup" else s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+      (i.toLong, s"hot hot hot $body", "s")
+    }.toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
+    // uncapped: the hot shingle pairs every doc with every other → all-pairs
+    assert(DedupOps.jaccardPairsFromRows(rows).count() === 40L * 39 / 2)
+    // capped: hot shingle dies before the join; only the true overlap survives
+    val capped = DedupOps.jaccardPairsFromRows(rows, maxDf = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped === Set((0L, 1L)))
+    val mh = DedupOps.minhashLshCandidatesFromRows(rows, 8, maxDf = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mh === Set((0L, 1L)))
+  }
+
   test("X2: simhash of identical token sets is identical; disjoint sets differ") {
     val docs = Seq((1L, Seq("alpha", "beta", "gamma")), (2L, Seq("alpha", "beta", "gamma")),
       (3L, Seq("zeta", "eta", "theta"))).toDF("doc_id", "tokset")
