@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+/** Scale audit: logs the CANDIDATE-pair volume of every bucket-bounded
+  * near-dup plan at a given scale factor, against the all-pairs volume the
+  * same corpus would produce without banding. Run it at two scale factors
+  * and compare: a plan that survives 100 TB must grow candidates ~linearly
+  * with the corpus (tracking true near-dup density), not quadratically
+  * (corpus²/buckets). One JSON line, same contract style as [[Bench]].
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.ScaleAudit"
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1  sbt "runMain graft.ScaleAudit"
+  * }}}
+  */
+object ScaleAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    // All-pairs volume the round-1 plans would have generated: sum over
+    // source buckets of n·(n−1)/2.
+    val allPairsDocs = docs.groupBy("source").count()
+      .agg(sum(expr("count * (count - 1) DIV 2"))).head.getLong(0)
+
+    val shingles = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
+    val q22 = DedupOps.jaccardPairsFromRows(shingles, maxDf = 50).count()
+    val q23 = DedupOps.minhashLshCandidatesFromRows(shingles, 8, maxDf = 50).count()
+    val toks = docs.withColumn("tokset", array_distinct(TextOps.tokenize(col("text"))))
+    val q24 = DedupOps.simhashBandCandidates(toks, "doc_id", col("tokset"), col("source")).count()
+    // The production posture on adversarially self-similar corpora: band
+    // buckets capped at 100 members (recall trade documented on the op).
+    val q24Capped = DedupOps
+      .simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"), maxBucket = 100).count()
+
+    val embs = Tables.embeddings(spark, sfDir)
+    val nVecs = embs.count()
+    val allPairsVecs = embs.groupBy("label").count()
+      .agg(sum(expr("count * (count - 1) DIV 2"))).head.getLong(0)
+    val q32 = DedupOps.embeddingCandidates(embs, "vec_id", col("embedding"), col("label"),
+      SimilarityOps.lshPlanes(2, 64)).count()
+
+    println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
+      s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
+      s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
+      s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32}""")
+    spark.stop()
+  }
+}

@@ -215,16 +215,46 @@ object DedupOps {
     * bits in at most 6 of the 7 disjoint bands (pigeonhole), so at least one
     * band matches and the pair is generated — the result set equals the
     * all-pairs scan, which is what the oracle runs. Hamming is verified on
-    * candidates only. Production corpora additionally cap pathological band
-    * buckets (like the hot-shingle df cap) at a small recall cost. */
+    * candidates only.
+    *
+    * `maxBucket` (0 = off) additionally caps pathological band buckets —
+    * the band-join analogue of the hot-shingle df cap: a (bucket, band,
+    * bits) group with > maxBucket members is dropped before the self-join,
+    * bounding candidate volume at buckets·maxBucket² (linear in the corpus)
+    * on adversarially self-similar data. The cost is recall: a true pair
+    * whose EVERY matching band is hot is missed, so the exact-recall
+    * guarantee only holds for maxBucket = 0 — which is why the
+    * oracle-checked q24 runs uncapped and production corpora opt in. */
   def simhashNearDupsBanded(docs: DataFrame, id: String, tokenSet: Column,
-      bucketCol: Column, maxHamming: Int = 6): DataFrame = {
+      bucketCol: Column, maxHamming: Int = 6, maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 6, "7 bands of 9 bits guarantee recall only for Hamming <= 6")
+    simhashBandCandidates(docs, id, tokenSet, bucketCol, maxBucket)
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** The candidate stage of [[simhashNearDupsBanded]]: distinct doc pairs
+    * sharing ≥1 of the 7 9-bit bands inside a bucket, BEFORE Hamming
+    * verification. Exposed so [[graft.ScaleAudit]] can log candidate growth
+    * across scale factors — the number that must grow ~linearly with the
+    * corpus, not quadratically. */
+  def simhashBandCandidates(docs: DataFrame, id: String, tokenSet: Column,
+      bucketCol: Column, maxBucket: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = simhash63(docs, id, tokenSet)
       .join(docs.select(col(id), bucketCol.as("bucket")), id)
-    val bands = sigs.select(col(id), col("bucket"), col("simhash"),
+    val allBands = sigs.select(col(id), col("bucket"), col("simhash"),
       posexplode(array((0 until 7).map(j => expr(s"(simhash >> ${9 * j}) & 511")): _*))
         .as(Seq("band", "bits")))
+    // The cap's window shuffles to (bucket, band, bits) — the join's own
+    // distribution, so hardening adds no exchange (same trick as the
+    // shingle df cap).
+    val bands = if (maxBucket > 0) {
+      allBands.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("bucket"), col("band"), col("bits"))))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    } else allBands
     // Both sides are the identical subplan shuffled on (bucket, band, bits):
     // exchange reuse computes the signature pipeline once.
     val a = bands.toDF("a_id", "bucket", "a_sim", "band", "bits")
@@ -233,8 +263,20 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")) // a pair may share several bands
       .agg(max(col("a_sim")).as("a_sim"), max(col("b_sim")).as("b_sim"))
-      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** The candidate stage of [[embeddingNearDups]]: distinct vector pairs
+    * sharing (cell, sign-LSH bucket), BEFORE the exact-cosine verifier.
+    * Exposed for [[graft.ScaleAudit]]. */
+  def embeddingCandidates(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      planes: Seq[Seq[Double]]): DataFrame = {
+    val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
+      .withColumn("bucket",
+        if (planes.isEmpty) lit(0L) else SimilarityOps.signLshBucket(col("v"), planes))
+      .select(col(id), col("cell"), col("bucket"))
+    val a = e.toDF("a_id", "cell", "bucket")
+    val b = e.toDF("b_id", "cell", "bucket")
+    a.join(b, Seq("cell", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
   }
 }

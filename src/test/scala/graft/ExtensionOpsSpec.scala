@@ -103,6 +103,19 @@ class ExtensionOpsSpec extends SparkSpec {
     } yield (a, b) -> h.toLong).toMap
     assert(allPairs.nonEmpty, "fixture must contain near pairs for the test to bite")
     assert(banded === allPairs) // pigeonhole: exact recall, no false drops
+
+    // Band-bucket cap (production posture on self-similar corpora): the 15
+    // A-cluster docs flood their shared band buckets past cap 10, so hot-
+    // bucket candidates are dropped (explicit recall trade) while the
+    // 5-member B cluster's buckets stay under the cap and survive in full —
+    // bounded fan-out, no false positives ever (Hamming still verifies).
+    val capped = DedupOps
+      .simhashNearDupsBanded(docs, "doc_id", col("tokset"), col("source"), 6, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bPairs = (for { a <- 5L until 10; b <- (a + 1) until 10 } yield (a, b)).toSet
+    assert(bPairs.subsetOf(capped))        // under-cap buckets keep exact recall
+    assert(capped.subsetOf(allPairs.keySet)) // cap never invents pairs
+    assert(capped.size < allPairs.size)    // hot A-cluster fan-out is actually cut
   }
 
   test("X3: cosine top-k ranks an identical vector first with cosine 1") {
