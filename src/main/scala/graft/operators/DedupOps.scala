@@ -185,24 +185,27 @@ object DedupOps {
     * UDF, no interpreted lambdas, and the same arithmetic runs verbatim in
     * the oracle engine. */
   def simhash63(docs: DataFrame, id: String, tokenSet: Column): DataFrame = {
-    // One row per (token, hex digit); the four bit-votes of a digit are four
-    // parallel sum() aggregates, so no second Generate is needed and the
-    // row volume is HALF the old 32-digit variant.
-    val digits = docs.select(col(id), explode(tokenSet).as("tok"))
+    // One row per TOKEN: the first 16 hex digits of md5(tok) are pulled out
+    // as two 32-bit halves, and the 63 bit-votes are 63 parallel sum()
+    // aggregates over token rows in a single hash aggregate. The previous
+    // shape exploded a row per (token, hex digit) — 16× the row volume plus
+    // a second Generate and a second aggregate — for the same signature.
+    // Bit p (= dpos*4 + b) of the signature votes on bit (3-b) of hex digit
+    // dpos; digit dpos sits at nibble 7-dpos of h1 (dpos<8) / 15-dpos of h2.
+    val toks = docs.select(col(id), explode(tokenSet).as("tok"))
       .withColumn("h", md5(col("tok")))
-      .select(col(id), posexplode(split(substring(col("h"), 1, 16), "")).as(Seq("dpos", "digit")))
-      .withColumn("dv", conv(col("digit"), 16, 10).cast("int"))
-    val voteCols = (0 to 3).map { b =>
-      sum(when(shiftright(col("dv"), 3 - b).bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"v$b")
+      .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+    val voteCols = (0 until 63).map { p =>
+      val dpos = p / 4
+      val b = p % 4
+      val src = if (dpos < 8) col("h1") else col("h2")
+      val shift = (if (dpos < 8) 7 - dpos else 15 - dpos) * 4 + (3 - b)
+      sum(when(shiftright(src, shift).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$p")
     }
-    val votes = digits.groupBy(col(id), col("dpos"))
-      .agg(voteCols.head, voteCols.tail: _*)
-    val nibble = (0 to 3).map { b =>
-      when(col(s"v$b") > 0 && (col("dpos") * 4 + lit(b)) < 63,
-        expr(s"shiftleft(CAST(1 AS BIGINT), dpos * 4 + $b)")).otherwise(0L)
-    }.reduce(_ + _)
-    votes.select(col(id), nibble.as("nib"))
-      .groupBy(col(id)).agg(sum(col("nib")).as("simhash"))
+    val votes = toks.groupBy(col(id)).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 63).map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+    votes.select(col(id), sig.as("simhash"))
   }
 
   /** X2 (SimHash banded candidates — the scale path): near-dup pairs within

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.engine.{Semantics, Tables}
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries over `documents` (builder prompt; SURVEY §2.10):
+  * the split / sample / scrub / profile steps of a training-data pipeline.
+  * All assignments are md5-derived so DuckDB reproduces them exactly. */
+object Curation extends QueryGroup {
+
+  /** Deterministic 80/10/10 train/valid/test split — per-split doc count and
+    * mean length. The assignment is a stateless hash of doc_id: no shuffle,
+    * stable under corpus growth (a recrawl never migrates an old doc across
+    * splits — the leak-free property eval sets need). */
+  private val q45 = QueryDef(
+    "q45_hash_split",
+    (s, dir) => Tables.documents(s, dir)
+      .withColumn("split", CurationOps.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        Semantics.roundz(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy(col("split")),
+    Some("""WITH b AS (
+           |  SELECT n_chars,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+           |  FROM documents)
+           |SELECT CASE WHEN bucket < 80 THEN 'train'
+           |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+           |  count(*) AS n_docs, round(avg(n_chars), 6) + 0.0 AS avg_chars
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Per-source quota sampling — keep at most 10 docs per source,
+    * deterministically ranked by (md5(doc_id), doc_id). The kept SET is the
+    * checked output (not an aggregate of it), so the oracle pins exactly
+    * which rows survive at any scale factor. */
+  private val q46 = QueryDef(
+    "q46_source_quota",
+    (s, dir) => CurationOps
+      .quotaSample(Tables.documents(s, dir), col("source"), col("doc_id"), 10)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id")),
+    Some("""SELECT source, doc_id FROM documents
+           |QUALIFY row_number() OVER (
+           |  PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) <= 10
+           |ORDER BY source, doc_id""".stripMargin))
+
+  /** Regex scrub pass — stopword-token redaction plus an email pattern (the
+    * PII shape; zero matches on this fixture by construction, so the count
+    * proves the multi-pattern plumbing without inventing fake PII). Both
+    * patterns stay in the RE2-compatible subset so match boundaries agree
+    * across engines. Output: per-source redaction count and residual size. */
+  private val q47 = QueryDef(
+    "q47_redaction_scrub",
+    (s, dir) => CurationOps
+      .redact(Tables.documents(s, dir), col("text"),
+        Seq("\\b(the|a)\\b" -> "<TOK>", "[A-Za-z0-9.]+@[A-Za-z0-9.]+" -> "<EMAIL>"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_redactions")).as("n_redacted"),
+        sum(length(col("text_redacted")).cast("long")).as("residual_chars"))
+      .orderBy(col("source")),
+    Some("""SELECT source,
+           |  CAST(sum(len(regexp_extract_all(text, '\b(the|a)\b'))
+           |    + len(regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+'))) AS BIGINT) AS n_redacted,
+           |  CAST(sum(length(regexp_replace(regexp_replace(text, '\b(the|a)\b', '<TOK>', 'g'),
+           |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'))) AS BIGINT) AS residual_chars
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Corpus length profile — exact per-source p50/p90/p99 of n_chars
+    * (linear-interpolation percentiles, the shape both engines implement).
+    * One hash aggregate; at 100 TB swap `percentile` for
+    * `percentile_approx` (t-digest sketch, mergeable) — same query shape. */
+  private val q48 = QueryDef(
+    "q48_length_quantiles",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(percentile(col("n_chars"), array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+      .select(col("source"),
+        Semantics.roundz(col("ps").getItem(0), 6).as("p50"),
+        Semantics.roundz(col("ps").getItem(1), 6).as("p90"),
+        Semantics.roundz(col("ps").getItem(2), 6).as("p99"))
+      .orderBy(col("source")),
+    Some("""SELECT source,
+           |  round(quantile_cont(n_chars, 0.5), 6) + 0.0 AS p50,
+           |  round(quantile_cont(n_chars, 0.9), 6) + 0.0 AS p90,
+           |  round(quantile_cont(n_chars, 0.99), 6) + 0.0 AS p99
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-curation operators (hash split, quota sampling,
+  * regex redaction). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+
+  test("split: assignment is a pure function of id — stable under corpus growth") {
+    val small = (0L until 200L).toDF("doc_id")
+    val grown = (0L until 2000L).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("split", CurationOps.hashSplit(col("doc_id"), cuts))
+      .as[(Long, String)].collect().toMap
+    val before = assign(small)
+    val after = assign(grown)
+    // the leak-free property: growing the corpus never migrates an old doc
+    assert(before.forall { case (id, s) => after(id) == s })
+    // every label is populated and fractions are roughly as cut (±10pp)
+    val frac = after.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    assert(math.abs(frac("valid") - 0.1) < 0.1)
+    assert(math.abs(frac("test") - 0.1) < 0.1)
+  }
+
+  test("quota: keeps at most k per group, deterministically, independent of partitioning") {
+    val df = (0L until 500L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    def kept(d: org.apache.spark.sql.DataFrame) = CurationOps
+      .quotaSample(d, col("grp"), col("id"), 12)
+      .as[(Long, String)].collect().toSet
+    val a = kept(df.repartition(32))
+    val b = kept(df.repartition(3, col("grp")))
+    assert(a === b) // same kept set under any physical layout
+    val perGroup = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ == 12))
+    // a group smaller than the quota survives whole
+    val tiny = Seq((1L, "solo"), (2L, "solo")).toDF("id", "grp")
+    assert(kept(tiny).size === 2)
+  }
+
+  test("redaction: counts every match across patterns and replaces them all") {
+    val df = Seq(
+      (1L, "the cat and a dog wrote to bob@example.com about the weather"),
+      (2L, "nothing to redact here"),
+      (3L, "a a a")).toDF("id", "text")
+    val out = CurationOps.redact(df, col("text"),
+      Seq("\\b(the|a)\\b" -> "<TOK>", "[A-Za-z0-9.]+@[A-Za-z0-9.]+" -> "<EMAIL>"))
+      .select(col("id"), col("n_redactions"), col("text_redacted"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === 4L) // the, a, the + one email
+    assert(out(1L)._2 ===
+      "<TOK> cat and <TOK> dog wrote to <EMAIL> about <TOK> weather")
+    assert(out(2L) === ((0L, "nothing to redact here")))
+    assert(out(3L) === ((3L, "<TOK> <TOK> <TOK>")))
+  }
+}
