@@ -65,4 +65,41 @@ object CurationOps {
     df.withColumn("n_redactions", nRed)
       .withColumn("text_redacted", redacted)
   }
+
+  /** Greedy sequential context packing: assign each document to the
+    * budget-sized chunk its STARTING token offset falls in, per group in a
+    * deterministic order — the running-offset formulation of sequence
+    * packing for fixed context windows. A document may straddle its chunk
+    * boundary (the trainer's concat-and-split behavior); exact reset-on-
+    * overflow packing is inherently sequential and buys <1 chunk per group.
+    * One window per group — the same partitioning any downstream per-chunk
+    * work reuses. */
+  def packSequences(df: DataFrame, group: Column, order: Column,
+      tokens: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("chunk_id",
+        floor((col("__cum") - col("__tok")) / lit(budget.toDouble)).cast("long"))
+      .drop("__cum")
+      .withColumnRenamed("__tok", "n_tokens")
+  }
+
+  /** Train/eval decontamination: for each eval document, the fraction of
+    * its distinct shingles that also occur anywhere in the training corpus.
+    * `evalShingles`/`trainShingles` are (doc_id, sh) rows (e.g.
+    * [[TextOps.shingleRows]]). The train side is reduced to its DISTINCT
+    * shingle vocabulary before the join, so the join's right side is
+    * vocabulary-bounded, not corpus-bounded; at 100 TB the same shape runs
+    * against a Bloom filter of the train vocabulary (one broadcast bitmap,
+    * no shuffle) with this exact join as the false-positive rescan. */
+  def contamination(evalShingles: DataFrame, trainShingles: DataFrame): DataFrame = {
+    val train = trainShingles.select(col("sh")).distinct().withColumn("__hit", lit(1L))
+    evalShingles.select(col("doc_id"), col("sh"))
+      .join(train, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+  }
 }

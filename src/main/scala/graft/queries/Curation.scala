@@ -87,5 +87,68 @@ object Curation extends QueryGroup {
            |  round(quantile_cont(n_chars, 0.99), 6) + 0.0 AS p99
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48)
+  /** Sequence packing for a fixed context window — per-source running token
+    * offsets bin documents into 2048-token chunks (a doc belongs to the
+    * chunk its first token lands in). Output: per-chunk doc count and token
+    * mass. */
+  private val q49 = QueryDef(
+    "q49_sequence_pack",
+    (s, dir) => CurationOps
+      .packSequences(Tables.documents(s, dir), col("source"), col("doc_id"),
+        size(split(col("text"), " ")), 2048)
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy(col("source"), col("chunk_id")),
+    Some("""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, tok,
+           |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT source, CAST((cum - tok) // 2048 AS BIGINT) AS chunk_id,
+           |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS chunk_tokens
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Train/eval decontamination — 3-gram containment of each q45-test-split
+    * document against the train split's distinct shingle vocabulary. The
+    * standard pre-eval overlap audit; the fixture's tiny vocabulary makes
+    * containment high, which is exactly the collision regime worth pinning
+    * cross-engine. */
+  private val q50 = QueryDef(
+    "q50_decontamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", CurationOps.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+      val sh = graft.operators.TextOps.shingleRows(docs, col("doc_id"), col("split"), col("text"))
+      CurationOps.contamination(
+        sh.filter(col("bucket") === "test"), sh.filter(col("bucket") === "train"))
+        .withColumn("containment",
+          Semantics.roundz(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, text,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+           |  FROM documents),
+           |sets AS (
+           |  SELECT doc_id, bucket,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM b),
+           |ex AS (SELECT doc_id, bucket, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |train AS (SELECT DISTINCT sh FROM ex WHERE bucket < 80),
+           |test AS (SELECT doc_id, sh FROM ex WHERE bucket >= 90)
+           |SELECT t.doc_id, count(*) AS n_shingles,
+           |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |  round(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) + 0.0 AS containment
+           |FROM test t LEFT JOIN train tr ON t.sh = tr.sh
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50)
 }

@@ -57,4 +57,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) === ((0L, "nothing to redact here")))
     assert(out(3L) === ((3L, "<TOK> <TOK> <TOK>")))
   }
+
+  test("packing: chunk = starting-offset bin; budget respected; groups independent") {
+    // tokens: 3 docs of 1000 in g1 → offsets 0,1000,2000 → chunks 0,0,1 (budget 1500)
+    val df = Seq((1L, "g1", 1000L), (2L, "g1", 1000L), (3L, "g1", 1000L), (9L, "g2", 5000L))
+      .toDF("id", "grp", "tok")
+    val out = CurationOps.packSequences(df, col("grp"), col("id"), col("tok"), 1500)
+      .select(col("id"), col("chunk_id")).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 9L -> 0L))
+    // cumulative offsets restart per group: g2's oversized doc starts chunk 0
+  }
+
+  test("contamination: exact containment fraction; unseen shingles score 0") {
+    val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
+    val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")
+    val out = CurationOps.contamination(evalSh, trainSh)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) === ((2L, 1L))) // one of two shingles seen in train
+    assert(out(11L) === ((1L, 0L)))
+  }
 }
