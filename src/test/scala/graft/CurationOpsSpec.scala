@@ -68,6 +68,15 @@ class CurationOpsSpec extends SparkSpec {
     // cumulative offsets restart per group: g2's oversized doc starts chunk 0
   }
 
+  test("split plan: hash-split assignment is a narrow map — zero exchanges") {
+    val df = spark.range(100).withColumnRenamed("id", "doc_id")
+      .withColumn("split", CurationOps.hashSplit(col("doc_id"), cuts))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split introduced a shuffle:\n$plan")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*("), s"split fell out of codegen:\n$plan")
+  }
+
   test("contamination: exact containment fraction; unseen shingles score 0") {
     val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
     val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")
