@@ -39,10 +39,11 @@ object CurationOps {
   /** Per-group quota sampling: keep at most `k` rows per group,
     * deterministically — ranked by (md5(id), id), so the kept subset is a
     * uniform pseudo-random draw that is stable across runs, partitionings,
-    * and engines. One shuffle on the group key. A pathologically hot group
-    * serializes its own window sort; at 100 TB, pre-filter with an
-    * approximate per-group rate (hashBucket100(id) < 100·k/n_g) to shed the
-    * bulk before the exact rank — the window then sees ~k rows per group. */
+    * and engines. One shuffle on the group key, and Spark plans the
+    * row_number ≤ k filter as partial+final WindowGroupLimit: every map
+    * partition ships at most k rows per group into the exchange, so a
+    * pathologically hot group costs k·numMapPartitions shuffled rows, not
+    * its full size (plan-visible in `graft.PlanDump q46_source_quota`). */
   def quotaSample(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(group).orderBy(md5(id.cast("string")), id)
     df.withColumn("__rk", row_number().over(w))

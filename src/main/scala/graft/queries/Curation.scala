@@ -123,9 +123,13 @@ object Curation extends QueryGroup {
       val docs = Tables.documents(s, dir)
         .withColumn("split", CurationOps.hashSplit(col("doc_id"),
           Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
-      val sh = graft.operators.TextOps.shingleRows(docs, col("doc_id"), col("split"), col("text"))
-      CurationOps.contamination(
-        sh.filter(col("bucket") === "test"), sh.filter(col("bucket") === "train"))
+      // Split filters go BELOW shingleRows: its per-doc window blocks
+      // predicate pushdown (bucket is not the window's partition key), so
+      // filtering afterwards would shingle the whole corpus and then drop
+      // 90% of it — plan-checked in CurationOpsSpec.
+      def side(split: String) = graft.operators.TextOps.shingleRows(
+        docs.filter(col("split") === split), col("doc_id"), col("split"), col("text"))
+      CurationOps.contamination(side("test"), side("train"))
         .withColumn("containment",
           Semantics.roundz(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
         .orderBy(col("doc_id"))

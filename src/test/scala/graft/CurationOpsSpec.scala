@@ -77,6 +77,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("*("), s"split fell out of codegen:\n$plan")
   }
 
+  test("q50 plan: split filters sit below the shingle Generate (no wasted explode)") {
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
+    // The per-doc window blocks predicate pushdown, so the query must place
+    // the split filter before shingleRows itself — otherwise the whole
+    // corpus is tokenized, windowed, and then 90% discarded.
+    val q50 = SparkEntry.queries("q50_decontamination")(spark, "/root/testdata/sf0.001")
+    val gens = q50.queryExecution.sparkPlan.collect { case g: GenerateExec => g }
+    assert(gens.nonEmpty)
+    gens.foreach { g =>
+      val hashFilterBelow = g.exists {
+        case f: FilterExec => f.condition.toString.contains("conv(")
+        case _ => false
+      }
+      assert(hashFilterBelow, s"split filter not below Generate:\n$g")
+    }
+  }
+
   test("contamination: exact containment fraction; unseen shingles score 0") {
     val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
     val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")
