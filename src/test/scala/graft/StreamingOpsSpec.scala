@@ -87,6 +87,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation-in-stream: stateless hash split + redaction run unchanged on a stream") {
+    import graft.operators.CurationOps
+    val input = MemoryStream[(Long, String)](spark)
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = CurationOps.redact(
+      df.withColumn("split", CurationOps.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100))),
+      col("text"), Seq("\\bsecret\\b" -> "<RED>"))
+      .select("doc_id", "split", "n_redactions", "text_redacted")
+    val q = out.writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try {
+      input.addData((1L, "a secret plan"), (2L, "nothing"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, split, n_redactions, text_redacted FROM curated")
+        .as[(Long, String, Long, String)].collect().map(r => r._1 -> r).toMap
+      assert(rows(1L)._4 === "a <RED> plan" && rows(1L)._3 === 1L)
+      assert(rows(2L)._4 === "nothing" && rows(2L)._3 === 0L)
+      // the streaming assignment equals the batch assignment (pure hash)
+      val batchSplit = Seq(1L, 2L).toDF("doc_id")
+        .withColumn("split", CurationOps.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+        .as[(Long, String)].collect().toMap
+      assert(Seq(1L, 2L).forall(id => rows(id)._2 == batchSplit(id)))
+    } finally q.stop()
+  }
+
   test("X6-stream: session_window splits a user's events at the gap") {
     val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
     input.addData(
