@@ -45,6 +45,18 @@ object ScaleAudit {
     val q24Capped = DedupOps
       .simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"), maxBucket = 100).count()
 
+    // q50 decontamination: both sides grow LINEARLY — probe = test-split
+    // shingle rows, build = train-split distinct vocabulary (sublinear on
+    // real corpora as vocabulary saturates).
+    val split = graft.operators.CurationOps.hashSplit(col("doc_id"),
+      Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+    val withSplit = docs.withColumn("split", split)
+    val testShingles = TextOps.shingleRows(
+      withSplit.filter(col("split") === "test"), col("doc_id"), col("split"), col("text")).count()
+    val trainVocab = TextOps.shingleRows(
+      withSplit.filter(col("split") === "train"), col("doc_id"), col("split"), col("text"))
+      .select("sh").distinct().count()
+
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
     val allPairsVecs = embs.groupBy("label").count()
@@ -55,6 +67,7 @@ object ScaleAudit {
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
+      s""""q50_test_shingle_probe_rows":$testShingles,"q50_train_vocab":$trainVocab,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32}""")
     spark.stop()
   }
