@@ -154,5 +154,75 @@ object Curation extends QueryGroup {
            |FROM test t LEFT JOIN train tr ON t.sh = tr.sh
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50)
+  /** The full curation funnel, end to end — the "switch your pipeline to
+    * this library" showcase composing X4 + X1 + X7 in one plan: language-ID
+    * gate (predicted 'en') → quality-score gate (≥ 0.7) → exact-dedup
+    * keepers (min doc_id per content hash) → deterministic split → per-split
+    * tallies. Every stage is an operator verified on its own elsewhere
+    * (q20 / q19 / q17 / q45); this query pins their COMPOSITION. */
+  private val q52 = QueryDef(
+    "q52_curation_funnel",
+    (s, dir) => {
+      import graft.operators.TextOps
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokenize(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val scored = TextOps.langIdScores(col("toks")).foldLeft(docs) {
+        case (d, (lang, score)) => d.withColumn(s"${lang}_hits", score)
+      }
+        .withColumn("predicted_lang",
+          TextOps.langIdPredict(col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits")))
+        .withColumn("stop_ratio",
+          round(TextOps.stopwordCount(col("toks")).cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("mean_word_len",
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("quality",
+          TextOps.qualityScore(col("n_tokens"), col("stop_ratio"), col("mean_word_len")))
+        .filter(col("predicted_lang") === "en" && col("quality") >= 0.7)
+      scored
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("quality")).as("quality"))
+        .withColumn("split", CurationOps.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          Semantics.roundz(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, text, n_chars,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','an','of','and','to','in','is','it','on','for'))) AS DOUBLE)
+           |      / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stop_ratio,
+           |    round(CAST(n_chars AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS mean_word_len,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is'))) AS BIGINT) AS en_hits,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','das'))) AS BIGINT) AS de_hits,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que'))) AS BIGINT) AS es_hits,
+           |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','les','des','est'))) AS BIGINT) AS fr_hits
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, text,
+           |    round(0.4 * (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.0 END)
+           |        + 0.3 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |        + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 4) AS quality,
+           |    CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'und'
+           |         WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+           |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+           |         WHEN es_hits >= fr_hits THEN 'es'
+           |         ELSE 'fr' END AS predicted_lang
+           |  FROM t),
+           |kept AS (SELECT * FROM q WHERE predicted_lang = 'en' AND quality >= 0.7),
+           |dedup AS (
+           |  SELECT min(doc_id) AS doc_id, max(quality) AS quality
+           |  FROM kept GROUP BY md5(text)),
+           |sp AS (
+           |  SELECT quality,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+           |  FROM dedup)
+           |SELECT CASE WHEN bucket < 80 THEN 'train'
+           |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+           |  count(*) AS n_docs, round(avg(quality), 6) + 0.0 AS avg_quality
+           |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52)
 }

@@ -21,6 +21,20 @@ class JoinOpsSpec extends SparkSpec {
     assert(got.size === 4) // left-outer: row count preserved
   }
 
+  test("asofJoinBackward returns the MATCHED row's null payload, not an older non-null one") {
+    // DuckDB ASOF LEFT JOIN semantics: the latest at-or-before right row is
+    // the match even when its payload value is NULL — a per-column
+    // last(ignoreNulls) would wrongly carry the older 900 forward.
+    val left = Seq((1L, 20L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, Some(900L)), (1L, 15L, None))
+      .toDF("k", "rt", "rv")
+    val got = JoinOps.asofJoinBackward(left, right, "k", "t", "rt", Seq("rv"))
+      .select(col("lid"), col("rv_asof")).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 100L)
+    assert(got(0).isNullAt(1), "matched row's null payload must propagate")
+  }
+
   test("rangeJoinByBucket equals the naive range join across bucket boundaries") {
     val left = (0L until 50L).map(i => (i % 3, i * 7L, i)).toDF("k", "t", "lid")
     val right = (0L until 80L).map(j => (j % 3, j * 5L + 2L, j)).toDF("k", "rt", "rid")
