@@ -33,7 +33,7 @@ object ScaleAudit {
     // All-pairs volume the round-1 plans would have generated: sum over
     // source buckets of n·(n−1)/2.
     val allPairsDocs = docs.groupBy("source").count()
-      .agg(sum(expr("count * (count - 1) DIV 2"))).head.getLong(0)
+      .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L))).head.getLong(0)
 
     val shingles = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
     val q22 = DedupOps.jaccardPairsFromRows(shingles, maxDf = 50).count()
@@ -60,7 +60,7 @@ object ScaleAudit {
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
     val allPairsVecs = embs.groupBy("label").count()
-      .agg(sum(expr("count * (count - 1) DIV 2"))).head.getLong(0)
+      .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L))).head.getLong(0)
     val q32 = DedupOps.embeddingCandidates(embs, "vec_id", col("embedding"), col("label"),
       SimilarityOps.lshPlanes(2, 64)).count()
 

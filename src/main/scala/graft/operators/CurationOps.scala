@@ -57,11 +57,14 @@ object CurationOps {
     * on match boundaries. Stateless narrow map — the redaction analogue of
     * a PII scrub pass over 100 TB of text. */
   def redact(df: DataFrame, text: Column, patterns: Seq[(String, String)]): DataFrame = {
-    val nRed = patterns
-      .map { case (pat, _) => regexp_count(text, lit(pat)).cast("long") }
-      .reduce(_ + _)
-    val redacted = patterns.foldLeft(text) { case (c, (pat, repl)) =>
-      regexp_replace(c, pat, repl)
+    // Patterns apply SEQUENTIALLY, and each pattern's matches are counted on
+    // the text as the PREVIOUS patterns left it — so n_redactions equals the
+    // number of replacements actually performed. (Counting every pattern
+    // against the original text would overcount when an earlier replacement
+    // destroys a later pattern's match, e.g. "a@x.com" after "\ba\b"→<TOK>.)
+    val (nRed, redacted) = patterns.foldLeft((lit(0L), text)) {
+      case ((n, c), (pat, repl)) =>
+        (n + regexp_count(c, lit(pat)).cast("long"), regexp_replace(c, pat, repl))
     }
     df.withColumn("n_redactions", nRed)
       .withColumn("text_redacted", redacted)

@@ -184,7 +184,11 @@ object DedupOps {
     * relational: explode(tokens) × 16 hex digits → two hash aggregates — no
     * UDF, no interpreted lambdas, and the same arithmetic runs verbatim in
     * the oracle engine. */
-  def simhash63(docs: DataFrame, id: String, tokenSet: Column): DataFrame = {
+  /** `carry` columns ride through the signature aggregate (each must be
+    * functionally dependent on `id`, e.g. the doc's bucket) so callers don't
+    * need a join to re-attach them afterwards. */
+  def simhash63(docs: DataFrame, id: String, tokenSet: Column,
+      carry: Seq[String] = Nil): DataFrame = {
     // One row per TOKEN: the first 16 hex digits of md5(tok) are pulled out
     // as two 32-bit halves, and the 63 bit-votes are 63 parallel sum()
     // aggregates over token rows in a single hash aggregate. The previous
@@ -192,7 +196,8 @@ object DedupOps {
     // a second Generate and a second aggregate — for the same signature.
     // Bit p (= dpos*4 + b) of the signature votes on bit (3-b) of hex digit
     // dpos; digit dpos sits at nibble 7-dpos of h1 (dpos<8) / 15-dpos of h2.
-    val toks = docs.select(col(id), explode(tokenSet).as("tok"))
+    val keys = col(id) +: carry.map(col)
+    val toks = docs.select(keys :+ explode(tokenSet).as("tok"): _*)
       .withColumn("h", md5(col("tok")))
       .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
@@ -203,9 +208,9 @@ object DedupOps {
       val shift = (if (dpos < 8) 7 - dpos else 15 - dpos) * 4 + (3 - b)
       sum(when(shiftright(src, shift).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$p")
     }
-    val votes = toks.groupBy(col(id)).agg(voteCols.head, voteCols.tail: _*)
+    val votes = toks.groupBy(keys: _*).agg(voteCols.head, voteCols.tail: _*)
     val sig = (0 until 63).map(p => when(col(s"v$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
-    votes.select(col(id), sig.as("simhash"))
+    votes.select(keys :+ sig.as("simhash"): _*)
   }
 
   /** X2 (SimHash banded candidates — the scale path): near-dup pairs within
@@ -245,8 +250,9 @@ object DedupOps {
   def simhashBandCandidates(docs: DataFrame, id: String, tokenSet: Column,
       bucketCol: Column, maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigs = simhash63(docs, id, tokenSet)
-      .join(docs.select(col(id), bucketCol.as("bucket")), id)
+    // bucket rides through the signature aggregate (functionally dependent
+    // on the doc id) — no join to re-attach it.
+    val sigs = simhash63(docs.withColumn("bucket", bucketCol), id, tokenSet, Seq("bucket"))
     val allBands = sigs.select(col(id), col("bucket"), col("simhash"),
       posexplode(array((0 until 7).map(j => expr(s"(simhash >> ${9 * j}) & 511")): _*))
         .as(Seq("band", "bits")))

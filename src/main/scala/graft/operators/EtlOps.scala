@@ -123,8 +123,12 @@ object EtlOps {
     * specs exercise. */
   def writeJdbcBatched(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 1000): Unit = {
-    props.setProperty("batchsize", batchSize.toString)
-    df.write.mode("append").jdbc(url, table, props)
+    // Never mutate the caller's Properties: stamping batchsize into a shared
+    // connection-props object would leak into every later jdbc write.
+    val p = new java.util.Properties()
+    p.putAll(props)
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(url, table, p)
   }
 
   /** S3 analogue (data_collector.py:68-79): raw ingest sink partitioned by

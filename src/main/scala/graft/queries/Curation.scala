@@ -62,7 +62,8 @@ object Curation extends QueryGroup {
       .orderBy(col("source")),
     Some("""SELECT source,
            |  CAST(sum(len(regexp_extract_all(text, '\b(the|a)\b'))
-           |    + len(regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+'))) AS BIGINT) AS n_redacted,
+           |    + len(regexp_extract_all(regexp_replace(text, '\b(the|a)\b', '<TOK>', 'g'),
+           |        '[A-Za-z0-9.]+@[A-Za-z0-9.]+'))) AS BIGINT) AS n_redacted,
            |  CAST(sum(length(regexp_replace(regexp_replace(text, '\b(the|a)\b', '<TOK>', 'g'),
            |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'))) AS BIGINT) AS residual_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -123,13 +124,18 @@ object Curation extends QueryGroup {
       val docs = Tables.documents(s, dir)
         .withColumn("split", CurationOps.hashSplit(col("doc_id"),
           Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
-      // Split filters go BELOW shingleRows: its per-doc window blocks
-      // predicate pushdown (bucket is not the window's partition key), so
-      // filtering afterwards would shingle the whole corpus and then drop
-      // 90% of it — plan-checked in CurationOpsSpec.
-      def side(split: String) = graft.operators.TextOps.shingleRows(
-        docs.filter(col("split") === split), col("doc_id"), col("split"), col("text"))
-      CurationOps.contamination(side("test"), side("train"))
+      // The split membership filter goes BELOW shingleRows: its per-doc
+      // window blocks predicate pushdown (bucket is not the window's
+      // partition key), so filtering afterwards would shingle the whole
+      // corpus and drop 90% — plan-checked in CurationOpsSpec. ONE shingle
+      // pipeline serves both sides (valid split excluded up front); the
+      // per-side bucket filters sit above its exchange, which Spark then
+      // reuses instead of scanning and exploding the corpus twice.
+      val sh = graft.operators.TextOps.shingleRows(
+        docs.filter(col("split").isin("train", "test")),
+        col("doc_id"), col("split"), col("text"))
+      CurationOps.contamination(
+        sh.filter(col("bucket") === "test"), sh.filter(col("bucket") === "train"))
         .withColumn("containment",
           Semantics.roundz(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
         .orderBy(col("doc_id"))

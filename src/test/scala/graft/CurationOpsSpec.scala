@@ -77,6 +77,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(plan.contains("*("), s"split fell out of codegen:\n$plan")
   }
 
+  test("redaction: counts reflect sequential replacement, not the original text") {
+    // An earlier pattern consumes what a later one would match: the count
+    // must be the number of replacements actually made (2), not the sum of
+    // independent match counts on the original (4).
+    val df = Seq((1L, "cat cat")).toDF("id", "text")
+    val out = CurationOps.redact(df, col("text"), Seq("cat" -> "dog", "cat" -> "X"))
+      .select(col("n_redactions"), col("text_redacted"))
+      .as[(Long, String)].collect().head
+    assert(out === ((2L, "dog dog")))
+  }
+
   test("q50 plan: split filters sit below the shingle Generate (no wasted explode)") {
     import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
     // The per-doc window blocks predicate pushdown, so the query must place
