@@ -18,23 +18,36 @@ object Bench {
     catch { case _: Throwable => () }
     // A thrown query must never IMPROVE the bench: failures are recorded by
     // name, reported in the JSON, and fail the process (nonzero exit).
+    // Each query is timed twice in order: run1 (cold — includes its one-time
+    // codegen/JIT, the number comparable to the frozen baseline and the
+    // headline "value") and run2 (steady state — what a long-lived cluster
+    // session pays per query; reported alongside, never substituted).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def one(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (cold, okCold) = one()
+      val (steady, okSteady) = one()
+      (name, cold, steady, okCold && okSteady)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qsSteady = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val steadyTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""steady_total":$steadyTotal,"queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(!_._3)) sys.exit(1)
+    if (results.exists(!_._4)) sys.exit(1)
   }
 }

@@ -89,7 +89,7 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("q50 plan: split filters sit below the shingle Generate (no wasted explode)") {
-    import org.apache.spark.sql.execution.{FilterExec, GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec}
     // The per-doc window blocks predicate pushdown, so the query must place
     // the split filter before shingleRows itself — otherwise the whole
     // corpus is tokenized, windowed, and then 90% discarded.
