@@ -81,4 +81,27 @@ object InvariantProps extends Properties("graft") {
       val groups = DedupOps.exactDedupGroups(df, col("doc_id"), col("text"))
       groups.agg(sum("n_copies")).as[Long].head() == texts.size.toLong
     }
+
+  property("X7: packing partitions every doc; chunk mass < budget + its own last doc") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 500L)), Gen.choose(100, 1000)) {
+      (tokens, budget) =>
+        val df = tokens.zipWithIndex.map { case (tok, i) => (i.toLong, tok) }.toDF("id", "tok")
+        val packed = graft.operators.CurationOps
+          .packSequences(df, lit("g"), col("id"), col("tok"), budget)
+          .select(col("id"), col("chunk_id"), col("n_tokens"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val covered = packed.length == tokens.size // every doc lands in exactly one chunk
+        // Start-offset binning: a chunk's mass exceeds the budget by at most
+        // the mass of its last doc (the only one allowed to straddle).
+        val massBound = packed.groupBy(_._2).values.forall { chunk =>
+          val mass = chunk.map(_._3).sum
+          val last = chunk.maxBy(_._1)._3
+          mass - last < budget
+        }
+        // chunk ids are dense from 0 in doc order (no empty chunks skipped
+        // backwards): monotone non-decreasing along the order column
+        val monotone = packed.sortBy(_._1).map(_._2).sliding(2)
+          .forall(w => w.length < 2 || w(0) <= w(1))
+        covered && massBound && monotone
+    }
 }
