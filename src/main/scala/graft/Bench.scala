@@ -22,32 +22,33 @@ object Bench {
     // codegen/JIT, the number comparable to the frozen baseline and the
     // headline "value") and run2 (steady state — what a long-lived cluster
     // session pays per query; reported alongside, never substituted).
+    // A failed run's elapsed time (often a fast exception) is reported as
+    // null and EXCLUDED from the totals — so the headline value is only
+    // comparable when every query succeeded, and a broken query can never
+    // shrink the bench. Failures also exit nonzero.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def one(): (Double, Boolean) = {
+      def one(): Option[Double] = {
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          None
+        }
       }
-      val (cold, okCold) = one()
-      val (steady, okSteady) = one()
-      (name, cold, steady, okCold && okSteady)
+      (name, one(), one())
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    def fmt(v: Option[Double]): String = v.fold("null")(_.toString)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val qsSteady = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
+    val qsSteady = results.map { case (k, _, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, c, s) if c.isEmpty || s.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val steadyTotal = results.map(_._3).sum
+    val total = results.flatMap(_._2).sum
+    val steadyTotal = results.flatMap(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""steady_total":$steadyTotal,"queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(!_._4)) sys.exit(1)
+    if (results.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
   }
 }

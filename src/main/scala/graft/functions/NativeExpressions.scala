@@ -147,12 +147,16 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(VecDotName))) {
-      reg.createOrReplaceTempFunction(
-        VecDotName, exprs => VecDot(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        PolyHashName, exprs => StringPolyHash(exprs.head), "built-in")
-    }
+    // Each function guards on ITS OWN existence (a session where one exists
+    // but not the other — partial/external registration — still gets the
+    // missing one); the guard only exists to avoid per-query "replaced a
+    // previously registered function" WARN spam.
+    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure(VecDotName)(exprs => VecDot(exprs.head, exprs(1)))
+    ensure(PolyHashName)(exprs => StringPolyHash(exprs.head))
   }
 
   /** Codegen'd dot product of two array<double> columns. Registers against

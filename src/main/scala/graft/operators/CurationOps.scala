@@ -16,8 +16,24 @@ import org.apache.spark.sql.functions._
   * property that keeps eval sets leak-free across recrawls). Quota sampling
   * is one window over the group key. All hashing is md5 so the DuckDB
   * oracle reproduces assignments bit-for-bit.
+  *
+  * Reserved column names: each operator adds fixed output columns
+  * ([[redact]]: `n_redactions`, `text_redacted`; [[packSequences]]:
+  * `n_tokens`, `chunk_id`) and uses fixed scratch columns ([[quotaSample]]:
+  * `__rk`; [[packSequences]]: `__tok`, `__cum`). An input that already
+  * carries one of these would silently be dropped or duplicated, so every
+  * operator FAILS FAST with the colliding names instead.
   */
 object CurationOps {
+
+  /** Fail fast when `df` already contains a column this operator would
+    * overwrite (fixed output name) or consume (scratch name). */
+  private def requireFresh(df: DataFrame, op: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"CurationOps.$op reserves column name(s) ${clash.mkString(", ")} " +
+        "already present in the input; rename them first")
+  }
 
   /** Deterministic 0..99 bucket from an id: first 8 hex digits of
     * md5(id-as-string) mod 100. Uniform, engine-reproducible, and
@@ -45,6 +61,7 @@ object CurationOps {
     * pathologically hot group costs k·numMapPartitions shuffled rows, not
     * its full size (plan-visible in `graft.PlanDump q46_source_quota`). */
   def quotaSample(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
+    requireFresh(df, "quotaSample", "__rk")
     val w = Window.partitionBy(group).orderBy(md5(id.cast("string")), id)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
@@ -57,6 +74,7 @@ object CurationOps {
     * on match boundaries. Stateless narrow map — the redaction analogue of
     * a PII scrub pass over 100 TB of text. */
   def redact(df: DataFrame, text: Column, patterns: Seq[(String, String)]): DataFrame = {
+    requireFresh(df, "redact", "n_redactions", "text_redacted")
     // Patterns apply SEQUENTIALLY, and each pattern's matches are counted on
     // the text as the PREVIOUS patterns left it — so n_redactions equals the
     // number of replacements actually performed. (Counting every pattern
@@ -80,6 +98,7 @@ object CurationOps {
     * work reuses. */
   def packSequences(df: DataFrame, group: Column, order: Column,
       tokens: Column, budget: Int): DataFrame = {
+    requireFresh(df, "packSequences", "__tok", "__cum", "n_tokens", "chunk_id")
     val w = Window.partitionBy(group).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__tok", tokens.cast("long"))

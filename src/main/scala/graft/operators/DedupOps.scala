@@ -98,7 +98,20 @@ object DedupOps {
   /** X2 (n-gram Jaccard, row form — the scale path): true Jaccard from
     * exploded (doc_id, bucket, sh) rows. Pairs form only on shared shingles
     * inside a bucket (never the cross product), and the whole pipeline is
-    * joins + hash aggregates — no interpreted array lambdas. */
+    * joins + hash aggregates — no interpreted array lambdas.
+    *
+    * Metric caveat when `maxDf > 0`: set sizes stay FULL-set while the
+    * intersection only counts surviving (≤ maxDf) shingles, so the reported
+    * jaccard is biased LOW for pairs that share hot shingles — on a skewed
+    * corpus this can reorder a top-k against true Jaccard (a pair whose
+    * overlap is mostly boilerplate ranks below one with the same true
+    * Jaccard from rare shingles, which is usually the ranking a dedup
+    * pipeline WANTS — hot-shingle overlap is the weakest dup signal). A
+    * self-consistent Jaccard over the capped universe would need set sizes
+    * recomputed after the cap: one extra exchange per side (doc_id window
+    * after the (bucket, sh) cap window) for a metric that down-weights
+    * boilerplate less. Deliberately not done; the oracle mirrors the
+    * full-set-size semantics bit-for-bit. */
   def jaccardPairsFromRows(shingles: DataFrame, maxDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Set size rides along as a window count: HashPartitioning(doc_id) from

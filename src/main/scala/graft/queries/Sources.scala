@@ -22,9 +22,7 @@ object Sources extends QueryGroup {
   private val q44 = QueryDef(
     "q44_csv_source",
     (s, dir) => {
-      // applicationId keys the scratch dir so concurrent sessions on the
-      // same sf can't overwrite each other mid-read
-      val out = s"/tmp/graft_s10_csv_${new java.io.File(dir).getName}_${s.sparkContext.applicationId}"
+      val out = graft.engine.Scratch.dir(s, s"s10_csv_${new java.io.File(dir).getName}")
       Tables.nation(s, dir).orderBy("n_nationkey").coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(out)
       CsvSource.readHeaderCsv(s, out, Some(nationCsvSchema))
@@ -43,7 +41,7 @@ object Sources extends QueryGroup {
   private val q51 = QueryDef(
     "q51_orc_source",
     (s, dir) => {
-      val out = s"/tmp/graft_orc_${new java.io.File(dir).getName}_${s.sparkContext.applicationId}"
+      val out = graft.engine.Scratch.dir(s, s"orc_${new java.io.File(dir).getName}")
       Tables.supplier(s, dir).write.mode("overwrite").orc(out)
       s.read.orc(out)
         .groupBy(col("s_nationkey"))

@@ -105,6 +105,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("reserved column names fail fast instead of silently dropping input columns") {
+    val clashRk = Seq((1L, "g", 5)).toDF("id", "grp", "__rk")
+    val eRk = intercept[IllegalArgumentException](
+      CurationOps.quotaSample(clashRk, col("grp"), col("id"), 3))
+    assert(eRk.getMessage.contains("__rk"))
+    val clashRed = Seq((1L, "t", 9L)).toDF("id", "text", "n_redactions")
+    val eRed = intercept[IllegalArgumentException](
+      CurationOps.redact(clashRed, col("text"), Seq("a" -> "<A>")))
+    assert(eRed.getMessage.contains("n_redactions"))
+    val clashTok = Seq((1L, "g", 10, 3L)).toDF("id", "grp", "len", "n_tokens")
+    val eTok = intercept[IllegalArgumentException](
+      CurationOps.packSequences(clashTok, col("grp"), col("id"), col("len"), 100))
+    assert(eTok.getMessage.contains("n_tokens"))
+  }
+
   test("contamination: exact containment fraction; unseen shingles score 0") {
     val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
     val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")
