@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [q1,q2,...]
 
 Reads <verifyOutDir>/oracle_sql.json, registers each testdata parquet as a
 DuckDB view, runs each oracle SQL, and compares against the Spark result
@@ -32,12 +32,14 @@ def canon(rows):
     out.sort(key=lambda t: tuple((x is None, x if x is not None else "") for x in t))
     return out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         spark_path = os.path.join(out_dir, name)
@@ -67,4 +69,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+             set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))

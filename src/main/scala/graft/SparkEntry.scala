@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    Relational, Etl, Text, Dedup, Similarity, Events, Sources, Curation)
+    Relational, Etl, Text, Dedup, Similarity, Events, Sources, Curation, Graph)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 

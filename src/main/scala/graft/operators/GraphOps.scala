@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators for the training-data extension surface: connected
+  * components over a pair list — the CLUSTER-RESOLUTION step that turns
+  * near-duplicate PAIRS (q22-q24, q32) into duplicate CLUSTERS, so a dedup
+  * pipeline can keep exactly one canonical document per cluster. (Pairs
+  * alone under-delete: {A~B, B~C} must drop two documents, not one of each
+  * pair independently.)
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round a node takes the min of its own label and
+  * its neighbors' labels; at fixpoint every node carries the min node id of
+  * its component. Each round is one join (edges × labels) + one hash
+  * aggregate — no driver-side graph state, nothing collected.
+  *
+  * Scale posture: rounds = component diameter, and near-dup graphs are
+  * short-diameter by construction (dup clusters are dense cliques-ish, and
+  * diameter shrinks further as labels hop). Edges are persisted
+  * (MEMORY_AND_DISK) so iteration i doesn't recompute the candidate-
+  * generation pipeline i times, and each round's labels are
+  * localCheckpointed to keep the lineage flat; convergence is detected by
+  * the MONOTONE label mass (labels only ever decrease, so an unchanged
+  * sum(comp) is a fixpoint) — one cheap aggregate per round instead of a
+  * change-detection join. Pathological long-chain graphs converge in
+  * O(diameter) rounds; the large-star/small-star doubling variant
+  * (Kiveris et al.) drops that to O(log n) rounds with the same per-round
+  * plan shape if a corpus ever needs it.
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph given by `edges`.
+    * Returns (node, comp) for every node INCIDENT TO AN EDGE, where comp is
+    * the minimum node id in the node's component — deterministic under any
+    * partitioning. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIters: Int = 30): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    // Undirected: propagate along both directions. distinct() also dedups a
+    // multi-edge input so each round's join fan-out is the true degree.
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Every round localCheckpoints its result: the lineage would otherwise
+    // nest one full join+agg plan PER ROUND, and Catalyst re-plans that
+    // exponentially-growing tree each iteration (stack overflow by ~round
+    // 12). Truncating per round keeps planning O(1) per iteration; the
+    // materialization it forces is work mass() needs anyway. Checkpointed
+    // RDDs are released by the ContextCleaner once unreferenced — nothing
+    // accumulates in the CacheManager across invocations. On a real cluster
+    // swap localCheckpoint for a reliable `checkpoint` dir so executor loss
+    // can't drop result partitions.
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(eager = true)
+    // decimal(38,0) so the convergence metric can't overflow at any node
+    // count × id range; coalesce so an edgeless input converges (sum over
+    // zero rows is NULL) instead of NPE-ing the comparison.
+    def mass(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    var cur = mass(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val prop = und.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp")).union(prop)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(eager = true)
+      val nm = mass(next)
+      labels = next
+      converged = nm.compareTo(cur) == 0
+      cur = nm
+      it += 1
+    }
+    und.unpersist(blocking = false)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds; " +
+        "raise maxIters (rounds needed = component diameter)")
+    labels
+  }
+
+  /** Dedup keeper selection from a component assignment: one row per
+    * cluster with the canonical keeper (= the component label, i.e. the min
+    * doc id) and the cluster size — the "what do I delete" summary. */
+  def clusterKeepers(components: DataFrame): DataFrame =
+    components.groupBy(col("comp").as("keeper_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.operators.{DedupOps, GraphOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Graph queries (builder prompt; SURVEY §2.10): cluster resolution over the
+  * near-duplicate pair graph. Pairs alone under-delete ({A~B, B~C} must drop
+  * two docs, not one per pair); connected components turns the pair list
+  * into clusters with one canonical keeper each. */
+object Graph extends QueryGroup {
+
+  /** X8: duplicate-cluster resolution — connected components over the q23
+    * MinHash+LSH candidate-pair graph, reported as (keeper, cluster size).
+    * The Spark side is iterative min-label propagation (one join + one hash
+    * aggregate per round, rounds = component diameter — no driver-side graph
+    * state); the oracle reproduces it with a recursive CTE, which is
+    * tractable at oracle scale because reachability pairs are bounded by the
+    * pair graph, not the corpus. */
+  private val q53 = QueryDef(
+    "q53_dedup_clusters",
+    (s, dir) => {
+      val pairs = DedupOps.minhashLshCandidatesFromRows(
+        TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text")),
+        8, maxDf = 50)
+      GraphOps.clusterKeepers(
+          GraphOps.connectedComponents(pairs, "a_id", "b_id"))
+        .orderBy(col("keeper_id"))
+    },
+    Some("""WITH RECURSIVE sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
+           |hashed AS (
+           |  SELECT doc_id, source,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2, 3),
+           |edges AS (
+           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bands a JOIN bands b
+           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+           |walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+           |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
+           |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q53)
+}
