@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * Reserved column names: each operator adds fixed output columns
   * ([[redact]]: `n_redactions`, `text_redacted`; [[packSequences]]:
   * `n_tokens`, `chunk_id`) and uses fixed scratch columns ([[quotaSample]]:
-  * `__rk`; [[packSequences]]: `__tok`, `__cum`). An input that already
+  * `__rk`; [[packSequences]]: `__tok`, `__cum`; [[mixtureSample]]:
+  * `__mix_source`, `__mix_rate`). An input that already
   * carries one of these would silently be dropped or duplicated, so every
   * operator FAILS FAST with the colliding names instead.
   */
@@ -107,6 +108,29 @@ object CurationOps {
         floor((col("__cum") - col("__tok")) / lit(budget.toDouble)).cast("long"))
       .drop("__cum")
       .withColumnRenamed("__tok", "n_tokens")
+  }
+
+  /** Source-weighted mixture sampling — the data-mixing step that turns raw
+    * corpus proportions into a target training mixture: each source keeps
+    * `rate`% of its documents (0..100), decided per document by a salted
+    * hash of its id. Deterministic (re-runs and engines agree document by
+    * document), stateless (zero shuffle — the rates table is broadcast and
+    * the keep decision is a narrow map), and stable under corpus growth
+    * (a recrawl never flips an old document's keep bit). Sources absent
+    * from `rates` are dropped: a mixture spec enumerates what trains.
+    * `salt` decorrelates the keep decision from [[hashSplit]]'s bucket so
+    * sampling never biases split membership. */
+  def mixtureSample(df: DataFrame, source: Column, id: Column,
+      rates: Seq[(String, Int)], salt: String = "#mix"): DataFrame = {
+    requireFresh(df, "mixtureSample", "__mix_source", "__mix_rate")
+    require(rates.forall { case (_, r) => r >= 0 && r <= 100 },
+      "mixture rates are percentages in 0..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(rates.toDF("__mix_source", "__mix_rate"))
+    df.join(w, source === col("__mix_source"))
+      .filter(hashBucket100(concat(id.cast("string"), lit(salt))) < col("__mix_rate"))
+      .drop("__mix_source", "__mix_rate")
   }
 
   /** Train/eval decontamination: for each eval document, the fraction of

@@ -65,6 +65,40 @@ object TextOps {
       .distinct()
   }
 
+  /** Pointwise mutual information of adjacent word pairs (collocations) —
+    * the association-mining side of text analysis: PMI(w1,w2) =
+    * ln(p(w1,w2) / (p(w1)·p(w2))) over positional bigrams, keeping pairs
+    * with count ≥ `minCount`. Returns (w1, w2, c12, pmi), pmi unrounded —
+    * callers round for cross-engine comparison.
+    *
+    * Plan shape: bigrams come from the same codegen-safe posexplode +
+    * window-`lead` formulation as [[shingleRows]] (HOF transform would
+    * drop the stage out of codegen); pair and unigram counts are two hash
+    * aggregates; the corpus totals are 1-row aggregates broadcast into the
+    * result (scalar cross join, q27's idiom). Both PMI factors evaluate
+    * left-to-right in doubles so engines agree to the last ulp. */
+  def collocationPmi(df: DataFrame, id: Column, text: Column,
+      minCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks.withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2"))
+    val cuni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nBig = bi.agg(count(lit(1)).as("n_big"))
+    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(cuni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(cuni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nBig)).crossJoin(broadcast(nUni))
+      .withColumn("pmi",
+        log(col("c12").cast("double") * col("n_uni") * col("n_uni")
+          / (col("n_big").cast("double") * col("c1") * col("c2"))))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text,
     * truncated to 16 hex chars. Deterministic, collision-safe enough for
     * near-exact dedup keys at corpus scale. */

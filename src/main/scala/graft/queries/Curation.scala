@@ -230,5 +230,31 @@ object Curation extends QueryGroup {
            |  count(*) AS n_docs, round(avg(quality), 6) + 0.0 AS avg_quality
            |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52)
+  /** Source-weighted mixture sampling — downsample over-represented sources
+    * to a target training mixture (the web-scale "data mixing" step). The
+    * rates table is a broadcast dim; the keep decision is a salted hash so
+    * it is independent of q45's split assignment. Output: per-source kept
+    * doc count and token mass (the numbers a mixture designer actually
+    * monitors). */
+  private val mixRates: Seq[(String, Int)] = Seq.tabulate(20) { i =>
+    (s"src$i", if (i < 5) 100 else if (i < 10) 50 else if (i < 15) 25 else 10)
+  }
+  private val q54 = QueryDef(
+    "q54_mixture_sample",
+    (s, dir) => CurationOps
+      .mixtureSample(Tables.documents(s, dir), col("source"), col("doc_id"), mixRates)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"))
+      .orderBy(col("source")),
+    Some(s"""WITH w(source, rate) AS (VALUES
+           |  ${mixRates.map { case (s, r) => s"('$s', $r)" }.mkString(", ")}),
+           |kept AS (
+           |  SELECT d.source, d.text FROM documents d JOIN w ON d.source = w.source
+           |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'), 1, 8))::BIGINT % 100 < w.rate)
+           |SELECT source, count(*) AS n_kept,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
+           |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52, q54)
 }

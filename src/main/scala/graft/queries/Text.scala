@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.Tables
+import graft.engine.{Semantics, Tables}
 import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 
@@ -225,5 +225,32 @@ object Text extends QueryGroup {
            |WHERE term IN ('the','a','an','of','and','to','in','is','it','on','for')
            |GROUP BY 1, 2 ORDER BY lang, term""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37)
+  /** Collocation mining — top-20 adjacent word pairs by PMI with support
+    * ≥ 5 (X4 depth: the association statistic behind phrase detection /
+    * tokenizer-merge candidates). PMI factors evaluate left-to-right in
+    * doubles on both engines; round-6 + zero-normalize pins the hash. */
+  private val q55 = QueryDef(
+    "q55_collocation_pmi",
+    (s, dir) => TextOps
+      .collocationPmi(Tables.documents(s, dir), col("doc_id"), col("text"), 5)
+      .withColumn("pmi", Semantics.roundz(col("pmi"), 6))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(20),
+    Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+           |bi0 AS (
+           |  SELECT unnest(CASE WHEN len(s) >= 2
+           |    THEN list_transform(range(len(s) - 1), i -> s[i+1] || ' ' || s[i+2])
+           |    ELSE [] END) AS bg
+           |  FROM sp),
+           |bi AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bi0),
+           |uni AS (SELECT unnest(s) AS tok FROM sp),
+           |cuni AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+           |n AS (SELECT (SELECT count(*) FROM bi) AS n_big, (SELECT count(*) FROM uni) AS n_uni)
+           |SELECT w1, w2, c12,
+           |  round(ln(c12::DOUBLE * n_uni * n_uni / (n_big::DOUBLE * ca.c * cb.c)), 6) + 0.0 AS pmi
+           |FROM c12 JOIN cuni ca ON ca.tok = c12.w1 JOIN cuni cb ON cb.tok = c12.w2 CROSS JOIN n
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55)
 }

@@ -120,6 +120,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(eTok.getMessage.contains("n_tokens"))
   }
 
+  test("mixture: rate 100 keeps all, rate 0 keeps none, unknown sources drop") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val kept = CurationOps.mixtureSample(docs, col("source"), col("doc_id"),
+        Seq("src0" -> 100, "src1" -> 0))
+      .groupBy(col("source")).count()
+      .as[(String, Long)].collect().toMap
+    assert(kept === Map("src0" -> 100L)) // src1 sampled out, src2 not in the mixture
+  }
+
+  test("mixture: keep decision is per-document stable and independent of partitioning") {
+    val docs = (0L until 1000L).map(i => (i, "s")).toDF("doc_id", "source")
+    def keptIds(parts: Int) = CurationOps.mixtureSample(
+        docs.repartition(parts), col("source"), col("doc_id"), Seq("s" -> 40))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val a = keptIds(1)
+    assert(a === keptIds(7))
+    // ~40% within sampling noise, and growth never flips an old doc's bit
+    assert(math.abs(a.size - 400) < 80)
+    val grown = (0L until 5000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val after = CurationOps.mixtureSample(grown, col("source"), col("doc_id"), Seq("s" -> 40))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(a.forall(after.contains) && after.filter(_ < 1000L) == a)
+  }
+
   test("contamination: exact containment fraction; unseen shingles score 0") {
     val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
     val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")

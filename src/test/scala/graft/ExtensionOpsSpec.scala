@@ -232,6 +232,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got === Map("the" -> 2L, "and" -> 2L))
   }
 
+  test("X4: collocation PMI matches the hand-computed value on a tiny corpus") {
+    // bigrams: d1 (a,b)(b,a)(a,b); d2 (a,b)(b,c) → N_big=5, c12(a,b)=3
+    // unigrams: c(a)=3 c(b)=3 c(c)=1, N_uni=7
+    // PMI(a,b) = ln(3·7·7 / (5·3·3)) = ln(49/15)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.collocationPmi(docs, col("doc_id"), col("text"), minCount = 1)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet === Set("a" -> "b", "b" -> "a", "b" -> "c"))
+    assert(got("a" -> "b")._1 === 3L)
+    assert(math.abs(got("a" -> "b")._2 - math.log(49.0 / 15.0)) < 1e-12)
+    // support threshold prunes the singletons
+    val pruned = TextOps.collocationPmi(docs, col("doc_id"), col("text"), minCount = 2)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(pruned === Set("a" -> "b"))
+  }
+
   test("multimodal: mapPartitions feature extraction preserves rows and derives stable features") {
     import MultimodalOps._
     val media = Seq(
