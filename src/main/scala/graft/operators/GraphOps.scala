@@ -17,18 +17,17 @@ import org.apache.spark.storage.StorageLevel
   * its component. Each round is one join (edges × labels) + one hash
   * aggregate — no driver-side graph state, nothing collected.
   *
-  * Scale posture: rounds = component diameter, and near-dup graphs are
-  * short-diameter by construction (dup clusters are dense cliques-ish, and
-  * diameter shrinks further as labels hop). Edges are persisted
+  * Scale posture: each round relaxes edges AND pointer-jumps (a node takes
+  * min over self, neighbors, and its label's label), so rounds grow as
+  * O(log diameter) — the doubling discipline of the large-star/small-star
+  * family (Kiveris et al.) in min-label form. Edges are persisted
   * (MEMORY_AND_DISK) so iteration i doesn't recompute the candidate-
   * generation pipeline i times, and each round's labels are
-  * localCheckpointed to keep the lineage flat; convergence is detected by
-  * the MONOTONE label mass (labels only ever decrease, so an unchanged
+  * localCheckpointed to keep the lineage flat (Catalyst would otherwise
+  * re-plan an exponentially nesting tree); convergence is detected by the
+  * MONOTONE label mass (labels only ever decrease, so an unchanged
   * sum(comp) is a fixpoint) — one cheap aggregate per round instead of a
-  * change-detection join. Pathological long-chain graphs converge in
-  * O(diameter) rounds; the large-star/small-star doubling variant
-  * (Kiveris et al.) drops that to O(log n) rounds with the same per-round
-  * plan shape if a corpus ever needs it.
+  * change-detection join.
   */
 object GraphOps {
 
@@ -38,7 +37,12 @@ object GraphOps {
     * partitioning. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIters: Int = 30): DataFrame = {
+    // Persist the caller's edge list BEFORE mirroring it: the pair list is
+    // typically the output of an expensive candidate-generation pipeline
+    // (minhash join etc.), and the union below references it twice —
+    // without the persist its cost would ride on exchange reuse firing.
     val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Undirected: propagate along both directions. distinct() also dedups a
     // multi-edge input so each round's join fan-out is the true degree.
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -62,25 +66,44 @@ object GraphOps {
     def mass(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
-    var cur = mass(labels)
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (verbose) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[cc] $tag ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
+    e.unpersist(blocking = false) // und is materialized (labels' eager checkpoint ran it)
+    lap("init")
+    // cur = null until round 1 computes the first mass: the initial mass is
+    // not worth its own job just to compare against.
+    var cur: java.math.BigDecimal = null
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
+      // One round relaxes every edge (neighbor min) AND pointer-jumps
+      // (comp∘comp): label indirection halves each round, so rounds grow as
+      // O(log diameter), not O(diameter). comp values are node ids, so the
+      // hop join always finds its target row.
       val prop = und.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp")).union(prop)
+      val hop = labels.select(col("node"), col("comp").as("__via"))
+        .join(labels.select(col("node").as("__via"), col("comp")), "__via")
+        .select(col("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp")).union(prop).union(hop)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(eager = true)
       val nm = mass(next)
       labels = next
-      converged = nm.compareTo(cur) == 0
+      converged = cur != null && nm.compareTo(cur) == 0
       cur = nm
       it += 1
+      lap(s"round $it")
     }
     und.unpersist(blocking = false)
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds; " +
-        "raise maxIters (rounds needed = component diameter)")
+        "raise maxIters (rounds needed ~ log2 of component diameter)")
     labels
   }
 
