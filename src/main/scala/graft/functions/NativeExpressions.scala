@@ -144,6 +144,7 @@ object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
   val PolyHashName = "graft_poly_hash"
+  val BloomContainsName = "graft_bloom_contains"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -157,6 +158,7 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     ensure(VecDotName)(exprs => VecDot(exprs.head, exprs(1)))
     ensure(PolyHashName)(exprs => StringPolyHash(exprs.head))
+    ensure(BloomContainsName)(exprs => BloomMightContain(exprs.head, exprs(1), exprs(2)))
   }
 
   /** Codegen'd dot product of two array<double> columns. Registers against
@@ -171,5 +173,14 @@ object GraftFunctions {
   def polyHash(s: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(PolyHashName, s)
+  }
+
+  /** Codegen'd Bloom membership probe of a string column against a collected
+    * bloom sketch (see [[BloomUtil]]). The sketch rides the plan as a binary
+    * literal — broadcast-by-literal, no join, no shuffle. */
+  def bloomContains(s: Column, bloom: Array[Byte], k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(BloomContainsName, s, org.apache.spark.sql.functions.lit(bloom),
+      org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -138,9 +138,9 @@ object CurationOps {
     * `evalShingles`/`trainShingles` are (doc_id, sh) rows (e.g.
     * [[TextOps.shingleRows]]). The train side is reduced to its DISTINCT
     * shingle vocabulary before the join, so the join's right side is
-    * vocabulary-bounded, not corpus-bounded; at 100 TB the same shape runs
-    * against a Bloom filter of the train vocabulary (one broadcast bitmap,
-    * no shuffle) with this exact join as the false-positive rescan. */
+    * vocabulary-bounded, not corpus-bounded; [[contaminationBloom]] is the
+    * 100 TB variant (broadcast Bloom bitmap prefilter, no shuffle on the
+    * probe, this join demoted to the false-positive rescan). */
   def contamination(evalShingles: DataFrame, trainShingles: DataFrame): DataFrame = {
     val train = trainShingles.select(col("sh")).distinct().withColumn("__hit", lit(1L))
     evalShingles.select(col("doc_id"), col("sh"))
@@ -148,5 +148,34 @@ object CurationOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+  }
+
+  /** [[contamination]]'s 100 TB shape, made concrete: build a Bloom filter
+    * over the train shingle vocabulary DISTRIBUTED (typed
+    * [[graft.functions.BloomBuild]] Aggregator — fixed-size bitset buffer,
+    * OR-merge), pull the KB-sized sketch to the driver (k-means-centroid
+    * class of driver state), and probe it with the codegen'd
+    * `graft_bloom_contains` expression so only bloom-POSITIVE eval shingles
+    * reach the exact rescan join. Blooms have no false negatives, so the
+    * rescan makes the result EXACTLY equal to [[contamination]] — the
+    * filter only shrinks the join's probe side (at 100 TB: from the whole
+    * eval corpus to its truly-overlapping sliver plus an ε of false
+    * positives). */
+  def contaminationBloom(evalShingles: DataFrame, trainShingles: DataFrame,
+      mBits: Int = 1 << 19, k: Int = 5): DataFrame = {
+    import graft.functions.{BloomBuild, GraftFunctions}
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new BloomBuild(mBits, k), org.apache.spark.sql.Encoders.STRING)
+    val train = trainShingles.select(col("sh")).distinct()
+    val bloom: Array[Byte] = train.agg(bloomAgg(col("sh"))).head.getAs[Array[Byte]](0)
+    val totals = evalShingles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = evalShingles
+      .filter(GraftFunctions.bloomContains(col("sh"), bloom, k))
+      .join(train.withColumn("__hit", lit(1L)), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
 }

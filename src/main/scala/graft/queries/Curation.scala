@@ -256,5 +256,28 @@ object Curation extends QueryGroup {
            |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
            |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52, q54)
+  /** q50's decontamination through the Bloom-sketch path: distributed
+    * bitset build over the train vocabulary, driver-collected sketch inlined
+    * as a probe literal, exact rescan of bloom-positives. No false
+    * negatives + rescan ⇒ the result is bit-identical to the exact join,
+    * so this query shares q50's oracle — the hash match IS the proof that
+    * the sketch path loses nothing. */
+  private val q56 = QueryDef(
+    "q56_bloom_decontamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", CurationOps.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+      val sh = graft.operators.TextOps.shingleRows(
+        docs.filter(col("split").isin("train", "test")),
+        col("doc_id"), col("split"), col("text"))
+      CurationOps.contaminationBloom(
+        sh.filter(col("bucket") === "test"), sh.filter(col("bucket") === "train"))
+        .withColumn("containment",
+          Semantics.roundz(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    },
+    q50.oracle)
+
+  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.{BloomBuild, BloomUtil, GraftFunctions}
+import graft.operators.{CurationOps, TextOps}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** The Bloom sketch's contract: zero false negatives, bounded false
+  * positives, partitioning-invariant build, and an end-to-end bloom-probe
+  * decontamination result identical to the exact join. */
+class BloomFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mBits = 1 << 14
+  private val k = 5
+  private def buildBloom(values: Seq[String], parts: Int = 4): Array[Byte] = {
+    val agg = udaf(new BloomBuild(mBits, k), Encoders.STRING)
+    values.toDF("s").repartition(parts).agg(agg(col("s"))).head.getAs[Array[Byte]](0)
+  }
+
+  private val inserted = (1 to 500).map(i => s"member_$i")
+
+  test("no false negatives: every inserted value probes true (interpreted + codegen)") {
+    val bloom = buildBloom(inserted)
+    val words = BloomUtil.toWords(bloom)
+    assert(inserted.forall(s =>
+      BloomUtil.mightContain(words, s.getBytes("UTF-8"), k)))
+    // and through the Catalyst expression inside a real plan
+    val n = inserted.toDF("s")
+      .filter(GraftFunctions.bloomContains(col("s"), bloom, k)).count()
+    assert(n === inserted.size)
+  }
+
+  test("false-positive rate stays near theory (< 2% at this sizing)") {
+    val bloom = buildBloom(inserted)
+    val probes = (1 to 2000).map(i => s"absent_$i")
+    val fp = probes.toDF("s")
+      .filter(GraftFunctions.bloomContains(col("s"), bloom, k)).count()
+    // theory: (1 - e^(-k·n/m))^k ≈ 3e-6 at n=500, m=16384, k=5 — 2% is lax
+    assert(fp < 40, s"false-positive count $fp out of 2000")
+  }
+
+  test("build is partitioning-invariant (OR-merge is order-free)") {
+    assert(buildBloom(inserted, parts = 1).toSeq === buildBloom(inserted, parts = 13).toSeq)
+  }
+
+  test("bloom-probe contamination equals the exact join, doc for doc") {
+    val docs = (1L to 60L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")
+      (i, if (i % 3 == 0) "test" else "train", words)
+    }.toDF("doc_id", "split", "text")
+    val sh = TextOps.shingleRows(docs, col("doc_id"), col("split"), col("text"))
+    val ev = sh.filter(col("bucket") === "test")
+    val tr = sh.filter(col("bucket") === "train")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(canon(CurationOps.contaminationBloom(ev, tr, mBits, k))
+      === canon(CurationOps.contamination(ev, tr)))
+  }
+}
