@@ -138,5 +138,42 @@ object Dedup extends QueryGroup {
            |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
            |ORDER BY cosine DESC, a_id, b_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32)
+  /** X1 incremental form — dedup a NEW crawl against the EXISTING corpus:
+    * the recurring-ingest shape (every fresh batch anti-joins the standing
+    * fingerprint index instead of re-deduping the world). The corpus side
+    * reduces to its distinct fingerprint set before the join; at 100 TB
+    * that index is the persisted output of the previous run, not a rescan,
+    * and the anti join broadcasts or shuffles only fingerprints, never
+    * text. */
+  private val newSources = Seq("src15", "src16", "src17", "src18", "src19")
+  private val q60 = QueryDef(
+    "q60_incremental_crawl_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpusFp = docs.filter(!col("source").isin(newSources: _*))
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      val fresh = docs.filter(col("source").isin(newSources: _*))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val totals = fresh.groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      val kept = fresh.join(corpusFp, Seq("fp"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      totals.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_new"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH fps AS (
+           |  SELECT source,
+           |    substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp
+           |  FROM documents),
+           |corpus AS (SELECT DISTINCT fp FROM fps
+           |  WHERE source NOT IN (${newSources.map(x => s"'$x'").mkString(", ")})),
+           |fresh AS (SELECT source, fp FROM fps
+           |  WHERE source IN (${newSources.map(x => s"'$x'").mkString(", ")}))
+           |SELECT f.source, count(*) AS n_new,
+           |  CAST(sum(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60)
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.engine.Tables
+import graft.engine.{Semantics, Tables}
 import graft.operators.SessionOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream extension queries (X5 JSON extraction, X6 sessionization)
@@ -79,5 +80,47 @@ object Events extends QueryGroup {
            |  octet_length(CAST(text AS BLOB)) // 256 + 1 AS n_chunks
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q28, q29, q30)
+  /** W4: value-RANGE window frame — per-event trailing-hour event count and
+    * max value per user. RANGE frames are defined by the ORDER-BY VALUE
+    * interval (not row position), so output is deterministic under ordering
+    * ties without tie-break keys; the frame bound is exact integer µs on
+    * both engines, and the aggregates (count, max) are reassociation-proof,
+    * so no float-summation-order divergence can bite the hash. */
+  private val q58 = QueryDef(
+    "q58_rolling_window_range",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          Semantics.roundz(max(col("value")).over(w), 6).as("max_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           |  round(max(value) OVER w, 6) + 0.0 AS max_1h
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin))
+
+  /** J3: explicit LEFT SEMI join — clickers who also purchased. Semi join
+    * is the existence-probe join shape (no fan-out, right side reduced to a
+    * membership set); completes the join-type surface next to inner (J1),
+    * anti (J2), as-of (q42) and range (q43). */
+  private val q59 = QueryDef(
+    "q59_semi_join_purchasers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase").select(col("user_id")),
+          Seq("user_id"), "left_semi")
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+           |ORDER BY user_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q28, q29, q30, q58, q59)
 }

@@ -252,5 +252,23 @@ object Text extends QueryGroup {
            |FROM c12 JOIN cuni ca ON ca.tok = c12.w1 JOIN cuni cb ON cb.tok = c12.w2 CROSS JOIN n
            |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55)
+  /** PIVOT — long-to-wide reshape: the source × language document-count
+    * matrix a corpus dashboard shows. Spark's pivot with an EXPLICIT value
+    * list stays a single hash aggregate (no extra distinct-values job, and
+    * a stable output schema at any scale); absent cells coalesce to 0 to
+    * match conditional-aggregation semantics. */
+  private val langCols = Seq("de", "en", "es", "fr", "zh")
+  private val q57 = QueryDef(
+    "q57_pivot_lang_matrix",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langCols)
+      .agg(count(lit(1)))
+      .select(col("source") +: langCols.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy(col("source")),
+    Some(s"""SELECT source,
+           |  ${langCols.map(l => s"count(*) FILTER (WHERE lang = '$l') AS $l").mkString(",\n  ")}
+           |FROM documents GROUP BY 1 ORDER BY source""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57)
 }

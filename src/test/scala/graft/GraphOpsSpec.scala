@@ -51,13 +51,16 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("repeated invocations do not accumulate iteration caches") {
-    // Each call persists und + one frame per round; all must be released on
-    // return, leaving at most the localCheckpointed result (1 RDD) alive per
-    // call until GC. Growth bounded by 1 proves the intermediates are freed.
+    // Each call persists e + und + one localCheckpoint per round (~12 RDDs
+    // for this graph); all but the checkpointed result must be released on
+    // return. The count is SparkContext-global and other suites run
+    // concurrently against the shared session, so the bound is loose:
+    // 5 calls of a LEAKING loop add ≥ 50 persistent RDDs, 5 clean calls
+    // add ≤ 5 results (until GC) + concurrent-suite noise.
     comps(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
-    val after1 = spark.sparkContext.getPersistentRDDs.size
-    comps(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
-    val after2 = spark.sparkContext.getPersistentRDDs.size
-    assert(after2 - after1 <= 1)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach(_ => comps(Seq((1L, 2L), (2L, 3L), (3L, 4L))))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before < 25, s"persistent RDDs grew $before -> $after over 5 calls")
   }
 }
