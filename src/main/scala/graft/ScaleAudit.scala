@@ -64,11 +64,22 @@ object ScaleAudit {
     val q32 = DedupOps.embeddingCandidates(embs, "vec_id", col("embedding"), col("label"),
       SimilarityOps.lshPlanes(2, 64)).count()
 
+    // q53/q61 cluster graphs: nodes/components from the minhash pair list.
+    // The CC loop's work per round is O(|edges|); what must stay bounded as
+    // the corpus grows is the edge list (candidate volumes above) — the
+    // node/component counts here show cluster structure, and their ratio
+    // the dedup payoff (docs deleted = nodes − components).
+    val ccIn = DedupOps.minhashLshCandidatesFromRows(shingles, 8, maxDf = 50)
+    val cc = graft.operators.GraphOps.connectedComponents(ccIn, "a_id", "b_id")
+    val ccNodes = cc.count()
+    val ccComps = cc.select("comp").distinct().count()
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
       s""""q50_test_shingle_probe_rows":$testShingles,"q50_train_vocab":$trainVocab,""" +
-      s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32}""")
+      s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
+      s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")
     spark.stop()
   }
 }
