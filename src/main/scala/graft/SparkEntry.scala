@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    Relational, Etl, Text, Dedup, Similarity, Events, Sources, Curation, Graph)
+    Relational, Etl, Text, Dedup, Similarity, Events, Sources, Curation, Graph,
+    Integrity)
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
 
