@@ -254,9 +254,10 @@ object Text extends QueryGroup {
 
   /** PIVOT — long-to-wide reshape: the source × language document-count
     * matrix a corpus dashboard shows. Spark's pivot with an EXPLICIT value
-    * list stays a single hash aggregate (no extra distinct-values job, and
-    * a stable output schema at any scale); absent cells coalesce to 0 to
-    * match conditional-aggregation semantics. */
+    * list skips the distinct-values collection job and keeps the output
+    * schema stable at any scale; the plan is the standard two-phase
+    * aggregate (by (source, lang), then pivot-first by source). Absent
+    * cells coalesce to 0 to match conditional-aggregation semantics. */
   private val langCols = Seq("de", "en", "es", "fr", "zh")
   private val q57 = QueryDef(
     "q57_pivot_lang_matrix",
