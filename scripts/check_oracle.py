@@ -39,6 +39,11 @@ def main(sf_dir, out_dir, only=None):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     if only:
+        missing = only - set(oracle)
+        if missing:
+            # A typo'd name must not yield "0 pass / 0 fail" with exit 0.
+            print(f"FAIL unknown query name(s): {', '.join(sorted(missing))}")
+            return 1
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):

@@ -9,6 +9,9 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] = args.drop(2).headOption
       .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +40,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Only the queries dumped THIS run go into oracle_sql.json — otherwise a
+    // subset run into a reused outDir would let check_oracle validate STALE
+    // parquet from an earlier dump as PASS.
+    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

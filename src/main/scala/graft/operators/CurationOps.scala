@@ -125,6 +125,9 @@ object CurationOps {
     requireFresh(df, "mixtureSample", "__mix_source", "__mix_rate")
     require(rates.forall { case (_, r) => r >= 0 && r <= 100 },
       "mixture rates are percentages in 0..100")
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate source in mixture rates: ${rates.map(_._1).diff(rates.map(_._1).distinct).distinct.mkString(", ")} " +
+        "— a repeated key would fan out the join and duplicate documents")
     val spark = df.sparkSession
     import spark.implicits._
     val w = broadcast(rates.toDF("__mix_source", "__mix_rate"))
@@ -166,13 +169,19 @@ object CurationOps {
     import graft.functions.{BloomBuild, GraftFunctions}
     val bloomAgg = org.apache.spark.sql.functions.udaf(
       new BloomBuild(mBits, k), org.apache.spark.sql.Encoders.STRING)
+    // The vocabulary distinct is the operator's most expensive stage and is
+    // needed TWICE — by the bloom-build action and by the rescan join —
+    // across two separate jobs, where exchange reuse cannot fire. Checkpoint
+    // it once (lineage-truncated, ContextCleaner-reclaimed) so the corpus
+    // scan + distinct shuffle runs a single time.
     val train = trainShingles.select(col("sh")).distinct()
+      .localCheckpoint(true)
     val bloom: Array[Byte] = train.agg(bloomAgg(col("sh"))).head.getAs[Array[Byte]](0)
     val totals = evalShingles.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val hits = evalShingles
       .filter(GraftFunctions.bloomContains(col("sh"), bloom, k))
-      .join(train.withColumn("__hit", lit(1L)), Seq("sh"))
+      .join(train, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),

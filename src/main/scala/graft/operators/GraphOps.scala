@@ -37,6 +37,19 @@ object GraphOps {
     * partitioning. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIters: Int = 30): DataFrame = {
+    // Node ids must already be integral: a silent cast("long") on e.g. a
+    // hex-fingerprint string column would turn every id into NULL and
+    // "converge" to one garbage (null, null) component.
+    Seq(src, dst).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(dt),
+        s"connectedComponents needs integral node ids; column '$c' is " +
+          s"${dt.simpleString} — map string keys to longs (e.g. via a " +
+          "dense-rank or hash id) before clustering")
+    }
     // Persist the caller's edge list BEFORE mirroring it: the pair list is
     // typically the output of an expensive candidate-generation pipeline
     // (minhash join etc.), and the union below references it twice —

@@ -15,19 +15,29 @@ object Integrity extends QueryGroup {
     * digits keeps the BIGINT cast positive in every engine), folded with
     * bit_xor — commutative and associative, so the result is independent
     * of row order, partitioning, and parallelism, and the aggregate is one
-    * map-side-combinable hash agg. A control-char (U+0001) separator
-    * delimits fields so ("ab","c") and ("a","bc") hash differently. */
+    * map-side-combinable hash agg. Fields are U+0001-separated and a NULL
+    * field encodes as U+0002 via explicit coalesce — NOT concat_ws, whose
+    * null-skipping drops a null field AND its separator, so ("1",null,"en")
+    * and ("1","en",null) would hash equal and hide exactly the column-shift
+    * corruption a checksum exists to catch. */
+  private def checksumField(c: org.apache.spark.sql.Column) =
+    coalesce(c.cast("string"), lit("\u0002"))
   private val q62 = QueryDef(
     "q62_content_checksum",
     (s, dir) => Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
-        bit_xor(conv(substring(md5(concat_ws("\u0001",
-          col("doc_id"), col("lang"), col("text"))), 1, 15), 16, 10).cast("long"))
+        bit_xor(conv(substring(md5(concat(
+          checksumField(col("doc_id")), lit("\u0001"),
+          checksumField(col("lang")), lit("\u0001"),
+          checksumField(col("text")))), 1, 15), 16, 10).cast("long"))
           .as("checksum"))
       .orderBy(col("source")),
     Some("""SELECT source, count(*) AS n_rows,
-           |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || lang || chr(1) || text), 1, 15))::BIGINT) AS checksum
+           |  bit_xor(('0x' || substr(md5(
+           |    coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
+           |    coalesce(lang, chr(2)) || chr(1) ||
+           |    coalesce(text, chr(2))), 1, 15))::BIGINT) AS checksum
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** The SQL entry point: the fact⋈dim join + grouped agg shape authored as
