@@ -26,6 +26,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BloomUtil {
 
+  /** Bit size for an expected vocabulary of `nKeys` with `k` hash probes:
+    * m = n·k/ln2 sets the per-key bit budget so each of the k probes lands
+    * on a half-set filter at design load → false-positive rate ≈ 2^−k
+    * (~3% at k=5). Rounded up to a whole number of 64-bit words and clamped
+    * to [2^14, 2^27] bits (2 KiB .. 16 MiB): below, hashing overhead
+    * dominates; above, a plan-inlined literal is no longer the right
+    * transport and the sketch should ride a broadcast variable instead.
+    * Overload or saturation is graceful — the fp rate degrades smoothly
+    * ((1−e^(−kn/m))^k) and the exact rescan keeps results correct at ANY
+    * load; the sizing only controls how much probe volume the prefilter
+    * absorbs. */
+  def sizeFor(nKeys: Long, k: Int): Int = {
+    require(nKeys >= 0 && k > 0, "nKeys must be >= 0 and k positive")
+    val raw = math.ceil(nKeys.toDouble * k / math.log(2.0)).toLong
+    val clamped = math.min(1L << 27, math.max(1L << 14, raw))
+    (((clamped + 63) / 64) * 64).toInt
+  }
+
   /** FNV-1a 64 over bytes; `seed` selects independent hash streams. */
   def fnv64(bytes: Array[Byte], seed: Long): Long = {
     var h = 0xcbf29ce484222325L ^ seed
@@ -124,6 +142,10 @@ case class BloomMightContain(str: Expression, bloom: Expression, kExpr: Expressi
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string to probe, got ${str.dataType.simpleString}")
     else if (bloom.dataType != BinaryType || !bloom.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires a foldable binary bloom literal")
+    else if (bloom.eval(null) == null)
+      // A null sketch would otherwise NPE opaquely inside the lazy decode
+      // during planning/codegen (e.g. graft_bloom_contains(s, NULL, k)).
+      TypeCheckResult.TypeCheckFailure(s"$prettyName bloom sketch must be a non-null binary literal")
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires a foldable int k")
     else TypeCheckResult.TypeCheckSuccess

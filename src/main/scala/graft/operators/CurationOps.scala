@@ -163,12 +163,19 @@ object CurationOps {
     * rescan makes the result EXACTLY equal to [[contamination]] — the
     * filter only shrinks the join's probe side (at 100 TB: from the whole
     * eval corpus to its truly-overlapping sliver plus an ε of false
-    * positives). */
+    * positives).
+    *
+    * Sizing: `mBits = 0` (the default) auto-sizes the filter from the
+    * actual vocabulary cardinality via [[graft.functions.BloomUtil.sizeFor]]
+    * (m = n·k/ln2 → fp ≈ 2^−k at design load, clamped to 2 KiB..16 MiB) —
+    * a fixed mBits either wastes plan bytes on small vocabularies or
+    * saturates on big ones, and the count is one cheap job over the already-
+    * checkpointed distinct vocabulary. An explicit positive mBits pins the
+    * size (a mis-sized filter still returns exact results; it only loses
+    * prefilter selectivity — see the saturation spec in BloomFunctionsSpec). */
   def contaminationBloom(evalShingles: DataFrame, trainShingles: DataFrame,
-      mBits: Int = 1 << 19, k: Int = 5): DataFrame = {
-    import graft.functions.{BloomBuild, GraftFunctions}
-    val bloomAgg = org.apache.spark.sql.functions.udaf(
-      new BloomBuild(mBits, k), org.apache.spark.sql.Encoders.STRING)
+      mBits: Int = 0, k: Int = 5): DataFrame = {
+    import graft.functions.{BloomBuild, BloomUtil, GraftFunctions}
     // The vocabulary distinct is the operator's most expensive stage and is
     // needed TWICE — by the bloom-build action and by the rescan join —
     // across two separate jobs, where exchange reuse cannot fire. Checkpoint
@@ -176,6 +183,9 @@ object CurationOps {
     // scan + distinct shuffle runs a single time.
     val train = trainShingles.select(col("sh")).distinct()
       .localCheckpoint(true)
+    val m = if (mBits > 0) mBits else BloomUtil.sizeFor(train.count(), k)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new BloomBuild(m, k), org.apache.spark.sql.Encoders.STRING)
     val bloom: Array[Byte] = train.agg(bloomAgg(col("sh"))).head.getAs[Array[Byte]](0)
     val totals = evalShingles.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))

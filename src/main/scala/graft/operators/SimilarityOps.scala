@@ -165,18 +165,36 @@ object SimilarityOps {
   }
 
   /** Batch k-NN join: top-k neighbors for EVERY query row (window ranking
-    * per query). Candidates bucket-bounded by `cellCol` (IVF-style), so the
-    * join is cell×cell, not corpus×corpus. */
-  def knnJoin(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int): DataFrame = {
+    * per query). Candidates are bounded by (coarse cell × sign-LSH bucket)
+    * when `planes` is non-empty: the cell is the IVF-style quantizer /
+    * partition key, and the hyperplane bucket ([[signLshBucket]]) composes
+    * into the join key on top of it — a cell-only corpus×corpus join is
+    * quadratic in cell size at scale, while the composed key keeps the
+    * candidate volume density-bounded (the same fix
+    * [[graft.operators.DedupOps.embeddingNearDups]] applies to the pair
+    * generator). Recall per LSH table is (1 − θ/π)^planes; production ORs
+    * several plane tables when k-recall must be near-exact.
+    *
+    * Norms are computed per VECTOR below the join's shuffle barrier, not
+    * per PAIR above it — each candidate pair costs exactly one VecDot. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int,
+      planes: Seq[Seq[Double]] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucket = (v: Column) =>
+      if (planes.isEmpty) lit(0L) else signLshBucket(v, planes)
     val c = corpus.select(col("vec_id").as("n_id"), col(cellCol).as("cell"),
-      col("embedding").cast("array<double>").as("n_emb"))
+        col("embedding").cast("array<double>").as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+      .withColumn("bucket", bucket(col("n_emb")))
     val qs = queries.select(col("vec_id").as("q_id"), col(cellCol).as("cell"),
-      col("embedding").cast("array<double>").as("q_emb"))
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+      .withColumn("bucket", bucket(col("q_emb")))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
-    qs.join(c, "cell")
+    qs.join(c, Seq("cell", "bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("n_emb"), col("q_emb")), 6))
+      .withColumn("cosine", graft.engine.Semantics.roundz(
+        dot(col("n_emb"), col("q_emb")) / (col("n_nrm") * col("q_nrm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))

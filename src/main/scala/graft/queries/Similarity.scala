@@ -43,22 +43,30 @@ object Similarity extends QueryGroup {
            |WHERE e.vec_id <> 0
            |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin))
 
-  /** Batch k-NN join: top-3 neighbors for every query in a query set,
-    * cell-bounded (IVF shape) + per-query window ranking. */
+  /** Batch k-NN join: top-3 neighbors for every query in a query set.
+    * Candidates are (cell × sign-LSH bucket)-bounded — a cell-only join is
+    * all-pairs within a cell (quadratic in cell size at 100×); the composed
+    * key is the same density-bounded generator q32/q61 use. The planes are
+    * deterministic literals, so the oracle reproduces the bucket exactly. */
+  private val q31Planes = SimilarityOps.lshPlanes(2, 64)
   private val q31 = QueryDef(
     "q31_knn_join",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      SimilarityOps.knnJoin(emb, emb.filter(col("vec_id") < 5), "label", 3)
+      SimilarityOps.knnJoin(emb, emb.filter(col("vec_id") < 5), "label", 3, q31Planes)
         .orderBy(col("q_id"), col("rank"))
     },
-    Some("""WITH qs AS (SELECT vec_id AS q_id, label, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 5),
+    Some(s"""WITH bk AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           |    ${OracleSql.signLshBucketSql("embedding::DOUBLE[]", q31Planes)} AS bucket
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id AS q_id, label, bucket, v AS q_emb FROM bk WHERE vec_id < 5),
            |scored AS (
            |  SELECT qs.q_id, e.vec_id AS n_id,
-           |    round(list_dot_product(e.embedding::DOUBLE[], qs.q_emb)
-           |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           |    round(list_dot_product(e.v, qs.q_emb)
+           |      / (sqrt(list_dot_product(e.v, e.v))
            |       * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) + 0.0 AS cosine
-           |  FROM embeddings e JOIN qs ON e.label = qs.label
+           |  FROM bk e JOIN qs ON e.label = qs.label AND e.bucket = qs.bucket
            |  WHERE e.vec_id <> qs.q_id),
            |ranked AS (
            |  SELECT q_id, n_id, cosine,

@@ -44,6 +44,40 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(buildBloom(inserted, parts = 1).toSeq === buildBloom(inserted, parts = 13).toSeq)
   }
 
+  test("sizeFor: n·k/ln2 bits, word-aligned, clamped to 2KiB..16MiB") {
+    val m = BloomUtil.sizeFor(500, 5)
+    assert(m % 64 === 0)
+    assert(m === (1 << 14)) // small vocab hits the lower clamp
+    val big = BloomUtil.sizeFor(1000000, 5)
+    assert(big >= 1000000 * 5 / math.log(2.0) - 64 && big % 64 === 0)
+    assert(BloomUtil.sizeFor(Long.MaxValue / 8, 5) === (1 << 27)) // upper clamp
+  }
+
+  test("saturation: fp degrades smoothly at 2× design load, never false-negative") {
+    // Size for 500 keys, insert 1000 — twice the design load. Theory:
+    // fp = (1 − e^(−k·n/m))^k with m = 500·k/ln2 (here the 2^14 clamp, so
+    // even better); at exactly m = n·k/ln2 and 2n inserted the rate is
+    // (1 − 0.25)^5 ≈ 24%. The point: overload degrades the PREFILTER, not
+    // correctness — membership of inserted keys stays exact.
+    val m = BloomUtil.sizeFor(500, k)
+    val agg = udaf(new BloomBuild(m, k), Encoders.STRING)
+    val doubled = (1 to 1000).map(i => s"member_$i")
+    val bloom = doubled.toDF("s").agg(agg(col("s"))).head.getAs[Array[Byte]](0)
+    val words = BloomUtil.toWords(bloom)
+    assert(doubled.forall(s => BloomUtil.mightContain(words, s.getBytes("UTF-8"), k)))
+    val fp = (1 to 2000).map(i => s"absent_$i")
+      .count(s => BloomUtil.mightContain(words, s.getBytes("UTF-8"), k))
+    assert(fp < 700, s"2× overload fp count $fp out of 2000 — beyond smooth degradation")
+  }
+
+  test("null bloom literal is rejected at analysis, not NPE at codegen") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_contains('x', CAST(NULL AS BINARY), 5)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("non-null binary literal"),
+      s"unexpected error: ${err.getMessage}")
+  }
+
   test("bloom-probe contamination equals the exact join, doc for doc") {
     val docs = (1L to 60L).map { i =>
       val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")

@@ -48,6 +48,40 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("knnJoin: bucketed candidates are a rank-consistent subset of cell-only") {
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 4)
+    val planes = SimilarityOps.lshPlanes(2, 64)
+
+    val cellOnly = SimilarityOps.knnJoin(emb, queries, "label", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = SimilarityOps.knnJoin(emb, queries, "label", 3, planes)
+      .collect()
+
+    // Every bucketed neighbor shares the query's cell AND sign-LSH bucket…
+    val buckets = emb
+      .select(col("vec_id"), col("label"),
+        SimilarityOps.signLshBucket(col("embedding").cast("array<double>"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    bucketed.foreach { r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses cell/bucket")
+    }
+    // …cosines agree with the cell-only scorer where pairs overlap…
+    bucketed.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      cellOnly.get(key).foreach(c => assert(c === r.getDouble(2)))
+    }
+    // …and ranks are dense per query starting at 1.
+    bucketed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    assert(bucketed.nonEmpty)
+  }
+
   test("VecDot works through a full query (cosine top-k plan)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
