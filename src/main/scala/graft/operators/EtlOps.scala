@@ -118,9 +118,9 @@ object EtlOps {
     * `df.write.jdbc` with `batchsize` — every executor writes its own
     * partitions in `batchSize`-row round trips, so load parallelism equals
     * the partition count (the reference's batching, at cluster width).
-    * Untested by design in this zero-egress container (no database to
-    * connect to); [[overwriteDatePartitions]] is the parquet stand-in the
-    * specs exercise. */
+    * Spec-verified offline against an embedded file-backed Derby database
+    * (EtlOpsSpec) — the same `write.jdbc` code path the reference's
+    * PostgreSQL target exercises, no network needed. */
   def writeJdbcBatched(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 1000): Unit = {
     // Never mutate the caller's Properties: stamping batchsize into a shared

@@ -34,9 +34,39 @@ object GraphOps {
   /** Connected components of the undirected graph given by `edges`.
     * Returns (node, comp) for every node INCIDENT TO AN EDGE, where comp is
     * the minimum node id in the node's component — deterministic under any
-    * partitioning. */
+    * partitioning.
+    *
+    * Active-set contraction: the per-round join input is not the full edge
+    * set but a CONTRACTED one — each round every active edge is rewritten to
+    * its endpoints' current labels and self-loops are dropped, so the join
+    * input shrinks toward zero as labels coalesce (most labels are final
+    * after a few rounds; the full set would re-join all of them every
+    * round). Rewriting, not merely dropping, is what keeps this sound:
+    * dropping a same-label edge (u,v) without rewriting can strand u's
+    * representative — a later, smaller minimum arriving on v's side then
+    * never reaches it (labels flow down pointer chains, not up). A
+    * contracted edge instead connects the two REPRESENTATIVES, which keep
+    * relaxing against each other. As an unconditional safety net the
+    * converged labels are validated against the ORIGINAL edge set (labels
+    * must agree across every edge — one join, the cost of a single round of
+    * the uncontracted algorithm); a crossing edge reseeds the active set
+    * from the original edges and iteration resumes. Labels-agree-everywhere
+    * plus the min-label invariants (comp(x) ≤ x, comp(x) in x's component,
+    * comp(m) = m for the component min m) imply every label IS its
+    * component's min, so a validated result is correct regardless of any
+    * contraction subtlety.
+    *
+    * `maxIters` bounds the number of LABEL-CHANGING rounds; convergence
+    * needs one extra confirming round (unchanged mass), so the loop runs to
+    * maxIters + 1 — a graph that stabilizes exactly at round maxIters still
+    * converges.
+    *
+    * `edgeCounts`, when non-null, receives the active-edge count after each
+    * round (cheap: counted on the round's already-materialized checkpoint) —
+    * instrumentation for specs and scale audits. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30,
+      edgeCounts: scala.collection.mutable.Buffer[Long] = null): DataFrame = {
     // Node ids must already be integral: a silent cast("long") on e.g. a
     // hex-fingerprint string column would turn every id into NULL and
     // "converge" to one garbage (null, null) component.
@@ -93,30 +123,75 @@ object GraphOps {
     var cur: java.math.BigDecimal = null
     var it = 0
     var converged = false
-    while (!converged && it < maxIters) {
-      // One round relaxes every edge (neighbor min) AND pointer-jumps
+    var validated = false
+    var active = und
+    // maxIters label-changing rounds + 1 confirming round; the (never yet
+    // observed) validation-reseed path gets one fresh budget of its own.
+    var budget = maxIters + 1
+    var reseeds = 0
+    while ((!converged || !validated) && budget > 0) {
+      if (converged && !validated) {
+        // Post-convergence validation found a crossing edge: reseed the
+        // active set from the ORIGINAL edges and resume relaxing, once.
+        require(reseeds == 0,
+          "connectedComponents: labels failed edge validation twice — " +
+            "this indicates a bug in the contraction step, not an input problem")
+        reseeds += 1
+        budget = maxIters + 1
+        active = und
+        converged = false
+        cur = null
+      }
+      // One round relaxes every ACTIVE edge (neighbor min) AND pointer-jumps
       // (comp∘comp): label indirection halves each round, so rounds grow as
       // O(log diameter), not O(diameter). comp values are node ids, so the
-      // hop join always finds its target row.
-      val prop = und.join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("comp"))
+      // hop join always finds its target row. The same (active × labels²)
+      // join feeds both the propagation and the contraction, so contraction
+      // adds no join beyond the one relaxation already pays.
+      val j = active
+        .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
+        .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
+      val prop = j.select(col("dst").as("node"), col("__sc").as("comp"))
       val hop = labels.select(col("node"), col("comp").as("__via"))
         .join(labels.select(col("node").as("__via"), col("comp")), "__via")
         .select(col("node"), col("comp"))
       val next = labels.select(col("node"), col("comp")).union(prop).union(hop)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint(eager = true)
+      // Contract by the labels the round STARTED from (one round stale is
+      // still a valid contraction — validation is the correctness gate);
+      // active edges reference representative ids, which are node ids, so
+      // the next round's label joins always find their rows. Checkpointed
+      // eagerly: like labels, the active lineage would otherwise nest one
+      // plan per round.
+      val nextActive = j.select(col("__sc").as("src"), col("__dc").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(eager = true)
+      if (edgeCounts != null) edgeCounts += nextActive.count()
       val nm = mass(next)
       labels = next
+      active = nextActive
       converged = cur != null && nm.compareTo(cur) == 0
       cur = nm
       it += 1
+      budget -= 1
       lap(s"round $it")
+      if (converged && !validated) {
+        // Labels must agree across every ORIGINAL edge; with the min-label
+        // invariants that is equivalent to full correctness (see scaladoc).
+        val crossing = und
+          .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
+          .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
+          .filter(col("__sc") =!= col("__dc"))
+        validated = crossing.isEmpty
+        lap("validate")
+      }
     }
     und.unpersist(blocking = false)
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds; " +
-        "raise maxIters (rounds needed ~ log2 of component diameter)")
+    require(converged && validated,
+      s"connectedComponents did not converge in $maxIters label-changing " +
+        "rounds (+1 confirmation); raise maxIters (rounds needed ~ log2 of " +
+        "component diameter)")
     labels
   }
 

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature-extract /
   * resize / frame-sample run per-partition over batches.
   *
-  * The media codec itself is STUBBED (this container has no image/audio
-  * libraries — see [[StubCodec]]) behind the [[MediaCodec]] trait, but the
-  * Spark-side plumbing is real and tested: schema, encoders, partition
-  * batching, and the mapPartitions execution shape (the Scala analogue of
-  * mapInPandas — one codec instantiation per partition, streamed batches,
-  * no per-row setup cost).
+  * Codec status: IMAGE decode is real (JDK `javax.imageio` — PNG/BMP/GIF/
+  * JPEG true dimensions, no external libraries); audio/video decode and
+  * pixel resampling are STUBBED behind the [[MediaCodec]] trait (no such
+  * codec ships with the JDK and this container has no media libraries).
+  * The Spark-side plumbing is real and tested either way: schema, encoders,
+  * partition batching, and the mapPartitions execution shape (the Scala
+  * analogue of mapInPandas — one codec instantiation per partition,
+  * streamed batches, no per-row setup cost).
   */
 object MultimodalOps {
 
@@ -39,14 +41,27 @@ object MultimodalOps {
     def decode(payload: Array[Byte], mediaType: String): (Int, Int, Long)
   }
 
-  /** Deterministic fake decoder: derives plausible dimensions from the
-    * payload hash. A real deployment swaps in an image/audio library here —
-    * the surrounding plan is unchanged. */
+  /** Default decoder. The IMAGE branch is REAL: the JDK's built-in
+    * `javax.imageio` readers decode PNG / BMP / GIF / JPEG headers to true
+    * pixel dimensions with zero external dependencies (in-memory only —
+    * the disk cache is disabled so a 1000-executor decode pass never
+    * touches local temp storage). A payload that isn't a decodable image —
+    * including this repo's synthetic test corpus — falls back to the
+    * deterministic hash-derived envelope, keeping the operator total.
+    * AUDIO / VIDEO stay stubbed (the JDK ships no codec for them); a real
+    * deployment swaps those branches for a media library and nothing else
+    * in the plan changes. */
   object StubCodec extends MediaCodec {
+    javax.imageio.ImageIO.setUseCache(false)
     override def decode(payload: Array[Byte], mediaType: String): (Int, Int, Long) = {
       val h = java.util.Arrays.hashCode(payload).abs
       mediaType match {
-        case "image" => (64 + h % 1024, 64 + (h / 7) % 1024, 0L)
+        case "image" =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img != null) (img.getWidth, img.getHeight, 0L)
+          else (64 + h % 1024, 64 + (h / 7) % 1024, 0L)
         case "audio" => (0, 0, 1000L + h % 600000L)
         case "video" => (64 + h % 1920, 64 + (h / 7) % 1080, 1000L + h % 3600000L)
         case _ => (0, 0, 0L)

@@ -15,29 +15,36 @@ object Integrity extends QueryGroup {
     * digits keeps the BIGINT cast positive in every engine), folded with
     * bit_xor — commutative and associative, so the result is independent
     * of row order, partitioning, and parallelism, and the aggregate is one
-    * map-side-combinable hash agg. Fields are U+0001-separated and a NULL
-    * field encodes as U+0002 via explicit coalesce — NOT concat_ws, whose
-    * null-skipping drops a null field AND its separator, so ("1",null,"en")
-    * and ("1","en",null) would hash equal and hide exactly the column-shift
-    * corruption a checksum exists to catch. */
-  private def checksumField(c: org.apache.spark.sql.Column) =
-    coalesce(c.cast("string"), lit("\u0002"))
+    * map-side-combinable hash agg. Row encoding is INJECTIVE: each field
+    * is length-prefixed (`<byte-length>:<value>`, NULL encodes as `N`) so
+    * no field value can alias a marker or shift across a field boundary
+    * — in-band sentinel separators (and concat_ws's null-skipping before
+    * them) admit collisions for adversarial values (a field whose real
+    * value IS the sentinel), which is exactly the class of corruption a
+    * checksum exists to catch. The prefix code parses left-to-right (a
+    * length never starts with `N`), so distinct field tuples always
+    * produce distinct encoded strings. */
+  private def checksumField(c: org.apache.spark.sql.Column) = {
+    val s = c.cast("string")
+    when(s.isNull, lit("N"))
+      .otherwise(concat(octet_length(s).cast("string"), lit(":"), s))
+  }
   private val q62 = QueryDef(
     "q62_content_checksum",
     (s, dir) => Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
         bit_xor(conv(substring(md5(concat(
-          checksumField(col("doc_id")), lit("\u0001"),
-          checksumField(col("lang")), lit("\u0001"),
+          checksumField(col("doc_id")),
+          checksumField(col("lang")),
           checksumField(col("text")))), 1, 15), 16, 10).cast("long"))
           .as("checksum"))
       .orderBy(col("source")),
     Some("""SELECT source, count(*) AS n_rows,
            |  bit_xor(('0x' || substr(md5(
-           |    coalesce(doc_id::VARCHAR, chr(2)) || chr(1) ||
-           |    coalesce(lang, chr(2)) || chr(1) ||
-           |    coalesce(text, chr(2))), 1, 15))::BIGINT) AS checksum
+           |    CASE WHEN doc_id IS NULL THEN 'N' ELSE strlen(doc_id::VARCHAR)::VARCHAR || ':' || doc_id::VARCHAR END ||
+           |    CASE WHEN lang IS NULL THEN 'N' ELSE strlen(lang)::VARCHAR || ':' || lang END ||
+           |    CASE WHEN text IS NULL THEN 'N' ELSE strlen(text)::VARCHAR || ':' || text END), 1, 15))::BIGINT) AS checksum
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** The SQL entry point: the fact⋈dim join + grouped agg shape authored as

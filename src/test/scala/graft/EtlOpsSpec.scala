@@ -95,6 +95,30 @@ class EtlOpsSpec extends SparkSpec {
     assert(got === Set(10L, 2L))
   }
 
+  test("S8: batched JDBC sink round-trips through embedded Derby (transform.py:263-288)") {
+    // Derby ships in /opt/spark/jars, so the real write.jdbc path IS
+    // testable offline: an embedded file-backed database stands in for the
+    // reference's PostgreSQL. Same code path, same batching option.
+    val dbDir = java.nio.file.Files.createTempDirectory("s8-derby").toFile
+    System.setProperty("derby.stream.error.file",
+      new java.io.File(dbDir, "derby.log").getAbsolutePath)
+    val url = s"jdbc:derby:${dbDir.getAbsolutePath}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val rows = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null: String, 3.5))
+      .toDF("id", "tag", "meters")
+    EtlOps.writeJdbcBatched(rows, url, "breadcrumbs", props, batchSize = 2)
+    val back = spark.read.jdbc(url, "breadcrumbs", props)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(back === Set((1L, Some("a"), 1.5), (2L, Some("b"), 2.5), (3L, None, 3.5)))
+    // append mode: a second batch lands alongside, nothing truncated
+    EtlOps.writeJdbcBatched(Seq((4L, "d", 4.5)).toDF("id", "tag", "meters"),
+      url, "breadcrumbs", props, batchSize = 1000)
+    assert(spark.read.jdbc(url, "breadcrumbs", props).count() === 4)
+    // the caller's Properties must not be mutated by the batchsize stamp
+    assert(props.getProperty("batchsize") === null)
+  }
+
   test("pipeline: breadcrumbs + trips end-to-end on raw JSON rows (transform.py:86-312)") {
     val raw = Seq(
       (101L, "25DEC2022:00:00:00", 1000L, 0.0, 45.1, -122.1, 7L),

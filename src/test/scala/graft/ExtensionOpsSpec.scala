@@ -268,6 +268,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(again === feats.map { case (k, v) => k -> v.feature_hash })
   }
 
+  test("multimodal: real PNG and BMP payloads decode to true pixel dimensions") {
+    import MultimodalOps._
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", encode(123, 45, "png"), "s0"),
+      MediaRecord(2L, "image", encode(7, 300, "bmp"), "s0"),
+      MediaRecord(3L, "image", "not-an-image".getBytes, "s1") // fallback path
+    ).toDS()
+    val feats = extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 123 && feats(1L).height === 45)
+    assert(feats(2L).width === 7 && feats(2L).height === 300)
+    assert(feats(3L).width > 0 && feats(3L).height > 0) // deterministic fake dims
+    assert(feats.values.forall(_.duration_ms === 0L))
+  }
+
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {
     import MultimodalOps._
     val media = Seq(

@@ -42,6 +42,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(comps(Seq.empty) === Map.empty[Long, Long])
   }
 
+  test("active set contracts: per-round edge input shrinks to zero on a chain") {
+    val counts = scala.collection.mutable.Buffer.empty[Long]
+    val labels = GraphOps.connectedComponents(
+      (1L to 64L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst"),
+      "src", "dst", edgeCounts = counts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (1L to 64L).map(_ -> 1L).toMap)
+    // Monotone non-increasing (round 1 contracts by its starting self-labels,
+    // so shrinkage begins at round 2), strictly below the full set from
+    // round 2 on, and empty by convergence — the full-edge join never recurs.
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"active-edge counts not monotone: $counts")
+    assert(counts.head <= 2 * 63 && counts(1) < 2 * 63,
+      s"active set did not contract: $counts")
+    assert(counts.last === 0L, s"active set not drained at convergence: $counts")
+  }
+
+  test("contraction keeps stranded representatives reachable (drop-only regression)") {
+    // Adversarial shape for naive same-label-edge DROPPING: after round 2,
+    // nodes 2, 6, 7 all carry label 2 while the global min 1 is still
+    // propagating up the 9-8-7 tail. Dropping (2,6)/(6,7) at that point
+    // strands representative 2 — it never learns 1, and 6 follows it.
+    // Contraction instead rewrites (6,7) to the representative edge (2,1),
+    // which keeps relaxing. The validation join would catch any residue.
+    val got = comps(Seq((2L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 1L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
+  test("a graph that stabilizes exactly at round maxIters still converges") {
+    val edges = (1L to 32L).sliding(2).map(p => (p.head, p.last)).toSeq
+    val counts = scala.collection.mutable.Buffer.empty[Long]
+    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+      edgeCounts = counts)
+    val labelChangingRounds = counts.length - 1 // last round is the confirmation
+    // maxIters = exactly the label-changing rounds must succeed (the
+    // confirming round rides the +1), one fewer must fail.
+    val exact = GraphOps.connectedComponents(
+      edges.toDF("src", "dst"), "src", "dst", maxIters = labelChangingRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact === (1L to 32L).map(_ -> 1L).toMap)
+    assertThrows[IllegalArgumentException] {
+      GraphOps.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst", maxIters = labelChangingRounds - 1)
+    }
+  }
+
   test("clusterKeepers reports one row per component with its size") {
     val cc = GraphOps.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst"), "src", "dst")
