@@ -37,7 +37,9 @@ object Bench {
       }
       (name, one(), one())
     }
-    def fmt(v: Option[Double]): String = v.fold("null")(_.toString)
+    // Millisecond precision: sub-ms digits are machine noise and only
+    // bloat the JSON line past log-tail windows.
+    def fmt(v: Option[Double]): String = v.fold("null")(d => (math.rint(d * 1000) / 1000).toString)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qsSteady = results.map { case (k, _, v) => s"\"" + k + "\":" + fmt(v) }
@@ -46,8 +48,19 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val steadyTotal = results.flatMap(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""steady_total":$steadyTotal,"queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""steady_total":$steadyTotal,"queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir"}"""
+    // Full line first (humans, files), COMPACT line last: a log-tail window
+    // shorter than the per-query dicts cuts the full line mid-JSON, so the
+    // final line a tail parser sees must be short enough to always fit.
+    println(fullJson)
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () } // best-effort copy, never fails the bench
+    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,""" +
+      s""""failed":$failed,"sf":"$sfDir","detail":"target/bench_full.json"}""")
     spark.stop()
     if (results.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
   }

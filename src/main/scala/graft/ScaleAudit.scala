@@ -51,18 +51,49 @@ object ScaleAudit {
     val split = graft.operators.CurationOps.hashSplit(col("doc_id"),
       Seq("train" -> 80, "valid" -> 90, "test" -> 100))
     val withSplit = docs.withColumn("split", split)
-    val testShingles = TextOps.shingleRows(
-      withSplit.filter(col("split") === "test"), col("doc_id"), col("split"), col("text")).count()
-    val trainVocab = TextOps.shingleRows(
+    val testShinglesDf = TextOps.shingleRows(
+      withSplit.filter(col("split") === "test"), col("doc_id"), col("split"), col("text"))
+      .localCheckpoint(true)
+    val testShingles = testShinglesDf.count()
+    val trainVocabDf = TextOps.shingleRows(
       withSplit.filter(col("split") === "train"), col("doc_id"), col("split"), col("text"))
-      .select("sh").distinct().count()
+      .select("sh").distinct().localCheckpoint(true)
+    val trainVocab = trainVocabDf.count()
+
+    // q56 bloom prefilter: what fraction of the probe stream survives the
+    // broadcast sketch vs truly hits the vocabulary. bloomPos − exactHits =
+    // false positives paying the rescan join; at scale the prefilter must
+    // shrink the join's probe side to (true overlap + ε), and ε tracks the
+    // sizing rule (BloomUtil.sizeFor → fp ≈ 2^−k at design load).
+    val bloomK = 5
+    val bloomM = graft.functions.BloomUtil.sizeFor(trainVocab, bloomK)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBuild(bloomM, bloomK), org.apache.spark.sql.Encoders.STRING)
+    val bloom = trainVocabDf.agg(bloomAgg(col("sh"))).head.getAs[Array[Byte]](0)
+    val bloomPos = testShinglesDf
+      .filter(graft.functions.GraftFunctions.bloomContains(col("sh"), bloom, bloomK)).count()
+    val exactHits = testShinglesDf.join(trainVocabDf, Seq("sh")).count()
 
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
     val allPairsVecs = embs.groupBy("label").count()
       .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L))).head.getLong(0)
+    // (cell × sign-LSH bucket) pair volume — the shared candidate generator
+    // behind q32 embedding near-dup, q61 semantic dedup, AND q31's k-NN
+    // join (ordered candidates = 2× these unordered pairs); all_pairs_vecs
+    // above is what any of them would generate cell-only.
     val q32 = DedupOps.embeddingCandidates(embs, "vec_id", col("embedding"), col("label"),
       SimilarityOps.lshPlanes(2, 64)).count()
+
+    // q61 semantic-dedup graph: nodes/components of the cosine-VERIFIED
+    // pair graph (q32's output, the actual CC input) — per-round CC work is
+    // O(|verified edges|), candidate volume above bounds the verifier;
+    // nodes − components = docs the semantic dedup deletes.
+    val semEdges = DedupOps.embeddingNearDups(embs, "vec_id", col("embedding"), col("label"),
+      0.35, SimilarityOps.lshPlanes(2, 64)).localCheckpoint(true)
+    val semCc = graft.operators.GraphOps.connectedComponents(semEdges, "a_id", "b_id")
+    val semNodes = semCc.count()
+    val semComps = semCc.select("comp").distinct().count()
 
     // q53/q61 cluster graphs: nodes/components from the minhash pair list.
     // The CC loop's work per round is O(|edges|); what must stay bounded as
@@ -78,7 +109,10 @@ object ScaleAudit {
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
       s""""q50_test_shingle_probe_rows":$testShingles,"q50_train_vocab":$trainVocab,""" +
+      s""""q56_bloom_mbits":$bloomM,"q56_bloom_positive_probe_rows":$bloomPos,""" +
+      s""""q56_exact_hit_probe_rows":$exactHits,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
+      s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")
     spark.stop()
   }

@@ -36,12 +36,19 @@ object GraphOps {
     * the minimum node id in the node's component — deterministic under any
     * partitioning.
     *
-    * Active-set contraction: the per-round join input is not the full edge
-    * set but a CONTRACTED one — each round every active edge is rewritten to
-    * its endpoints' current labels and self-loops are dropped, so the join
-    * input shrinks toward zero as labels coalesce (most labels are final
-    * after a few rounds; the full set would re-join all of them every
-    * round). Rewriting, not merely dropping, is what keeps this sound:
+    * Active-set contraction (engages when the mirrored edge set holds at
+    * least `contractFrom` rows — it is a SCALE optimization): the per-round
+    * join input is not the full edge set but a CONTRACTED one — each round
+    * every active edge is rewritten to its endpoints' current labels and
+    * self-loops are dropped, so the join input shrinks toward zero as
+    * labels coalesce (most labels are final after a few rounds; the full
+    * set would re-join all of them every round). Below the threshold the
+    * loop runs uncontracted: there the per-round cost is scheduler latency,
+    * not edge volume, and contraction's extra distinct shuffle only adds
+    * stages (measured ~2× per-round at 10³ edges, while at 10⁸+ edges the
+    * full-set join is the dominant cost and shrinkage wins by the same
+    * argument partial aggregation does). Rewriting, not merely dropping,
+    * is what keeps the contraction sound:
     * dropping a same-label edge (u,v) without rewriting can strand u's
     * representative — a later, smaller minimum arriving on v's side then
     * never reaches it (labels flow down pointer chains, not up). A
@@ -62,11 +69,13 @@ object GraphOps {
     * converges.
     *
     * `edgeCounts`, when non-null, receives the active-edge count after each
-    * round (cheap: counted on the round's already-materialized checkpoint) —
-    * instrumentation for specs and scale audits. */
+    * round (constant on the uncontracted path, shrinking on the contracted
+    * one) — instrumentation for specs and scale audits; pass
+    * `contractFrom = 0` alongside to force contraction on a small graph. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIters: Int = 30,
-      edgeCounts: scala.collection.mutable.Buffer[Long] = null): DataFrame = {
+      edgeCounts: scala.collection.mutable.Buffer[Long] = null,
+      contractFrom: Long = 1L << 16): DataFrame = {
     // Node ids must already be integral: a silent cast("long") on e.g. a
     // hex-fingerprint string column would turn every id into NULL and
     // "converge" to one garbage (null, null) component.
@@ -117,6 +126,9 @@ object GraphOps {
       t0 = t1
     }
     e.unpersist(blocking = false) // und is materialized (labels' eager checkpoint ran it)
+    // One count on the persisted mirror decides the loop shape; ~free
+    // relative to a single round either way.
+    val contracting = und.count() >= contractFrom
     lap("init")
     // cur = null until round 1 computes the first mass: the initial mass is
     // not worth its own job just to compare against.
@@ -145,27 +157,37 @@ object GraphOps {
       // One round relaxes every ACTIVE edge (neighbor min) AND pointer-jumps
       // (comp∘comp): label indirection halves each round, so rounds grow as
       // O(log diameter), not O(diameter). comp values are node ids, so the
-      // hop join always finds its target row. The same (active × labels²)
-      // join feeds both the propagation and the contraction, so contraction
-      // adds no join beyond the one relaxation already pays.
-      val j = active
-        .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
-        .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
-      val prop = j.select(col("dst").as("node"), col("__sc").as("comp"))
+      // hop join always finds its target row.
       val hop = labels.select(col("node"), col("comp").as("__via"))
         .join(labels.select(col("node").as("__via"), col("comp")), "__via")
         .select(col("node"), col("comp"))
+      val (prop, nextActive) =
+        if (!contracting) {
+          // Small graphs: per-round cost is scheduler latency, not edge
+          // volume — the plain full-set relaxation has the fewest stages.
+          (active.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("comp")), active)
+        } else {
+          // The same (active × labels²) join feeds both the propagation and
+          // the contraction, so contraction adds no join beyond the one the
+          // relaxation already pays. Contraction uses the labels the round
+          // STARTED from (one round stale is still a valid contraction —
+          // validation is the correctness gate); contracted endpoints are
+          // representative ids, which are node ids, so the next round's
+          // label joins always find their rows. The contracted set is
+          // lazily checkpointed: it materializes inside its first consumer
+          // (the NEXT round's mass job), and each plan nests at most one
+          // un-truncated level, never the exponential tower.
+          val j = active
+            .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
+            .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
+          (j.select(col("dst").as("node"), col("__sc").as("comp")),
+            j.select(col("__sc").as("src"), col("__dc").as("dst"))
+              .filter(col("src") =!= col("dst")).distinct()
+              .localCheckpoint(eager = false))
+        }
       val next = labels.select(col("node"), col("comp")).union(prop).union(hop)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
-      // Contract by the labels the round STARTED from (one round stale is
-      // still a valid contraction — validation is the correctness gate);
-      // active edges reference representative ids, which are node ids, so
-      // the next round's label joins always find their rows. Checkpointed
-      // eagerly: like labels, the active lineage would otherwise nest one
-      // plan per round.
-      val nextActive = j.select(col("__sc").as("src"), col("__dc").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint(eager = true)
       if (edgeCounts != null) edgeCounts += nextActive.count()
       val nm = mass(next)
@@ -177,14 +199,20 @@ object GraphOps {
       budget -= 1
       lap(s"round $it")
       if (converged && !validated) {
-        // Labels must agree across every ORIGINAL edge; with the min-label
-        // invariants that is equivalent to full correctness (see scaladoc).
-        val crossing = und
-          .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
-          .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
-          .filter(col("__sc") =!= col("__dc"))
-        validated = crossing.isEmpty
-        lap("validate")
+        // Contraction's correctness gate: labels must agree across every
+        // ORIGINAL edge; with the min-label invariants that is equivalent
+        // to full correctness (see scaladoc). The uncontracted loop relaxes
+        // the full edge set every round, so its no-change fixpoint IS that
+        // agreement — no separate join needed.
+        if (!contracting) validated = true
+        else {
+          val crossing = und
+            .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
+            .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
+            .filter(col("__sc") =!= col("__dc"))
+          validated = crossing.isEmpty
+          lap("validate")
+        }
       }
     }
     und.unpersist(blocking = false)

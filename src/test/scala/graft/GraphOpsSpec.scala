@@ -46,7 +46,7 @@ class GraphOpsSpec extends SparkSpec {
     val counts = scala.collection.mutable.Buffer.empty[Long]
     val labels = GraphOps.connectedComponents(
       (1L to 64L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("src", "dst"),
-      "src", "dst", edgeCounts = counts)
+      "src", "dst", edgeCounts = counts, contractFrom = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === (1L to 64L).map(_ -> 1L).toMap)
     // Monotone non-increasing (round 1 contracts by its starting self-labels,
@@ -66,7 +66,11 @@ class GraphOpsSpec extends SparkSpec {
     // strands representative 2 — it never learns 1, and 6 follows it.
     // Contraction instead rewrites (6,7) to the representative edge (2,1),
     // which keeps relaxing. The validation join would catch any residue.
-    val got = comps(Seq((2L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 1L)))
+    // contractFrom = 0 forces the contracted path this test targets.
+    val got = GraphOps.connectedComponents(
+      Seq((2L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 1L)).toDF("src", "dst"),
+      "src", "dst", contractFrom = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
   }
 
