@@ -136,6 +136,41 @@ object CurationOps {
       .drop("__mix_source", "__mix_rate")
   }
 
+  /** Token-budget mixture PLANNER — the step that turns target mixture
+    * shares into the per-source rates [[mixtureSample]] executes: given
+    * each source's available tokens and a target share (percent of the
+    * final mixture, by tokens), the largest achievable mixture is bound by
+    * the scarcest source (B = min over sources of avail/share), every
+    * source plans share × B tokens, and the binding source keeps rate 1.0.
+    * One grouped aggregate over target sources + a broadcast scalar min —
+    * no shuffle beyond the aggregate at any corpus size. Sources absent
+    * from `targets` are ignored; a target source absent from the corpus
+    * simply contributes no row (the plan covers what exists — callers
+    * should validate the spec against the returned row count). */
+  def mixturePlan(df: DataFrame, source: Column, tokens: Column,
+      targets: Seq[(String, Int)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "mixture target shares must be positive")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in mixture targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toDF("source", "target_pct"))
+    val tok = df.select(source.as("source"), tokens.as("__tok"))
+      .join(t, "source")
+      .groupBy(col("source"), col("target_pct"))
+      .agg(sum(col("__tok")).as("avail_tokens"))
+      .withColumn("__ratio",
+        col("avail_tokens").cast("double") / col("target_pct").cast("double"))
+    tok.crossJoin(broadcast(tok.agg(min(col("__ratio")).as("__mr"))))
+      .select(col("source"), col("avail_tokens"),
+        col("target_pct").cast("long").as("target_pct"),
+        floor(col("target_pct") * col("__mr")).cast("long").as("planned_tokens"),
+        graft.engine.Semantics.roundz(
+          col("target_pct") * col("__mr") / col("avail_tokens").cast("double"), 6)
+          .as("keep_rate"))
+  }
+
   /** Train/eval decontamination: for each eval document, the fraction of
     * its distinct shingles that also occur anywhere in the training corpus.
     * `evalShingles`/`trainShingles` are (doc_id, sh) rows (e.g.

@@ -134,6 +134,36 @@ object TextOps {
     * The exact formula is arbitrary (reference has none); what matters is
     * that it is deterministic, engine-neutral, and built from the classic
     * quality features (length / stopword ratio / mean word length). */
+  /** Exact heavy hitters via a Misra-Gries prefilter: tokens occurring in
+    * at least 1/`shareDen` of all token occurrences (integer-exact
+    * threshold: count × shareDen ≥ n — no float boundary to disagree on
+    * across engines).
+    *
+    * Plan: (1) one bounded-state sketch pass ([[graft.functions.MisraGries]]
+    * with capacity `k`; requires k + 1 > shareDen so the sketch provably
+    * contains every qualifying token — checked) collects ≤ k CANDIDATE
+    * tokens to the driver; (2) one exact count over candidate rows only.
+    * The full-vocabulary groupBy this replaces shuffles every distinct
+    * token; here the shuffle carries k entries per partition, the rescan
+    * aggregates only rows matching ≤ k tokens (an InSet probe, no join),
+    * and the result is EXACT at any corpus size — the same prefilter +
+    * exact-rescan discipline as [[CurationOps.contaminationBloom]]. */
+  def heavyHitters(df: DataFrame, tok: Column, k: Int, shareDen: Long): DataFrame = {
+    require(k + 1 > shareDen,
+      s"capacity k=$k cannot guarantee hitters at share 1/$shareDen: " +
+        "Misra-Gries retains items with count > n/(k+1), so k+1 must exceed shareDen")
+    val toks = df.select(tok.as("tok"))
+    val n = toks.count()
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val sketch = toks.agg(mg(col("tok"))).head.getMap[String, Long](0)
+    val cands = sketch.keys.toSeq.sorted
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * lit(shareDen) >= lit(n))
+  }
+
   def qualityScore(nTokens: Column, stopRatio: Column, meanWordLen: Column): Column =
     round(
       lit(0.4) * when(stopRatio.between(0.05, 0.5), 1.0).otherwise(0.0) +

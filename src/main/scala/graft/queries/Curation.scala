@@ -279,5 +279,30 @@ object Curation extends QueryGroup {
     },
     q50.oracle)
 
-  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56)
+  /** Token-budget mixture planning (the arithmetic upstream of q54's
+    * sampler): target shares → binding-source budget → per-source keep
+    * rates. The binding source (min avail/share) plans keep_rate 1.0. */
+  private val q66Targets = Seq(("src0", 40), ("src1", 30), ("src2", 20), ("src3", 10))
+  private val q66 = QueryDef(
+    "q66_mixture_plan",
+    (s, dir) => CurationOps.mixturePlan(
+        Tables.documents(s, dir), col("source"),
+        size(split(col("text"), " ")).cast("long"), q66Targets)
+      .orderBy(col("source")),
+    Some(s"""WITH tok AS (
+           |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+           |  FROM documents
+           |  WHERE source IN (${q66Targets.map(t => s"'${t._1}'").mkString(", ")})
+           |  GROUP BY 1),
+           |t AS (SELECT * FROM (VALUES ${q66Targets.map(t => s"('${t._1}', ${t._2})").mkString(", ")}) AS v(source, pct)),
+           |j AS (SELECT t.source, pct, avail_tokens,
+           |        CAST(avail_tokens AS DOUBLE) / CAST(pct AS DOUBLE) AS ratio
+           |      FROM t JOIN tok USING (source)),
+           |m AS (SELECT min(ratio) AS mr FROM j)
+           |SELECT source, avail_tokens, CAST(pct AS BIGINT) AS target_pct,
+           |  CAST(floor(pct * mr) AS BIGINT) AS planned_tokens,
+           |  round(pct * mr / CAST(avail_tokens AS DOUBLE), 6) + 0.0 AS keep_rate
+           |FROM j CROSS JOIN m ORDER BY source""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66)
 }

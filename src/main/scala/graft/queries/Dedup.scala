@@ -175,5 +175,50 @@ object Dedup extends QueryGroup {
            |FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60)
+  /** X2 (edit distance): entity-resolution-style verification — MinHash-LSH
+    * candidates (q23's density-bounded generator) each pay one
+    * threshold-bounded `levenshtein` (banded DP, early exit at 320), so the
+    * quadratic metric runs only on pairs the sketch already deemed similar.
+    * The exhaustive per-length-band variant exists as
+    * `DedupOps.editDistancePairs` (complete for the token metric, spec-
+    * covered); at corpus scale the LSH-blocked form is the one that
+    * survives, and the oracle reproduces generator + verifier exactly. */
+  private val q65 = QueryDef(
+    "q65_edit_distance_pairs",
+    (s, dir) => DedupOps.editDistanceVerify(
+        Tables.documents(s, dir), "doc_id", col("text"),
+        DedupOps.minhashLshCandidatesFromRows(docShingleRows(s, dir), 8, maxDf = 50),
+        maxDist = 320)
+      .orderBy(col("edit_distance"), col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
+           |hashed AS (
+           |  SELECT doc_id, source,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2, 3),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |d AS (SELECT doc_id, text FROM documents)
+           |SELECT p.a_id, p.b_id,
+           |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+           |FROM pairs p JOIN d da ON da.doc_id = p.a_id JOIN d db ON db.doc_id = p.b_id
+           |WHERE levenshtein(da.text, db.text) <= 320
+           |ORDER BY edit_distance, a_id, b_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65)
 }

@@ -271,5 +271,25 @@ object Text extends QueryGroup {
            |  ${langCols.map(l => s"count(*) FILTER (WHERE lang = '$l') AS $l").mkString(",\n  ")}
            |FROM documents GROUP BY 1 ORDER BY source""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57)
+  /** Exact heavy hitters through a Misra-Gries prefilter (X4 scale depth):
+    * tokens in ≥ 1/200 of all occurrences. The sketch pass ships ≤ k=400
+    * entries per partition (vs the full vocabulary a plain groupBy
+    * shuffles); the exact rescan touches only candidate rows, so the
+    * output hash-matches the full GROUP BY HAVING the oracle runs —
+    * sketch-prefilter + exact-verify, like the Bloom decontamination. */
+  private val q64 = QueryDef(
+    "q64_heavy_hitters",
+    (s, dir) => TextOps.heavyHitters(
+        Tables.documents(s, dir).select(explode(TextOps.tokenize(col("text"))).as("tok")),
+        col("tok"), k = 400, shareDen = 200L)
+      .orderBy(desc("n_occurrences"), col("tok")),
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tot AS (SELECT count(*) AS n FROM toks)
+           |SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM toks CROSS JOIN tot
+           |GROUP BY tok, tot.n
+           |HAVING CAST(count(*) AS BIGINT) * 200 >= tot.n
+           |ORDER BY n_occurrences DESC, tok""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64)
 }

@@ -144,6 +144,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.forall(after.contains) && after.filter(_ < 1000L) == a)
   }
 
+  test("mixture plan: binding source keeps rate 1.0, others scale to their share") {
+    // src0: 1000 tokens, share 50 → ratio 20; src1: 100 tokens, share 25 →
+    // ratio 4 (BINDING); src2: 400 tokens, share 25 → ratio 16.
+    // B = 4 → planned = share*4: (200, 100, 100); rates (0.2, 1.0, 0.25).
+    val docs = Seq(("src0", 1000L), ("src1", 100L), ("src2", 400L), ("ignored", 999L))
+      .toDF("source", "n_tok")
+    val got = CurationOps.mixturePlan(docs, col("source"), col("n_tok"),
+        Seq("src0" -> 50, "src1" -> 25, "src2" -> 25))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "src0" -> ((1000L, 50L, 200L, 0.2)),
+      "src1" -> ((100L, 25L, 100L, 1.0)),
+      "src2" -> ((400L, 25L, 100L, 0.25))))
+    assertThrows[IllegalArgumentException] {
+      CurationOps.mixturePlan(docs, col("source"), col("n_tok"), Seq("a" -> 0))
+    }
+    assertThrows[IllegalArgumentException] {
+      CurationOps.mixturePlan(docs, col("source"), col("n_tok"), Seq("a" -> 1, "a" -> 2))
+    }
+  }
+
   test("contamination: exact containment fraction; unseen shingles score 0") {
     val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
     val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")

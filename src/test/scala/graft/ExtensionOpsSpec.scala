@@ -250,6 +250,60 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(pruned === Set("a" -> "b"))
   }
 
+  test("X2: edit-distance band blocking pairs once, crosses bands, respects the block key") {
+    import graft.operators.DedupOps
+    val docs = Seq(
+      (1L, "s0", "a b c d e f g"),           // 7 tokens → band 0
+      (2L, "s0", "a b c d e f g h i"),       // 9 tokens → band 1; lev((1),(2)) = 4
+      (3L, "s0", "z y x w v u t s r q p o"), // same band as 2, far in content
+      (4L, "s1", "a b c d e f g")            // different block key — never pairs with 1
+    ).toDF("doc_id", "source", "text")
+    val got = DedupOps.editDistancePairs(docs, "doc_id", col("text"), col("source"),
+        maxTokDiff = 8, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2) crosses the band-0/band-1 boundary and is found exactly once;
+    // 3 is within the token budget of 2 but beyond maxDist; 4 is blocked.
+    assert(got === Map((1L, 2L) -> 4L))
+    // exhaustive variant agrees with the verifier given the same pairs
+    val viaVerify = DedupOps.editDistanceVerify(docs, "doc_id", col("text"),
+        Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"), maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaVerify === Map((1L, 2L) -> 4L))
+  }
+
+  test("X4: Misra-Gries sketch retains every item above n/(k+1), any partitioning") {
+    import graft.functions.MisraGries
+    // 1000 items: "hot" 300×, "warm" 150×, 550 singletons. k=9 → bound
+    // n/(k+1) = 100: hot and warm MUST survive every partitioning; the
+    // singleton tail may or may not appear (residuals are partition-
+    // dependent — exactly why heavyHitters rescans).
+    val stream = (Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 550).map(i => s"rare_$i"))
+    val mg = udaf(new MisraGries(9), org.apache.spark.sql.Encoders.STRING)
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = scala.util.Random.shuffle(stream).toDF("tok").repartition(parts)
+        .agg(mg(col("tok"))).head.getMap[String, Long](0)
+      assert(sketch.size <= 9, s"capacity exceeded at $parts partitions")
+      assert(sketch.contains("hot") && sketch.contains("warm"),
+        s"guaranteed hitters missing at $parts partitions: ${sketch.keys}")
+      // residual never exceeds the true count
+      assert(sketch("hot") <= 300L && sketch("warm") <= 150L)
+    }
+  }
+
+  test("X4: heavyHitters rescan returns the EXACT heavy-hitter set") {
+    val toks = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(10)("gamma") ++ (1 to 25).map(i => s"x$i")).toDF("tok")
+    // n = 100, shareDen = 5 → threshold count*5 >= 100 → count >= 20
+    val got = graft.operators.TextOps.heavyHitters(toks, col("tok"), k = 10, shareDen = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("alpha" -> 40L, "beta" -> 25L))
+    // capacity too small for the share must fail fast, not silently miss
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextOps.heavyHitters(toks, col("tok"), k = 4, shareDen = 5L)
+    }
+  }
+
   test("multimodal: mapPartitions feature extraction preserves rows and derives stable features") {
     import MultimodalOps._
     val media = Seq(

@@ -104,4 +104,26 @@ object InvariantProps extends Properties("graft") {
           .forall(w => w.length < 2 || w(0) <= w(1))
         covered && massBound && monotone
     }
+
+  property("X8: contracted CC labels equal uncontracted CC labels on any graph") =
+    Prop.secure {
+      // The contraction rewrite must never change the RESULT, only the
+      // per-round join volume — the two paths are the same algorithm at
+      // different thresholds. Random multigraphs with self-loops and both
+      // edge directions probe the stranded-representative class of bug the
+      // GraphOpsSpec regression pins down deterministically. Fixed-seed
+      // batch rather than forAll: one case costs two full CC runs (~3 s of
+      // fixed per-round scheduling), so 100 shrinkable cases would dominate
+      // the whole suite's runtime for no added coverage.
+      val rng = new scala.util.Random(20260812L)
+      (1 to 12).forall { _ =>
+        val edges = List.fill(rng.nextInt(24) + 1)(
+          (rng.between(1L, 17L), rng.between(1L, 17L)))
+        val df = edges.toDF("src", "dst")
+        def labelsOf(contractFrom: Long) = graft.operators.GraphOps
+          .connectedComponents(df, "src", "dst", contractFrom = contractFrom)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        labelsOf(Long.MaxValue) == labelsOf(0L)
+      }
+    }
 }
