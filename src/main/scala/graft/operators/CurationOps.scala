@@ -171,6 +171,63 @@ object CurationOps {
           .as("keep_rate"))
   }
 
+  /** EXACT-count stratified eval split: within each stratum, the `nEval`
+    * documents ranked first by md5(id) become 'eval', the rest 'train' —
+    * fixed-SIZE eval sets per stratum (benchmark suites want exactly N
+    * docs per domain), where [[hashSplit]] gives fixed-RATE membership.
+    * Ordering by a hash of the id (id itself as tiebreak) makes the choice
+    * uniform and engine-reproducible, but — unlike [[hashSplit]] — an
+    * assignment CAN change when the stratum grows (a new doc can hash into
+    * the top-N): exact counts and grow-stable membership are mutually
+    * exclusive, which is precisely the [[hashSplit]]/this split of duties.
+    *
+    * One `row_number` window per stratum = one shuffle; the per-stratum
+    * sort is the price of exact ranks. At 100 TB with huge strata, rank
+    * only a hash-prefix slice (WHERE md5(id) < threshold with a generous
+    * margin) so the sort touches ~nEval × margin rows, then rank inside —
+    * the standard top-k-by-random-key contraction. */
+  def stratifiedEvalSplit(df: DataFrame, stratum: Column, id: Column,
+      nEval: Int): DataFrame = {
+    require(nEval >= 0, "nEval must be non-negative")
+    requireFresh(df, "stratifiedEvalSplit", "split", "__sr")
+    val w = Window.partitionBy(stratum).orderBy(md5(id.cast("string")), id)
+    df.withColumn("__sr", row_number().over(w))
+      .withColumn("split", when(col("__sr") <= nEval, "eval").otherwise("train"))
+      .drop("__sr")
+  }
+
+  /** Robust per-group outlier profile over a numeric feature: median and
+    * MAD (median absolute deviation) per group, plus how many rows fall
+    * outside median ± `k`·MAD — the standard heavy-tail-safe outlier rule
+    * for curation filters (doc-length, per-domain score drift), where
+    * mean/stddev would let the outliers move their own threshold.
+    *
+    * Two grouped EXACT percentile aggregates (median, then MAD over the
+    * deviations) with a broadcast-sized (one row per group) join between
+    * them — group cardinality is the only driver-independent state. Exact
+    * group-sorted percentiles are the oracle-matching choice; at 100 TB
+    * swap in `approx_percentile` per group (t-digest, mergeable, bounded
+    * state) and keep the identical downstream rule. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+      k: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val g = df.select(group.as("grp"), value.cast("double").as("__v"))
+    val med = g.groupBy(col("grp"))
+      .agg(percentile(col("__v"), lit(0.5)).as("__med"))
+    val dev = g.join(med, "grp")
+    val mad = dev.groupBy(col("grp"), col("__med"))
+      .agg(percentile(abs(col("__v") - col("__med")), lit(0.5)).as("__mad"))
+    dev.join(mad.select(col("grp"), col("__mad")), "grp")
+      .groupBy(col("grp"), col("__med"), col("__mad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("__v") - col("__med")) > lit(k) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("grp"),
+        graft.engine.Semantics.roundz(col("__med"), 6).as("median"),
+        graft.engine.Semantics.roundz(col("__mad"), 6).as("mad"),
+        col("n_rows"), col("n_outliers"))
+  }
+
   /** Train/eval decontamination: for each eval document, the fraction of
     * its distinct shingles that also occur anywhere in the training corpus.
     * `evalShingles`/`trainShingles` are (doc_id, sh) rows (e.g.

@@ -345,6 +345,51 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("edit_distance"))
   }
 
+  /** Sub-document exact dedup (the RefinedWeb/CCNet "repeated passage
+    * removal" shape, token-chunk granularity because the corpus has no
+    * line structure): split each document into DISJOINT `chunkTokens`-token
+    * chunks, count each chunk text's document frequency corpus-wide, drop
+    * every occurrence of chunks appearing in more than `maxDf` documents
+    * (boilerplate), and reassemble the survivors in order. Returns
+    * (doc_id, clean_text, n_kept, n_removed) for every input document —
+    * including ones fully consumed by boilerplate (empty clean_text).
+    *
+    * Scale design: chunking is a constant fan-out per document (ceil(n/C)
+    * rows); the df count aggregates on md5(chunk) so the shuffle carries a
+    * fixed-width key, not the chunk text; the keep filter is an equi-join
+    * against that (hash, df) table — at 100 TB the df table is bounded by
+    * distinct-chunk volume, which dedup itself keeps sublinear. Reassembly
+    * is one per-doc aggregate (sort-by-position inside the group), the
+    * same doc_id partitioning every per-doc op uses. Disjoint chunks (not
+    * sliding shingles) keep removal well-defined — no overlap resolution —
+    * which is exactly why the line-dedup literature removes whole units. */
+  def repeatedChunkRemoval(docs: DataFrame, id: String, text: Column,
+      chunkTokens: Int = 10, maxDf: Long = 1): DataFrame = {
+    require(chunkTokens > 0 && maxDf >= 1, "chunkTokens must be positive, maxDf >= 1")
+    val d = docs.select(col(id).as("doc_id"), split(text, " ").as("__toks"))
+      .withColumn("__nch",
+        ceil(size(col("__toks")).cast("double") / chunkTokens).cast("int"))
+    val chunks = d.select(col("doc_id"), col("__nch"),
+        posexplode(transform(sequence(lit(0), col("__nch") - 1),
+          i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " "))))
+      .toDF("doc_id", "__nch", "pos", "chunk")
+      .withColumn("ch", md5(col("chunk")))
+    val dfCount = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = chunks.join(dfCount, "ch").filter(col("df") <= maxDf)
+    val reasm = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    d.select(col("doc_id"), col("__nch").cast("long").as("__n_chunks"))
+      .join(reasm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** The candidate stage of [[embeddingNearDups]]: distinct vector pairs
     * sharing (cell, sign-LSH bucket), BEFORE the exact-cosine verifier.
     * Exposed for [[graft.ScaleAudit]]. */

@@ -130,10 +130,6 @@ object TextOps {
       .when(es >= fr, "es")
       .otherwise("fr")
 
-  /** Composite quality score in [0,1]: stopword-ratio band + length prior.
-    * The exact formula is arbitrary (reference has none); what matters is
-    * that it is deterministic, engine-neutral, and built from the classic
-    * quality features (length / stopword ratio / mean word length). */
   /** Exact heavy hitters via a Misra-Gries prefilter: tokens occurring in
     * at least 1/`shareDen` of all token occurrences (integer-exact
     * threshold: count × shareDen ≥ n — no float boundary to disagree on
@@ -164,6 +160,73 @@ object TextOps {
       .filter(col("n_occurrences") * lit(shareDen) >= lit(n))
   }
 
+  /** Within-document repetition profile (Gopher-style repetition quality
+    * signals): per document, the fraction of token / bigram / trigram
+    * occurrences that are repeats of an earlier occurrence in the SAME
+    * document — the "natural-repetition vs boilerplate-loop" axis that
+    * length and stopword features miss.
+    *
+    * Plan shape: the codegen-resident posexplode + window-`lead` n-gram
+    * formulation ([[shingleRows]]' idiom — HOF `transform` would drop the
+    * stage out of codegen), then ONE hash aggregate per document carrying
+    * three `count(distinct)` measures (Catalyst plans them as a single
+    * Expand ×3 — row volume stays linear in token count). Zero driver
+    * state; the only shuffle is the per-doc aggregate any per-doc feature
+    * needs. Docs shorter than n emit no n-grams and score 0 by the
+    * `when(total > 0)` guard on the fraction. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = df.select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .withColumn("w2", lead("tok", 1).over(w))
+      .withColumn("w3", lead("tok", 2).over(w))
+      .withColumn("bi", when(col("w2").isNotNull, concat_ws(" ", col("tok"), col("w2"))))
+      .withColumn("tri", when(col("w3").isNotNull,
+        concat_ws(" ", col("tok"), col("w2"), col("w3"))))
+    def dupFrac(total: Column, distinct: Column): Column =
+      when(total > 0, graft.engine.Semantics.roundz(
+        (total - distinct).cast("double") / total.cast("double"), 6))
+        .otherwise(lit(0d))
+    grams.groupBy(col("doc_id"))
+      .agg(count(col("tok")).as("n_tokens"),
+        countDistinct(col("tok")).as("d_tok"),
+        count(col("bi")).as("n_bi"), countDistinct(col("bi")).as("d_bi"),
+        count(col("tri")).as("n_tri"), countDistinct(col("tri")).as("d_tri"))
+      .select(col("doc_id"), col("n_tokens"),
+        dupFrac(col("n_tokens"), col("d_tok")).as("dup_token_frac"),
+        dupFrac(col("n_bi"), col("d_bi")).as("dup_bigram_frac"),
+        dupFrac(col("n_tri"), col("d_tri")).as("dup_trigram_frac"))
+  }
+
+  /** Unigram-LM surprisal scoring (the CCNet/KenLM-filter shape reduced to
+    * an engine-neutral unigram model): each document's mean −log₂ p(token)
+    * under the corpus's own unigram distribution. Low = stereotypical text,
+    * high = rare-token soup; both tails are curation-filter targets.
+    *
+    * Plan shape: one hash aggregate builds the (token, tf) vocabulary, a
+    * 1-row broadcast carries the corpus total, and the scoring join is
+    * token-equi — shuffle volume is the token stream, state is the
+    * vocabulary (measured sublinear in corpus size: BASELINE.md's q50
+    * vocabulary row). At 100 TB the same plan broadcasts a top-V
+    * vocabulary with an OOV floor probability instead of equi-joining the
+    * full tail — the join form here IS the general case, the broadcast
+    * form is the optimization the vocabulary's saturation licenses. */
+  def surprisalScores(df: DataFrame, id: Column, tokens: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(tokens).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum(col("tf")).cast("double").as("n"))
+    tok.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.engine.Semantics.roundz(
+          avg(-log2(col("tf").cast("double") / col("n"))), 6).as("avg_surprisal"))
+  }
+
+  /** Composite quality score in [0,1]: stopword-ratio band + length prior.
+    * The exact formula is arbitrary (reference has none); what matters is
+    * that it is deterministic, engine-neutral, and built from the classic
+    * quality features (length / stopword ratio / mean word length). */
   def qualityScore(nTokens: Column, stopRatio: Column, meanWordLen: Column): Column =
     round(
       lit(0.4) * when(stopRatio.between(0.05, 0.5), 1.0).otherwise(0.0) +

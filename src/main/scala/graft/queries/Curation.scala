@@ -304,5 +304,44 @@ object Curation extends QueryGroup {
            |  round(pct * mr / CAST(avail_tokens AS DOUBLE), 6) + 0.0 AS keep_rate
            |FROM j CROSS JOIN m ORDER BY source""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66)
+  /** Exact-count stratified eval split: 5 eval docs per source, chosen by
+    * md5(doc_id) rank within the stratum — fixed-size eval sets where
+    * q45's hash split gives fixed rates. */
+  private val q70 = QueryDef(
+    "q70_stratified_split",
+    (s, dir) => CurationOps.stratifiedEvalSplit(
+        Tables.documents(s, dir), col("source"), col("doc_id"), nEval = 5)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+           |  CASE WHEN row_number() OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+           |    THEN 'eval' ELSE 'train' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Robust per-source length-outlier profile: median/MAD of n_chars and
+    * the count outside median ± 3·MAD — exact grouped percentiles, the
+    * heavy-tail-safe outlier rule. */
+  private val q71 = QueryDef(
+    "q71_length_outliers",
+    (s, dir) => CurationOps.robustOutliers(
+        Tables.documents(s, dir), col("source"), col("n_chars"), k = 3.0)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source")),
+    Some("""WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+           |  FROM documents GROUP BY 1),
+           |d AS (SELECT d.source, d.n_chars, m.med,
+           |        abs(d.n_chars - m.med) AS adev
+           |      FROM documents d JOIN m USING (source)),
+           |a AS (SELECT source, med, quantile_cont(adev, 0.5) AS mad
+           |      FROM d GROUP BY 1, 2)
+           |SELECT d.source, round(a.med, 6) + 0.0 AS median,
+           |  round(a.mad, 6) + 0.0 AS mad, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN abs(d.n_chars - d.med) > 3.0 * a.mad
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           |FROM d JOIN a USING (source)
+           |GROUP BY 1, a.med, a.mad ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71)
 }

@@ -220,5 +220,31 @@ object Dedup extends QueryGroup {
            |WHERE levenshtein(da.text, db.text) <= 320
            |ORDER BY edit_distance, a_id, b_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65)
+  /** X1 at sub-document granularity: repeated-passage removal — drop every
+    * occurrence of a 10-token chunk that appears in more than one document
+    * (cross-doc boilerplate), reassemble the rest in order. The df count
+    * keys on md5(chunk) (fixed-width shuffle), mirrored in the oracle. */
+  private val q67 = QueryDef(
+    "q67_repeated_chunk_removal",
+    (s, dir) => DedupOps.repeatedChunkRemoval(
+        Tables.documents(s, dir), "doc_id", col("text"), chunkTokens = 10, maxDf = 1)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |        CAST(ceil(len(toks) / 10.0) AS BIGINT) AS nch FROM t),
+           |c AS (SELECT doc_id, CAST(i AS INT) AS pos,
+           |        array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ') AS chunk
+           |      FROM n, unnest(range(nch)) AS u(i)),
+           |f AS (SELECT md5(chunk) AS ch, count(DISTINCT doc_id) AS df
+           |      FROM c GROUP BY 1),
+           |k AS (SELECT c.doc_id, c.pos, c.chunk
+           |      FROM c JOIN f ON md5(c.chunk) = f.ch WHERE f.df <= 1),
+           |r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+           |        count(*) AS n_kept FROM k GROUP BY 1)
+           |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(n.nch - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67)
 }

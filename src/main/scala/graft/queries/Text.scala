@@ -291,5 +291,47 @@ object Text extends QueryGroup {
            |HAVING CAST(count(*) AS BIGINT) * 200 >= tot.n
            |ORDER BY n_occurrences DESC, tok""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64)
+  /** Within-doc repetition profile (Gopher repetition signals): per-doc
+    * duplicate token/bigram/trigram fractions via the codegen-resident
+    * posexplode + lead formulation and one Expand aggregate. */
+  private val q68 = QueryDef(
+    "q68_repetition_stats",
+    (s, dir) => TextOps.repetitionStats(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, toks,
+           |  CASE WHEN len(toks) >= 2 THEN list_transform(range(len(toks) - 1),
+           |    i -> toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS bi,
+           |  CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2),
+           |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) ELSE [] END AS tri
+           |  FROM t)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(toks) > 0 THEN round((len(toks) - len(list_distinct(toks)))
+           |    / CAST(len(toks) AS DOUBLE), 6) + 0.0 ELSE 0.0 END AS dup_token_frac,
+           |  CASE WHEN len(bi) > 0 THEN round((len(bi) - len(list_distinct(bi)))
+           |    / CAST(len(bi) AS DOUBLE), 6) + 0.0 ELSE 0.0 END AS dup_bigram_frac,
+           |  CASE WHEN len(tri) > 0 THEN round((len(tri) - len(list_distinct(tri)))
+           |    / CAST(len(tri) AS DOUBLE), 6) + 0.0 ELSE 0.0 END AS dup_trigram_frac
+           |FROM g ORDER BY doc_id""".stripMargin))
+
+  /** Unigram-LM surprisal scoring (CCNet-filter shape): per-doc mean
+    * −log₂ p(token) under the corpus unigram distribution — vocabulary
+    * aggregate + token-equi scoring join + per-doc aggregate. */
+  private val q69 = QueryDef(
+    "q69_surprisal_score",
+    (s, dir) => TextOps.surprisalScores(
+        Tables.documents(s, dir), col("doc_id"), TextOps.tokenize(col("text")))
+      .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+           |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM v)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  round(avg(-log2(CAST(tf AS DOUBLE) / n.n)), 6) + 0.0 AS avg_surprisal
+           |FROM tok JOIN v USING (tok) CROSS JOIN n
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69)
 }

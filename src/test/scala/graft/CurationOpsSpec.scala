@@ -166,6 +166,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified split: exact eval count per stratum, deterministic, fail-fast on clash") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 25) "s0" else "s1")).toDF("id", "src")
+    def run(parts: Int) = CurationOps
+      .stratifiedEvalSplit(docs.repartition(parts), col("src"), col("id"), nEval = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val a = run(1)
+    // exactly 4 eval per stratum, and the assignment is partitioning-invariant
+    assert(a.count { case (id, s) => id <= 25 && s == "eval" } === 4)
+    assert(a.count { case (id, s) => id > 25 && s == "eval" } === 4)
+    assert(run(7) === a)
+    assertThrows[IllegalArgumentException] {
+      CurationOps.stratifiedEvalSplit(
+        docs.withColumn("split", lit("x")), col("src"), col("id"), 1)
+    }
+  }
+
+  test("robust outliers: median/MAD per group and the count beyond k*MAD") {
+    // g1 values: 1..9 plus 100 -> median 5.5, |dev| = 4.5,3.5,...,94.5 ->
+    // MAD = median(0.5..4.5, 94.5) = 2.5; only 100 exceeds 5.5 + 3*2.5 = 13.
+    val df = ((1 to 9).map(v => ("g1", v.toDouble)) :+ (("g1", 100.0)))
+      .toDF("g", "v")
+    val r = CurationOps.robustOutliers(df, col("g"), col("v"), k = 3.0)
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq === Seq(("g1", 5.5, 2.5, 10L, 1L)))
+  }
+
   test("contamination: exact containment fraction; unseen shingles score 0") {
     val evalSh = Seq((10L, "a b c"), (10L, "b c d"), (11L, "x y z")).toDF("doc_id", "sh")
     val trainSh = Seq((1L, "a b c"), (2L, "q r s")).toDF("doc_id", "sh")

@@ -291,6 +291,55 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("X1: repeated-chunk removal drops cross-doc boilerplate, keeps order, handles full removal") {
+    import graft.operators.DedupOps
+    // chunk size 3: doc 1 = [A|B], doc 2 = [A|C], doc 3 = [A] exactly.
+    // Chunk A ("x y z") is in 3 docs -> removed everywhere; B and C unique.
+    val docs = Seq(
+      (1L, "x y z b b2 b3"),
+      (2L, "x y z c c2 c3"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedChunkRemoval(docs, "doc_id", col("text"),
+        chunkTokens = 3, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> (("b b2 b3", 1L, 1L)),
+      2L -> (("c c2 c3", 1L, 1L)),
+      3L -> (("", 0L, 1L))))
+    // maxDf = 3 keeps everything, reassembled in original order
+    val all = DedupOps.repeatedChunkRemoval(docs, "doc_id", col("text"),
+        chunkTokens = 3, maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all === Map(1L -> "x y z b b2 b3", 2L -> "x y z c c2 c3", 3L -> "x y z"))
+  }
+
+  test("X4: repetitionStats counts within-doc duplicate n-gram fractions; short docs score 0") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 toks (2 distinct), 4 bi (2 distinct), 3 tri (2 distinct)
+      (2L, "q"),         // 1 token: no bigrams/trigrams -> 0.0 by guard
+      (3L, "u v")        // distinct: all fracs 0
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((5L, 0.6, 0.5, 0.333333)),
+      2L -> ((1L, 0.0, 0.0, 0.0)),
+      3L -> ((2L, 0.0, 0.0, 0.0))))
+  }
+
+  test("X4: surprisal is -log2 of corpus unigram probability, averaged per doc") {
+    // corpus: a a a b -> p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.surprisalScores(docs, col("doc_id"),
+        split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, math.rint(-math.log(0.75) / math.log(2.0) * 1e6) / 1e6)),
+      2L -> ((1L, 2.0))))
+  }
+
   test("X4: heavyHitters rescan returns the EXACT heavy-hitter set") {
     val toks = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
       Seq.fill(10)("gamma") ++ (1 to 25).map(i => s"x$i")).toDF("tok")
