@@ -74,6 +74,22 @@ object ScaleAudit {
       .filter(graft.functions.GraftFunctions.bloomContains(col("sh"), bloom, bloomK)).count()
     val exactHits = testShinglesDf.join(trainVocabDf, Seq("sh")).count()
 
+    // q67 repeated-chunk removal: the df table (distinct chunks) is the only
+    // state; hot chunks (df > 1) are what the op removes. Distinct-chunk
+    // growth must stay ≤ linear (sublinear once the corpus repeats itself —
+    // the same saturation as the q50 vocabulary).
+    val chunkRows = DedupOps.repeatedChunkRemoval(docs, "doc_id", col("text"))
+    val q67Removed = chunkRows.agg(sum(col("n_removed"))).head.getLong(0)
+    val distinctChunks = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1," +
+          " 1), i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))")).as("chunk"))
+      .select(md5(col("chunk"))).distinct().count()
+
+    // q73 idf-weighted shingle cosine shares q22's bounded shared-shingle
+    // join; its pair volume before the cosine threshold IS the q22 row.
+    val q73 = DedupOps.tfidfCosinePairs(shingles, maxDf = 50, minCosine = 0.02).count()
+
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
     val allPairsVecs = embs.groupBy("label").count()
@@ -111,6 +127,8 @@ object ScaleAudit {
       s""""q50_test_shingle_probe_rows":$testShingles,"q50_train_vocab":$trainVocab,""" +
       s""""q56_bloom_mbits":$bloomM,"q56_bloom_positive_probe_rows":$bloomPos,""" +
       s""""q56_exact_hit_probe_rows":$exactHits,""" +
+      s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
+      s""""q73_tfidf_pairs":$q73,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")

@@ -78,6 +78,21 @@ object DedupOps {
     * overflow (DuckDB). */
   def minhashLshCandidatesFromRows(shingles: DataFrame, numHashes: Int,
       maxDf: Int = 0): DataFrame = {
+    val bands = minhashBandRows(shingles, numHashes, maxDf)
+    val a = bands.toDF("a_id", "bucket", "band", "h")
+    val b = bands.toDF("b_id", "bucket", "band", "h")
+    a.join(b, Seq("bucket", "band", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** The band-signature stage of [[minhashLshCandidatesFromRows]]:
+    * (doc_id, bucket, band, h) rows, one per (doc, band) — the LSH "index
+    * entries". Exposed so incremental dedup can probe a STANDING band index
+    * with fresh documents instead of self-joining a recomputed corpus. */
+  def minhashBandRows(shingles: DataFrame, numHashes: Int,
+      maxDf: Int = 0): DataFrame = {
     val hashed = (if (maxDf > 0) capShingleDf(shingles, maxDf) else shingles)
       .withColumn("h", md5(col("sh")))
       .withColumn("h1", conv(substring(col("h"), 1, 10), 16, 10).cast("long"))
@@ -85,14 +100,27 @@ object DedupOps {
     val mins = (0 until numHashes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
     val sigs = hashed.groupBy(col("doc_id"), col("bucket"))
       .agg(mins.head, mins.tail: _*)
-    val bands = sigs.select(col("doc_id"), col("bucket"),
+    sigs.select(col("doc_id"), col("bucket"),
       posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*)).as(Seq("band", "h")))
-    val a = bands.toDF("a_id", "bucket", "band", "h")
-    val b = bands.toDF("b_id", "bucket", "band", "h")
-    a.join(b, Seq("bucket", "band", "h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Incremental NEAR-dup crawl dedup — the MinHash twin of the exact
+    * incremental form (q60): fresh documents probe a STANDING LSH band
+    * index with a LEFT SEMI join on (bucket, band, h); a fresh doc whose
+    * signature collides with any indexed band on ≥1 band is a near-dup
+    * SUSPECT routed to a verifier (Jaccard / edit distance), everything
+    * else is admitted without ever scanning the corpus. At 100 TB the band
+    * index is the only standing state (numHashes rows per corpus doc,
+    * bucketable by (band, h)); per crawl batch the work is the batch's own
+    * signature pass + one equi-join against the index — corpus-size-
+    * independent, exactly how production crawl dedup amortizes.
+    * Returns the fresh rows with an `lsh_suspect` flag. */
+  def incrementalLshSuspects(freshBands: DataFrame, indexBands: DataFrame): DataFrame = {
+    val suspects = freshBands.join(indexBands, Seq("bucket", "band", "h"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("lsh_suspect", lit(true))
+    freshBands.select(col("doc_id")).distinct()
+      .join(suspects, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lsh_suspect"), lit(false)).as("lsh_suspect"))
   }
 
   /** X2 (n-gram Jaccard, row form — the scale path): true Jaccard from
@@ -343,6 +371,49 @@ object DedupOps {
         levenshtein(col("a_txt"), col("b_txt"), maxDist).cast("long"))
       .filter(col("edit_distance") >= 0)
       .select(col("a_id"), col("b_id"), col("edit_distance"))
+  }
+
+  /** X2 (weighted sparse similarity): idf-weighted shingle-cosine pairs —
+    * the TF-IDF-vector-space twin of [[jaccardPairsFromRows]]'s set
+    * similarity. Over DISTINCT per-doc shingles (tf = 1), a document is the
+    * sparse vector (shingle → idf), idf = ln(docsInBucket / df), and pair
+    * similarity is Σ_shared idf² / (‖a‖·‖b‖) — rare shared shingles count
+    * for more, ubiquitous ones for ~nothing, which is what separates
+    * boilerplate overlap from genuine near-duplication.
+    *
+    * Same bounded join shape as q22: candidates form ONLY on shared
+    * (bucket, shingle) rows with the df ≤ `maxDf` hot-shingle cap, so pair
+    * volume is density-bounded at any corpus size (ScaleAudit's q22 row);
+    * idf and the per-doc norm ride windows over the (bucket, sh) / doc_id
+    * partitionings the join and aggregate already need. The bucket doc
+    * count (idf numerator) is a tiny broadcast dim. */
+  def tfidfCosinePairs(shingles: DataFrame, maxDf: Int,
+      minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDf > 0, "maxDf must be positive")
+    val nb = shingles.groupBy(col("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = shingles
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
+      .filter(col("df") <= maxDf)
+      .join(broadcast(nb), "bucket")
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("norm2", sum(col("idf") * col("idf"))
+        .over(Window.partitionBy(col("doc_id"))))
+    val a = scored.select(col("doc_id").as("a_id"), col("bucket"), col("sh"),
+      col("idf"), col("norm2").as("a_n2"))
+    val b = scored.select(col("doc_id").as("b_id"), col("bucket"), col("sh"),
+      col("norm2").as("b_n2"))
+    a.join(b, Seq("bucket", "sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("idf") * col("idf")).as("num"),
+        max(col("a_n2")).as("a_n2"), max(col("b_n2")).as("b_n2"))
+      .withColumn("cosine", graft.engine.Semantics.roundz(
+        col("num") / (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("cosine"))
   }
 
   /** Sub-document exact dedup (the RefinedWeb/CCNet "repeated passage

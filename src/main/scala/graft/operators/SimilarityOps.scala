@@ -164,6 +164,28 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Johnson–Lindenstrauss random projection: dim → projDim via `projDim`
+    * fixed-seed Gaussian planes ([[lshPlanes]]), scaled by 1/√projDim so
+    * squared distances are preserved in expectation (the JL estimator).
+    * The dimensionality-REDUCTION step upstream of ANN at 100 TB: distance
+    * work per pair drops dim/projDim-fold, and the projected vectors are
+    * what IVF training / LSH bucketing then consume. Pure map work — one
+    * codegen'd [[graft.functions.VecDot]] per output dimension against a
+    * literal plane, zero shuffle, and the planes are deterministic so any
+    * engine (and the DuckDB oracle) reproduces the projection exactly.
+    * Returns (vec_id, p0..p{projDim−1}) — flat double columns, ready to be
+    * reassembled with `array()` by consumers that want a vector column. */
+  def randomProject(emb: DataFrame, idCol: String, embCol: String,
+      projDim: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    require(projDim > 0 && dim >= projDim, "need 0 < projDim <= dim")
+    val planes = lshPlanes(projDim, dim, seed)
+    val scale = 1.0 / math.sqrt(projDim.toDouble)
+    val v = col(embCol).cast("array<double>")
+    emb.select(col(idCol).as("vec_id") +: planes.zipWithIndex.map { case (p, j) =>
+      (dot(v, typedlit(p)) * lit(scale)).as(s"p$j")
+    }: _*)
+  }
+
   /** Batch k-NN join: top-k neighbors for EVERY query row (window ranking
     * per query). Candidates are bounded by (coarse cell × sign-LSH bucket)
     * when `planes` is non-empty: the cell is the IVF-style quantizer /

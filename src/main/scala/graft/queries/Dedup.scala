@@ -246,5 +246,92 @@ object Dedup extends QueryGroup {
            |  CAST(n.nch - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
            |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67)
+  /** X2 (weighted sparse similarity): idf-weighted shingle cosine — q22's
+    * bounded shared-shingle join with TF-IDF weighting, so rare shared
+    * shingles dominate and ubiquitous ones wash out. */
+  private val q73 = QueryDef(
+    "q73_tfidf_cosine_pairs",
+    (s, dir) => DedupOps.tfidfCosinePairs(
+        docShingleRows(s, dir), maxDf = 50, minCosine = 0.02)
+      .orderBy(desc("cosine"), col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT *, count(*) OVER (PARTITION BY source, sh) AS df
+           |       FROM ex0 QUALIFY df <= 50),
+           |nb AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM ex0 GROUP BY 1),
+           |sc AS (SELECT ex.doc_id, ex.source, ex.sh,
+           |         ln(CAST(nb.n_docs AS DOUBLE) / CAST(ex.df AS DOUBLE)) AS idf
+           |       FROM ex JOIN nb USING (source)),
+           |nrm AS (SELECT doc_id, sum(idf * idf) AS n2 FROM sc GROUP BY 1),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        count(*) AS n_common, sum(a.idf * a.idf) AS num
+           |      FROM sc a JOIN sc b
+           |        ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT p.a_id, p.b_id, CAST(p.n_common AS BIGINT) AS n_common,
+           |  round(p.num / (sqrt(na.n2) * sqrt(nb2.n2)), 6) + 0.0 AS cosine
+           |FROM p JOIN nrm na ON na.doc_id = p.a_id
+           |JOIN nrm nb2 ON nb2.doc_id = p.b_id
+           |WHERE round(p.num / (sqrt(na.n2) * sqrt(nb2.n2)), 6) >= 0.02
+           |ORDER BY cosine DESC, a_id, b_id""".stripMargin))
+
+  /** X2 incremental: fresh crawl sources probe the STANDING MinHash band
+    * index of the existing corpus (semi join on (band, h) — cross-source,
+    * so the bucket is global) and per source we count how many fresh docs
+    * are near-dup suspects needing verification. The corpus is never
+    * rescanned — q60's incremental discipline applied to NEAR-dup. */
+  private val q74 = QueryDef(
+    "q74_incremental_lsh_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def bands(d: org.apache.spark.sql.DataFrame) = DedupOps.minhashBandRows(
+        TextOps.shingleRows(d, col("doc_id"), lit("all"), col("text")), 8, maxDf = 50)
+      val fresh = docs.filter(col("source").isin(newSources: _*))
+      val flagged = DedupOps.incrementalLshSuspects(
+        bands(fresh), bands(docs.filter(!col("source").isin(newSources: _*))))
+      fresh.select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("lsh_suspect") === true, 1L).otherwise(0L)).as("n_suspect"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |exC0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets
+           |  WHERE source NOT IN (${newSources.map(x => s"'$x'").mkString(", ")}) AND len(shset) > 0),
+           |exC AS (SELECT * FROM exC0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |exF0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets
+           |  WHERE source IN (${newSources.map(x => s"'$x'").mkString(", ")}) AND len(shset) > 0),
+           |exF AS (SELECT * FROM exF0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |hC AS (SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2 FROM exC),
+           |hF AS (SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2 FROM exF),
+           |bC AS (SELECT doc_id, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hC, unnest(range(8)) AS j(band) GROUP BY 1, 2),
+           |bF AS (SELECT doc_id, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hF, unnest(range(8)) AS j(band) GROUP BY 1, 2),
+           |suspects AS (SELECT DISTINCT f.doc_id
+           |  FROM bF f JOIN bC c ON f.band = c.band AND f.h = c.h)
+           |SELECT d.source, count(*) AS n_new,
+           |  CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+           |FROM documents d LEFT JOIN suspects s USING (doc_id)
+           |WHERE d.source IN (${newSources.map(x => s"'$x'").mkString(", ")})
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74)
 }

@@ -114,5 +114,29 @@ object Similarity extends QueryGroup {
     },
     None)
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41)
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims (the reduction
+    * step upstream of ANN): one codegen'd VecDot per output dim against a
+    * literal fixed-seed plane, scaled 1/√8 — zero shuffle, and the oracle
+    * inlines the identical plane values. */
+  private val q72Planes = SimilarityOps.lshPlanes(8, 64)
+  private val q72 = QueryDef(
+    "q72_random_projection",
+    (s, dir) => {
+      val p = SimilarityOps.randomProject(
+        Tables.embeddings(s, dir), "vec_id", "embedding", projDim = 8, dim = 64)
+      p.select(col("vec_id") +:
+          (0 until 8).map(j => graft.engine.Semantics.roundz(col(s"p$j"), 6).as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val scale = 1.0 / math.sqrt(8.0)
+      val cols = q72Planes.zipWithIndex.map { case (p, j) =>
+        s"round(list_dot_product(embedding::DOUBLE[], ${p.mkString("[", ", ", "]")}) * $scale, 6) + 0.0 AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72)
 }

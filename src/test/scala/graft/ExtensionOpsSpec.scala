@@ -271,6 +271,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(viaVerify === Map((1L, 2L) -> 4L))
   }
 
+  test("X2: incremental LSH dedup flags band-colliding fresh docs, admits the rest") {
+    import graft.operators.{DedupOps, TextOps}
+    val corpus = Seq((1L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6"),      // identical -> all bands collide
+      (11L, "z1 z2 z3 z4 z5 z6")       // disjoint shingles -> no collision
+    ).toDF("doc_id", "text")
+    def bands(d: org.apache.spark.sql.DataFrame) = DedupOps.minhashBandRows(
+      TextOps.shingleRows(d, col("doc_id"), lit("all"), col("text")), 4)
+    val got = DedupOps.incrementalLshSuspects(bands(fresh), bands(corpus))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(10L -> true, 11L -> false))
+    // band rows split from the candidate generator must reproduce it:
+    // self-probing the corpus index flags the corpus's own docs
+    val self = DedupOps.incrementalLshSuspects(bands(corpus), bands(corpus))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(self === Map(1L -> true))
+  }
+
   test("X4: Misra-Gries sketch retains every item above n/(k+1), any partitioning") {
     import graft.functions.MisraGries
     // 1000 items: "hot" 300×, "warm" 150×, 550 singletons. k=9 → bound

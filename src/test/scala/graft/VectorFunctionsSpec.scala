@@ -82,6 +82,51 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("X3: JL random projection preserves pairwise squared distances in expectation") {
+    // Deterministic fixture (fixed seeds on both the vectors and the planes),
+    // so the measured distortion is a constant — assert the JL bound rather
+    // than a flaky statistical test. 32 → 8 dims keeps E[ratio] = 1.
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian())))
+    val proj = SimilarityOps.randomProject(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", projDim = 8, dim = 32)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toArray).toMap
+    val ratios = for {
+      i <- 0 until 20; j <- (i + 1) until 20
+    } yield {
+      val d0 = vecs(i)._2.zip(vecs(j)._2).map { case (x, y) => (x - y) * (x - y) }.sum
+      val d1 = proj(i.toLong).zip(proj(j.toLong)).map { case (x, y) => (x - y) * (x - y) }.sum
+      d1 / d0
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.25, s"mean distortion $mean outside JL expectation band")
+    // scaling: each output dim is dot/√8 — spot-check p0 against VecDot
+    val v0 = vecs(0)._2
+    val plane0 = SimilarityOps.lshPlanes(8, 32).head
+    val expected = v0.zip(plane0).map { case (x, p) => x * p }.sum / math.sqrt(8.0)
+    assert(math.abs(proj(0L)(0) - expected) < 1e-9)
+  }
+
+  test("X2: idf-weighted shingle cosine — hand-computed weights, df cap kills hot shingles") {
+    import graft.operators.DedupOps
+    val rows = Seq(
+      (1L, "s", "a"), (1L, "s", "b"),
+      (2L, "s", "a"), (2L, "s", "c"),
+      (3L, "s", "d")
+    ).toDF("doc_id", "bucket", "sh")
+    val got = DedupOps.tfidfCosinePairs(rows, maxDf = 50, minCosine = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // n_docs=3; df(a)=2, df(b)=df(c)=1 -> idf(a)=ln1.5, idf(b)=idf(c)=ln3.
+    // Only (1,2) shares a shingle: cos = ln1.5² / (ln1.5² + ln3²).
+    val l15sq = math.pow(math.log(1.5), 2); val l3sq = math.pow(math.log(3.0), 2)
+    assert(got.keySet === Set((1L, 2L)))
+    val (nCommon, cos) = got((1L, 2L))
+    assert(nCommon === 1L)
+    assert(math.abs(cos - l15sq / (l15sq + l3sq)) < 1e-6)
+    // df cap at 1 removes the only shared shingle -> no pairs at all
+    assert(DedupOps.tfidfCosinePairs(rows, maxDf = 1, minCosine = 0.0).count() === 0)
+  }
+
   test("VecDot works through a full query (cosine top-k plan)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
