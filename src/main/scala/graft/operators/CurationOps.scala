@@ -228,6 +228,59 @@ object CurationOps {
         col("n_rows"), col("n_outliers"))
   }
 
+  /** Power-of-two length histogram — the doc/sequence-length distribution
+    * report packing and truncation decisions read: rows bucketed by binary
+    * magnitude (bucket = number of binary digits = ⌊log₂v⌋+1, so bucket 4
+    * is 8..15), with per-bucket count, true min/max, and the cumulative
+    * share of rows up to the bucket.
+    *
+    * The bucket is `length(bin(v))` — INTEGER-exact in any engine
+    * (DuckDB: `length(to_base(v, 2))`), where a float `floor(log₂v)`
+    * could disagree at exact powers of two. One hash aggregate over ≤ 64
+    * buckets; the cumulative window runs over the aggregated rows (≤ 64 of
+    * them at ANY corpus size — the single-partition window is on the
+    * report, not the data). Non-positive values carry no binary magnitude
+    * and are excluded (callers with zero-length docs count them first). */
+  def log2Histogram(df: DataFrame, value: Column): DataFrame = {
+    val v = df.select(value.cast("long").as("__v")).filter(col("__v") >= 1)
+    val h = v.groupBy(length(bin(col("__v"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("cum_frac", graft.engine.Semantics.roundz(
+        sum(col("n_rows")).over(wCum).cast("double") /
+          sum(col("n_rows")).over(wAll).cast("double"), 6))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_rows"), col("cum_frac"))
+  }
+
+  /** Cross-split near-dup leakage audit — the eval-integrity check run
+    * AFTER splitting and near-dup detection: every candidate pair whose
+    * members landed in DIFFERENT splits is an eval document with a train
+    * near-twin (the leakage [[hashSplit]]'s doc-level determinism cannot
+    * prevent, because near-duplicates are distinct doc_ids that hash
+    * independently). Returns pair counts by unordered split combination —
+    * the off-diagonal rows are the leak report; same-split rows are the
+    * baseline dup density for comparison.
+    *
+    * `pairs` is any (a_id, b_id) candidate/verified pair set (MinHash
+    * bands, containment, semantic); `splits` is (doc_id, split). Two
+    * equi-joins on doc id (the split side is a projection of the corpus —
+    * shuffles ids and split labels only, never text) and one tiny
+    * aggregate. The unordered-combination key uses least/greatest so
+    * (train,test) and (test,train) pairs collapse into one row. */
+  def pairSplitAudit(pairs: DataFrame, splits: DataFrame): DataFrame = {
+    val sa = splits.toDF("a_id", "__sa")
+    val sb = splits.toDF("b_id", "__sb")
+    pairs.select(col("a_id"), col("b_id"))
+      .join(sa, "a_id").join(sb, "b_id")
+      .groupBy(least(col("__sa"), col("__sb")).as("split_lo"),
+        greatest(col("__sa"), col("__sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Train/eval decontamination: for each eval document, the fraction of
     * its distinct shingles that also occur anywhere in the training corpus.
     * `evalShingles`/`trainShingles` are (doc_id, sh) rows (e.g.

@@ -166,6 +166,39 @@ object DedupOps {
           (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))
   }
 
+  /** X2 (containment near-dup): directional shingle containment
+    * |A∩B| / min(|A|,|B|) — the quote/subset detector Jaccard misses. A
+    * short document fully embedded in a long one scores containment 1.0
+    * while its Jaccard stays near |A|/|B| (tiny), so symmetric metrics
+    * never surface partial copies; containment is the standard complement
+    * (Broder's "containment" alongside "resemblance").
+    *
+    * Identical join shape (and cost) to [[jaccardPairsFromRows]]: pairs
+    * form only on shared shingles inside a bucket, set sizes ride the
+    * doc_id window below the join, exchange reuse computes the shingle
+    * pipeline once for both sides. The same `maxDf` caveat applies: sizes
+    * stay full-set while the intersection counts surviving shingles, so
+    * hot-shingle overlap is down-weighted (the direction a dedup ranking
+    * wants). */
+  def containmentPairs(shingles: DataFrame, maxDf: Int = 0,
+      minContainment: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = shingles.withColumn("setsize",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val ex = if (maxDf > 0) capShingleDf(sized, maxDf) else sized
+    val a = ex.toDF("a_id", "bucket", "sh", "a_size")
+    val b = ex.toDF("b_id", "bucket", "sh", "b_size")
+    a.join(b, Seq("bucket", "sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a_size")).as("a_size"), max(col("b_size")).as("b_size"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") /
+          least(col("a_size"), col("b_size")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** X2 (n-gram Jaccard verifier): true Jaccard over shingle sets for pairs
     * sharing ≥1 shingle inside a bucket. The shingle join generates only
     * pairs with nonzero intersection — never the cross product. */

@@ -223,6 +223,32 @@ object TextOps {
           avg(-log2(col("tf").cast("double") / col("n"))), 6).as("avg_surprisal"))
   }
 
+  /** Per-group category-mix profile with Shannon entropy — the corpus-
+    * composition report a mixture owner reads before setting [[CurationOps
+    * .mixturePlan]] targets: for each group (source), the number of rows,
+    * the number of distinct categories (languages), and the entropy
+    * −Σ p·log₂p of the category mix in bits (0 = monolingual source,
+    * log₂k = uniform over k).
+    *
+    * Plan shape: one (group, category) hash aggregate, then the group
+    * total rides a window over the group key — the SAME hash partitioning
+    * the aggregate just produced, so the window adds no exchange — and a
+    * second aggregate folds the entropy. State is group×category
+    * cardinality only; nothing driver-side. log₂(1) = 0 exactly, so
+    * single-category groups score 0.0 in every engine; mixed ratios agree
+    * through `roundz` at 1e-6. */
+  def categoryEntropy(df: DataFrame, group: Column, category: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.groupBy(group.as("grp"), category.as("cat"))
+      .agg(count(lit(1)).as("n"))
+    val p = col("n").cast("double") / col("tot").cast("double")
+    c.withColumn("tot", sum(col("n")).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(max(col("tot")).as("n_rows"),
+        count(lit(1)).as("n_categories"),
+        graft.engine.Semantics.roundz(-sum(p * log2(p)), 6).as("entropy"))
+  }
+
   /** Composite quality score in [0,1]: stopword-ratio band + length prior.
     * The exact formula is arbitrary (reference has none); what matters is
     * that it is deterministic, engine-neutral, and built from the classic

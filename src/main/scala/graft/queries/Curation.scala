@@ -342,6 +342,85 @@ object Curation extends QueryGroup {
            |FROM d JOIN a USING (source)
            |GROUP BY 1, a.med, a.mad ORDER BY 1""".stripMargin))
 
+  /** Curation profiling: power-of-two token-length histogram with
+    * cumulative share — the distribution packing (q49) and truncation
+    * budgets are read off. The bucket is integer-exact in both engines
+    * (binary digit count, not a float log); the cumulative window runs
+    * over ≤ 64 AGGREGATED rows, never the corpus. */
+  private val q77 = QueryDef(
+    "q77_length_histogram",
+    (s, dir) => CurationOps.log2Histogram(
+        Tables.documents(s, dir),
+        size(graft.operators.TextOps.tokenize(col("text"))))
+      .orderBy(col("bucket")),
+    Some("""WITH v AS (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+           |h AS (SELECT CAST(length(to_base(v, 2)) AS BIGINT) AS bucket,
+           |    count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+           |  FROM v GROUP BY 1)
+           |SELECT bucket, lo, hi, n_rows,
+           |  round(CAST(sum(n_rows) OVER (ORDER BY bucket
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    / CAST(sum(n_rows) OVER () AS DOUBLE), 6) + 0.0 AS cum_frac
+           |FROM h ORDER BY bucket""".stripMargin))
+
+  /** Curation audit: cross-split near-dup leakage — MinHash candidate pairs
+    * (q23's generator, GLOBAL bucket: leakage doesn't respect source
+    * boundaries) joined against q45's split assignment; off-diagonal rows
+    * are eval docs with a train near-twin. The check every eval set needs
+    * AFTER doc-level hash splitting, because near-dups are distinct ids
+    * that hash independently. */
+  private val q78 = QueryDef(
+    "q78_split_leakage_audit",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.DedupOps.minhashLshCandidatesFromRows(
+        graft.operators.TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text")),
+        8, maxDf = 50)
+      val splits = docs.select(col("doc_id"),
+        CurationOps.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)).as("split"))
+      CurationOps.pairSplitAudit(pairs, splits)
+        .orderBy(col("split_lo"), col("split_hi"))
+    },
+    Some("""WITH sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT doc_id,
+           |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+           |    FROM documents)),
+           |lk AS (SELECT least(sa.split, sb.split) AS split_lo,
+           |    greatest(sa.split, sb.split) AS split_hi
+           |  FROM pairs
+           |  JOIN sp sa ON sa.doc_id = pairs.a_id
+           |  JOIN sp sb ON sb.doc_id = pairs.b_id)
+           |SELECT split_lo, split_hi, count(*) AS n_pairs
+           |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71)
+    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78)
 }

@@ -281,6 +281,39 @@ object Dedup extends QueryGroup {
            |WHERE round(p.num / (sqrt(na.n2) * sqrt(nb2.n2)), 6) >= 0.02
            |ORDER BY cosine DESC, a_id, b_id""".stripMargin))
 
+  /** X2 (containment): directional shingle containment
+    * |A∩B| / min(|A|,|B|) — the quote/subset detector. A short doc embedded
+    * in a long one scores 1.0 here while its Jaccard stays tiny, so q22's
+    * symmetric ranking never surfaces it. Same bounded shared-shingle join
+    * as q22 (zero new candidate volume — BASELINE.md's q22 row covers it). */
+  private val q75 = QueryDef(
+    "q75_containment_pairs",
+    (s, dir) => DedupOps.containmentPairs(docShingleRows(s, dir), maxDf = 50,
+        minContainment = 0.05)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("containment"))
+      .orderBy(desc("containment"), col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
+           |sizes AS (SELECT doc_id, CAST(len(shset) AS BIGINT) AS setsize FROM sets WHERE len(shset) > 0),
+           |common AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+           |  FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, n_common,
+           |  round(CAST(n_common AS DOUBLE) / CAST(least(sa.setsize, sb.setsize) AS DOUBLE), 6) AS containment
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |WHERE round(CAST(n_common AS DOUBLE) / CAST(least(sa.setsize, sb.setsize) AS DOUBLE), 6) >= 0.05
+           |ORDER BY containment DESC, a_id, b_id""".stripMargin))
+
   /** X2 incremental: fresh crawl sources probe the STANDING MinHash band
     * index of the existing corpus (semi join on (band, h) — cross-source,
     * so the bucket is global) and per source we count how many fresh docs
@@ -333,5 +366,5 @@ object Dedup extends QueryGroup {
            |WHERE d.source IN (${newSources.map(x => s"'$x'").mkString(", ")})
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74)
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75)
 }

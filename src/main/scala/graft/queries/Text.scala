@@ -332,6 +332,24 @@ object Text extends QueryGroup {
            |FROM tok JOIN v USING (tok) CROSS JOIN n
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** X4 corpus-composition report: per-source language mix with Shannon
+    * entropy (bits) — the profile a mixture owner reads before setting
+    * q66's targets. One (source, lang) aggregate + a window riding its
+    * partitioning + the per-source fold; state is source×lang cardinality. */
+  private val q76 = QueryDef(
+    "q76_lang_mix_entropy",
+    (s, dir) => TextOps.categoryEntropy(
+        Tables.documents(s, dir), col("source"), col("lang"))
+      .select(col("grp").as("source"), col("n_rows"), col("n_categories"), col("entropy"))
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+           |w AS (SELECT source, n, sum(n) OVER (PARTITION BY source) AS tot FROM c)
+           |SELECT source, CAST(max(tot) AS BIGINT) AS n_rows,
+           |  count(*) AS n_categories,
+           |  round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+           |    * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) + 0.0 AS entropy
+           |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76)
 }

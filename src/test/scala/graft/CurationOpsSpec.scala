@@ -201,4 +201,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(10L) === ((2L, 1L))) // one of two shingles seen in train
     assert(out(11L) === ((1L, 0L)))
   }
+
+  test("log2 histogram: binary-magnitude buckets, true min/max, cumulative share") {
+    // values 1 | 2,3 | 8,15 | 16 -> buckets 1,2,4,5; zero/negatives excluded
+    val df = Seq(1L, 2L, 3L, 8L, 15L, 16L, 0L, -4L).toDF("v")
+    val r = CurationOps.log2Histogram(df, col("v"))
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      (1L, 1L, 1L, 1L, 0.166667),
+      (2L, 2L, 3L, 2L, 0.5),
+      (4L, 8L, 15L, 2L, 0.833333),
+      (5L, 16L, 16L, 1L, 1.0)))
+  }
+
+  test("pair-split audit: unordered split combinations, cross-split rows are the leaks") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "valid"), (6L, "train")).toDF("doc_id", "split")
+    val r = CurationOps.pairSplitAudit(pairs, splits)
+      .as[(String, String, Long)].collect().toSet
+    // (1,2) and (2,3) both collapse to (test, train); (3,4) is within-train
+    assert(r === Set(("test", "train", 2L), ("train", "train", 1L),
+      ("train", "valid", 1L)))
+  }
 }

@@ -431,4 +431,32 @@ class ExtensionOpsSpec extends SparkSpec {
     // 1024/256+1 = 5 chunks, stride 2 → frames 0,2,4
     assert(frames.select("frame_no").as[Int].collect().toSeq.sorted === Seq(0, 2, 4))
   }
+
+  test("X2: containment flags a subset doc at 1.0 where Jaccard stays low") {
+    // doc 2's shingles are a strict subset of doc 1's: "a b c d e" ⊃ "a b c"
+    val sh = Seq(
+      (1L, "all", "a b c"), (1L, "all", "b c d"), (1L, "all", "c d e"),
+      (2L, "all", "a b c"),
+      (3L, "all", "x y z")).toDF("doc_id", "bucket", "sh")
+    val r = DedupOps.containmentPairs(sh)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(r.toSeq === Seq((1L, 2L, 1L, 3L, 1L, 1.0))) // |A∩B|/min = 1/1
+    // the same pair's Jaccard is 1/3 — the signal containment adds
+    val j = DedupOps.jaccardPairsFromRows(sh)
+      .select(col("jaccard")).as[Double].head()
+    assert(j === 0.333333)
+    // threshold excludes the pair
+    assert(DedupOps.containmentPairs(sh, minContainment = 1.5).count() === 0L)
+  }
+
+  test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
+      ("s2", "en"), ("s2", "en"), ("s2", "en")).toDF("source", "lang")
+    val r = TextOps.categoryEntropy(df, col("source"), col("lang"))
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("s1") === (("s1", 4L, 2L, 1.0))) // 50/50 → exactly 1 bit
+    assert(r("s2") === (("s2", 3L, 1L, 0.0))) // single category → 0, not -0.0
+    assert(java.lang.Double.doubleToRawLongBits(r("s2")._4) === 0L)
+  }
 }
