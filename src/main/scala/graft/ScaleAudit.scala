@@ -90,6 +90,12 @@ object ScaleAudit {
     // join; its pair volume before the cosine threshold IS the q22 row.
     val q73 = DedupOps.tfidfCosinePairs(shingles, maxDf = 50, minCosine = 0.02).count()
 
+    // q78 split-leakage audit joins GLOBAL-bucket MinHash candidates (leaks
+    // cross source boundaries) — a strictly larger pool than q23's
+    // per-source rows; must still track dup density, not corpus².
+    val globalShingles = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"))
+    val q78 = DedupOps.minhashLshCandidatesFromRows(globalShingles, 8, maxDf = 50).count()
+
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
     val allPairsVecs = embs.groupBy("label").count()
@@ -128,7 +134,7 @@ object ScaleAudit {
       s""""q56_bloom_mbits":$bloomM,"q56_bloom_positive_probe_rows":$bloomPos,""" +
       s""""q56_exact_hit_probe_rows":$exactHits,""" +
       s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
-      s""""q73_tfidf_pairs":$q73,""" +
+      s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")

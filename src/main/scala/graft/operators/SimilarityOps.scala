@@ -186,6 +186,42 @@ object SimilarityOps {
     }: _*)
   }
 
+  /** Per-cell centroid distance — the prototypicality score behind
+    * embedding-space quality pruning (SemDeDup keeps the member FARTHEST
+    * from its cluster centroid; dataset-cartography prunes the farthest):
+    * each vector's L2 distance to the mean of its cell. Compose with
+    * [[graft.operators.CurationOps.robustOutliers]] over the returned
+    * score for a thresholded prune.
+    *
+    * Plan shape: the centroid is one posexplode + (cell, dim) hash
+    * aggregate (the k-means iteration's shape — row volume n·dim, state
+    * cells×dim), reassembled into one array row per cell (tiny) and joined
+    * back on the CELL key only — the n·dim exploded stream is never
+    * joined. The distance is then one codegen'd [[graft.functions.VecDot]]
+    * triple per vector: √(v·v − 2·v·c + c·c), the same left-to-right
+    * fold DuckDB's list_dot_product evaluates, so engines agree to the
+    * last ulp under `roundz`. */
+  def centroidDistances(embs: DataFrame, idCol: String, emb: Column,
+      cellCol: Column): DataFrame = {
+    val v = embs.select(col(idCol).as("vec_id"), cellCol.as("cell"),
+      emb.cast("array<double>").as("v"))
+    val cent = v.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      // interpreted HOFs are fine here: one row per CELL, not per vector
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("c"))
+    v.join(cent, "cell")
+      .select(col("vec_id"), col("cell"),
+        graft.engine.Semantics.roundz(
+          // greatest(0, ·): cancellation can leave −1e-16 for a vector at
+          // its centroid, and sqrt of that is NaN (Spark) / error (DuckDB)
+          sqrt(greatest(lit(0d),
+            dot(col("v"), col("v")) - lit(2d) * dot(col("v"), col("c"))
+              + dot(col("c"), col("c")))), 6).as("centroid_dist"))
+  }
+
   /** Batch k-NN join: top-k neighbors for EVERY query row (window ranking
     * per query). Candidates are bounded by (coarse cell × sign-LSH bucket)
     * when `planes` is non-empty: the cell is the IVF-style quantizer /

@@ -249,6 +249,36 @@ object TextOps {
         graft.engine.Semantics.roundz(-sum(p * log2(p)), 6).as("entropy"))
   }
 
+  /** Per-group distribution drift: KL divergence (bits) of each group's
+    * unigram token distribution from the corpus-wide distribution —
+    * KL(p_group ‖ p_corpus) = Σ p_g·log₂(p_g/p_c). The drift report that
+    * catches a source whose token mix silently diverges between crawls
+    * (spam injection, template shift, encoding rot) before it trains.
+    * Always finite: every group token occurs in the corpus by construction,
+    * and KL ≥ 0 with 0 = the group mirrors the corpus exactly.
+    *
+    * Plan shape: one (group, token) aggregate and one (token) aggregate
+    * over the same exploded stream (state = vocabulary-bounded, the q50
+    * saturation argument); the group totals ride a window over the first
+    * aggregate's key prefix, the corpus total is a 1-row broadcast; the
+    * scoring join is token-equi. Identical float-op ORDER in both engines
+    * (p·log₂(p/q) summed per group, `roundz` at 1e-6 absorbing
+    * reassociation noise). */
+  def distributionDrift(df: DataFrame, group: Column, tokens: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(group.as("grp"), explode(tokens).as("tok"))
+    val g = tok.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("ns"))
+      .withColumn("tot_g", sum(col("ns")).over(Window.partitionBy(col("grp"))))
+    val c = tok.groupBy(col("tok")).agg(count(lit(1)).as("nc"))
+    val totC = c.agg(sum(col("nc")).cast("double").as("tot_c"))
+    val pg = col("ns").cast("double") / col("tot_g").cast("double")
+    val pc = col("nc").cast("double") / col("tot_c")
+    g.join(c, "tok").crossJoin(broadcast(totC))
+      .groupBy(col("grp"))
+      .agg(max(col("tot_g")).as("n_tokens"),
+        graft.engine.Semantics.roundz(sum(pg * log2(pg / pc)), 6).as("kl_bits"))
+  }
+
   /** Composite quality score in [0,1]: stopword-ratio band + length prior.
     * The exact formula is arbitrary (reference has none); what matters is
     * that it is deterministic, engine-neutral, and built from the classic

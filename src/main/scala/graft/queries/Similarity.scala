@@ -138,5 +138,25 @@ object Similarity extends QueryGroup {
          |FROM embeddings ORDER BY vec_id""".stripMargin
     })
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72)
+  /** X3 prototypicality scoring: per-cell centroid distance — the ranking
+    * behind embedding-space quality prunes (SemDeDup keep-farthest /
+    * cartography). Centroid = one posexplode aggregate reassembled per
+    * CELL; the scoring join is on the cell key only, one codegen'd VecDot
+    * triple per vector — the exploded stream is never joined. */
+  private val q80 = QueryDef(
+    "q80_centroid_distance",
+    (s, dir) => SimilarityOps.centroidDistances(
+        Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"))
+      .orderBy(col("vec_id")),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |d AS (SELECT label, CAST(i.i AS INT) AS dim, avg(v[i.i + 1]) AS m
+           |  FROM e, unnest(range(len(v))) AS i(i) GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY dim) AS c FROM d GROUP BY 1)
+           |SELECT vec_id, label AS cell,
+           |  round(sqrt(greatest(0.0, list_dot_product(v, v)
+           |    - 2 * list_dot_product(v, c) + list_dot_product(c, c))), 6) + 0.0
+           |    AS centroid_dist
+           |FROM e JOIN cent USING (label) ORDER BY vec_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80)
 }

@@ -350,6 +350,28 @@ object Text extends QueryGroup {
            |    * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) + 0.0 AS entropy
            |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X4 distribution-drift report: per-source unigram KL divergence from
+    * the corpus (bits) — catches a source whose token mix silently shifts
+    * between crawls. Vocabulary-bounded state, token-equi scoring join. */
+  private val q79 = QueryDef(
+    "q79_source_kl_drift",
+    (s, dir) => TextOps.distributionDrift(
+        Tables.documents(s, dir), col("source"), TextOps.tokenize(col("text")))
+      .select(col("grp").as("source"), col("n_tokens"), col("kl_bits"))
+      .orderBy(col("source")),
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |g AS (SELECT source, tok, count(*) AS ns FROM tok GROUP BY 1, 2),
+           |gt AS (SELECT source, tok, ns, sum(ns) OVER (PARTITION BY source) AS tot_g FROM g),
+           |c AS (SELECT tok, count(*) AS nc FROM tok GROUP BY 1),
+           |n AS (SELECT CAST(sum(nc) AS DOUBLE) AS tot_c FROM c)
+           |SELECT source, CAST(max(tot_g) AS BIGINT) AS n_tokens,
+           |  round(sum((CAST(ns AS DOUBLE) / CAST(tot_g AS DOUBLE))
+           |    * log2((CAST(ns AS DOUBLE) / CAST(tot_g AS DOUBLE))
+           |      / (CAST(nc AS DOUBLE) / tot_c))), 6) + 0.0 AS kl_bits
+           |FROM gt JOIN c USING (tok) CROSS JOIN n
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79)
 }

@@ -449,6 +449,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(DedupOps.containmentPairs(sh, minContainment = 1.5).count() === 0L)
   }
 
+  test("X4: distribution drift — 0 KL for a mirror source, positive for a skewed one") {
+    // s1 tokens {a, b}, s2 tokens {a, b}: corpus = {a:2, b:2}. Both sources
+    // are 50/50 = the corpus mix -> KL exactly 0 for both.
+    val mirror = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    val m = TextOps.distributionDrift(mirror, col("source"),
+        TextOps.tokenize(col("text")))
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(m === Map("s1" -> 0.0, "s2" -> 0.0))
+    // s1 = {a}, s2 = {b}: corpus 50/50, each source is a point mass ->
+    // KL = 1·log2(1/0.5) = 1 bit for both
+    val skew = Seq(("s1", "a"), ("s2", "b")).toDF("source", "text")
+    val k = TextOps.distributionDrift(skew, col("source"),
+        TextOps.tokenize(col("text")))
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(k === Map("s1" -> 1.0, "s2" -> 1.0))
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),

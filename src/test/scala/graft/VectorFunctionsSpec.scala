@@ -127,6 +127,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(DedupOps.tfidfCosinePairs(rows, maxDf = 1, minCosine = 0.0).count() === 0)
   }
 
+  test("centroid distance: hand-computed per-cell L2, zero for a singleton cell") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f), 1),
+      (1L, Array(2.0f, 0.0f), 1),
+      (2L, Array(5.0f, 5.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val d = SimilarityOps.centroidDistances(emb, "vec_id", col("embedding"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // cell 1 centroid = (1,0): both members at distance 1; singleton cell 2
+    // sits AT its centroid — exactly 0.0, not NaN from a −1e-16 under sqrt
+    assert(d === Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
+  }
+
   test("VecDot works through a full query (cosine top-k plan)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
