@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100 TB posture (SURVEY §4; builder
   * prompt: "bucketing for co-located joins").
@@ -23,4 +24,41 @@ object Layout {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two
+    * non-negative integer columns — x in the even output bits, y in the
+    * odd. Rows close in BOTH dimensions get close keys, so a Z-sorted
+    * layout clusters every dimension at once where a linear sort clusters
+    * only its leading column.
+    *
+    * Pure codegen'd bit arithmetic (shift/and/sum of disjoint bits — the
+    * sum IS the bitwise-or), no UDF: `2·bits` terms folded at plan time. */
+  def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in 1..31")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` as parquet Z-ordered on (xCol, yCol): range-partition and
+    * sort by the Morton key so each output file covers a small RECTANGLE
+    * of (x, y) space instead of a thin stripe of the leading sort column.
+    * A min/max-stats file index (parquet row-group stats, or a
+    * Delta/Iceberg-style manifest) then skips most files for a selective
+    * predicate on EITHER column — the multi-dimensional analogue of the
+    * single-key clustering [[writeBucketed]] gives joins, and at 100 TB
+    * the difference between a full scan and touching √-proportional
+    * files when filtering the non-leading dimension. `ZOrderLayoutSpec`
+    * measures exactly this: per-file min/max overlap counts for a
+    * y-predicate, Z-order vs linear x-sort. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    df.withColumn("__z", mortonKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

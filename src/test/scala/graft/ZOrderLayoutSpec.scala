@@ -1,0 +1,56 @@
+package graft
+
+import graft.engine.{Layout, Scratch}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout must (a) interleave bits correctly and (b) actually earn
+  * its keep: for a selective predicate on the NON-leading dimension, a
+  * min/max file index over the Z-ordered layout must touch far fewer files
+  * than the same index over a linear single-column sort. The overlap count
+  * below is exactly what parquet row-group stats / a Delta-Iceberg manifest
+  * would prune on. */
+class ZOrderLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton key interleaves x into even bits, y into odd bits") {
+    val df = Seq((3L, 0L), (0L, 3L), (5L, 6L), (0L, 0L)).toDF("x", "y")
+    val keys = df.select(Layout.mortonKey(col("x"), col("y"), 8))
+      .as[Long].collect().toSeq
+    // x=0b11,y=0 → 0b0101; x=0,y=0b11 → 0b1010
+    // x=0b101,y=0b110: evens 1,0,1 at bits 0,2,4; odds 0,1,1 at bits 1,3,5
+    //   → 1 + 0 + 16 + 0 + 8 + 32 = 57
+    assert(keys === Seq(5L, 10L, 57L, 0L))
+  }
+
+  test("z-order clusters both dimensions: y-predicate touches fewer files than an x-sort") {
+    // 64×64 grid, one row per cell — every (x, y) equally likely.
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val files = 16
+    val zPath = Scratch.dir(spark, "zorder")
+    val linPath = Scratch.dir(spark, "linear")
+    Layout.writeZOrdered(grid, zPath, "x", "y", files, bits = 6)
+    grid.repartitionByRange(files, col("x")) // the linear baseline: sort by x
+      .sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+
+    // The file-skipping measurement: how many files' [min(y), max(y)] range
+    // intersects a selective y-band? (= files a stats index must read)
+    def overlapping(path: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("y")).as("mn"), max(col("y")).as("mx"))
+        .filter(col("mx") >= lo && col("mn") <= hi)
+        .count()
+
+    val zTouched = overlapping(zPath, 8, 15)   // one 8-row band of 64
+    val linTouched = overlapping(linPath, 8, 15)
+    // linear x-sort spreads every y value across ALL files; z-order confines
+    // the band to the files owning those quadrants
+    assert(linTouched === files.toLong)
+    assert(zTouched * 2 <= linTouched,
+      s"z-order should touch at most half the files (z=$zTouched, linear=$linTouched)")
+    // and the layout loses no rows
+    assert(spark.read.parquet(zPath).count() === 64L * 64L)
+  }
+}
