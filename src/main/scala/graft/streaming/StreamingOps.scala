@@ -128,6 +128,53 @@ object StreamingOps {
       }
   }
 
+  /** X2 (streaming): incremental near-dup SUSPECT flagging — q74's
+    * crawl-dedup discipline under the streaming envelope. Each micro-batch
+    * (1) computes its documents' MinHash band rows, (2) LEFT SEMI-probes
+    * the STANDING band index accumulated by earlier batches
+    * ([[graft.operators.DedupOps.incrementalLshSuspects]]), (3) appends
+    * the flagged documents to `outPath`, and (4) writes its own bands into
+    * the index under `batch=<id>` so later batches see them. The index is
+    * the only state; it lives in FILES (restart-safe next to the
+    * checkpoint, never in executor memory), and the corpus is never
+    * rescanned — per-batch work is the batch's own signature pass plus one
+    * equi-join against the index, corpus-size-independent.
+    *
+    * Effectively-once under replay: the batch's band partition is
+    * OVERWRITTEN (not appended) and the probe reads only partitions with
+    * batch < current, so a replayed batch neither double-registers its
+    * bands nor LSH-collides with its own first attempt. (The flagged
+    * OUTPUT append is at-least-once on replay, as with any foreachBatch
+    * file append; dedup on doc_id downstream if the sink must be exact.) */
+  def streamingLshSuspects(docs: DataFrame, checkpoint: String, indexPath: String,
+      outPath: String, numHashes: Int = 8, maxDf: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val bands = graft.operators.DedupOps.minhashBandRows(
+          graft.operators.TextOps.shingleRows(
+            batch.toDF(), col("doc_id"), lit("all"), col("text")),
+          numHashes, maxDf)
+          .persist() // probed AND registered — compute the signatures once
+        try {
+          val index =
+            try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
+              .filter(col("batch") < id).drop("batch"))
+            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
+          val flagged = index match {
+            case Some(idx) => graft.operators.DedupOps.incrementalLshSuspects(bands, idx)
+            case None => bands.select(col("doc_id")).distinct()
+              .withColumn("lsh_suspect", lit(false))
+          }
+          batch.toDF().join(flagged, Seq("doc_id"), "left")
+            // docs too short to shingle have no bands — never suspects
+            .withColumn("lsh_suspect", coalesce(col("lsh_suspect"), lit(false)))
+            .write.mode("append").parquet(outPath)
+          bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+        } finally bands.unpersist(false)
+      }
+
   /** Convenience: run a streaming query until all currently-available input
     * is processed, then stop (test/batch-catchup harness). */
   def runAvailableNow(w: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {

@@ -69,6 +69,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X2-stream: LSH suspects — later batches flag near-dups of earlier docs via the standing band index") {
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val (cp, idx, out) = (tmp("lsh_cp"), tmp("lsh_idx"), tmp("lsh_out"))
+    val q = StreamingOps.streamingLshSuspects(docs, cp, idx, out).start()
+    try {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData((1L, boiler), (2L, "completely different words in this one here now"))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats doc 1's text (suspect), 4 is novel, 5 too short to shingle
+      input.addData((3L, boiler), (4L, "nothing shares any shingle with prior documents at all"), (5L, "x"))
+      q.processAllAvailable()
+      val flags = spark.read.parquet(out)
+        .select(col("doc_id"), col("lsh_suspect"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(flags === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
+      // the standing index holds both batches' bands, keyed by batch id
+      val batches = spark.read.option("basePath", idx).parquet(idx)
+        .select(col("batch")).distinct().as[Long].collect().toSet
+      assert(batches === Set(0L, 1L))
+    } finally q.stop()
+  }
+
   test("T1/X1-stream: dropDuplicatesWithinWatermark drops redelivered keys across micro-batches") {
     val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
     val df = input.toDF().toDF("ts", "k")
