@@ -186,6 +186,65 @@ object SimilarityOps {
     }: _*)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `k` centroids of
+    * dimension `dim/m`, fixed-seed Gaussian — deterministic literals, the
+    * same discipline as [[lshPlanes]], so encoding is engine-reproducible
+    * and ORACLE-CHECKABLE (production trains them with [[kmeans]] per
+    * subspace — q41's spec-covered trainer; the encode/ADC machinery below
+    * is identical either way). */
+  def pqCodebooks(m: Int, k: Int, dim: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val rng = new scala.util.Random(seed)
+    Seq.fill(m)(Seq.fill(k)(Seq.fill(dim / m)(rng.nextGaussian())))
+  }
+
+  /** PQ encode — the compression stage of an IVF-PQ index: each vector
+    * becomes `m` small integer codes (the nearest codebook centroid per
+    * subspace), shrinking a dim×8-byte vector to m codes — the only way a
+    * 100 TB embedding corpus fits an in-memory ANN scan. Returns
+    * (vec_id, code_0 .. code_{m-1}).
+    *
+    * Pure map work, zero shuffle: per subspace the argmin over k centroids
+    * evaluates −2·v_j·c + |c|² (the |v_j|² term is constant inside a
+    * subspace's argmin and drops), each dot one codegen'd
+    * [[graft.functions.VecDot]] against a literal centroid — m×k dots per
+    * row, ties on the lower code via the struct ordering. */
+  def pqEncode(embs: DataFrame, idCol: String, emb: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val v = emb.cast("array<double>")
+    val codeCols = codebooks.zipWithIndex.map { case (book, j) =>
+      val s = slice(v, j * sub + 1, sub)
+      val scored = book.zipWithIndex.map { case (c, code) =>
+        struct((lit(-2d) * dot(s, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
+          lit(code.toLong).as("code"))
+      }
+      array_min(array(scored: _*)).getField("code").as(s"code_$j")
+    }
+    embs.select(col(idCol).as("vec_id") +: codeCols: _*)
+  }
+
+  /** Asymmetric-distance (ADC) lookup tables for one query: table(j)(c) =
+    * squared L2 between the query's j-th subvector and codebook centroid c.
+    * Computed once driver-side (m×k doubles — the PQ trick: a scan then
+    * estimates any vector's distance with m table lookups instead of dim
+    * multiplies). Feed to [[pqAdcDistance]]. */
+  def pqAdcTables(query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    val sub = codebooks.head.head.size
+    codebooks.zipWithIndex.map { case (book, j) =>
+      val q = query.slice(j * sub, (j + 1) * sub)
+      book.map(c => q.zip(c).foldLeft(0d) { case (acc, (a, b)) => acc + (a - b) * (a - b) })
+    }
+  }
+
+  /** ADC distance estimate from PQ codes: Σ_j tables(j)(code_j) — m literal-
+    * array lookups per row, no vector arithmetic at scan time. */
+  def pqAdcDistance(tables: Seq[Seq[Double]], codeCol: Int => Column): Column =
+    tables.zipWithIndex.map { case (t, j) =>
+      element_at(typedlit(t), (codeCol(j) + lit(1L)).cast("int"))
+    }.reduce(_ + _)
+
   /** Per-cell centroid distance — the prototypicality score behind
     * embedding-space quality pruning (SemDeDup keeps the member FARTHEST
     * from its cluster centroid; dataset-cartography prunes the farthest):

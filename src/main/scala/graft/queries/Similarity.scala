@@ -158,5 +158,56 @@ object Similarity extends QueryGroup {
            |    AS centroid_dist
            |FROM e JOIN cent USING (label) ORDER BY vec_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80)
+  /** X3 product quantization (IVF-PQ's compression stage): encode every
+    * vector as m=4 one-byte codes against fixed-seed literal codebooks
+    * (q41's kmeans trains them in production — the literal discipline is
+    * what keeps the encode ORACLE-checkable, exactly like the q31/q32/q72
+    * LSH planes), plus the ADC distance estimate to a literal query via
+    * m table lookups per row. Zero shuffle, m×k codegen'd VecDots/row. */
+  private val pqM = 4
+  private val pqK = 8
+  private val pqSub = 64 / pqM
+  private val pqBooks = SimilarityOps.pqCodebooks(pqM, pqK, 64)
+  private val pqQuery = SimilarityOps.lshPlanes(1, 64, seed = 7L).head
+  private val pqTables = SimilarityOps.pqAdcTables(pqQuery, pqBooks)
+  private val q81 = QueryDef(
+    "q81_pq_encode_adc",
+    (s, dir) => {
+      val codes = SimilarityOps.pqEncode(
+        Tables.embeddings(s, dir), "vec_id", col("embedding"), pqBooks)
+      codes.withColumn("adc_dist", graft.engine.Semantics.roundz(
+          SimilarityOps.pqAdcDistance(pqTables, j => col(s"code_$j")), 6))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val cbRows = pqBooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, code) =>
+          s"($j, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[], " +
+            s"CAST(${c.map(x => x * x).sum} AS DOUBLE))"
+        }
+      }.mkString(",\n|    ")
+      val codeCols = (0 until pqM).map(j =>
+        s"CAST(max(CASE WHEN j = $j THEN code END) AS BIGINT) AS code_$j")
+        .mkString(",\n|    ")
+      val adc = pqTables.zipWithIndex.map { case (t, j) =>
+        s"(${t.mkString("[", ", ", "]")}::DOUBLE[])[CAST(code_$j AS INT) + 1]"
+      }.mkString("\n|    + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb(j, code, cvec, c2) AS (VALUES
+         |    $cbRows),
+         |scored AS (SELECT e.vec_id, cb.j, cb.code,
+         |    -2 * list_dot_product(list_slice(e.v, cb.j * $pqSub + 1, cb.j * $pqSub + $pqSub), cb.cvec)
+         |      + cb.c2 AS d
+         |  FROM e CROSS JOIN cb),
+         |w AS (SELECT *, min(d) OVER (PARTITION BY vec_id, j) AS md FROM scored),
+         |codes AS (SELECT vec_id, j, min(code) AS code FROM w WHERE d = md GROUP BY 1, 2),
+         |p AS (SELECT vec_id,
+         |    $codeCols
+         |  FROM codes GROUP BY 1)
+         |SELECT vec_id, code_0, code_1, code_2, code_3,
+         |  round($adc, 6) + 0.0 AS adc_dist
+         |FROM p ORDER BY vec_id""".stripMargin
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81)
 }

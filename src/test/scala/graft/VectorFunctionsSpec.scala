@@ -140,6 +140,34 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d === Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0))
   }
 
+  test("PQ: codes pick the nearest centroid per subspace; ADC is exact on codebook points") {
+    // dim 4, m 2, k 2 — hand-checkable codebooks
+    val books = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)), // subspace 0
+      Seq(Seq(0.0, 5.0), Seq(5.0, 0.0)))   // subspace 1
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f, 4.0f)),  // near (0,0) and (0,5)  → codes (0, 0)
+      (1L, Array(9.0f, 9.0f, 6.0f, 1.0f)),  // near (10,10) and (5,0) → codes (1, 1)
+      (2L, Array(10.0f, 10.0f, 0.0f, 5.0f)) // exactly centroids (1, 0)
+    ).toDF("vec_id", "embedding")
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", col("embedding"), books)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(codes === Map(0L -> ((0L, 0L)), 1L -> ((1L, 1L)), 2L -> ((1L, 0L))))
+
+    // ADC against query = vec 2's own value: distance to vec 2 via its codes
+    // must be EXACTLY 0 (it sits on its codebook points), and positive for
+    // the others — the estimate degrades gracefully, never below zero.
+    val tables = SimilarityOps.pqAdcTables(Seq(10.0, 10.0, 0.0, 5.0), books)
+    val adc = SimilarityOps.pqEncode(emb, "vec_id", col("embedding"), books)
+      .withColumn("est", SimilarityOps.pqAdcDistance(tables, j => col(s"code_$j")))
+      .select(col("vec_id"), col("est")).as[(Long, Double)].collect().toMap
+    assert(adc(2L) === 0.0)
+    // vec 0's codes (0,0) → d²((10,10),(0,0)) + d²((0,5),(0,5)) = 200 + 0
+    assert(adc(0L) === 200.0)
+    // vec 1's codes (1,1) → d²((10,10),(10,10)) + d²((0,5),(5,0)) = 0 + 50
+    assert(adc(1L) === 50.0)
+  }
+
   test("VecDot works through a full query (cosine top-k plan)") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
