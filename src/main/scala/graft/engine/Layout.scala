@@ -41,6 +41,42 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Per-file min/max stats manifest for a parquet directory — the
+    * Delta/Iceberg-style file index that turns layout ([[writeZOrdered]],
+    * [[writeBucketed]], a plain sort) into SKIPPED I/O: one row per FILE
+    * with each tracked column's min/max. Built with one distributed scan;
+    * on a real lakehouse the writer maintains it incrementally, but the
+    * shape — and everything [[readPruned]] does with it — is identical.
+    * Persist it next to the data and rebuild only changed files. */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(cols.head)).as(s"${cols.head}_min"),
+        (max(col(cols.head)).as(s"${cols.head}_max") +:
+          cols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))): _*)
+
+  /** Manifest-pruned read: list the files whose [min, max] range on `c`
+    * intersects [lo, hi] (the ONLY driver-side state — one row per file,
+    * exactly what any manifest reader holds), read just those, and
+    * re-apply the row-level predicate. Returns the same rows as a full
+    * scan + filter while touching the subset of files the layout earns —
+    * on a Z-ordered 100 TB table the difference between a full scan and a
+    * few percent of it for a selective 2-D predicate. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
+      c: String, lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+      .select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty) {
+      // preserve the schema without reading data: filter-to-false on one file
+      val any = manifest.select(col("file")).limit(1).collect()
+      require(any.nonEmpty, "readPruned: empty manifest — no files to derive a schema from")
+      spark.read.parquet(any.head.getString(0)).filter(lit(false))
+    } else spark.read.parquet(files: _*).filter(col(c) >= lo && col(c) <= hi)
+  }
+
   /** Write `df` as parquet Z-ordered on (xCol, yCol): range-partition and
     * sort by the Morton key so each output file covers a small RECTANGLE
     * of (x, y) space instead of a thin stripe of the leading sort column.

@@ -209,5 +209,27 @@ object Similarity extends QueryGroup {
          |FROM p ORDER BY vec_id""".stripMargin
     })
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81)
+  /** X3 ANN ranking over PQ codes: approximate top-10 by ADC distance —
+    * the scan shape of a deployed IVF-PQ index (here over the full corpus;
+    * production prunes to probed cells first, q26's shape). Pure map work
+    * + TakeOrderedAndProject: per row the estimate costs m table lookups,
+    * never a vector op — the reason PQ codes are what a 100 TB ANN scan
+    * actually reads. */
+  private val q82 = QueryDef(
+    "q82_pq_adc_topk",
+    (s, dir) => {
+      val codes = SimilarityOps.pqEncode(
+        Tables.embeddings(s, dir), "vec_id", col("embedding"), pqBooks)
+      codes.withColumn("adc_dist", graft.engine.Semantics.roundz(
+          SimilarityOps.pqAdcDistance(pqTables, j => col(s"code_$j")), 6))
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(q81.oracle.get.replace("SELECT vec_id, code_0, code_1, code_2, code_3,",
+        "SELECT vec_id,")
+      .replace("FROM p ORDER BY vec_id",
+        "FROM p ORDER BY adc_dist, vec_id LIMIT 10")))
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82)
 }

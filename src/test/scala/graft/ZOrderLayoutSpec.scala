@@ -52,5 +52,15 @@ class ZOrderLayoutSpec extends SparkSpec {
       s"z-order should touch at most half the files (z=$zTouched, linear=$linTouched)")
     // and the layout loses no rows
     assert(spark.read.parquet(zPath).count() === 64L * 64L)
+
+    // manifest-pruned read: same rows as full scan + filter, reading only
+    // the overlapping files the measurement above counted
+    val manifest = Layout.statsManifest(spark, zPath, Seq("x", "y"))
+    assert(manifest.count() === files.toLong)
+    val pruned = Layout.readPruned(spark, manifest, "y", 8, 15)
+    assert(pruned.count() === 64L * 8L)
+    assert(pruned.agg(min(col("y")), max(col("y"))).as[(Long, Long)].head() === ((8L, 15L)))
+    // an out-of-domain band prunes every file but keeps the schema
+    assert(Layout.readPruned(spark, manifest, "y", 1000, 2000).count() === 0L)
   }
 }
