@@ -281,6 +281,47 @@ object CurationOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Corpus snapshot diff — the recrawl reconciliation report: FULL OUTER
+    * join of two snapshots on document id, each row classified added (only
+    * in `after`), removed (only in `before`), changed (both, fingerprints
+    * differ), or unchanged. The audit run between any two crawl versions
+    * before shipping `after` to training; counts by class are the
+    * headline, and the same join projected row-wise is the change feed.
+    * One equi-join shuffling (id, fingerprint) pairs only — never text —
+    * then a tiny aggregate. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      id: Column, fingerprint: Column): DataFrame = {
+    val a = before.select(id.as("id"), fingerprint.as("fp_before"))
+    val b = after.select(id.as("id"), fingerprint.as("fp_after"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(when(col("fp_before").isNull, "added")
+        .when(col("fp_after").isNull, "removed")
+        .when(col("fp_before") =!= col("fp_after"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Per-group percentile-rank score calibration: rank each row's score
+    * within its group as `percent_rank` (0 = lowest, 1 = highest) — the
+    * step that makes a quality threshold mean the SAME thing across
+    * sources whose raw score distributions differ (a fixed raw cutoff
+    * keeps 90% of one source and 40% of another; a percentile cutoff
+    * keeps the chosen share of each). One window per group — the same
+    * shuffle any per-source filter pass needs; at huge groups swap exact
+    * ranks for binning against per-group `approx_percentile` cuts, same
+    * downstream rule. Ties share a rank in both engines (ANSI
+    * percent_rank), so the output is engine-exact. */
+  def percentileCalibrate(df: DataFrame, group: Column, score: Column): DataFrame = {
+    requireFresh(df, "percentileCalibrate", "score_pctile")
+    // ordering on the score ALONE: tied scores share a rank (ANSI
+    // percent_rank), so the output value is a pure function of
+    // (group, score) — deterministic and engine-exact with no tiebreak
+    val w = Window.partitionBy(group).orderBy(score)
+    df.withColumn("score_pctile",
+      graft.engine.Semantics.roundz(percent_rank().over(w), 6))
+  }
+
   /** Train/eval decontamination: for each eval document, the fraction of
     * its distinct shingles that also occur anywhere in the training corpus.
     * `evalShingles`/`trainShingles` are (doc_id, sh) rows (e.g.

@@ -421,6 +421,54 @@ object Curation extends QueryGroup {
            |SELECT split_lo, split_hi, count(*) AS n_pairs
            |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Recrawl reconciliation: FULL OUTER snapshot diff by fingerprint —
+    * added/removed/changed/unchanged counts between two crawl versions
+    * (synthesized deterministically from the fixture: 'before' drops
+    * doc_id%7=0, 'after' drops doc_id%11=3 and edits doc_id%5=0). The join
+    * ships (id, fingerprint) pairs only, never text. */
+  private val q83 = QueryDef(
+    "q83_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val before = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val after = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), graft.operators.TextOps.fingerprint(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+      CurationOps.snapshotDiff(before, after, col("doc_id"), col("fp"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |    substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+           |  FROM documents WHERE doc_id % 7 <> 0),
+           |a AS (SELECT doc_id,
+           |    substr(md5(lower(regexp_replace(
+           |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+           |      '\s+', ' ', 'g'))), 1, 16) AS fp
+           |  FROM documents WHERE doc_id % 11 <> 3),
+           |j AS (SELECT CASE WHEN b.fp IS NULL THEN 'added'
+           |                  WHEN a.fp IS NULL THEN 'removed'
+           |                  WHEN b.fp <> a.fp THEN 'changed'
+           |                  ELSE 'unchanged' END AS status
+           |  FROM b FULL OUTER JOIN a USING (doc_id))
+           |SELECT status, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Score calibration: per-source percent_rank of doc length — the
+    * normalization that makes one quality threshold keep the same SHARE of
+    * every source regardless of raw score distributions. Tied scores share
+    * a rank (pure function of (source, score) — engine-exact). */
+  private val q84 = QueryDef(
+    "q84_percentile_calibrate",
+    (s, dir) => CurationOps.percentileCalibrate(
+        Tables.documents(s, dir), col("source"), col("n_chars"))
+      .select(col("doc_id"), col("source"), col("score_pctile"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+           |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) + 0.0
+           |    AS score_pctile
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78)
+    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84)
 }

@@ -202,6 +202,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(11L) === ((1L, 0L)))
   }
 
+  test("snapshot diff: added/removed/changed/unchanged by fingerprint") {
+    val before = Seq((1L, "fa"), (2L, "fb"), (3L, "fc")).toDF("doc_id", "fp")
+    val after = Seq((2L, "fb"), (3L, "fc2"), (4L, "fd")).toDF("doc_id", "fp")
+    val r = CurationOps.snapshotDiff(before, after, col("doc_id"), col("fp"))
+      .as[(String, Long)].collect().toMap
+    assert(r === Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("percentile calibration: per-group ranks in [0,1], ties share a rank, clash fails fast") {
+    val df = Seq(("g1", 10, 1L), ("g1", 20, 2L), ("g1", 20, 3L), ("g1", 30, 4L),
+      ("g2", 5, 5L)).toDF("g", "score", "id")
+    val r = CurationOps.percentileCalibrate(df, col("g"), col("score"))
+      .select(col("id"), col("score_pctile")).as[(Long, Double)].collect().toMap
+    // g1 ranks over 4 rows: 10→0, the tied 20s→1/3 each, 30→1
+    assert(r(1L) === 0.0)
+    assert(r(2L) === 0.333333 && r(3L) === 0.333333)
+    assert(r(4L) === 1.0)
+    assert(r(5L) === 0.0) // singleton group
+    assertThrows[IllegalArgumentException] {
+      CurationOps.percentileCalibrate(
+        df.withColumn("score_pctile", lit(0d)), col("g"), col("score"))
+    }
+  }
+
   test("log2 histogram: binary-magnitude buckets, true min/max, cumulative share") {
     // values 1 | 2,3 | 8,15 | 16 -> buckets 1,2,4,5; zero/negatives excluded
     val df = Seq(1L, 2L, 3L, 8L, 15L, 16L, 0L, -4L).toDF("v")
