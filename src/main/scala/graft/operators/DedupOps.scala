@@ -494,6 +494,62 @@ object DedupOps {
         (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** X1 sub-document, CONTENT-DEFINED boundaries: like
+    * [[repeatedChunkRemoval]] but chunk cuts come from the text itself —
+    * position p ends a chunk when the rolling fingerprint of the
+    * `window`-token shingle starting at p hits 0 mod `divisor` (expected
+    * chunk length ≈ `divisor` tokens). Fixed-width chunks lose ALL
+    * alignment after a single token inserted upstream; content-defined
+    * cuts re-synchronize within one window, so shared boilerplate keeps
+    * hashing to the same chunks — the rsync/LBFS trick applied to corpus
+    * boilerplate (spec: a one-token prefix edit defeats the fixed-width
+    * variant and not this one).
+    *
+    * Plan shape: the codegen posexplode + window-`lead` shingle idiom, one
+    * codegen'd [[graft.functions.StringPolyHash]] per position, a running
+    * cut-count window (same per-doc partitioning), then exactly
+    * [[repeatedChunkRemoval]]'s df-count + reassembly. State = the
+    * distinct-chunk table, saturating on self-repeating corpora. */
+  def cdcChunkRemoval(docs: DataFrame, id: String, text: Column,
+      window: Int = 3, divisor: Int = 16, maxDf: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && divisor >= 2 && maxDf >= 1,
+      "need window >= 2, divisor >= 2, maxDf >= 1")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col(id).as("doc_id"),
+      posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val sh = concat_ws(" ",
+      col("tok") +: (1 until window).map(k => lead("tok", k).over(w)): _*)
+    val withCut = toks
+      .withColumn("__sh", when(lead("tok", window - 1).over(w).isNotNull, sh))
+      .withColumn("__cut", when(col("__sh").isNotNull &&
+        graft.functions.GraftFunctions.polyHash(col("__sh")) % divisor === 0, 1L)
+        .otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum(col("__cut")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = withCut.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk"),
+        min(col("pos")).as("cpos"))
+      .withColumn("ch", md5(col("chunk")))
+    val dfCount = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = withCut.groupBy(col("doc_id"))
+      .agg((max(col("chunk_id")) + 1L).as("__n_chunks"))
+    val kept = chunks.join(dfCount, "ch").filter(col("df") <= maxDf)
+    val reasm = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    total.join(reasm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** The candidate stage of [[embeddingNearDups]]: distinct vector pairs
     * sharing (cell, sign-LSH bucket), BEFORE the exact-cosine verifier.
     * Exposed for [[graft.ScaleAudit]]. */

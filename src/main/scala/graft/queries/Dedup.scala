@@ -366,5 +366,43 @@ object Dedup extends QueryGroup {
            |WHERE d.source IN (${newSources.map(x => s"'$x'").mkString(", ")})
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75)
+  /** X1 content-defined chunking: q67's boilerplate removal with CUTS
+    * derived from the text's own rolling fingerprint (fp % 16 = 0 at a
+    * 3-token window ⇒ ~16-token expected chunks) — the insertion-robust
+    * variant: a one-token upstream edit shifts every fixed-width chunk but
+    * re-synchronizes content-defined ones within a window. */
+  private val q85 = QueryDef(
+    "q85_cdc_chunk_removal",
+    (s, dir) => DedupOps.cdcChunkRemoval(
+        Tables.documents(s, dir), "doc_id", col("text"),
+        window = 3, divisor = 16, maxDf = 1)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(i.i AS INT) AS pos, toks[i.i + 1] AS tok,
+           |    CASE WHEN i.i + 3 <= len(toks)
+           |      THEN toks[i.i + 1] || ' ' || toks[i.i + 2] || ' ' || toks[i.i + 3] END AS sh
+           |  FROM t, unnest(range(len(toks))) AS i(i)),
+           |c AS (SELECT doc_id, pos, tok,
+           |    CASE WHEN sh IS NOT NULL AND list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(string_split_regex(sh, ''), ch -> ascii(ch)::BIGINT)),
+           |      (h, ch) -> (h * 31 + ch) % 1000000007) % 16 = 0 THEN 1 ELSE 0 END AS cut
+           |  FROM p),
+           |cc AS (SELECT doc_id, pos, tok,
+           |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |  FROM c),
+           |ch AS (SELECT doc_id, chunk_id,
+           |    string_agg(tok, ' ' ORDER BY pos) AS chunk, min(pos) AS cpos
+           |  FROM cc GROUP BY 1, 2),
+           |f AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+           |tot AS (SELECT doc_id, max(chunk_id) + 1 AS n_chunks FROM cc GROUP BY 1),
+           |k AS (SELECT ch.* FROM ch JOIN f ON md5(ch.chunk) = f.h WHERE f.df <= 1),
+           |r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS clean_text,
+           |    count(*) AS n_kept FROM k GROUP BY 1)
+           |SELECT tot.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(tot.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM tot LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85)
 }

@@ -449,6 +449,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(DedupOps.containmentPairs(sh, minContainment = 1.5).count() === 0L)
   }
 
+  test("X1: CDC chunking survives a prefix insertion that defeats fixed-width chunks") {
+    // two docs: identical 60-token body, doc 2 with one extra leading token
+    val body = (0 until 60).map(i => s"tok${i * 7 % 23}x$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "inserted " + body)).toDF("doc_id", "text")
+
+    // fixed-width chunks lose alignment: (almost) nothing repeats cross-doc
+    val fixed = DedupOps.repeatedChunkRemoval(docs, "doc_id", col("text"),
+        chunkTokens = 10, maxDf = 1)
+      .agg(sum(col("n_removed"))).as[Long].head()
+    // content-defined cuts re-synchronize within one window: shared chunks
+    // hash identically in both docs and are removed from BOTH
+    val cdcRemoved = DedupOps.cdcChunkRemoval(docs, "doc_id", col("text"),
+        window = 3, divisor = 8, maxDf = 1)
+      .agg(sum(col("n_removed"))).as[Long].head()
+    assert(fixed === 0L, s"fixture broken: fixed-width chunks aligned anyway ($fixed)")
+    assert(cdcRemoved >= 2L,
+      s"CDC should re-synchronize and remove shared chunks from both docs ($cdcRemoved)")
+
+    // determinism + reassembly: a doc with no cross-doc chunks is untouched
+    val solo = DedupOps.cdcChunkRemoval(
+      Seq((9L, body)).toDF("doc_id", "text"), "doc_id", col("text"),
+      window = 3, divisor = 8, maxDf = 1).head()
+    assert(solo.getAs[String]("clean_text") === body)
+    assert(solo.getAs[Long]("n_removed") === 0L)
+  }
+
   test("X4: distribution drift — 0 KL for a mirror source, positive for a skewed one") {
     // s1 tokens {a, b}, s2 tokens {a, b}: corpus = {a:2, b:2}. Both sources
     // are 50/50 = the corpus mix -> KL exactly 0 for both.
