@@ -122,5 +122,44 @@ object Events extends QueryGroup {
            |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
            |ORDER BY user_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q28, q29, q30, q58, q59)
+  /** X6 cohort retention: users bucketed by first-active date, distinct
+    * actives per (cohort, day offset) — the retention triangle. Joins ship
+    * (user, date) pairs only; output is cohorts × offsets at any scale. */
+  private val q86 = QueryDef(
+    "q86_cohort_retention",
+    (s, dir) => SessionOps.cohortRetention(
+        Tables.events(s, dir), col("user_id"), to_date(col("ts")))
+      .orderBy(col("cohort_date"), col("day_offset")),
+    Some("""WITH act AS (SELECT DISTINCT user_id AS u,
+           |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+           |c AS (SELECT u, min(d) AS cohort_date FROM act GROUP BY 1)
+           |SELECT c.cohort_date, CAST(a.d - c.cohort_date AS BIGINT) AS day_offset,
+           |  count(DISTINCT a.u) AS n_users
+           |FROM act a JOIN c USING (u)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** X6 ordered funnel: users who did view → click → purchase in strict
+    * time order (µs-exact comparisons; first qualifying occurrence per
+    * stage). Stage frames carry (user, t) only. */
+  private val q87 = QueryDef(
+    "q87_funnel_conversion",
+    (s, dir) => SessionOps.funnel(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+        col("user_id"), col("ts_us"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy(col("stage")),
+    Some("""WITH e AS (SELECT user_id AS u, event_type AS st, epoch_us(ts) AS tv FROM events),
+           |s1 AS (SELECT u, min(tv) AS t FROM e WHERE st = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.u, min(e.tv) AS t FROM e JOIN s1 ON e.u = s1.u
+           |  WHERE e.st = 'click' AND e.tv > s1.t GROUP BY 1),
+           |s3 AS (SELECT e.u, min(e.tv) AS t FROM e JOIN s2 ON e.u = s2.u
+           |  WHERE e.st = 'purchase' AND e.tv > s2.t GROUP BY 1)
+           |SELECT 1::BIGINT AS stage, 'view' AS step, count(*) AS n_users FROM s1
+           |UNION ALL
+           |SELECT 2::BIGINT, 'click', count(*) FROM s2
+           |UNION ALL
+           |SELECT 3::BIGINT, 'purchase', count(*) FROM s3
+           |ORDER BY stage""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q28, q29, q30, q58, q59, q86, q87)
 }

@@ -214,6 +214,36 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("X6: cohort retention counts distinct actives per (first-seen date, offset)") {
+    val df = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-03"), // u1: day0, day2
+      (2L, "2024-01-01"),                                         // u2: day0 only
+      (3L, "2024-01-02"), (3L, "2024-01-03")                      // u3: later cohort
+    ).toDF("u", "d").withColumn("d", to_date(col("d")))
+    val r = SessionOps.cohortRetention(df, col("u"), col("d"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(x => (x._1.toString, x._2) -> x._3).toMap
+    assert(r === Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("X6: funnel requires strict order — same-time and out-of-order steps don't convert") {
+    val df = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),  // full conversion
+      (2L, 10L, "view"), (2L, 10L, "click"),                    // tie: click NOT after view
+      (3L, 20L, "click"), (3L, 30L, "view"),                    // out of order
+      (4L, 5L, "view"), (4L, 6L, "click")                       // stops at stage 2
+    ).toDF("u", "t", "et")
+    val r = SessionOps.funnel(df, col("u"), col("t"), col("et"),
+        Seq("view", "click", "buy"))
+      .as[(Long, String, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(r === Map(1L -> 4L, 2L -> 2L, 3L -> 1L)) // 4 viewed, u1+u4 clicked after, u1 bought
+    assertThrows[IllegalArgumentException] {
+      SessionOps.funnel(df, col("u"), col("t"), col("et"), Seq("view", "view"))
+    }
+  }
+
   test("X4: DocFrequency Aggregator counts document membership once per doc, merges across partitions") {
     val agg = new graft.functions.DocFrequency(Seq("the", "and"))
     // reduce: repeated tokens in one doc count once
