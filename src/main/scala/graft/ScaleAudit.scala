@@ -90,6 +90,14 @@ object ScaleAudit {
     // join; its pair volume before the cosine threshold IS the q22 row.
     val q73 = DedupOps.tfidfCosinePairs(shingles, maxDf = 50, minCosine = 0.02).count()
 
+    // q85 content-defined chunking: same df-table state class as q67's
+    // fixed chunks — what must stay bounded is the distinct-chunk count
+    // (saturating on self-repeating corpora) and the removal volume.
+    val cdcRows = DedupOps.cdcChunkRemoval(docs, "doc_id", col("text"))
+    val q85Removed = cdcRows.agg(coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0)
+    val q85Chunks = cdcRows.agg(coalesce(sum(col("n_kept")), lit(0L))
+      + coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0)
+
     // q78 split-leakage audit joins GLOBAL-bucket MinHash candidates (leaks
     // cross source boundaries) — a strictly larger pool than q23's
     // per-source rows; must still track dup density, not corpus².
@@ -135,6 +143,7 @@ object ScaleAudit {
       s""""q56_exact_hit_probe_rows":$exactHits,""" +
       s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
       s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
+      s""""q85_cdc_chunks":$q85Chunks,"q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")
