@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Median of a non-empty sequence; for even sizes, the lower-middle element
+    * (order statistic, not interpolation — keeps the figure an actually
+    * observed elapsed time). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
+  /** One-line machine-contention snapshot stamped into the bench record so a
+    * contended run self-identifies: `/proc/loadavg` 1-minute figure plus the
+    * runnable/total process counts it carries, and the JVM's CPU count. A
+    * loadavg far above the CPU count at bench time means the numbers measure
+    * the machine, not the engine. */
+  private def loadavgStamp(): String = {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val raw =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    // "/proc/loadavg" = "0.52 0.58 0.59 1/1290 12345"
+    val parts = raw.split("\\s+")
+    val load1 = if (parts.length > 0) parts(0) else "null"
+    val load5 = if (parts.length > 1) parts(1) else "null"
+    val procs = if (parts.length > 3) "\"" + parts(3) + "\"" else "null"
+    s"""{"load1":$load1,"load5":$load5,"runnable":$procs,"cpus":$cpus}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,6 +38,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadavgStamp()
     // Untimed session warmup (JVM/codegen/catalog init) so whichever query
     // runs first isn't charged ~6 s of cold start; then time in sorted name
     // order for run-to-run comparability.
@@ -18,14 +46,17 @@ object Bench {
     catch { case _: Throwable => () }
     // A thrown query must never IMPROVE the bench: failures are recorded by
     // name, reported in the JSON, and fail the process (nonzero exit).
-    // Each query is timed twice in order: run1 (cold — includes its one-time
-    // codegen/JIT, the number comparable to the frozen baseline and the
-    // headline "value") and run2 (steady state — what a long-lived cluster
-    // session pays per query; reported alongside, never substituted).
+    // Each query is timed 4×: run1 (cold — includes its one-time codegen/JIT,
+    // the number comparable to the frozen baseline and the headline "value")
+    // then 3 steady-state runs whose MEDIAN is the steady figure. Min would
+    // hide a systematically loaded machine; mean lets one GC/contention spike
+    // poison the record; median-of-3 is robust to a single outlier in either
+    // direction while staying an observed time.
     // A failed run's elapsed time (often a fast exception) is reported as
     // null and EXCLUDED from the totals — so the headline value is only
     // comparable when every query succeeded, and a broken query can never
     // shrink the bench. Failures also exit nonzero.
+    val steadyRuns = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -35,8 +66,15 @@ object Bench {
           None
         }
       }
-      (name, one(), one())
+      val cold = one()
+      val steadies = Seq.fill(steadyRuns)(one())
+      // Steady figure = median of the successful steady runs; a query whose
+      // EVERY steady run failed reports null and lands in `failed`.
+      val okSteadies = steadies.flatten
+      val steady = if (okSteadies.size == steadyRuns) Some(median(okSteadies)) else None
+      (name, cold, steady)
     }
+    val loadAfter = loadavgStamp()
     // Millisecond precision: sub-ms digits are machine noise and only
     // bloat the JSON line past log-tail windows.
     def fmt(v: Option[Double]): String = v.fold("null")(d => (math.rint(d * 1000) / 1000).toString)
@@ -49,7 +87,9 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val steadyTotal = results.flatMap(_._3).sum
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""steady_total":$steadyTotal,"queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir"}"""
+      s""""steady_total":$steadyTotal,"steady_runs":$steadyRuns,"steady_stat":"median",""" +
+      s""""queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir",""" +
+      s""""load_before":$loadBefore,"load_after":$loadAfter}"""
     // Full line first (humans, files), COMPACT line last: a log-tail window
     // shorter than the per-query dicts cuts the full line mid-JSON, so the
     // final line a tail parser sees must be short enough to always fit.
@@ -60,7 +100,7 @@ object Bench {
       java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () } // best-effort copy, never fails the bench
     println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,""" +
-      s""""failed":$failed,"sf":"$sfDir","detail":"target/bench_full.json"}""")
+      s""""failed":$failed,"sf":"$sfDir","load_after":$loadAfter,"detail":"target/bench_full.json"}""")
     spark.stop()
     if (results.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
   }
