@@ -91,12 +91,20 @@ object ScaleAudit {
     val q73 = DedupOps.tfidfCosinePairs(shingles, maxDf = 50, minCosine = 0.02).count()
 
     // q85 content-defined chunking: same df-table state class as q67's
-    // fixed chunks — what must stay bounded is the distinct-chunk count
-    // (saturating on self-repeating corpora) and the removal volume.
+    // fixed chunks — the SATURATING quantity is the distinct CDC-chunk
+    // count (the df-table state), mirroring q67's distinctChunks; total
+    // chunk rows grow linearly with the corpus and are not the bound.
+    // One aggregate action covers both removal figures (a second .head
+    // would recompute the whole CDC pipeline).
     val cdcRows = DedupOps.cdcChunkRemoval(docs, "doc_id", col("text"))
-    val q85Removed = cdcRows.agg(coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0)
-    val q85Chunks = cdcRows.agg(coalesce(sum(col("n_kept")), lit(0L))
-      + coalesce(sum(col("n_removed")), lit(0L))).head.getLong(0)
+    val q85Agg = cdcRows.agg(
+      coalesce(sum(col("n_removed")), lit(0L)).as("removed"),
+      (coalesce(sum(col("n_kept")), lit(0L))
+        + coalesce(sum(col("n_removed")), lit(0L))).as("total")).head
+    val q85Removed = q85Agg.getLong(0)
+    val q85ChunkRows = q85Agg.getLong(1)
+    val q85DistinctChunks = DedupOps.cdcChunks(docs, "doc_id", col("text"))
+      .select(col("ch")).distinct().count()
 
     // q78 split-leakage audit joins GLOBAL-bucket MinHash candidates (leaks
     // cross source boundaries) — a strictly larger pool than q23's
@@ -114,6 +122,12 @@ object ScaleAudit {
     // above is what any of them would generate cell-only.
     val q32 = DedupOps.embeddingCandidates(embs, "vec_id", col("embedding"), col("label"),
       SimilarityOps.lshPlanes(2, 64)).count()
+    // q88/q89 OR-ed 2-table generator: distinct pairs matching ANY table's
+    // bucket — must stay ≤ 2× the single-table row above (and both track
+    // density, not corpus²). The recall lift this buys is spec-verified
+    // (MultiTableLshSpec); this row proves the cost side stays bounded.
+    val q88 = DedupOps.embeddingCandidatesTables(embs, "vec_id", col("embedding"), col("label"),
+      SimilarityOps.lshTables(2, 2, 64)).count()
 
     // q61 semantic-dedup graph: nodes/components of the cosine-VERIFIED
     // pair graph (q32's output, the actual CC input) — per-round CC work is
@@ -143,8 +157,10 @@ object ScaleAudit {
       s""""q56_exact_hit_probe_rows":$exactHits,""" +
       s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
       s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
-      s""""q85_cdc_chunks":$q85Chunks,"q85_chunks_removed":$q85Removed,""" +
+      s""""q85_distinct_cdc_chunks":$q85DistinctChunks,"q85_cdc_chunk_rows":$q85ChunkRows,""" +
+      s""""q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
+      s""""q88_multitable_candidates":$q88,""" +
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")
     spark.stop()

@@ -249,6 +249,38 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** OR-ed multi-table variant of [[embeddingNearDups]]: a pair is a
+    * candidate when it shares (cell, table-t bucket) for ANY of the
+    * [[SimilarityOps.lshTables]] plane sets — per-pair recall
+    * 1 − (1 − (1 − θ/π)^planes)^T vs a single table's (1 − θ/π)^planes,
+    * the production knob when near-dup recall must approach exhaustive.
+    *
+    * Both sides explode their (t, b) structs ([[SimilarityOps.tableBuckets]])
+    * so the OR stays one hash equi-join; the cosine verifier runs per match
+    * (one codegen'd VecDot — a pair caught by several tables recomputes the
+    * same cheap dot), the threshold filter shrinks the stream, and only the
+    * scalar (a_id, b_id, cosine) triple passes the final dedup shuffle.
+    * Candidate volume ≤ T × single-table — density-bounded
+    * ([[graft.ScaleAudit]] tracks the T = 2 generator beside q32's). */
+  def embeddingNearDupsTables(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      threshold: Double, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(tables.nonEmpty, "need at least one LSH table")
+    val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
+      .withColumn("nrm", SimilarityOps.l2norm(col("v")))
+      .select(col(id), col("cell"), col("v"), col("nrm"),
+        explode(SimilarityOps.tableBuckets(col("v"), tables)).as("tb"))
+    val a = e.toDF("a_id", "cell", "a_v", "a_nrm", "tb")
+    val b = e.toDF("b_id", "cell", "b_v", "b_nrm", "tb")
+    a.join(b, Seq("cell", "tb"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        graft.engine.Semantics.roundz(
+          SimilarityOps.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .distinct() // union of per-table candidate sets
+  }
+
   /** X2 (SimHash): 63-bit signature (bits 0..62 from the first 16 hex
     * digits of md5(token); bit 63 stays clear so the value is positive in
     * every engine — a set sign bit would diverge between Spark's long sum
@@ -512,30 +544,11 @@ object DedupOps {
     * distinct-chunk table, saturating on self-repeating corpora. */
   def cdcChunkRemoval(docs: DataFrame, id: String, text: Column,
       window: Int = 3, divisor: Int = 16, maxDf: Long = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(window >= 2 && divisor >= 2 && maxDf >= 1,
-      "need window >= 2, divisor >= 2, maxDf >= 1")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = docs.select(col(id).as("doc_id"),
-      posexplode(split(text, " ")).as(Seq("pos", "tok")))
-    val sh = concat_ws(" ",
-      col("tok") +: (1 until window).map(k => lead("tok", k).over(w)): _*)
-    val withCut = toks
-      .withColumn("__sh", when(lead("tok", window - 1).over(w).isNotNull, sh))
-      .withColumn("__cut", when(col("__sh").isNotNull &&
-        graft.functions.GraftFunctions.polyHash(col("__sh")) % divisor === 0, 1L)
-        .otherwise(0L))
-      .withColumn("chunk_id", coalesce(
-        sum(col("__cut")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val chunks = withCut.groupBy(col("doc_id"), col("chunk_id"))
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("chunk"),
-        min(col("pos")).as("cpos"))
-      .withColumn("ch", md5(col("chunk")))
+    require(maxDf >= 1, "maxDf >= 1")
+    val chunks = cdcChunks(docs, id, text, window, divisor)
     val dfCount = chunks.groupBy(col("ch"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val total = withCut.groupBy(col("doc_id"))
+    val total = chunks.groupBy(col("doc_id"))
       .agg((max(col("chunk_id")) + 1L).as("__n_chunks"))
     val kept = chunks.join(dfCount, "ch").filter(col("df") <= maxDf)
     val reasm = kept.groupBy(col("doc_id"))
@@ -548,6 +561,34 @@ object DedupOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** The chunking stage of [[cdcChunkRemoval]]: one row per content-defined
+    * chunk — (doc_id, chunk_id, chunk, cpos, ch = md5(chunk)). Exposed so
+    * [[graft.ScaleAudit]] can measure the DISTINCT-chunk state (the
+    * saturating df-table quantity) directly. */
+  def cdcChunks(docs: DataFrame, id: String, text: Column,
+      window: Int = 3, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && divisor >= 2, "need window >= 2, divisor >= 2")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col(id).as("doc_id"),
+      posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val sh = concat_ws(" ",
+      col("tok") +: (1 until window).map(k => lead("tok", k).over(w)): _*)
+    val withCut = toks
+      .withColumn("__sh", when(lead("tok", window - 1).over(w).isNotNull, sh))
+      .withColumn("__cut", when(col("__sh").isNotNull &&
+        graft.functions.GraftFunctions.polyHash(col("__sh")) % divisor === 0, 1L)
+        .otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum(col("__cut")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withCut.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk"),
+        min(col("pos")).as("cpos"))
+      .withColumn("ch", md5(col("chunk")))
   }
 
   /** The candidate stage of [[embeddingNearDups]]: distinct vector pairs
@@ -563,5 +604,19 @@ object DedupOps {
     val b = e.toDF("b_id", "cell", "bucket")
     a.join(b, Seq("cell", "bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
+  }
+
+  /** The candidate stage of [[embeddingNearDupsTables]]: DISTINCT vector
+    * pairs sharing (cell, (t, bucket)) for any table, before the cosine
+    * verifier. Exposed for [[graft.ScaleAudit]]. */
+  def embeddingCandidatesTables(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
+      .select(col(id), col("cell"),
+        explode(SimilarityOps.tableBuckets(col("v"), tables)).as("tb"))
+    val a = e.toDF("a_id", "cell", "tb")
+    val b = e.toDF("b_id", "cell", "tb")
+    a.join(b, Seq("cell", "tb")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
   }
 }

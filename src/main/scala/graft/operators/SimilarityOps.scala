@@ -143,23 +143,58 @@ object SimilarityOps {
       when(dot(emb, typedlit(p)) > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** `numTables` independent fixed-seed plane sets for OR-ed multi-table
+    * LSH (table t derives from seed + t). A single table finds a pair at
+    * angle θ with probability (1 − θ/π)^planes; OR-ing T independent tables
+    * lifts that to 1 − (1 − (1 − θ/π)^planes)^T — the production recall
+    * knob when one table's buckets miss true neighbors. Candidate volume
+    * grows at most T-fold (before dedup), still density-bounded. */
+  def lshTables(numTables: Int, planesPerTable: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(numTables >= 1, "need at least one LSH table")
+    (0 until numTables).map(t => lshPlanes(planesPerTable, dim, seed + t))
+  }
+
+  /** One (t, b) struct per LSH table for a vector — `explode` it so the
+    * (table, bucket) pair becomes an equi-join key: candidates are rows
+    * agreeing on ANY table's bucket (the OR), expressed as a plain hash
+    * join on the exploded key. Writing the OR as a join condition
+    * (`a.b0 = b.b0 OR a.b1 = b.b1`) would veto hash joins entirely and
+    * degrade to a nested-loop — the exploded key keeps the shuffle
+    * hash-partitioned at any table count. */
+  def tableBuckets(v: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    array(tables.zipWithIndex.map { case (p, t) =>
+      struct(lit(t).as("t"), signLshBucket(v, p).as("b"))
+    }: _*)
+
   /** ANN top-k via sign-LSH buckets: rank only candidates sharing the
-    * query's bucket. Same output shape as [[cosineTopKIvf]]; recall is
+    * query's bucket in AT LEAST ONE of `numTables` OR-ed tables
+    * ([[lshTables]]). Same output shape as [[cosineTopKIvf]]; recall is
     * tunable by plane count (fewer planes → bigger buckets → higher recall,
-    * more compute). */
+    * more compute) and table count (more tables → recall → 1 exponentially
+    * while candidates grow at most linearly in T).
+    *
+    * With T > 1 a corpus row can match through several tables; the cosine
+    * is computed per match (one codegen'd VecDot each — map work) and the
+    * (vec_id, cosine) projection deduped before ranking, so only scalars
+    * ever reach the dedup shuffle — never the vectors. */
   def cosineTopKLsh(corpus: DataFrame, queryRow: DataFrame, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = lshPlanes(numPlanes, dim)
-    val withBucket = (df: DataFrame) => df
+      numPlanes: Int = 8, dim: Int = 64, numTables: Int = 1, seed: Long = 42L): DataFrame = {
+    val tables = lshTables(numTables, numPlanes, dim, seed)
+    val withTb = (df: DataFrame) => df
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("bucket", signLshBucket(col("emb"), planes))
-    val q = broadcast(withBucket(queryRow)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket")))
-    withBucket(corpus)
-      .join(q, "bucket")
+      .select(col("vec_id"), col("emb"),
+        explode(tableBuckets(col("emb"), tables)).as("tb"))
+    val q = broadcast(withTb(queryRow)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("tb")))
+    val scored = withTb(corpus)
+      .join(q, "tb")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("emb"), col("q_emb")), 6))
       .select(col("vec_id"), col("cosine"))
+    // Single table → each vec_id matches at most once; skip the dedup
+    // exchange entirely so the T = 1 plan is unchanged.
+    (if (numTables == 1) scored else scored.distinct())
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }
@@ -289,8 +324,8 @@ object SimilarityOps {
     * quadratic in cell size at scale, while the composed key keeps the
     * candidate volume density-bounded (the same fix
     * [[graft.operators.DedupOps.embeddingNearDups]] applies to the pair
-    * generator). Recall per LSH table is (1 − θ/π)^planes; production ORs
-    * several plane tables when k-recall must be near-exact.
+    * generator). Recall per LSH table is (1 − θ/π)^planes; when k-recall
+    * must be near-exact, OR several plane tables via [[knnJoinTables]].
     *
     * Norms are computed per VECTOR below the join's shuffle barrier, not
     * per PAIR above it — each candidate pair costs exactly one VecDot. */
@@ -312,6 +347,44 @@ object SimilarityOps {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosine", graft.engine.Semantics.roundz(
         dot(col("n_emb"), col("q_emb")) / (col("n_nrm") * col("q_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** OR-ed multi-table variant of [[knnJoin]]: candidates share the coarse
+    * cell AND agree on at least ONE table's sign-LSH bucket. Per-table
+    * recall (1 − θ/π)^planes becomes 1 − (1 − (1 − θ/π)^planes)^T — the
+    * near-exact-recall configuration of a deployed ANN join.
+    *
+    * Plan shape: both sides explode their [[tableBuckets]] (T light rows
+    * per vector), one hash join on (cell, (t, b)), cosine per match (one
+    * codegen'd VecDot — duplicates across tables recompute the same cheap
+    * dot), then the scalar (q_id, n_id, cosine) projection is deduped
+    * BEFORE ranking. Vectors never pass the dedup shuffle, and candidate
+    * volume is ≤ T × the single-table join — density-bounded, never
+    * corpus×corpus. */
+  def knnJoinTables(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int,
+      tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tables.nonEmpty, "need at least one LSH table (use knnJoin for bucket-free)")
+    val c = corpus.select(col("vec_id").as("n_id"), col(cellCol).as("cell"),
+        col("embedding").cast("array<double>").as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+      .select(col("n_id"), col("cell"), col("n_emb"), col("n_nrm"),
+        explode(tableBuckets(col("n_emb"), tables)).as("tb"))
+    val qs = queries.select(col("vec_id").as("q_id"), col(cellCol).as("cell"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+      .select(col("q_id"), col("cell"), col("q_emb"), col("q_nrm"),
+        explode(tableBuckets(col("q_emb"), tables)).as("tb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
+    qs.join(c, Seq("cell", "tb"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", graft.engine.Semantics.roundz(
+        dot(col("n_emb"), col("q_emb")) / (col("n_nrm") * col("q_nrm")), 6))
+      .select(col("q_id"), col("n_id"), col("cosine"))
+      .distinct() // union of per-table candidate sets: each pair ranks once
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))

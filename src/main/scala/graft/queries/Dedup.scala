@@ -404,5 +404,37 @@ object Dedup extends QueryGroup {
            |  CAST(tot.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
            |FROM tot LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85)
+  /** X2d multi-table: q32's embedding near-dup with TWO OR-ed sign-LSH
+    * tables (table 0 IS q32's plane set — seed 42 — so q88's pair set is a
+    * superset of q32's by construction: the recall lift is visible in the
+    * row counts). Both sides explode (t, bucket) structs so the OR stays a
+    * hash equi-join; the oracle carries one bucket column per table and
+    * ORs the equalities (fine at oracle scale; the engine-side explode is
+    * the form that scales). */
+  private val q88Tables = graft.operators.SimilarityOps.lshTables(2, 2, 64)
+  private val q88 = QueryDef(
+    "q88_multitable_neardup",
+    (s, dir) => DedupOps
+      .embeddingNearDupsTables(Tables.embeddings(s, dir), "vec_id", col("embedding"),
+        col("label"), 0.35, q88Tables)
+      .orderBy(desc("cosine"), col("a_id"), col("b_id")),
+    Some {
+      val bucketCols = q88Tables.zipWithIndex.map { case (p, t) =>
+        s"${OracleSql.signLshBucketSql("v", p)} AS b$t"
+      }.mkString(",\n|  ")
+      val orCond = q88Tables.indices.map(t => s"a.b$t = b.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (SELECT vec_id, label, v,
+         |  $bucketCols FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine
+         |FROM bk a JOIN bk b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  AND ($orCond)
+         |WHERE round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+         |ORDER BY cosine DESC, a_id, b_id""".stripMargin
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88)
 }

@@ -231,5 +231,45 @@ object Similarity extends QueryGroup {
       .replace("FROM p ORDER BY vec_id",
         "FROM p ORDER BY adc_dist, vec_id LIMIT 10")))
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82)
+  /** q31's batch k-NN join with TWO OR-ed sign-LSH tables
+    * ([[SimilarityOps.knnJoinTables]]): table 0 is q31's plane set, so every
+    * q31 candidate survives and table 1 adds the neighbors table 0's buckets
+    * split away — per-query recall 1 − (1 − (1 − θ/π)²)² vs (1 − θ/π)².
+    * The oracle carries one bucket column per table and ORs the equalities,
+    * deduping pairs with DISTINCT exactly as the engine does. */
+  private val q89Tables = SimilarityOps.lshTables(2, 2, 64)
+  private val q89 = QueryDef(
+    "q89_multitable_knn",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.knnJoinTables(emb, emb.filter(col("vec_id") < 5), "label", 3, q89Tables)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val bucketCols = q89Tables.zipWithIndex.map { case (p, t) =>
+        s"${OracleSql.signLshBucketSql("embedding::DOUBLE[]", p)} AS b$t"
+      }.mkString(",\n|    ")
+      val orCond = q89Tables.indices.map(t => s"e.b$t = qs.b$t").mkString(" OR ")
+      val bNames = q89Tables.indices.map(t => s"b$t").mkString(", ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    $bucketCols
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, label, $bNames, v AS q_emb FROM bk WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT DISTINCT qs.q_id, e.vec_id AS n_id,
+         |    round(list_dot_product(e.v, qs.q_emb)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |       * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) + 0.0 AS cosine
+         |  FROM bk e JOIN qs ON e.label = qs.label AND ($orCond)
+         |  WHERE e.vec_id <> qs.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89)
 }

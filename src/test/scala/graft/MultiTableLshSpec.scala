@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** OR-ed multi-table LSH: the recall knob. A pair missed by one table's
+  * buckets survives if ANY other table catches it, so the multi-table
+  * candidate/result sets must be supersets of table 0's — and recall
+  * against the exact (bucket-free) answer must be monotone in the table
+  * count, while the candidate volume stays ≤ T × single-table. */
+class MultiTableLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(11)
+  private lazy val emb = (0L until 60L).map { i =>
+    (i, Array.fill(64)(rng.nextGaussian().toFloat), (i % 2).toInt)
+  }.toDF("vec_id", "embedding", "label").cache()
+
+  private val t1 = SimilarityOps.lshTables(1, 2, 64) // table 0 = lshPlanes(2, 64)
+  private val t2 = SimilarityOps.lshTables(2, 2, 64)
+  private val t4 = SimilarityOps.lshTables(4, 2, 64)
+
+  test("lshTables: table 0 is the single-table plane set, tables are distinct") {
+    assert(t2.head === SimilarityOps.lshPlanes(2, 64))
+    assert(t2(0) !== t2(1))
+    assert(t4.take(2) === t2)
+  }
+
+  test("embeddingNearDupsTables: multi-table pairs are a superset of single-table, recall is monotone") {
+    def pairs(tables: Seq[Seq[Seq[Double]]]): Set[(Long, Long)] =
+      DedupOps.embeddingNearDupsTables(emb, "vec_id", col("embedding"), col("label"),
+        0.1, tables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(t1)
+    val p2 = pairs(t2)
+    val p4 = pairs(t4)
+    // single-table via the tables path ≡ the original single-plane operator
+    val orig = DedupOps.embeddingNearDups(emb, "vec_id", col("embedding"), col("label"),
+      0.1, t1.head).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === orig)
+    assert(p1.subsetOf(p2) && p2.subsetOf(p4))
+    // exact = every same-cell pair over the threshold (bucket-free)
+    val exact = DedupOps.embeddingNearDups(emb, "vec_id", col("embedding"), col("label"),
+      0.1, Nil).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p4.subsetOf(exact))
+    // the whole point: more tables recover strictly more of the exact set
+    // on this corpus (2 planes split aggressively; statistically guaranteed
+    // at these sizes for the fixed seed)
+    assert(p2.size > p1.size, s"expected recall lift, got ${p1.size} -> ${p2.size}")
+    assert(exact.nonEmpty && p4.size >= p2.size)
+  }
+
+  test("candidate volume stays <= T x single-table and deduped") {
+    val c1 = DedupOps.embeddingCandidates(emb, "vec_id", col("embedding"), col("label"),
+      t1.head).count()
+    val c2df = DedupOps.embeddingCandidatesTables(emb, "vec_id", col("embedding"), col("label"), t2)
+    val c2 = c2df.count()
+    assert(c2 <= 2 * c1)
+    assert(c2 === c2df.distinct().count(), "candidates must be distinct pairs")
+  }
+
+  test("knnJoinTables: neighbors dominate single-table cosine at every rank") {
+    val queries = emb.filter(col("vec_id") < 4)
+    def topk(tables: Seq[Seq[Seq[Double]]]): Map[(Long, Long), Double] =
+      SimilarityOps.knnJoinTables(emb, queries, "label", 3, tables)
+        .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val k1 = topk(t1)
+    val k2 = topk(t2)
+    // single-table tables path ≡ the planes-path knnJoin
+    val orig = SimilarityOps.knnJoin(emb, queries, "label", 3, t1.head)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    assert(k1 === orig)
+    // OR-ing a second table can only add candidates, so the cosine at each
+    // (query, rank) position is >= the single-table one
+    k1.foreach { case (qr, c1) =>
+      assert(k2.getOrElse(qr, Double.MinValue) >= c1, s"rank regressed at $qr")
+    }
+    // no pair is ranked twice
+    val ranked = SimilarityOps.knnJoinTables(emb, queries, "label", 3, t2)
+      .groupBy("q_id", "n_id").count().filter(col("count") > 1).count()
+    assert(ranked === 0L)
+  }
+
+  test("cosineTopKLsh: numTables widens the reachable candidate set") {
+    val q = emb.filter(col("vec_id") === 0)
+    def ids(nt: Int): Set[Long] =
+      SimilarityOps.cosineTopKLsh(emb, q, 50, numPlanes = 4, dim = 64, numTables = nt)
+        .collect().map(_.getLong(0)).toSet
+    val one = ids(1)
+    val three = ids(3)
+    assert(one.subsetOf(three))
+    assert(three.size > one.size, s"expected candidate lift, got ${one.size} -> ${three.size}")
+  }
+}
