@@ -280,6 +280,85 @@ object SimilarityOps {
       element_at(typedlit(t), (codeCol(j) + lit(1L)).cast("int"))
     }.reduce(_ + _)
 
+  /** Train PQ codebooks with per-subspace Lloyd's k-means — the production
+    * path the fixed-seed [[pqCodebooks]] literals stand in for (q81/q82
+    * keep literals for oracle-checkability; q90 runs this composition end
+    * to end), identical in semantics to running [[kmeans]] on each
+    * subspace slice but executed JOINTLY: every iteration is ONE corpus
+    * scan (m argmins of k codegen'd VecDots each) + ONE (subspace,
+    * cluster, dim) hash aggregate + one m·k·(dim/m)-double collect — the
+    * per-iteration job count doesn't grow with m, where m separate
+    * trainers would schedule m× the jobs over the same data. Driver state
+    * stays k·dim doubles. Deterministic for a fixed corpus: seeds are the
+    * k lowest-id vectors sliced per subspace, assignment ties break to the
+    * lower cluster id, empty clusters keep their centroid — [[kmeans]]'s
+    * exact contract per subspace. */
+  def pqTrain(embs: DataFrame, idCol: String, emb: Column,
+      m: Int, k: Int, dim: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    // Persisted for the duration of training — each Lloyd iteration rescans
+    // the vectors (see kmeans for the 100 TB rationale).
+    val vecs = embs.select(col(idCol).as("vec_id"), emb.cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      // cl(j) = subspace j's assigned cluster: argmin over k centroids of
+      // −2·v_j·c + |c|² (|v_j|² is constant inside a subspace's argmin).
+      val clusterCols = books.zipWithIndex.map { case (book, j) =>
+        val s = slice(col("v"), j * sub + 1, sub)
+        val scored = book.zipWithIndex.map { case (c, i) =>
+          struct((lit(-2d) * dot(s, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
+            lit(i).as("cluster"))
+        }
+        array_min(array(scored: _*)).getField("cluster")
+      }
+      val next = vecs
+        .withColumn("cl", array(clusterCols: _*))
+        .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("j", (col("dim") / lit(sub)).cast("int"))
+        .groupBy(col("j"), element_at(col("cl"), col("j") + 1).as("cluster"),
+          (col("dim") % lit(sub)).as("sdim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byKey = next.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cluster")))
+      books = (0 until m).map { j =>
+        (0 until k).map { i =>
+          byKey.get((j, i)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getAs[Int]("sdim")).map(_.getAs[Double]("m")).toSeq
+            case None => books(j)(i) // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    vecs.unpersist(blocking = false)
+    books
+  }
+
+  /** Squared PQ reconstruction error per vector against the given
+    * codebooks: Σ_j min_c ||v_j − c||² — the objective PQ training
+    * minimizes. One codegen'd VecDot per (subspace, centroid) plus one per
+    * subspace for |v_j|², zero shuffle. Average it to compare codebook
+    * quality; PqTrainSpec asserts [[pqTrain]]'s books dominate the random
+    * [[pqCodebooks]] literals on this metric. */
+  def pqDistortion(embs: DataFrame, idCol: String, emb: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = codebooks.head.head.size
+    val v = emb.cast("array<double>")
+    val err = codebooks.zipWithIndex.map { case (book, j) =>
+      val s = slice(v, j * sub + 1, sub)
+      val opts = book.map { c =>
+        lit(-2d) * dot(s, typedlit(c)) + lit(c.map(x => x * x).sum)
+      }
+      dot(s, s) + least(opts: _*)
+    }.reduce(_ + _)
+    embs.select(col(idCol).as("vec_id"), err.as("sq_err"))
+  }
+
   /** Per-cell centroid distance — the prototypicality score behind
     * embedding-space quality pruning (SemDeDup keeps the member FARTHEST
     * from its cluster centroid; dataset-cartography prunes the farthest):

@@ -160,10 +160,11 @@ object Similarity extends QueryGroup {
 
   /** X3 product quantization (IVF-PQ's compression stage): encode every
     * vector as m=4 one-byte codes against fixed-seed literal codebooks
-    * (q41's kmeans trains them in production — the literal discipline is
-    * what keeps the encode ORACLE-checkable, exactly like the q31/q32/q72
-    * LSH planes), plus the ADC distance estimate to a literal query via
-    * m table lookups per row. Zero shuffle, m×k codegen'd VecDots/row. */
+    * (SimilarityOps.pqTrain k-means-trains them in production — q90 runs
+    * that composition; the literal discipline here is what keeps the
+    * encode ORACLE-checkable, exactly like the q31/q32/q72 LSH planes),
+    * plus the ADC distance estimate to a literal query via m table lookups
+    * per row. Zero shuffle, m×k codegen'd VecDots/row. */
   private val pqM = 4
   private val pqK = 8
   private val pqSub = 64 / pqM
@@ -271,5 +272,34 @@ object Similarity extends QueryGroup {
          |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
     })
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89)
+  /** X3 end-to-end IVF-PQ TRAINING composition: per-subspace k-means-
+    * trained codebooks ([[SimilarityOps.pqTrain]] — q41's trainer run once
+    * per subspace) feeding [[SimilarityOps.pqEncode]] and an ADC ranking —
+    * q81's "production trains them" claim as running code. Output = codes
+    * + ADC distance to the same literal query q81 uses, so the two queries
+    * differ ONLY in where the codebooks came from. Iterative k-means isn't
+    * ANSI-expressible → rows-only check; exact-on-centroid and
+    * distortion-dominance over the random literals are ScalaTest-verified
+    * (PqTrainSpec).
+    *
+    * Training reads a deterministic 1-in-4 subsample (vec_id % 4 = 0) and
+    * the ENCODE pass reads the full corpus — the standard PQ deployment
+    * shape (codebook quality saturates on a bounded sample, so at 100 TB
+    * the training scans never grow with the corpus; faiss-style practice,
+    * Jégou et al. 2011). */
+  private val q90 = QueryDef(
+    "q90_pq_trained",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = SimilarityOps.pqTrain(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", col("embedding"), m = pqM, k = pqK, dim = 64, iters = 2)
+      val tables = SimilarityOps.pqAdcTables(pqQuery, books)
+      SimilarityOps.pqEncode(emb, "vec_id", col("embedding"), books)
+        .withColumn("adc_dist", graft.engine.Semantics.roundz(
+          SimilarityOps.pqAdcDistance(tables, j => col(s"code_$j")), 6))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90)
 }

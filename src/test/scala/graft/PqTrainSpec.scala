@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Trained product quantization (pqTrain → pqEncode → ADC): the training
+  * composition must (a) produce well-shaped codebooks, (b) encode a vector
+  * assembled from per-subspace centroids back to exactly those codes
+  * (distance 0 wins the argmin), and (c) beat the random literal codebooks
+  * on the reconstruction-error objective k-means minimizes. */
+class PqTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val k = 4
+  private val rng = new scala.util.Random(5)
+  private lazy val emb = (0L until 80L).map { i =>
+    (i, Array.fill(dim)(rng.nextGaussian()))
+  }.toDF("vec_id", "embedding").cache()
+
+  private lazy val books =
+    SimilarityOps.pqTrain(emb, "vec_id", col("embedding"), m, k, dim, iters = 3)
+
+  test("pqTrain shape: m books of k centroids of dim/m values") {
+    assert(books.size === m)
+    books.foreach { book =>
+      assert(book.size === k)
+      book.foreach(c => assert(c.size === dim / m))
+    }
+    // training moved the centroids off their k lowest-id seeds
+    val seeds = emb.orderBy("vec_id").limit(k).collect().map(_.getSeq[Double](1))
+    assert(books.head !== seeds.map(_.take(dim / m)).toSeq)
+  }
+
+  test("exact-on-centroid: a vector assembled from centroids encodes to those codes") {
+    val want = Seq(1, 2, 3, 0)
+    val v = want.zipWithIndex.flatMap { case (c, j) => books(j)(c) }.toArray
+    val got = SimilarityOps.pqEncode(
+        Seq((0L, v)).toDF("vec_id", "embedding"), "vec_id", col("embedding"), books)
+      .collect().head
+    val codes = (0 until m).map(j => got.getLong(j + 1).toInt)
+    assert(codes === want)
+  }
+
+  test("trained codebooks dominate random literals on reconstruction error") {
+    def avgErr(cb: Seq[Seq[Seq[Double]]]): Double =
+      SimilarityOps.pqDistortion(emb, "vec_id", col("embedding"), cb)
+        .agg(avg(col("sq_err"))).head.getDouble(0)
+    val trained = avgErr(books)
+    val literal = avgErr(SimilarityOps.pqCodebooks(m, k, dim))
+    assert(trained < literal,
+      s"trained distortion $trained should beat random literals $literal")
+    assert(trained > 0d) // corpus is not degenerate
+  }
+
+  test("ADC distance with trained books is exact on the encoded centroids") {
+    // For a vector that IS its per-subspace centroids, ADC to itself-as-query
+    // returns 0 (each table lookup is the centroid-to-query distance, and the
+    // query equals the centroid assembly).
+    val v = (0 until m).flatMap(j => books(j)(2))
+    val tables = SimilarityOps.pqAdcTables(v, books)
+    val df = Seq((0L, v.toArray)).toDF("vec_id", "embedding")
+    val adc = SimilarityOps.pqEncode(df, "vec_id", col("embedding"), books)
+      .select(SimilarityOps.pqAdcDistance(tables, j => col(s"code_$j")))
+      .collect().head.getDouble(0)
+    assert(math.abs(adc) < 1e-9)
+  }
+}
