@@ -136,6 +136,133 @@ object StringPolyHash {
   }
 }
 
+/** Greedy longest-match subword tokenizer over a LITERAL vocabulary — the
+  * deterministic core of a WordPiece/SentencePiece-style encoder (the
+  * inference half of BPE: merges already folded into the vocab). Per word
+  * (space-delimited, matching `string_split(text, ' ')`), repeatedly take
+  * the LONGEST vocab entry prefixing the remaining suffix; if none matches,
+  * emit the single next character (char fallback, so tokenization is total
+  * — no UNK). Returns the subword array; `size(...)` is the real token
+  * count the curation chain (packing q92, fertility q93) runs on instead
+  * of whitespace counts.
+  *
+  * Engine-neutral by construction: greedy longest-match is expressible in
+  * ANSI SQL as a per-position max-match-length table + a recursive-CTE walk
+  * (the q91/q92/q93 oracles inline the identical vocab), so results are
+  * hash-checkable cross-engine — the same literal discipline as the LSH
+  * planes.
+  *
+  * The vocab must be a foldable array<string> with no entry containing a
+  * space (entries can't cross the word boundary the oracle's split
+  * imposes) and no empty/null entries. It compiles ONCE per plan into a
+  * character trie ([[SubwordEncode.buildTrie]]); each row then costs one
+  * trie walk per character — O(text · max_entry_len) worst case,
+  * independent of vocabulary size. Codegen emits a call on the expression
+  * object (via addReferenceObj), keeping consumers inside
+  * WholeStageCodegen — no CodegenFallback, no per-row vocab scan. */
+case class SubwordEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable (literal) vocabulary")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, array<string>), got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = GraftFunctions.SubwordEncodeName
+
+  @transient private lazy val trie: SubwordEncode.Node = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val entries = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"$prettyName: vocabulary entries must not be null")
+      arr.getUTF8String(i).toString
+    }
+    SubwordEncode.buildTrie(entries)
+  }
+
+  /** Row kernel shared by interpreted eval and generated code. */
+  def encode(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    SubwordEncode.encode(trie, text.toString)
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    encode(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordEncode", this, classOf[SubwordEncode].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $ref.encode($t);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SubwordEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+object SubwordEncode {
+  /** Character-trie node; `terminal` marks a vocab entry's end. */
+  final class Node {
+    val children = new java.util.HashMap[Character, Node]()
+    var terminal: Boolean = false
+  }
+
+  def buildTrie(vocab: Iterable[String]): Node = {
+    val root = new Node
+    vocab.foreach { entry =>
+      require(entry.nonEmpty, "subword vocabulary entries must be non-empty")
+      require(!entry.contains(' '),
+        s"subword vocabulary entry '$entry' contains a space — entries cannot cross word boundaries")
+      var node = root
+      entry.foreach { ch =>
+        var next = node.children.get(ch)
+        if (next == null) { next = new Node; node.children.put(ch, next) }
+        node = next
+      }
+      node.terminal = true
+    }
+    root
+  }
+
+  /** Greedy longest-match walk. Spaces separate words and are never
+    * emitted; vocab entries contain no spaces, so a match cannot cross a
+    * word boundary — identical semantics to per-word matching over
+    * `string_split(text, ' ')`. */
+  def encode(trie: Node, text: String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) == ' ') { i += 1 }
+      else {
+        var node = trie
+        var j = i
+        var lastEnd = -1
+        var walking = true
+        while (walking && j < n) {
+          val next = node.children.get(text.charAt(j))
+          if (next == null) walking = false
+          else {
+            node = next
+            j += 1
+            if (node.terminal) lastEnd = j
+          }
+        }
+        val end = if (lastEnd > i) lastEnd else i + 1 // char fallback
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(text.substring(i, end))
+        i = end
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+}
+
 /** Session-level registration + Column-API surface for graft's native
   * expressions. Registration goes through the public FunctionRegistry so the
   * expressions resolve in any session (including driver-owned ones we don't
@@ -145,6 +272,7 @@ object GraftFunctions {
   val VecDotName = "graft_vec_dot"
   val PolyHashName = "graft_poly_hash"
   val BloomContainsName = "graft_bloom_contains"
+  val SubwordEncodeName = "graft_subword_encode"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -159,6 +287,7 @@ object GraftFunctions {
     ensure(VecDotName)(exprs => VecDot(exprs.head, exprs(1)))
     ensure(PolyHashName)(exprs => StringPolyHash(exprs.head))
     ensure(BloomContainsName)(exprs => BloomMightContain(exprs.head, exprs(1), exprs(2)))
+    ensure(SubwordEncodeName)(exprs => SubwordEncode(exprs.head, exprs(1)))
   }
 
   /** Codegen'd dot product of two array<double> columns. Registers against
@@ -173,6 +302,14 @@ object GraftFunctions {
   def polyHash(s: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(PolyHashName, s)
+  }
+
+  /** Codegen'd greedy longest-match subword tokenization of a string column
+    * against a literal vocabulary (see [[SubwordEncode]]). Returns
+    * array<string>; `size(...)` of it is the subword token count. */
+  def subwordEncode(text: Column, vocab: Seq[String]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(SubwordEncodeName, text, org.apache.spark.sql.functions.typedlit(vocab))
   }
 
   /** Codegen'd Bloom membership probe of a string column against a collected

@@ -29,6 +29,28 @@ object TextOps {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
 
+  /** Literal subword vocabulary for [[subwordTokenize]] — a BPE-style merge
+    * table folded to its final vocab (full words kept whole, common stems/
+    * suffixes as pieces, anything uncovered falls back per character).
+    * LITERAL for the same reason as the LSH planes: the q91/q92/q93 oracles
+    * inline the identical entries, so tokenization is hash-checkable
+    * cross-engine; production swaps in a trained vocab file without
+    * touching the operator. */
+  val defaultSubwordVocab: Seq[String] = Seq(
+    "the", "a", "spark", "win", "dow", "mer", "ge", "tab", "le", "col",
+    "umn", "vec", "tor", "str", "eam", "val", "value", "da", "ta", "small",
+    "jo", "in", "fil", "ter", "big", "gro", "up", "hash", "sort", "or",
+    "der", "slow", "li", "ne", "part", "fast", "row", "agg", "key", "que",
+    "ry", "scan", "ba", "tch", "du", "p", "om", "er")
+
+  /** Real subword tokenization (greedy longest-match over a literal vocab
+    * with char fallback — the codegen'd [[graft.functions.SubwordEncode]]
+    * trie, one walk per character, vocabulary-size-independent). The token
+    * counts driving packing/fertility should come from THIS, not
+    * whitespace: model context windows are measured in subword tokens. */
+  def subwordTokenize(text: Column, vocab: Seq[String] = defaultSubwordVocab): Column =
+    graft.functions.GraftFunctions.subwordEncode(text, vocab)
+
   /** Count of stopword tokens (quality-scoring feature). */
   def stopwordCount(tokens: Column, stops: Seq[String] = defaultStopwords): Column =
     size(filter(tokens, t => t.isin(stops: _*))).cast("long")

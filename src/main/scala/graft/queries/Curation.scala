@@ -470,5 +470,33 @@ object Curation extends QueryGroup {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   override val defs: Seq[QueryDef] =
-    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84)
+    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92)
+
+  /** q49's sequence packing driven by the REAL subword token count
+    * ([[graft.operators.TextOps.subwordTokenize]]) instead of whitespace
+    * words — context windows are measured in model tokens, so THIS is the
+    * count a production packer bins on. Same packing plan (running
+    * per-source window, zero extra shuffle: the tokenizer is map work
+    * feeding the same cumulative sum); the oracle swaps q49's
+    * whitespace-count CTE for the recursive subword walk. */
+  private lazy val q92 = QueryDef(
+    "q92_subword_pack",
+    (s, dir) => CurationOps
+      .packSequences(Tables.documents(s, dir), col("source"), col("doc_id"),
+        size(graft.operators.TextOps.subwordTokenize(col("text"))), 2048)
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+      .orderBy(col("source"), col("chunk_id")),
+    Some(s"""${OracleSql.subwordWalkSql(graft.operators.TextOps.defaultSubwordVocab)},
+           |tc AS (SELECT doc_id, count(*) AS tok FROM walk GROUP BY 1),
+           |t AS (SELECT d.source, d.doc_id, CAST(coalesce(tc.tok, 0) AS BIGINT) AS tok
+           |  FROM documents d LEFT JOIN tc USING (doc_id)),
+           |c AS (
+           |  SELECT source, tok,
+           |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT source, CAST((cum - tok) // 2048 AS BIGINT) AS chunk_id,
+           |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS chunk_tokens
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 }

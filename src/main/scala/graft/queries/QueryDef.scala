@@ -35,4 +35,33 @@ object OracleSql {
     planes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Recursive-CTE reproduction of [[graft.functions.SubwordEncode]]'s
+    * greedy longest-match tokenization over the SAME literal vocabulary:
+    * `jp` holds, per (doc, word, char position), the longest vocab entry
+    * matching there (or 1 — the char fallback), and the recursive `walk`
+    * follows those jumps, emitting one row per subword in `tok`. Append a
+    * final SELECT over `walk`; the whole statement must start with this
+    * fragment (it opens `WITH RECURSIVE`). */
+  def subwordWalkSql(vocab: Seq[String]): String = {
+    val values = vocab.map(v => s"('${v.replace("'", "''")}')").mkString(", ")
+    // The vocab match is an INNER theta-join on a materialized position CTE
+    // (`ps`), left-joined back on plain equality keys — DuckDB rejects a
+    // correlated LEFT JOIN directly against the lateral unnest.
+    s"""WITH RECURSIVE vocab(v) AS (VALUES $values),
+       |wrd AS (SELECT doc_id, i.i AS wi, string_split(text, ' ')[i.i + 1] AS w
+       |  FROM documents, unnest(range(len(string_split(text, ' ')))) AS i(i)),
+       |ps AS (SELECT doc_id, wi, w, p.p AS pos FROM wrd, unnest(range(len(w))) AS p(p)),
+       |mt AS (SELECT doc_id, wi, pos, max(len(v.v)) AS mlen
+       |  FROM ps JOIN vocab v ON substr(ps.w, ps.pos + 1, len(v.v)) = v.v
+       |  GROUP BY 1, 2, 3),
+       |jp AS (SELECT ps.doc_id, ps.wi, ps.w, ps.pos, coalesce(mt.mlen, 1) AS jump
+       |  FROM ps LEFT JOIN mt USING (doc_id, wi, pos)),
+       |walk AS (
+       |  SELECT jp.doc_id, jp.wi, jp.jump AS pos, substr(jp.w, 1, jp.jump) AS tok
+       |  FROM jp WHERE jp.pos = 0
+       |  UNION ALL
+       |  SELECT j.doc_id, j.wi, wk.pos + j.jump, substr(j.w, wk.pos + 1, j.jump)
+       |  FROM walk wk JOIN jp j ON j.doc_id = wk.doc_id AND j.wi = wk.wi AND j.pos = wk.pos)""".stripMargin
+  }
 }

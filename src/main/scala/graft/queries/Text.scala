@@ -372,6 +372,62 @@ object Text extends QueryGroup {
            |FROM gt JOIN c USING (tok) CROSS JOIN n
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X4 REAL subword tokenization (q34's "BPE-ish regex" upgraded to an
+    * actual encoder): greedy longest-match over a literal merge vocab with
+    * char fallback — the codegen'd [[graft.functions.SubwordEncode]] trie,
+    * one walk per character regardless of vocab size. Output: the corpus's
+    * top-30 subwords by frequency. The oracle replays the identical
+    * vocabulary through a per-position max-match table + recursive-CTE walk
+    * ([[OracleSql.subwordWalkSql]]) — tokenization hash-matches
+    * cross-engine, not just counts. */
+  private val q91 = QueryDef(
+    "q91_subword_tokens",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(TextOps.subwordTokenize(col("text"))).as("sub"))
+      .groupBy(col("sub")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("sub")).limit(30),
+    Some(s"""${OracleSql.subwordWalkSql(TextOps.defaultSubwordVocab)}
+           |SELECT tok AS sub, count(*) AS n FROM walk
+           |GROUP BY 1 ORDER BY n DESC, sub LIMIT 30""".stripMargin))
+
+  /** X4 tokenizer-quality profile over the REAL subword stream: per-doc
+    * fertility (subwords per whitespace word — the standard tokenizer
+    * efficiency metric) and duplicate-subword fraction (q68's repetition
+    * signal re-based onto model tokens, which is what a filtering
+    * threshold actually sees). Pure map work + one explode-free aggregate:
+    * the subword array never leaves the row. */
+  private val q93 = QueryDef(
+    "q93_subword_fertility",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.subwordTokenize(col("text")).as("subs"),
+        size(filter(TextOps.tokenize(col("text")), w => length(w) > 0))
+          .cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("subs")).cast("long").as("n_subwords"),
+        when(col("n_words") > 0, graft.engine.Semantics.roundz(
+            size(col("subs")).cast("double") / col("n_words").cast("double"), 6))
+          .otherwise(lit(0.0)).as("fertility"),
+        when(size(col("subs")) > 0, graft.engine.Semantics.roundz(
+            (size(col("subs")) - size(array_distinct(col("subs")))).cast("double")
+              / size(col("subs")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_subword_frac"))
+      .orderBy(col("doc_id")),
+    Some(s"""${OracleSql.subwordWalkSql(TextOps.defaultSubwordVocab)},
+           |agg AS (SELECT doc_id, count(*) AS n_subwords, count(DISTINCT tok) AS n_distinct
+           |  FROM walk GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+           |  CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+           |  CASE WHEN len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) > 0
+           |    THEN round(CAST(coalesce(a.n_subwords, 0) AS DOUBLE)
+           |      / len(list_filter(string_split(d.text, ' '), x -> len(x) > 0)), 6) + 0.0
+           |    ELSE 0.0 END AS fertility,
+           |  CASE WHEN coalesce(a.n_subwords, 0) > 0
+           |    THEN round(CAST(a.n_subwords - a.n_distinct AS DOUBLE) / a.n_subwords, 6) + 0.0
+           |    ELSE 0.0 END AS dup_subword_frac
+           |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93)
 }
