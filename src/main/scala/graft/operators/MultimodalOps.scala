@@ -45,12 +45,15 @@ object MultimodalOps {
     * `javax.imageio` readers decode PNG / BMP / GIF / JPEG headers to true
     * pixel dimensions with zero external dependencies (in-memory only —
     * the disk cache is disabled so a 1000-executor decode pass never
-    * touches local temp storage). A payload that isn't a decodable image —
-    * including this repo's synthetic test corpus — falls back to the
-    * deterministic hash-derived envelope, keeping the operator total.
-    * AUDIO / VIDEO stay stubbed (the JDK ships no codec for them); a real
-    * deployment swaps those branches for a media library and nothing else
-    * in the plan changes. */
+    * touches local temp storage). The AUDIO branch is REAL for
+    * RIFF/WAVE-family containers: `javax.sound.sampled` parses the header
+    * (WAV/AIFF/AU ship with the JDK) to frame count and frame rate, giving
+    * true duration_ms without decoding samples. A payload neither branch
+    * can parse — including this repo's synthetic test corpus — falls back
+    * to the deterministic hash-derived envelope, keeping the operator
+    * total. VIDEO stays stubbed (the JDK ships no video codec); a real
+    * deployment swaps that branch for a media library and nothing else in
+    * the plan changes. */
   object StubCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
     override def decode(payload: Array[Byte], mediaType: String): (Int, Int, Long) = {
@@ -62,11 +65,34 @@ object MultimodalOps {
             catch { case _: java.io.IOException => null }
           if (img != null) (img.getWidth, img.getHeight, 0L)
           else (64 + h % 1024, 64 + (h / 7) % 1024, 0L)
-        case "audio" => (0, 0, 1000L + h % 600000L)
+        case "audio" =>
+          wavDurationMs(payload) match {
+            case Some(ms) => (0, 0, ms)
+            case None => (0, 0, 1000L + h % 600000L)
+          }
         case "video" => (64 + h % 1920, 64 + (h / 7) % 1080, 1000L + h % 3600000L)
         case _ => (0, 0, 0L)
       }
     }
+
+    /** True duration of a WAV/AIFF/AU payload from its header — frame
+      * count / frame rate, no sample decode (header-only, so a 100 TB
+      * audio sweep reads a few hundred bytes per object when the source
+      * supports range reads). None when the container is unparseable or
+      * the header omits either figure. */
+    private def wavDurationMs(payload: Array[Byte]): Option[Long] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val frames = aff.getFrameLength
+        val rate = aff.getFormat.getFrameRate
+        if (frames > 0 && rate > 0 && !rate.isNaN)
+          Some(math.round(frames.toDouble / rate * 1000d))
+        else None
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
   }
 
   /** Decode/feature-extract over partition-local batches. One codec per

@@ -441,6 +441,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(feats.values.forall(_.duration_ms === 0L))
   }
 
+  test("multimodal: real WAV payloads decode to true duration via the header") {
+    import MultimodalOps._
+    // a genuine RIFF/WAVE file written by the JDK itself: 16 kHz mono
+    // 16-bit, exactly 8000 frames = 500 ms
+    def wav(frames: Int, hz: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(hz, 16, 1, true, false)
+      val pcm = new Array[Byte](frames * 2)
+      (0 until frames).foreach(i => pcm(2 * i) = ((i * 37) & 0x7f).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "audio", wav(8000, 16000f), "s0"),   // 500 ms
+      MediaRecord(2L, "audio", wav(44100, 44100f), "s0"),  // 1000 ms
+      MediaRecord(3L, "audio", "not-audio".getBytes, "s1") // fallback path
+    ).toDS()
+    val feats = extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).duration_ms === 500L)
+    assert(feats(2L).duration_ms === 1000L)
+    assert(feats(3L).duration_ms >= 1000L) // deterministic hash envelope
+    assert(feats.values.forall(f => f.width === 0 && f.height === 0))
+  }
+
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {
     import MultimodalOps._
     val media = Seq(
