@@ -31,6 +31,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** How [[connectedComponents]] truncates lineage each round. */
+  sealed trait CheckpointStrategy
+  object CheckpointStrategy {
+    /** Executor-local truncation (default): fastest, no external storage,
+      * but blocks live only on executor block managers — an executor loss
+      * can drop result partitions and fail the job. The right trade for
+      * single-process runs and short batch jobs that simply retry. */
+    case object Local extends CheckpointStrategy
+    /** Reliable checkpoint into `dir` (HDFS / object store): each round's
+      * labels are persisted off-executor, so a multi-hour CC run on a real
+      * cluster survives executor loss — the 100 TB posture. Costs one
+      * write+read of the label set per round. */
+    final case class Reliable(dir: String) extends CheckpointStrategy
+  }
+
   /** Connected components of the undirected graph given by `edges`.
     * Returns (node, comp) for every node INCIDENT TO AN EDGE, where comp is
     * the minimum node id in the node's component — deterministic under any
@@ -75,7 +90,19 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIters: Int = 30,
       edgeCounts: scala.collection.mutable.Buffer[Long] = null,
-      contractFrom: Long = 1L << 16): DataFrame = {
+      contractFrom: Long = 1L << 16,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // Reliable mode: point the context at the durable dir once up front
+    // (setCheckpointDir mints a fresh run-scoped subdirectory).
+    checkpoint match {
+      case CheckpointStrategy.Reliable(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+      case CheckpointStrategy.Local => ()
+    }
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame = checkpoint match {
+      case CheckpointStrategy.Local => df.localCheckpoint(eager)
+      case _: CheckpointStrategy.Reliable => df.checkpoint(eager)
+    }
     // Node ids must already be integral: a silent cast("long") on e.g. a
     // hex-fingerprint string column would turn every id into NULL and
     // "converge" to one garbage (null, null) component.
@@ -106,12 +133,12 @@ object GraphOps {
     // 12). Truncating per round keeps planning O(1) per iteration; the
     // materialization it forces is work mass() needs anyway. Checkpointed
     // RDDs are released by the ContextCleaner once unreferenced — nothing
-    // accumulates in the CacheManager across invocations. On a real cluster
-    // swap localCheckpoint for a reliable `checkpoint` dir so executor loss
+    // accumulates in the CacheManager across invocations. The truncation
+    // mechanism is the `checkpoint` parameter: Local (default) here, or
+    // CheckpointStrategy.Reliable(dir) on a real cluster so executor loss
     // can't drop result partitions.
-    var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint(eager = true)
+    var labels = ckpt(und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")), eager = true)
     // decimal(38,0) so the convergence metric can't overflow at any node
     // count × id range; coalesce so an edgeless input converges (sum over
     // zero rows is NULL) instead of NPE-ing the comparison.
@@ -182,13 +209,11 @@ object GraphOps {
             .join(labels.select(col("node").as("src"), col("comp").as("__sc")), "src")
             .join(labels.select(col("node").as("dst"), col("comp").as("__dc")), "dst")
           (j.select(col("dst").as("node"), col("__sc").as("comp")),
-            j.select(col("__sc").as("src"), col("__dc").as("dst"))
-              .filter(col("src") =!= col("dst")).distinct()
-              .localCheckpoint(eager = false))
+            ckpt(j.select(col("__sc").as("src"), col("__dc").as("dst"))
+              .filter(col("src") =!= col("dst")).distinct(), eager = false))
         }
-      val next = labels.select(col("node"), col("comp")).union(prop).union(hop)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
+      val next = ckpt(labels.select(col("node"), col("comp")).union(prop).union(hop)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp")), eager = true)
       if (edgeCounts != null) edgeCounts += nextActive.count()
       val nm = mass(next)
       labels = next

@@ -100,6 +100,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 7L -> 2L))
   }
 
+  test("reliable checkpoint strategy produces the same labeling and writes to the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val edges = Seq((5L, 2L), (2L, 9L), (7L, 8L), (8L, 3L)).toDF("src", "dst")
+      val reliable = GraphOps.connectedComponents(edges, "src", "dst",
+          contractFrom = 0L, // exercise the contracted path's lazy checkpoint too
+          checkpoint = GraphOps.CheckpointStrategy.Reliable(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 7L -> 3L, 8L -> 3L, 3L -> 3L))
+      assert(reliable === comps(Seq((5L, 2L), (2L, 9L), (7L, 8L), (8L, 3L))))
+      // the rounds really persisted off-heap: the dir holds checkpoint data
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files written under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("repeated invocations do not accumulate iteration caches") {
     // Each call persists e + und + one localCheckpoint per round (~12 RDDs
     // for this graph); all but the checkpointed result must be released on
