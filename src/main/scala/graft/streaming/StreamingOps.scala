@@ -132,20 +132,26 @@ object StreamingOps {
     * crawl-dedup discipline under the streaming envelope. Each micro-batch
     * (1) computes its documents' MinHash band rows, (2) LEFT SEMI-probes
     * the STANDING band index accumulated by earlier batches
-    * ([[graft.operators.DedupOps.incrementalLshSuspects]]), (3) appends
-    * the flagged documents to `outPath`, and (4) writes its own bands into
-    * the index under `batch=<id>` so later batches see them. The index is
-    * the only state; it lives in FILES (restart-safe next to the
-    * checkpoint, never in executor memory), and the corpus is never
-    * rescanned — per-batch work is the batch's own signature pass plus one
-    * equi-join against the index, corpus-size-independent.
+    * ([[graft.operators.DedupOps.incrementalLshSuspects]]) AND self-probes
+    * its own bands for WITHIN-batch collisions (a doc is a suspect when it
+    * band-collides with any doc that arrived earlier: a prior batch, or
+    * the same batch with a smaller doc_id — first-seen is admitted, the
+    * echo is flagged), (3) appends the flagged documents to `outPath`, and
+    * (4) writes its own bands into the index under `batch=<id>` so later
+    * batches see them. The index is the only state; it lives in FILES
+    * (restart-safe next to the checkpoint, never in executor memory), and
+    * the corpus is never rescanned — per-batch work is the batch's own
+    * signature pass plus one equi-join against the index and one
+    * batch-local self-join, corpus-size-independent.
     *
     * Effectively-once under replay: the batch's band partition is
     * OVERWRITTEN (not appended) and the probe reads only partitions with
     * batch < current, so a replayed batch neither double-registers its
-    * bands nor LSH-collides with its own first attempt. (The flagged
-    * OUTPUT append is at-least-once on replay, as with any foreachBatch
-    * file append; dedup on doc_id downstream if the sink must be exact.) */
+    * bands nor LSH-collides with its own first attempt (the batch-local
+    * self-probe is deterministic, so a replay re-flags the same docs). The
+    * flagged OUTPUT append is at-least-once on replay, as with any
+    * foreachBatch file append; dedup on doc_id downstream if the sink must
+    * be exact. */
   def streamingLshSuspects(docs: DataFrame, checkpoint: String, indexPath: String,
       outPath: String, numHashes: Int = 8, maxDf: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
@@ -167,12 +173,70 @@ object StreamingOps {
             case None => bands.select(col("doc_id")).distinct()
               .withColumn("lsh_suspect", lit(false))
           }
+          // Within-batch blind spot closed: collide each band row against
+          // the batch's own bands from EARLIER docs (doc_id order stands in
+          // for arrival order inside a batch).
+          val intra = bands.as("p").join(bands.as("e"),
+              col("p.bucket") === col("e.bucket") && col("p.band") === col("e.band") &&
+                col("p.h") === col("e.h") && col("e.doc_id") < col("p.doc_id"),
+              "left_semi")
+            .select(col("doc_id")).distinct().withColumn("__intra", lit(true))
           batch.toDF().join(flagged, Seq("doc_id"), "left")
+            .join(intra, Seq("doc_id"), "left")
             // docs too short to shingle have no bands — never suspects
-            .withColumn("lsh_suspect", coalesce(col("lsh_suspect"), lit(false)))
+            .withColumn("lsh_suspect",
+              coalesce(col("lsh_suspect"), lit(false)) || coalesce(col("__intra"), lit(false)))
+            .drop("__intra")
             .write.mode("append").parquet(outPath)
           bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
         } finally bands.unpersist(false)
+      }
+
+  /** X2/X3 (streaming): the EMBEDDING analogue of [[streamingLshSuspects]]
+    * — incremental SEMANTIC near-dup suspect flagging. Each micro-batch
+    * sign-LSH-buckets its vectors under the given OR-ed plane tables
+    * ([[graft.operators.SimilarityOps.tableBuckets]]), LEFT SEMI-probes the
+    * standing (table, bucket) index of earlier batches plus its own
+    * earlier-id rows (same first-seen-admitted discipline), appends the
+    * flagged vectors to `outPath`, and registers its buckets under
+    * `batch=<id>`. State = T small rows per vector in FILES; per-batch work
+    * is the batch's own bucket pass + two equi-joins — corpus-size-
+    * independent. Suspects feed an exact-cosine verifier downstream
+    * (q32/q61's verification stage); same effectively-once replay contract
+    * as the lexical op. */
+  def streamingSemanticSuspects(embs: DataFrame, checkpoint: String, indexPath: String,
+      outPath: String, tables: Seq[Seq[Seq[Double]]]): DataStreamWriter[org.apache.spark.sql.Row] =
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val buckets = batch.toDF()
+          .select(col("vec_id"), explode(graft.operators.SimilarityOps.tableBuckets(
+            col("embedding").cast("array<double>"), tables)).as("tb"))
+          .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+          .persist() // probed AND registered — compute the buckets once
+        try {
+          val index =
+            try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
+              .filter(col("batch") < id).drop("batch"))
+            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
+          val cross = index match {
+            case Some(idx) => buckets.join(idx, Seq("t", "b"), "left_semi")
+              .select(col("vec_id")).distinct()
+            case None => buckets.select(col("vec_id")).filter(lit(false))
+          }
+          val intra = buckets.as("p").join(buckets.as("e"),
+              col("p.t") === col("e.t") && col("p.b") === col("e.b") &&
+                col("e.vec_id") < col("p.vec_id"),
+              "left_semi")
+            .select(col("vec_id")).distinct()
+          val suspects = cross.union(intra).distinct()
+            .withColumn("sem_suspect", lit(true))
+          batch.toDF().join(suspects, Seq("vec_id"), "left")
+            .withColumn("sem_suspect", coalesce(col("sem_suspect"), lit(false)))
+            .write.mode("append").parquet(outPath)
+          buckets.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+        } finally buckets.unpersist(false)
       }
 
   /** Convenience: run a streaming query until all currently-available input

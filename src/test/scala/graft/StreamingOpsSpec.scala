@@ -81,11 +81,48 @@ class StreamingOpsSpec extends SparkSpec {
       // batch 2: doc 3 repeats doc 1's text (suspect), 4 is novel, 5 too short to shingle
       input.addData((3L, boiler), (4L, "nothing shares any shingle with prior documents at all"), (5L, "x"))
       q.processAllAvailable()
+      // batch 3: 6 and 7 are near-identical WITHIN the batch — first-seen
+      // (lower id) admitted, the echo flagged, no index round-trip needed
+      val intra = "some fresh boilerplate block repeated inside one single micro batch today"
+      input.addData((6L, intra), (7L, intra))
+      q.processAllAvailable()
       val flags = spark.read.parquet(out)
         .select(col("doc_id"), col("lsh_suspect"))
         .as[(Long, Boolean)].collect().toMap
-      assert(flags === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
-      // the standing index holds both batches' bands, keyed by batch id
+      assert(flags === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false,
+        5L -> false, 6L -> false, 7L -> true))
+      // the standing index holds all batches' bands, keyed by batch id
+      val batches = spark.read.option("basePath", idx).parquet(idx)
+        .select(col("batch")).distinct().as[Long].collect().toSet
+      assert(batches === Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
+  test("X3-stream: semantic suspects — cross-batch and intra-batch bucket collisions flag") {
+    import graft.operators.SimilarityOps
+    val input = MemoryStream[(Long, Array[Double])](spark)
+    val embs = input.toDF().toDF("vec_id", "embedding")
+    val (cp, idx, out) = (tmp("sem_cp"), tmp("sem_idx"), tmp("sem_out"))
+    val tables = SimilarityOps.lshTables(2, 4, 8)
+    val q = StreamingOps.streamingSemanticSuspects(embs, cp, idx, out, tables).start()
+    try {
+      val rng = new scala.util.Random(19)
+      def vec(): Array[Double] = Array.fill(8)(rng.nextGaussian())
+      val a = vec(); val b = vec()
+      input.addData((1L, a), (2L, b))
+      q.processAllAvailable()
+      // batch 2: vec 3 IS vec 1 (identical buckets in every table → cross-
+      // batch suspect); 4 is novel; 5 repeats 4 within the batch → intra
+      val c = vec()
+      input.addData((3L, a), (4L, c), (5L, c))
+      q.processAllAvailable()
+      val flags = spark.read.parquet(out)
+        .select(col("vec_id"), col("sem_suspect"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(flags(3L) === true, "identical vector from an earlier batch must flag")
+      assert(flags(5L) === true, "identical vector within the batch must flag")
+      assert(flags(1L) === false && flags(4L) === false, "first-seen vectors are admitted")
+      // the standing index registered both batches
       val batches = spark.read.option("basePath", idx).parquet(idx)
         .select(col("batch")).distinct().as[Long].collect().toSet
       assert(batches === Set(0L, 1L))
