@@ -25,20 +25,37 @@ object Layout {
       .sortBy(key)
       .saveAsTable(table)
 
-  /** Morton (Z-order) key: interleaves the low `bits` bits of two
-    * non-negative integer columns — x in the even output bits, y in the
-    * odd. Rows close in BOTH dimensions get close keys, so a Z-sorted
-    * layout clusters every dimension at once where a linear sort clusters
-    * only its leading column.
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two integer
+    * columns — x in the even output bits, y in the odd. Rows close in BOTH
+    * dimensions get close keys, so a Z-sorted layout clusters every
+    * dimension at once where a linear sort clusters only its leading
+    * column.
+    *
+    * Domain: both inputs must lie in [0, 2^bits). That is ENFORCED with a
+    * per-row raise, not assumed — a value ≥ 2^bits would silently alias
+    * onto a distant row's key and a negative one would interleave sign
+    * bits (arithmetic shift), both of which quietly DEGRADE the clustering
+    * while every query still returns correct rows (readPruned re-applies
+    * the row predicate) — the worst kind of failure: invisible until
+    * someone asks why the 100 TB table stopped skipping files. Size `bits`
+    * from the column's true max (e.g. 31 covers any non-negative int).
     *
     * Pure codegen'd bit arithmetic (shift/and/sum of disjoint bits — the
-    * sum IS the bitwise-or), no UDF: `2·bits` terms folded at plan time. */
+    * sum IS the bitwise-or), no UDF: `2·bits` terms folded at plan time,
+    * plus one guard comparison per row. */
   def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in 1..31")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    val lim = 1L << bits
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    val key = (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+    when(xl < 0 || xl >= lim || yl < 0 || yl >= lim,
+      raise_error(concat(lit(s"mortonKey: inputs must be in [0, $lim) for bits=$bits; got x="),
+        xl.cast("string"), lit(" y="), yl.cast("string"))))
+      .otherwise(key)
   }
 
   /** Per-file min/max stats manifest for a parquet directory — the

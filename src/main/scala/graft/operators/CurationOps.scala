@@ -270,12 +270,20 @@ object CurationOps {
     * equi-joins on doc id (the split side is a projection of the corpus —
     * shuffles ids and split labels only, never text) and one tiny
     * aggregate. The unordered-combination key uses least/greatest so
-    * (train,test) and (test,train) pairs collapse into one row. */
+    * (train,test) and (test,train) pairs collapse into one row.
+    *
+    * The split joins are LEFT joins with an explicit `unknown` label: a
+    * pair whose doc id is missing from `splits` surfaces as an `unknown`
+    * row instead of silently vanishing — in a leakage audit a silent
+    * undercount is the worst failure mode (an inner join would hide
+    * exactly the ids whose split assignment is broken). */
   def pairSplitAudit(pairs: DataFrame, splits: DataFrame): DataFrame = {
     val sa = splits.toDF("a_id", "__sa")
     val sb = splits.toDF("b_id", "__sb")
     pairs.select(col("a_id"), col("b_id"))
-      .join(sa, "a_id").join(sb, "b_id")
+      .join(sa, Seq("a_id"), "left").join(sb, Seq("b_id"), "left")
+      .select(coalesce(col("__sa"), lit("unknown")).as("__sa"),
+        coalesce(col("__sb"), lit("unknown")).as("__sb"))
       .groupBy(least(col("__sa"), col("__sb")).as("split_lo"),
         greatest(col("__sa"), col("__sb")).as("split_hi"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -288,14 +296,24 @@ object CurationOps {
     * before shipping `after` to training; counts by class are the
     * headline, and the same join projected row-wise is the change feed.
     * One equi-join shuffling (id, fingerprint) pairs only — never text —
-    * then a tiny aggregate. */
+    * then a tiny aggregate.
+    *
+    * Presence is decided by explicit per-side markers, NOT fingerprint
+    * nullness (a row present in both snapshots with a null fingerprint
+    * must not masquerade as added/removed); a doc present on both sides
+    * with a NULL fingerprint on either is classified `changed` — equality
+    * of unknown content can't be asserted, and the conservative class for
+    * a reconciliation report is the one that triggers a second look. */
   def snapshotDiff(before: DataFrame, after: DataFrame,
       id: Column, fingerprint: Column): DataFrame = {
-    val a = before.select(id.as("id"), fingerprint.as("fp_before"))
-    val b = after.select(id.as("id"), fingerprint.as("fp_after"))
+    val a = before.select(id.as("id"), fingerprint.as("fp_before"),
+      lit(true).as("__in_before"))
+    val b = after.select(id.as("id"), fingerprint.as("fp_after"),
+      lit(true).as("__in_after"))
     a.join(b, Seq("id"), "full_outer")
-      .select(when(col("fp_before").isNull, "added")
-        .when(col("fp_after").isNull, "removed")
+      .select(when(col("__in_before").isNull, "added")
+        .when(col("__in_after").isNull, "removed")
+        .when(col("fp_before").isNull || col("fp_after").isNull, "changed")
         .when(col("fp_before") =!= col("fp_after"), "changed")
         .otherwise("unchanged").as("status"))
       .groupBy(col("status"))

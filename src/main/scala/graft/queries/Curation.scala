@@ -413,11 +413,11 @@ object Curation extends QueryGroup {
            |  FROM (SELECT doc_id,
            |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
            |    FROM documents)),
-           |lk AS (SELECT least(sa.split, sb.split) AS split_lo,
-           |    greatest(sa.split, sb.split) AS split_hi
+           |lk AS (SELECT least(coalesce(sa.split, 'unknown'), coalesce(sb.split, 'unknown')) AS split_lo,
+           |    greatest(coalesce(sa.split, 'unknown'), coalesce(sb.split, 'unknown')) AS split_hi
            |  FROM pairs
-           |  JOIN sp sa ON sa.doc_id = pairs.a_id
-           |  JOIN sp sb ON sb.doc_id = pairs.b_id)
+           |  LEFT JOIN sp sa ON sa.doc_id = pairs.a_id
+           |  LEFT JOIN sp sb ON sb.doc_id = pairs.b_id)
            |SELECT split_lo, split_hi, count(*) AS n_pairs
            |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
@@ -447,11 +447,14 @@ object Curation extends QueryGroup {
            |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
            |      '\s+', ' ', 'g'))), 1, 16) AS fp
            |  FROM documents WHERE doc_id % 11 <> 3),
-           |j AS (SELECT CASE WHEN b.fp IS NULL THEN 'added'
-           |                  WHEN a.fp IS NULL THEN 'removed'
-           |                  WHEN b.fp <> a.fp THEN 'changed'
+           |bm AS (SELECT *, TRUE AS pb FROM b),
+           |am AS (SELECT *, TRUE AS pa FROM a),
+           |j AS (SELECT CASE WHEN bm.pb IS NULL THEN 'added'
+           |                  WHEN am.pa IS NULL THEN 'removed'
+           |                  WHEN bm.fp IS NULL OR am.fp IS NULL THEN 'changed'
+           |                  WHEN bm.fp <> am.fp THEN 'changed'
            |                  ELSE 'unchanged' END AS status
-           |  FROM b FULL OUTER JOIN a USING (doc_id))
+           |  FROM bm FULL OUTER JOIN am USING (doc_id))
            |SELECT status, count(*) AS n_docs FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Score calibration: per-source percent_rank of doc length — the

@@ -210,6 +210,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(r === Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
   }
 
+  test("snapshot diff: presence markers, not fingerprint nullness, decide added/removed") {
+    // doc 1 exists in BOTH snapshots but carries a null fingerprint in
+    // `after` — must be 'changed' (unverifiable), never 'removed'; doc 2's
+    // null-vs-null is also 'changed' (equality of unknown content is not
+    // asserted), never 'unchanged'.
+    val before = Seq((1L, Some("fa")), (2L, None), (3L, Some("fc"))).toDF("doc_id", "fp")
+    val after = Seq((1L, Option.empty[String]), (2L, None), (3L, Some("fc"))).toDF("doc_id", "fp")
+    val r = CurationOps.snapshotDiff(before, after, col("doc_id"), col("fp"))
+      .as[(String, Long)].collect().toMap
+    assert(r === Map("changed" -> 2L, "unchanged" -> 1L))
+  }
+
   test("percentile calibration: per-group ranks in [0,1], ties share a rank, clash fails fast") {
     val df = Seq(("g1", 10, 1L), ("g1", 20, 2L), ("g1", 20, 3L), ("g1", 30, 4L),
       ("g2", 5, 5L)).toDF("g", "score", "id")
@@ -248,5 +260,15 @@ class CurationOpsSpec extends SparkSpec {
     // (1,2) and (2,3) both collapse to (test, train); (3,4) is within-train
     assert(r === Set(("test", "train", 2L), ("train", "train", 1L),
       ("train", "valid", 1L)))
+  }
+
+  test("pair-split audit: ids missing from the split table surface as 'unknown', not dropped") {
+    val pairs = Seq((1L, 2L), (1L, 9L), (8L, 9L)).toDF("a_id", "b_id")
+    val splits = Seq((1L, "train"), (2L, "test")).toDF("doc_id", "split")
+    val r = CurationOps.pairSplitAudit(pairs, splits)
+      .as[(String, String, Long)].collect().toSet
+    // every pair is accounted for: 3 pairs in, 3 pairs out
+    assert(r === Set(("test", "train", 1L), ("train", "unknown", 1L),
+      ("unknown", "unknown", 1L)))
   }
 }

@@ -22,6 +22,19 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(keys === Seq(5L, 10L, 57L, 0L))
   }
 
+  test("morton key raises on out-of-domain inputs instead of silently aliasing") {
+    // 2^bits would alias onto key 0's neighborhood; negatives would
+    // interleave sign bits — both must fail loudly, not degrade clustering
+    def key(x: Long, y: Long, bits: Int): Long =
+      Seq((x, y)).toDF("x", "y")
+        .select(Layout.mortonKey(col("x"), col("y"), bits)).as[Long].head()
+    assert(key(255L, 255L, 8) === 65535L) // top of the domain is fine
+    val tooBig = intercept[Exception] { key(256L, 0L, 8) }
+    assert(tooBig.getMessage.contains("mortonKey"))
+    val negative = intercept[Exception] { key(0L, -1L, 8) }
+    assert(negative.getMessage.contains("mortonKey"))
+  }
+
   test("z-order clusters both dimensions: y-predicate touches fewer files than an x-sort") {
     // 64×64 grid, one row per cell — every (x, y) equally likely.
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
