@@ -124,6 +124,26 @@ object SimilarityOps {
     (out, centroids)
   }
 
+  /** Assign each vector to its nearest centroid — the IVF cell-assignment
+    * (k-means INFERENCE) step: argmin over k literal centroids of
+    * −2·v·c + |c|² (|v|² drops inside the argmin), ties to the lower cell
+    * id — exactly [[kmeans]]'s assignment rule, exposed so centroids
+    * trained on a SAMPLE can label the full corpus (q95 composes train →
+    * assign → probe). Pure map work: k codegen'd VecDots per row, zero
+    * shuffle; at write time the cell becomes the partition key the IVF
+    * probe ([[cosineTopKIvf]]) prunes on. Returns (vec_id, cell). */
+  def assignCells(embs: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v = emb.cast("array<double>")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(-2d) * dot(v, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as("cell"))
+    }
+    embs.select(col(idCol).as("vec_id"),
+      array_min(array(scored: _*)).getField("cell").as("cell"))
+  }
+
   /** Deterministic random-hyperplane (sign-)LSH planes: `n` unit-free
     * Gaussian vectors of dimension `dim`, fixed seed — every executor and
     * every run derives identical buckets. */
@@ -195,6 +215,37 @@ object SimilarityOps {
     // Single table → each vec_id matches at most once; skip the dedup
     // exchange entirely so the T = 1 plan is unchanged.
     (if (numTables == 1) scored else scored.distinct())
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multi-probe sign-LSH ANN top-k: the query probes its OWN bucket plus
+    * every Hamming-distance-1 neighbor bucket (one plane-bit flip each) —
+    * the bits most likely to be wrong for a true near neighbor are exactly
+    * these single flips, so recall approaches an OR of numPlanes+1 tables
+    * at the INDEX COST OF ONE (Lv et al.'s multi-probe idea specialized to
+    * hyperplane LSH with the full 1-flip ring): the corpus stores a single
+    * bucket per vector; only the broadcast QUERY side fans out, to
+    * numPlanes+1 probe rows. The probe buckets are pairwise distinct, so a
+    * corpus row matches at most one probe — no dedup stage at all, and the
+    * join stays a plain hash equi-join on the bucket. Complements
+    * [[lshTables]]: multi-table buys recall with T× index state, multi-
+    * probe with (p+1)× query fan-out — production composes both. */
+  def cosineTopKLshMultiProbe(corpus: DataFrame, queryRow: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = lshPlanes(numPlanes, dim, seed)
+    val withBucket = (df: DataFrame) => df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", signLshBucket(col("emb"), planes))
+    val flips = lit(0L) +: (0 until numPlanes).map(j => lit(1L << j))
+    val q = broadcast(withBucket(queryRow)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*)).as("bucket")))
+    withBucket(corpus)
+      .join(q, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", graft.engine.Semantics.roundz(cosine(col("emb"), col("q_emb")), 6))
+      .select(col("vec_id"), col("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }

@@ -310,4 +310,71 @@ object TextOps {
       lit(0.4) * when(stopRatio.between(0.05, 0.5), 1.0).otherwise(0.0) +
       lit(0.3) * when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.0) +
       lit(0.3) * least(nTokens.cast("double") / lit(100.0), lit(1.0)), 4)
+
+  /** In-engine BPE merge TRAINING — the learning half of the subword
+    * tokenizer ([[subwordTokenize]] is the inference half; its vocab is a
+    * trained merge table folded to final tokens). Classic BPE on the
+    * DISTINCT-WORD frequency table: start from characters, then repeat
+    * `numMerges` times — count adjacent symbol pairs weighted by word
+    * frequency (one explode + hash aggregate), take the most frequent pair
+    * (deterministic tie-break: lexicographic on (left, right)), and apply
+    * it greedily left-to-right non-overlapping to every word's symbols.
+    *
+    * Scale posture: corpus size enters ONLY through the word-frequency
+    * aggregate (one shuffle, once); the training loop then runs on the
+    * distinct-word table, which is vocabulary-bounded (Heaps' law — a
+    * 100 TB corpus has millions of distinct words, not trillions). Per
+    * iteration: one pair-count aggregate + a 1-row argmax collect + one
+    * map pass reapplying the merge via an array fold (interpreted HOF, but
+    * over vocabulary rows — deliberately NOT a per-document pass). Driver
+    * state = the merge list itself.
+    *
+    * Returns (left, right, pair_count) per merge, in training order.
+    * Merged tokens (left+right concatenations) feed [[subwordTokenize]]
+    * as vocabulary entries — note greedy longest-match inference is the
+    * WordPiece-style application of a BPE-trained vocab (it can differ
+    * from replaying merges in order on adversarial inputs; standard
+    * practice, and the deterministic-vocab contract is unchanged). */
+  def bpeTrain(docs: DataFrame, text: Column, numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "need numMerges >= 1")
+    // Each generation is localCheckpointed (eager): one materialization job
+    // per merge, flat lineage — without it iteration i would re-run i
+    // chained fold passes from the source (and Catalyst would re-plan a
+    // growing tree), the same discipline as GraphOps' CC rounds.
+    var words = docs.select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(element_at(syms, i + 1) AS a, element_at(syms, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((a, b, n))
+        // Greedy left-to-right non-overlapping replacement of (a, b) with
+        // the merged token, as an array fold: a freshly merged token can't
+        // re-match as the LEFT of the same pair (it is strictly longer
+        // than `a`), which is exactly BPE's non-overlap rule.
+        val merged = aggregate(col("syms"),
+          typedlit(Seq.empty[String]),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(col("freq"), merged.as("syms")).localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
 }

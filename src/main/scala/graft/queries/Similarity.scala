@@ -301,5 +301,55 @@ object Similarity extends QueryGroup {
     },
     None)
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90)
+  /** Multi-probe sign-LSH top-10 ([[SimilarityOps.cosineTopKLshMultiProbe]]):
+    * q35's single-bucket probe widened to the full Hamming-1 probe ring —
+    * 7 probe buckets from a 6-plane table, one-table index cost. The probe
+    * set is deterministic, so the oracle expresses it as
+    * `xor(corpus_bucket, query_bucket) IN (0, 1, 2, 4, ...)` over the
+    * identical inlined planes. */
+  private val q94Planes = SimilarityOps.lshPlanes(6, 64)
+  private val q94 = QueryDef(
+    "q94_multiprobe_lsh_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.cosineTopKLshMultiProbe(emb, emb.filter(col("vec_id") === 0), 10,
+        numPlanes = 6, dim = 64)
+    },
+    Some {
+      val probeXors = (Seq(0L) ++ (0 until 6).map(j => 1L << j)).mkString(", ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ${OracleSql.signLshBucketSql("embedding::DOUBLE[]", q94Planes)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS q_v, bucket AS q_bucket FROM bk WHERE vec_id = 0)
+         |SELECT bk.vec_id,
+         |  round(list_dot_product(bk.v, q.q_v)
+         |    / (sqrt(list_dot_product(bk.v, bk.v)) * sqrt(list_dot_product(q.q_v, q.q_v))), 6) + 0.0 AS cosine
+         |FROM bk CROSS JOIN q
+         |WHERE bk.vec_id <> q.q_id AND xor(bk.bucket, q.q_bucket) IN ($probeXors)
+         |ORDER BY cosine DESC, bk.vec_id LIMIT 10""".stripMargin
+    })
+
+  /** End-to-end TRAINED IVF: q41's k-means (on the deterministic 1-in-4
+    * sample, q90's discipline) → [[SimilarityOps.assignCells]] labels the
+    * full corpus → [[SimilarityOps.cosineTopKIvf]] probes the query's
+    * trained cell — the composition q26 stands in for with a precomputed
+    * label. The assignment is k codegen dots of map work; at write time
+    * the cell is the partition key, so the probe is a pruned scan at any
+    * scale. Iterative k-means isn't ANSI-expressible → rows-only check;
+    * probe-consistency (IVF result ≡ brute force restricted to the
+    * query's cell) is ScalaTest-verified. */
+  private val q95 = QueryDef(
+    "q95_ivf_trained_probe",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, centroids) = SimilarityOps.kmeans(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", k = 8, iters = 2)
+      val cells = emb.join(
+        SimilarityOps.assignCells(emb, "vec_id", col("embedding"), centroids), "vec_id")
+      SimilarityOps.cosineTopKIvf(cells, cells.filter(col("vec_id") === 0), "cell", 10)
+    },
+    None)
+
+  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95)
 }

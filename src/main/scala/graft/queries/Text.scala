@@ -428,6 +428,26 @@ object Text extends QueryGroup {
            |    ELSE 0.0 END AS dup_subword_frac
            |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
+  /** X4 BPE merge TRAINING in the engine ([[TextOps.bpeTrain]]) — the
+    * learning half of the subword tokenizer, so train AND encode both run
+    * distributed: 10 merges learned from the corpus's distinct-word
+    * frequency table (character start, frequency-weighted adjacent-pair
+    * argmax, lexicographic tie-break, greedy non-overlap reapplication).
+    * Output = the merge table in training order with pair counts. The
+    * iterative argmax isn't ANSI-expressible → rows-only check;
+    * BpeTrainSpec verifies against an independent reference trainer and
+    * composes the learned vocab into [[TextOps.subwordTokenize]]. */
+  private val q96 = QueryDef(
+    "q96_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val merges = TextOps.bpeTrain(Tables.documents(s, dir), col("text"), numMerges = 10)
+      merges.zipWithIndex.map { case ((a, b, n), i) =>
+        (i.toLong + 1L, a, b, a + b, n)
+      }.toDF("rank", "left", "right", "merged", "n").orderBy(col("rank"))
+    },
+    None)
+
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93, q96)
 }

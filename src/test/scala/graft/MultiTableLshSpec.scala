@@ -80,6 +80,19 @@ class MultiTableLshSpec extends SparkSpec {
     assert(ranked === 0L)
   }
 
+  test("multi-probe: superset of single-probe, subset of exact, no double-ranks") {
+    val q = emb.filter(col("vec_id") === 0)
+    val single = SimilarityOps.cosineTopKLsh(emb, q, 60, numPlanes = 6, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val multiDf = SimilarityOps.cosineTopKLshMultiProbe(emb, q, 60, numPlanes = 6, dim = 64)
+    val multi = multiDf.collect().map(_.getLong(0)).toSeq
+    assert(multi.distinct === multi, "probe buckets are distinct, no row ranks twice")
+    assert(single.subsetOf(multi.toSet))
+    assert(multi.size > single.size, s"expected recall lift, got ${single.size} -> ${multi.size}")
+    val exact = SimilarityOps.cosineTopK(emb, q, 60).collect().map(_.getLong(0)).toSet
+    assert(multi.toSet.subsetOf(exact))
+  }
+
   test("cosineTopKLsh: numTables widens the reachable candidate set") {
     val q = emb.filter(col("vec_id") === 0)
     def ids(nt: Int): Set[Long] =

@@ -54,6 +54,36 @@ class PqTrainSpec extends SparkSpec {
     assert(trained > 0d) // corpus is not degenerate
   }
 
+  test("assignCells: a vector equal to a centroid lands in that cell; assignment matches kmeans") {
+    val (assign, centroids) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
+    val viaInference = SimilarityOps.assignCells(emb, "vec_id", col("embedding"), centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // kmeans' returned assignment is computed lazily from its FINAL
+    // centroids, so standalone inference against those centroids must
+    // agree row-for-row
+    val viaTraining = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaInference === viaTraining)
+    val c1 = centroids(1)
+    val got = SimilarityOps.assignCells(
+        Seq((99L, c1.toArray)).toDF("vec_id", "embedding"), "vec_id", col("embedding"), centroids)
+      .collect().head.getInt(1)
+    assert(got === 1)
+  }
+
+  test("trained IVF probe == brute force restricted to the query's cell") {
+    val (_, centroids) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
+    val cells = emb.join(
+      SimilarityOps.assignCells(emb, "vec_id", col("embedding"), centroids), "vec_id")
+    val q = cells.filter(col("vec_id") === 0)
+    val probe = SimilarityOps.cosineTopKIvf(cells, q, "cell", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qCell = q.select(col("cell")).head().getInt(0)
+    val brute = SimilarityOps.cosineTopK(
+        cells.filter(col("cell") === qCell), q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe === brute)
+  }
+
   test("ADC distance with trained books is exact on the encoded centroids") {
     // For a vector that IS its per-subspace centroids, ADC to itself-as-query
     // returns 0 (each table lookup is the centroid-to-query distance, and the
