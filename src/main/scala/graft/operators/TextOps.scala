@@ -245,6 +245,40 @@ object TextOps {
           avg(-log2(col("tf").cast("double") / col("n"))), 6).as("avg_surprisal"))
   }
 
+  /** Bigram-LM surprisal with add-one smoothing — [[surprisalScores]]'
+    * unigram signal upgraded to a conditional model (the CCNet/Gopher
+    * filtering family's next step up): per doc, the mean over bigram
+    * positions of −log₂ p̂(wᵢ | wᵢ₋₁), with p̂(b | a) = (c(a,b) + 1) /
+    * (c₁(a) + V) — c(a,b) the corpus bigram count, c₁(a) the count of
+    * bigrams with left context a, V the distinct-token vocabulary.
+    * Low-probability transitions (gibberish, shuffled text, boilerplate
+    * splices) score high; smoothing keeps unseen-context docs finite.
+    *
+    * Plan shape: bigrams via the codegen posexplode + window-`lead`
+    * idiom (shared with [[collocationPmi]]); two vocabulary-bounded hash
+    * aggregates for the counts; the scoring join is token-equi (never
+    * doc×doc); V rides in as a broadcast scalar. Docs with < 2 tokens
+    * have no bigram positions and drop out, same contract as the unigram
+    * scorer. */
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = df.select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val bi = toks.withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+    val cBi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val cLeft = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vSize = toks.agg(countDistinct(col("tok")).as("v"))
+    bi.join(cBi, Seq("w1", "w2")).join(cLeft, Seq("w1"))
+      .crossJoin(broadcast(vSize))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.engine.Semantics.roundz(
+          avg(-log2((col("c12").cast("double") + lit(1d))
+            / (col("c1").cast("double") + col("v")))), 6).as("avg_bigram_surprisal"))
+  }
+
   /** Per-group category-mix profile with Shannon entropy — the corpus-
     * composition report a mixture owner reads before setting [[CurationOps
     * .mixturePlan]] targets: for each group (source), the number of rows,

@@ -428,6 +428,28 @@ object Text extends QueryGroup {
            |    ELSE 0.0 END AS dup_subword_frac
            |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
+  /** X4 bigram-LM surprisal (q69's unigram scorer upgraded to a
+    * conditional model, add-one smoothed — the next rung of the
+    * CCNet/Gopher LM-filtering ladder): per-doc mean −log₂ p̂(wᵢ|wᵢ₋₁).
+    * Codegen window-lead bigrams, vocabulary-bounded count state,
+    * token-equi scoring joins, broadcast V scalar. */
+  private val q97 = QueryDef(
+    "q97_bigram_surprisal",
+    (s, dir) => TextOps.bigramSurprisal(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |bi AS (SELECT doc_id, toks[i.i + 1] AS w1, toks[i.i + 2] AS w2
+           |  FROM t, unnest(range(len(toks) - 1)) AS i(i) WHERE len(toks) >= 2),
+           |cbi AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+           |cl AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS v
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(avg(-log2((c12 + 1.0) / (c1 + v.v))), 6) + 0.0 AS avg_bigram_surprisal
+           |FROM bi JOIN cbi USING (w1, w2) JOIN cl USING (w1) CROSS JOIN v
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** X4 BPE merge TRAINING in the engine ([[TextOps.bpeTrain]]) — the
     * learning half of the subword tokenizer, so train AND encode both run
     * distributed: 10 merges learned from the corpus's distinct-word
@@ -449,5 +471,5 @@ object Text extends QueryGroup {
     None)
 
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93, q96)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93, q96, q97)
 }

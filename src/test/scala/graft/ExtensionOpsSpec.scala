@@ -389,6 +389,21 @@ class ExtensionOpsSpec extends SparkSpec {
       2L -> ((1L, 2.0))))
   }
 
+  test("X4: bigram surprisal is add-one-smoothed -log2 p(w2|w1), averaged per doc") {
+    // corpus bigrams: doc1 "a b a b" -> (a,b) (b,a) (a,b); doc2 "a c" -> (a,c)
+    // counts: c(a,b)=2, c(b,a)=1, c(a,c)=1; left contexts: c1(a)=3, c1(b)=1; V=3
+    // doc1: (a,b): -log2((2+1)/(3+3)) = 1; (b,a): -log2((1+1)/(1+3)) = 1 -> avg 1.0
+    // doc2: (a,c): -log2((1+1)/(3+3)) = log2(3)
+    // doc3 "a" adds no bigram and no NEW vocab token, so V stays {a,b,c} = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bigramSurprisal(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1.0)),
+      2L -> ((1L, math.rint(math.log(3.0) / math.log(2.0) * 1e6) / 1e6))))
+    assert(!got.contains(3L)) // single-token doc has no bigram positions
+  }
+
   test("X4: heavyHitters rescan returns the EXACT heavy-hitter set") {
     val toks = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
       Seq.fill(10)("gamma") ++ (1 to 25).map(i => s"x$i")).toDF("tok")
