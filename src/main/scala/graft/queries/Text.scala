@@ -470,6 +470,26 @@ object Text extends QueryGroup {
     },
     None)
 
+  /** X4 the full tokenizer loop IN the engine: [[TextOps.bpeTrain]] learns
+    * 10 merges from the corpus, their folded tokens become the vocabulary,
+    * and [[TextOps.subwordTokenize]] (the codegen trie encoder) re-encodes
+    * the same corpus — train and encode both distributed, no hand vocab.
+    * Output: top-20 trained subwords by frequency. Rows-only check (the
+    * trained vocab descends from q96's iterative argmax, not ANSI-
+    * expressible); q91 keeps the literal-vocab hash oracle for the
+    * encoder itself, and BpeTrainSpec pins the composition. */
+  private val q98 = QueryDef(
+    "q98_trained_subword",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextOps.bpeTrain(docs, col("text"), numMerges = 10)
+        .map { case (a, b, _) => a + b }
+      docs.select(explode(TextOps.subwordTokenize(col("text"), vocab)).as("sub"))
+        .groupBy(col("sub")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("sub")).limit(20)
+    },
+    None)
+
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93, q96, q97)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93, q96, q97, q98)
 }
