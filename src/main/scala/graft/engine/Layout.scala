@@ -58,21 +58,68 @@ object Layout {
       .otherwise(key)
   }
 
-  /** Per-file min/max stats manifest for a parquet directory — the
-    * Delta/Iceberg-style file index that turns layout ([[writeZOrdered]],
-    * [[writeBucketed]], a plain sort) into SKIPPED I/O: one row per FILE
-    * with each tracked column's min/max. Built with one distributed scan;
-    * on a real lakehouse the writer maintains it incrementally, but the
-    * shape — and everything [[readPruned]] does with it — is identical.
-    * Persist it next to the data and rebuild only changed files. */
-  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-      cols: Seq[String]): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+  private def manifestAgg(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(input_file_name().as("file"))
       .agg(min(col(cols.head)).as(s"${cols.head}_min"),
         (max(col(cols.head)).as(s"${cols.head}_max") +:
           cols.tail.flatMap(c =>
             Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))): _*)
+
+  /** Per-file min/max stats manifest for a parquet directory — the
+    * Delta/Iceberg-style file index that turns layout ([[writeZOrdered]],
+    * [[writeBucketed]], a plain sort) into SKIPPED I/O: one row per FILE
+    * with each tracked column's min/max. Built with one distributed scan;
+    * a writer maintains it incrementally via [[updateManifest]] — the
+    * shape, and everything [[readPruned]] does with it, is identical
+    * either way. Persist it next to the data. */
+  def statsManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame =
+    manifestAgg(spark.read.parquet(path), cols)
+
+  /** Incremental manifest maintenance — the write-path half of the file
+    * index: recompute stats ONLY for `changed` files (added or rewritten)
+    * and drop rows for `removed` ones; untouched files keep their existing
+    * rows without being re-read. This is what makes the manifest viable at
+    * 100 TB — a full [[statsManifest]] rebuild re-scans the table, while a
+    * commit touches a handful of files. Equality with the full rebuild is
+    * spec-asserted (ZOrderLayoutSpec). `cols` must match the manifest's
+    * tracked columns. */
+  def updateManifest(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
+      cols: Seq[String], changed: Seq[String], removed: Seq[String] = Nil): DataFrame = {
+    val stale = (changed ++ removed).toSet
+    val kept =
+      if (stale.isEmpty) manifest
+      else manifest.filter(!col("file").isin(stale.toSeq: _*))
+    if (changed.isEmpty) kept
+    else kept.union(manifestAgg(spark.read.parquet(changed: _*), cols))
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files — the maintenance pass every long-lived
+    * table needs, because streaming appends and fine-grained partition
+    * writes accumulate kilobyte files whose per-file open/footer cost
+    * eventually dominates scans (the classic small-files problem; at
+    * 100 TB the metadata alone can stall a driver). Output file count =
+    * ceil(input bytes / target); pass `sortCol` to keep (or impose) a
+    * clustering while compacting — range partitioning by it preserves
+    * min/max file skipping through the rewrite, where a plain
+    * `repartition` would shuffle rows round-robin and destroy it. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long, sortCol: Option[String] = None): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val arranged = sortCol match {
+      case Some(c) => df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(numFiles)
+    }
+    arranged.write.mode("overwrite").parquet(outPath)
+  }
 
   /** Manifest-pruned read: list the files whose [min, max] range on `c`
     * intersects [lo, hi] (the ONLY driver-side state — one row per file,

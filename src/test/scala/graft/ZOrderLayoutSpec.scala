@@ -22,6 +22,70 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(keys === Seq(5L, 10L, 57L, 0L))
   }
 
+  test("incremental manifest update equals a full rebuild after add/rewrite/remove") {
+    val base = Scratch.dir(spark, "manifest_incr")
+    def write(name: String, lo: Long, hi: Long): String = {
+      val p = s"$base/$name"
+      (lo to hi).map(v => (v, v * 2)).toDF("x", "y").coalesce(1).write.mode("overwrite").parquet(p)
+      // the single data file's absolute path, as input_file_name reports it
+      spark.read.parquet(p).select(input_file_name()).distinct().as[String].head()
+    }
+    val f1 = write("f1", 0L, 9L)
+    val f2 = write("f2", 10L, 19L)
+    // a real manifest is PERSISTED state — materialize it before the commit
+    // mutates the files underneath (a lazy plan would re-read them)
+    val m0 = Layout.statsManifest(spark, s"$base/f{1,2}", Seq("x", "y"))
+      .localCheckpoint(true)
+    // commit: f2 rewritten (shifted range), f3 added, f1 removed
+    val f2b = write("f2", 100L, 109L)
+    val f3 = write("f3", 20L, 29L)
+    val incr = Layout.updateManifest(spark, m0, Seq("x", "y"),
+      changed = Seq(f2b, f3), removed = Seq(f1, f2))
+    val full = Layout.statsManifest(spark, s"$base/f{2,3}", Seq("x", "y"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    assert(rows(incr) === rows(full))
+    // and the updated manifest still drives pruning correctly
+    val pruned = Layout.readPruned(spark, incr, "x", 100L, 105L)
+      .select("x").as[Long].collect().sorted
+    assert(pruned.toSeq === (100L to 105L))
+  }
+
+  test("compaction hits the target file count and preserves rows + clustering") {
+    val base = Scratch.dir(spark, "compaction")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // 32 tiny files
+    (0L until 3200L).map(v => (v, v % 7)).toDF("x", "m")
+      .repartition(32).write.mode("overwrite").parquet(in)
+    def dataFiles(p: String): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+    }
+    val inFiles = dataFiles(in)
+    assert(inFiles.size === 32)
+    val totalBytes = {
+      val fs = new org.apache.hadoop.fs.Path(in)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      inFiles.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    }
+    Layout.compact(spark, in, out, targetFileBytes = totalBytes / 4 + 1, sortCol = Some("x"))
+    val outFiles = dataFiles(out)
+    assert(outFiles.size <= 4 && outFiles.nonEmpty, s"got ${outFiles.size} files")
+    // same rows
+    assert(spark.read.parquet(out).count() === 3200L)
+    // clustering preserved: per-file x-ranges are disjoint (range partitioning)
+    val ranges = Layout.statsManifest(spark, out, Seq("x"))
+      .select("x_min", "x_max").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "file ranges overlap")
+      case _ => ()
+    }
+  }
+
   test("morton key raises on out-of-domain inputs instead of silently aliasing") {
     // 2^bits would alias onto key 0's neighborhood; negatives would
     // interleave sign bits — both must fail loudly, not degrade clustering
