@@ -289,6 +289,45 @@ object CurationOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** SEMANTIC decontamination — the shingle-containment audit
+    * ([[contamination]]/q50) re-based onto embedding space: an eval
+    * document whose EMBEDDING has a near neighbor in the train split is
+    * contaminated even when no n-gram survives verbatim (paraphrase /
+    * translation leakage, the case lexical decontamination cannot see).
+    * For each eval vector, counts train vectors at cosine ≥ `threshold`
+    * among (cell × OR-ed sign-LSH bucket) candidates — the same density-
+    * bounded generator as the near-dup ops, split-crossing instead of
+    * a<b. Every eval vector surfaces (LEFT join, 0 neighbors = clean);
+    * candidates are ≤ T× the single-table volume and only scalar
+    * (eval_id, train_id) pairs pass the dedup shuffle. */
+  def semanticDecontamination(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      split: Column, evalSplit: String, trainSplit: String,
+      threshold: Double, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.operators.SimilarityOps
+    require(tables.nonEmpty, "need at least one LSH table")
+    val e = embs.select(col(id).as("vid"), cellCol.as("cell"), split.as("split"),
+        emb.cast("array<double>").as("v"))
+      .withColumn("nrm", SimilarityOps.l2norm(col("v")))
+      .select(col("vid"), col("cell"), col("split"), col("v"), col("nrm"),
+        explode(SimilarityOps.tableBuckets(col("v"), tables)).as("tb"))
+    val ev = e.filter(col("split") === evalSplit).select(
+      col("vid").as("e_id"), col("cell"), col("v").as("e_v"), col("nrm").as("e_nrm"), col("tb"))
+    val tr = e.filter(col("split") === trainSplit).select(
+      col("vid").as("t_id"), col("cell"), col("v").as("t_v"), col("nrm").as("t_nrm"), col("tb"))
+    val hits = ev.join(tr, Seq("cell", "tb"))
+      .withColumn("cosine", graft.engine.Semantics.roundz(
+        SimilarityOps.dot(col("e_v"), col("t_v")) / (col("e_nrm") * col("t_nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("e_id"), col("t_id")).distinct() // OR across tables
+      .groupBy(col("e_id")).agg(count(lit(1)).as("n_train_neighbors"))
+    embs.select(col(id).as("e_id"), split.as("split"))
+      .filter(col("split") === evalSplit)
+      .join(hits, Seq("e_id"), "left")
+      .select(col("e_id").as("vec_id"),
+        coalesce(col("n_train_neighbors"), lit(0L)).as("n_train_neighbors"),
+        (coalesce(col("n_train_neighbors"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Corpus snapshot diff — the recrawl reconciliation report: FULL OUTER
     * join of two snapshots on document id, each row classified added (only
     * in `after`), removed (only in `before`), changed (both, fingerprints

@@ -473,7 +473,49 @@ object Curation extends QueryGroup {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   override val defs: Seq[QueryDef] =
-    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92)
+    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92, q99)
+
+  /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
+    * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among
+    * (cell × 2-table OR-ed LSH) candidates) are paraphrase-leakage
+    * suspects lexical decontamination cannot see. Both the hash split and
+    * the LSH buckets are literal/deterministic, so the whole audit is
+    * oracle-checkable end-to-end. */
+  private lazy val q99Tables = graft.operators.SimilarityOps.lshTables(2, 2, 64)
+  private lazy val q99 = QueryDef(
+    "q99_semantic_decontam",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      CurationOps.semanticDecontamination(emb, "vec_id", col("embedding"), col("label"),
+        CurationOps.hashSplit(col("vec_id"), Seq("train" -> 90, "test" -> 100)),
+        evalSplit = "test", trainSplit = "train",
+        threshold = 0.35, tables = q99Tables)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val bucketCols = q99Tables.zipWithIndex.map { case (p, t) =>
+        s"${OracleSql.signLshBucketSql("embedding::DOUBLE[]", p)} AS b$t"
+      }.mkString(",\n|    ")
+      val orCond = q99Tables.indices.map(t => s"ev.b$t = tr.b$t").mkString(" OR ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+         |      THEN 'train' ELSE 'test' END AS split,
+         |    $bucketCols
+         |  FROM embeddings),
+         |ev AS (SELECT * FROM e WHERE split = 'test'),
+         |tr AS (SELECT * FROM e WHERE split = 'train'),
+         |hits AS (
+         |  SELECT ev.vec_id, count(DISTINCT tr.vec_id) AS n
+         |  FROM ev JOIN tr ON ev.label = tr.label AND ($orCond)
+         |  WHERE round(list_dot_product(ev.v, tr.v)
+         |    / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(tr.v, tr.v))), 6) >= 0.35
+         |  GROUP BY 1)
+         |SELECT ev.vec_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_train_neighbors,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM ev LEFT JOIN hits h ON h.vec_id = ev.vec_id
+         |ORDER BY ev.vec_id""".stripMargin
+    })
 
   /** q49's sequence packing driven by the REAL subword token count
     * ([[graft.operators.TextOps.subwordTokenize]]) instead of whitespace

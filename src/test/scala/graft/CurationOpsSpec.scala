@@ -262,6 +262,28 @@ class CurationOpsSpec extends SparkSpec {
       ("train", "valid", 1L)))
   }
 
+  test("semantic decontamination: eval near-twins of train vectors flag, clean evals report 0") {
+    import graft.operators.SimilarityOps
+    val rng = new scala.util.Random(31)
+    def vec(): Array[Double] = Array.fill(16)(rng.nextGaussian())
+    val t1 = vec(); val t2 = vec()
+    val rows = Seq(
+      (1L, t1, 0, "train"),
+      (2L, t2, 0, "train"),
+      (10L, t1, 0, "test"),                 // identical to train vec 1 → contaminated
+      (11L, t1.map(-_), 0, "test"),         // antipodal → cosine −1, never over threshold
+      (12L, t1, 1, "test")                  // identical but different CELL → invisible
+    ).toDF("vec_id", "embedding", "label", "split")
+    val got = CurationOps.semanticDecontamination(rows, "vec_id", col("embedding"),
+        col("label"), col("split"), "test", "train",
+        threshold = 0.9, tables = SimilarityOps.lshTables(2, 4, 16))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(10L) === ((1L, true)))
+    assert(got(11L)._2 === false)
+    assert(got(12L) === ((0L, false)))
+    assert(got.size === 3, "every eval vector surfaces, contaminated or not")
+  }
+
   test("pair-split audit: ids missing from the split table surface as 'unknown', not dropped") {
     val pairs = Seq((1L, 2L), (1L, 9L), (8L, 9L)).toDF("a_id", "b_id")
     val splits = Seq((1L, "train"), (2L, "test")).toDF("doc_id", "split")
