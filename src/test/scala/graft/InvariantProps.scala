@@ -105,6 +105,42 @@ object InvariantProps extends Properties("graft") {
         covered && massBound && monotone
     }
 
+  property("X4: subword tokenization is lossless — tokens concatenate back to the words") =
+    Prop.forAll(Gen.listOf(Gen.nonEmptyListOf(
+        Gen.oneOf('a', 'b', 'c', 't', 'h', 'e', ' ')).map(_.mkString))) { texts =>
+      texts.isEmpty || {
+        // greedy longest-match with char fallback must consume every
+        // non-space character exactly once, in order — whatever the vocab
+        val vocab = Seq("the", "th", "ab", "bc", "cab")
+        val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+          .select(col("id"), graft.operators.TextOps.subwordTokenize(col("text"), vocab))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          got(i.toLong).mkString("") == t.replace(" ", "")
+        }
+      }
+    }
+
+  property("X2/X3: OR-ed multi-table near-dup pairs contain every single-table pair") =
+    Prop.secure {
+      // Fixed-seed batch (same rationale as the CC property below): each
+      // case pays several distributed joins.
+      val rng = new scala.util.Random(777L)
+      import graft.operators.{DedupOps => D, SimilarityOps => S}
+      (1 to 6).forall { _ =>
+        val emb = (0L until 30L).map { i =>
+          (i, Array.fill(16)(rng.nextGaussian()), (i % 2).toInt)
+        }.toDF("vec_id", "embedding", "label")
+        val tables = S.lshTables(3, 2, 16, seed = rng.nextLong())
+        def pairs(ts: Seq[Seq[Seq[Double]]]) =
+          D.embeddingNearDupsTables(emb, "vec_id", col("embedding"), col("label"), 0.1, ts)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val all = pairs(tables)
+        tables.forall(t => pairs(Seq(t)).subsetOf(all))
+      }
+    }
+
   property("X8: contracted CC labels equal uncontracted CC labels on any graph") =
     Prop.secure {
       // The contraction rewrite must never change the RESULT, only the
