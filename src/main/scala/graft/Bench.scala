@@ -20,12 +20,15 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
       catch { case _: Throwable => "" }
-    // "/proc/loadavg" = "0.52 0.58 0.59 1/1290 12345"
+    // "/proc/loadavg" = "0.52 0.58 0.59 1/1290 12345". Each numeric field
+    // is validated before being spliced UNQUOTED into the JSON — a missing
+    // /proc (macOS, minimal containers) must degrade to nulls, never to a
+    // syntactically invalid record.
     val parts = raw.split("\\s+")
-    val load1 = if (parts.length > 0) parts(0) else "null"
-    val load5 = if (parts.length > 1) parts(1) else "null"
-    val procs = if (parts.length > 3) "\"" + parts(3) + "\"" else "null"
-    s"""{"load1":$load1,"load5":$load5,"runnable":$procs,"cpus":$cpus}"""
+    def num(i: Int): String =
+      if (parts.length > i && parts(i).matches("""\d+(\.\d+)?""")) parts(i) else "null"
+    val procs = if (parts.length > 3 && parts(3).nonEmpty) "\"" + parts(3) + "\"" else "null"
+    s"""{"load1":${num(0)},"load5":${num(1)},"runnable":$procs,"cpus":$cpus}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,10 +71,12 @@ object Bench {
       }
       val cold = one()
       val steadies = Seq.fill(steadyRuns)(one())
-      // Steady figure = median of the successful steady runs; a query whose
-      // EVERY steady run failed reports null and lands in `failed`.
+      // Steady figure = median of the SUCCESSFUL steady runs (a transient
+      // single-run failure with 2 valid observations still yields a
+      // figure); only a query whose every steady run failed reports null
+      // and lands in `failed`.
       val okSteadies = steadies.flatten
-      val steady = if (okSteadies.size == steadyRuns) Some(median(okSteadies)) else None
+      val steady = if (okSteadies.nonEmpty) Some(median(okSteadies)) else None
       (name, cold, steady)
     }
     val loadAfter = loadavgStamp()

@@ -86,12 +86,32 @@ object Layout {
     * tracked columns. */
   def updateManifest(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
       cols: Seq[String], changed: Seq[String], removed: Seq[String] = Nil): DataFrame = {
-    val stale = (changed ++ removed).toSet
-    val kept =
-      if (stale.isEmpty) manifest
-      else manifest.filter(!col("file").isin(stale.toSeq: _*))
-    if (changed.isEmpty) kept
-    else kept.union(manifestAgg(spark.read.parquet(changed: _*), cols))
+    // `file` values come from input_file_name() (a fully-qualified URI); a
+    // caller-supplied plain path that fails to string-match would remove
+    // NOTHING and leave two conflicting rows for one physical file —
+    // readPruned would then read it twice. Two defenses: rewritten files
+    // are staled by the spelling their NEW stats rows actually carry
+    // (collected from the recompute — for a rewrite, new spelling == old),
+    // and `removed` paths must match the manifest EXACTLY or this raises.
+    if (removed.nonEmpty) {
+      val matched = manifest.filter(col("file").isin(removed: _*))
+        .select(col("file")).distinct().count()
+      require(matched == removed.distinct.size,
+        s"updateManifest: ${removed.distinct.size - matched} of ${removed.distinct.size} " +
+          "`removed` paths not found in the manifest — pass file names exactly as the " +
+          "manifest's `file` column spells them (input_file_name() URIs)")
+    }
+    if (changed.isEmpty) {
+      if (removed.isEmpty) manifest
+      else manifest.filter(!col("file").isin(removed: _*))
+    } else {
+      // The manifest is one small row per file: materialize the recomputed
+      // rows once so collecting their spellings doesn't re-scan the data.
+      val fresh = manifestAgg(spark.read.parquet(changed: _*), cols).localCheckpoint(true)
+      val freshSpellings = fresh.select(col("file")).collect().map(_.getString(0)).toSeq
+      val stale = (changed ++ removed ++ freshSpellings).distinct
+      manifest.filter(!col("file").isin(stale: _*)).union(fresh)
+    }
   }
 
   /** Small-file compaction: rewrite a parquet directory into
@@ -109,9 +129,18 @@ object Layout {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: the motivating input is exactly the partitioned
+    // layout (dt=.../part-*.parquet) whose data files live in
+    // subdirectories — a top-level listStatus would see only directories,
+    // size the input at 0 bytes, and funnel the whole table through ONE
+    // task.
+    var totalBytes = 0L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) totalBytes += s.getLen
+    }
+    require(totalBytes > 0, s"compact: no parquet data files found under $inPath")
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)
     val arranged = sortCol match {

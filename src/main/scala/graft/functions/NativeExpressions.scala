@@ -159,7 +159,15 @@ object StringPolyHash {
   * trie walk per character — O(text · max_entry_len) worst case,
   * independent of vocabulary size. Codegen emits a call on the expression
   * object (via addReferenceObj), keeping consumers inside
-  * WholeStageCodegen — no CodegenFallback, no per-row vocab scan. */
+  * WholeStageCodegen — no CodegenFallback, no per-row vocab scan.
+  *
+  * Unit of trie matching is the UTF-16 code unit (build and walk agree, so
+  * vocab matches are exact for all of Unicode); char fallback consumes a
+  * full CODE POINT, so a supplementary-plane character (emoji, CJK-ext)
+  * stays one intact token — never a lone surrogate. The SQL oracle's
+  * substr/len arithmetic counts code points, matching the fallback; only a
+  * vocab ENTRY that splits a surrogate pair could diverge, and entries are
+  * required to be well-formed text. */
 case class SubwordEncode(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -254,7 +262,10 @@ object SubwordEncode {
             if (node.terminal) lastEnd = j
           }
         }
-        val end = if (lastEnd > i) lastEnd else i + 1 // char fallback
+        // char fallback consumes a full code point — a supplementary-plane
+        // character must stay one intact token, never a lone surrogate
+        val end = if (lastEnd > i) lastEnd
+          else i + Character.charCount(text.codePointAt(i))
         out += org.apache.spark.unsafe.types.UTF8String.fromString(text.substring(i, end))
         i = end
       }

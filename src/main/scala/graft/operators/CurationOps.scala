@@ -304,19 +304,13 @@ object CurationOps {
       split: Column, evalSplit: String, trainSplit: String,
       threshold: Double, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     import graft.operators.SimilarityOps
-    require(tables.nonEmpty, "need at least one LSH table")
-    val e = embs.select(col(id).as("vid"), cellCol.as("cell"), split.as("split"),
-        emb.cast("array<double>").as("v"))
-      .withColumn("nrm", SimilarityOps.l2norm(col("v")))
-      .select(col("vid"), col("cell"), col("split"), col("v"), col("nrm"),
-        explode(SimilarityOps.tableBuckets(col("v"), tables)).as("tb"))
-    val ev = e.filter(col("split") === evalSplit).select(
-      col("vid").as("e_id"), col("cell"), col("v").as("e_v"), col("nrm").as("e_nrm"), col("tb"))
-    val tr = e.filter(col("split") === trainSplit).select(
-      col("vid").as("t_id"), col("cell"), col("v").as("t_v"), col("nrm").as("t_nrm"), col("tb"))
+    val ev = SimilarityOps.lshCandidateRows(
+      embs.filter(split === evalSplit), id, emb, cellCol, tables, "e_")
+    val tr = SimilarityOps.lshCandidateRows(
+      embs.filter(split === trainSplit), id, emb, cellCol, tables, "t_")
     val hits = ev.join(tr, Seq("cell", "tb"))
-      .withColumn("cosine", graft.engine.Semantics.roundz(
-        SimilarityOps.dot(col("e_v"), col("t_v")) / (col("e_nrm") * col("t_nrm")), 6))
+      .withColumn("cosine",
+        SimilarityOps.pairCosine(col("e_v"), col("e_nrm"), col("t_v"), col("t_nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("e_id"), col("t_id")).distinct() // OR across tables
       .groupBy(col("e_id")).agg(count(lit(1)).as("n_train_neighbors"))

@@ -264,18 +264,12 @@ object DedupOps {
     * ([[graft.ScaleAudit]] tracks the T = 2 generator beside q32's). */
   def embeddingNearDupsTables(embs: DataFrame, id: String, emb: Column, cellCol: Column,
       threshold: Double, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
-    require(tables.nonEmpty, "need at least one LSH table")
-    val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
-      .withColumn("nrm", SimilarityOps.l2norm(col("v")))
-      .select(col(id), col("cell"), col("v"), col("nrm"),
-        explode(SimilarityOps.tableBuckets(col("v"), tables)).as("tb"))
-    val a = e.toDF("a_id", "cell", "a_v", "a_nrm", "tb")
-    val b = e.toDF("b_id", "cell", "b_v", "b_nrm", "tb")
+    val a = SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "a_")
+    val b = SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "b_")
     a.join(b, Seq("cell", "tb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
-        graft.engine.Semantics.roundz(
-          SimilarityOps.dot(col("a_v"), col("b_v")) / (col("a_nrm") * col("b_nrm")), 6))
+        SimilarityOps.pairCosine(col("a_v"), col("a_nrm"), col("b_v"), col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .distinct() // union of per-table candidate sets

@@ -101,7 +101,18 @@ object GraphOps {
     }
     def ckpt(df: DataFrame, eager: Boolean): DataFrame = checkpoint match {
       case CheckpointStrategy.Local => df.localCheckpoint(eager)
-      case _: CheckpointStrategy.Reliable => df.checkpoint(eager)
+      case _: CheckpointStrategy.Reliable =>
+        // A reliable checkpoint does NOT cache: its write job re-computes
+        // the plan after the eager count already ran it — on the multi-hour
+        // runs this mode exists for, that doubles every round's dominant
+        // cost. Persist around the checkpoint so the write reads the cache,
+        // then release. The lazy case (contracted edge set) checkpoints
+        // eagerly here for the same reason: its first consumer plus the
+        // checkpoint write would otherwise both recompute the contraction.
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint(eager = true)
+        cached.unpersist(blocking = false)
+        out
     }
     // Node ids must already be integral: a silent cast("long") on e.g. a
     // hex-fingerprint string column would turn every id into NULL and

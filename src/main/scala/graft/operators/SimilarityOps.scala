@@ -31,6 +31,19 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Nearest-centroid argmin over LITERAL centroids — the shared assignment
+    * idiom of [[kmeans]], [[assignCells]], [[pqTrain]] and [[pqEncode]]:
+    * per centroid one codegen'd VecDot scores −2·v·c + |c|² (|v|² is
+    * constant inside the argmin and drops), ties break to the LOWER index
+    * via the (d, idx) struct ordering. Returns the winning index column. */
+  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]], idxName: String): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(-2d) * dot(v, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as(idxName))
+    }
+    array_min(array(scored: _*)).getField(idxName)
+  }
+
   /** Exact brute-force top-k by cosine against one query vector.
     * `queryRow` must be a single row (vec_id, embedding); it is broadcast —
     * the corpus is never shuffled. */
@@ -92,16 +105,9 @@ object SimilarityOps {
     var centroids: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
 
-    def assigned: DataFrame = {
-      // squared L2 distance via the codegen'd dot: |v|² − 2v·c + |c|²;
-      // |v|² is constant per row and drops out of the argmin.
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct((lit(-2d) * dot(col("v"), typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
-          lit(i).as("cluster"))
-      }
-      vecs.withColumn("best", array_min(array(scored: _*)))
-        .select(col("vec_id"), col("v"), col("best.cluster").as("cluster"))
-    }
+    def assigned: DataFrame =
+      vecs.select(col("vec_id"), col("v"),
+        nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
 
     for (_ <- 1 to iters) {
       val next = assigned
@@ -136,12 +142,8 @@ object SimilarityOps {
       centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val v = emb.cast("array<double>")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct((lit(-2d) * dot(v, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
-        lit(i).as("cell"))
-    }
     embs.select(col(idCol).as("vec_id"),
-      array_min(array(scored: _*)).getField("cell").as("cell"))
+      nearestCentroid(v, centroids, "cell").as("cell"))
   }
 
   /** Deterministic random-hyperplane (sign-)LSH planes: `n` unit-free
@@ -186,6 +188,29 @@ object SimilarityOps {
     array(tables.zipWithIndex.map { case (p, t) =>
       struct(lit(t).as("t"), signLshBucket(v, p).as("b"))
     }: _*)
+
+  /** The shared per-vector stage of every OR-ed multi-table LSH join
+    * ([[graft.operators.DedupOps.embeddingNearDupsTables]],
+    * [[knnJoinTables]], semantic decontamination): one row per (vector,
+    * table) — (<prefix>id, cell, <prefix>v, <prefix>nrm, tb) — with the
+    * norm computed below the join barrier (per VECTOR, never per pair)
+    * and the (t, b) struct ready to be the hash-join key. One definition
+    * so a key or norm change can't silently diverge across consumers. */
+  def lshCandidateRows(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      tables: Seq[Seq[Seq[Double]]], prefix: String): DataFrame = {
+    require(tables.nonEmpty, "need at least one LSH table")
+    embs.select(col(id).as(s"${prefix}id"), cellCol.as("cell"),
+        emb.cast("array<double>").as(s"${prefix}v"))
+      .withColumn(s"${prefix}nrm", l2norm(col(s"${prefix}v")))
+      .select(col(s"${prefix}id"), col("cell"), col(s"${prefix}v"), col(s"${prefix}nrm"),
+        explode(tableBuckets(col(s"${prefix}v"), tables)).as("tb"))
+  }
+
+  /** Exact-cosine verifier for candidate pairs whose norms rode up from
+    * [[lshCandidateRows]]: one codegen'd VecDot per pair, rounded at 1e-6
+    * for cross-engine agreement. */
+  def pairCosine(aV: Column, aNrm: Column, bV: Column, bNrm: Column): Column =
+    graft.engine.Semantics.roundz(dot(aV, bV) / (aNrm * bNrm), 6)
 
   /** ANN top-k via sign-LSH buckets: rank only candidates sharing the
     * query's bucket in AT LEAST ONE of `numTables` OR-ed tables
@@ -301,12 +326,8 @@ object SimilarityOps {
     val sub = codebooks.head.head.size
     val v = emb.cast("array<double>")
     val codeCols = codebooks.zipWithIndex.map { case (book, j) =>
-      val s = slice(v, j * sub + 1, sub)
-      val scored = book.zipWithIndex.map { case (c, code) =>
-        struct((lit(-2d) * dot(s, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
-          lit(code.toLong).as("code"))
-      }
-      array_min(array(scored: _*)).getField("code").as(s"code_$j")
+      nearestCentroid(slice(v, j * sub + 1, sub), book, "code")
+        .cast("long").as(s"code_$j")
     }
     embs.select(col(idCol).as("vec_id") +: codeCols: _*)
   }
@@ -360,12 +381,7 @@ object SimilarityOps {
       // cl(j) = subspace j's assigned cluster: argmin over k centroids of
       // −2·v_j·c + |c|² (|v_j|² is constant inside a subspace's argmin).
       val clusterCols = books.zipWithIndex.map { case (book, j) =>
-        val s = slice(col("v"), j * sub + 1, sub)
-        val scored = book.zipWithIndex.map { case (c, i) =>
-          struct((lit(-2d) * dot(s, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
-            lit(i).as("cluster"))
-        }
-        array_min(array(scored: _*)).getField("cluster")
+        nearestCentroid(slice(col("v"), j * sub + 1, sub), book, "cluster")
       }
       val next = vecs
         .withColumn("cl", array(clusterCols: _*))
@@ -376,8 +392,10 @@ object SimilarityOps {
         .agg(avg(col("x")).as("m"))
         .collect()
       val byKey = next.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cluster")))
+      // books(j).indices, not 0 until k: a training sample smaller than k
+      // seeds fewer centroids, and the update must not index past them
       books = (0 until m).map { j =>
-        (0 until k).map { i =>
+        books(j).indices.map { i =>
           byKey.get((j, i)) match {
             case Some(rows) =>
               rows.sortBy(_.getAs[Int]("sdim")).map(_.getAs[Double]("m")).toSeq
@@ -497,22 +515,13 @@ object SimilarityOps {
   def knnJoinTables(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int,
       tables: Seq[Seq[Seq[Double]]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(tables.nonEmpty, "need at least one LSH table (use knnJoin for bucket-free)")
-    val c = corpus.select(col("vec_id").as("n_id"), col(cellCol).as("cell"),
-        col("embedding").cast("array<double>").as("n_emb"))
-      .withColumn("n_nrm", l2norm(col("n_emb")))
-      .select(col("n_id"), col("cell"), col("n_emb"), col("n_nrm"),
-        explode(tableBuckets(col("n_emb"), tables)).as("tb"))
-    val qs = queries.select(col("vec_id").as("q_id"), col(cellCol).as("cell"),
-        col("embedding").cast("array<double>").as("q_emb"))
-      .withColumn("q_nrm", l2norm(col("q_emb")))
-      .select(col("q_id"), col("cell"), col("q_emb"), col("q_nrm"),
-        explode(tableBuckets(col("q_emb"), tables)).as("tb"))
+    val c = lshCandidateRows(corpus, "vec_id", col("embedding"), col(cellCol), tables, "n_")
+    val qs = lshCandidateRows(queries, "vec_id", col("embedding"), col(cellCol), tables, "q_")
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
     qs.join(c, Seq("cell", "tb"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosine", graft.engine.Semantics.roundz(
-        dot(col("n_emb"), col("q_emb")) / (col("n_nrm") * col("q_nrm")), 6))
+      .withColumn("cosine",
+        pairCosine(col("n_v"), col("n_nrm"), col("q_v"), col("q_nrm")))
       .select(col("q_id"), col("n_id"), col("cosine"))
       .distinct() // union of per-table candidate sets: each pair ranks once
       .withColumn("rank", row_number().over(w))

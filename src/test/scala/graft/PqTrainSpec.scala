@@ -54,6 +54,19 @@ class PqTrainSpec extends SparkSpec {
     assert(trained > 0d) // corpus is not degenerate
   }
 
+  test("pqTrain survives a training sample smaller than k (fewer centroids, no crash)") {
+    val tiny = emb.filter(col("vec_id") < 3) // 3 vectors, k = 4
+    val small = SimilarityOps.pqTrain(tiny, "vec_id", col("embedding"), m, k, dim, iters = 2)
+    assert(small.size === m)
+    small.foreach { book =>
+      assert(book.size === 3) // seeds bound the codebook, not k
+      book.foreach(c => assert(c.size === dim / m))
+    }
+    // and the shrunken books still encode
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", col("embedding"), small)
+    assert(codes.count() === 80L)
+  }
+
   test("assignCells: a vector equal to a centroid lands in that cell; assignment matches kmeans") {
     val (assign, centroids) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 3, iters = 2)
     val viaInference = SimilarityOps.assignCells(emb, "vec_id", col("embedding"), centroids)

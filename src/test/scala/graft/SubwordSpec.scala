@@ -33,6 +33,14 @@ class SubwordSpec extends SparkSpec {
     assert(toks("  the   a  ") === Seq("the", "a"))
   }
 
+  test("char fallback keeps supplementary-plane characters intact (no lone surrogates)") {
+    // U+1F600 is two UTF-16 units; fallback must emit it as ONE token, and
+    // the adjacent vocab matches must be unaffected
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(toks(s"the$emoji", Seq("the")) === Seq("the", emoji))
+    assert(toks(s"$emoji$emoji", Seq("zz")) === Seq(emoji, emoji))
+  }
+
   test("null text propagates null; vocab entries with spaces are rejected") {
     val r = Seq(Tuple1(Option.empty[String])).toDF("text")
       .select(TextOps.subwordTokenize(col("text"))).collect().head

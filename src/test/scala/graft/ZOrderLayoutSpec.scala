@@ -49,6 +49,33 @@ class ZOrderLayoutSpec extends SparkSpec {
     val pruned = Layout.readPruned(spark, incr, "x", 100L, 105L)
       .select("x").as[Long].collect().sorted
     assert(pruned.toSeq === (100L to 105L))
+    // a rewritten file staled by ITS OWN recomputed spelling never
+    // duplicates, and a mismatched `removed` spelling raises instead of
+    // silently removing nothing
+    assert(Layout.updateManifest(spark, incr, Seq("x", "y"), changed = Seq(f3))
+      .groupBy("file").count().filter(col("count") > 1).count() === 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.updateManifest(spark, incr, Seq("x", "y"),
+        changed = Nil, removed = Seq("/not/in/manifest.parquet"))
+    }
+    assert(ex.getMessage.contains("not found in the manifest"))
+  }
+
+  test("compaction sizes partitioned (subdirectory) inputs correctly") {
+    val base = Scratch.dir(spark, "compaction_part")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    (0L until 1000L).map(v => (v, s"d${v % 3}")).toDF("x", "dt")
+      .repartition(8).write.partitionBy("dt").mode("overwrite").parquet(in)
+    // a non-recursive listing would see only dt= directories → 0 bytes →
+    // one output file regardless of target; tiny target must yield several
+    Layout.compact(spark, in, out, targetFileBytes = 4096)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(n > 1, s"expected multiple output files from a partitioned input, got $n")
+    assert(spark.read.parquet(out).count() === 1000L)
   }
 
   test("compaction hits the target file count and preserves rows + clustering") {
