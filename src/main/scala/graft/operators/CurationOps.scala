@@ -434,4 +434,90 @@ object CurationOps {
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
+
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): rank raw documents by how much more
+    * likely their hashed-n-gram features are under a TARGET distribution
+    * (a small trusted/high-quality set) than under the RAW corpus
+    * distribution. Features are unigram occurrences hashed into `numBuckets`
+    * buckets (md5, engine-reproducible); both distributions are add-one-
+    * smoothed bucket frequencies; a document's score is the MEAN per-token
+    * log₂ likelihood ratio — the importance weight the DSIR sampler draws
+    * against. Selecting top-k by score is the greedy (temperature→0) variant.
+    *
+    * Scale design: the bucket table is `numBuckets` rows regardless of
+    * corpus size — a fixed-size broadcast dim (the whole point of hashing
+    * features instead of carrying the vocabulary); the token stream is
+    * touched twice (one counting aggregate, one scoring join) and both
+    * passes are linear with partial aggregation. Output: one row per doc
+    * with `dsir_score` (double). */
+  def dsirScores(df: DataFrame, id: Column, text: Column, isTarget: Column,
+      numBuckets: Int = 256): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val tok = df.select(id.as("doc_id"), isTarget.as("__tgt"),
+      explode(split(text, " ")).as("__tok"))
+      .withColumn("__bkt",
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long") % numBuckets)
+    val counts = tok.groupBy(col("__bkt"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val totals = counts.agg(sum(col("__ct")).cast("double").as("__t"),
+      sum(col("__cr")).cast("double").as("__r"))
+    val b = lit(numBuckets.toDouble)
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__bkt"),
+        (log2((col("__ct") + 1d) / (col("__t") + b))
+          - log2((col("__cr") + 1d) / (col("__r") + b))).as("__lr"))
+    tok.join(broadcast(ratios), "__bkt")
+      .groupBy(col("doc_id"))
+      .agg(avg(col("__lr")).as("dsir_score"))
+  }
+
+  /** Sliding-window chunker with overlap — the retrieval/training chunk
+    * shape [[packSequences]] does not cover: each document is cut into
+    * token windows of `window` tokens starting every `stride` tokens
+    * (stride < window ⇒ overlapping context, the RAG-index default; stride
+    * = window ⇒ disjoint). Emits one row per chunk with its position, token
+    * count, and content fingerprint. Pure narrow map (split + bounded
+    * `sequence` explode + slice) — zero shuffle at any corpus size, and a
+    * document's chunking never depends on any other document. */
+  def slidingChunks(df: DataFrame, id: Column, text: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    requireFresh(df, "slidingChunks", "chunk_id", "n_chunk_tokens", "chunk_fp", "__toks")
+    val withToks = df.withColumn("__toks", split(text, " "))
+    withToks
+      .select(id.as("doc_id"), col("__toks"),
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__start") + 1, lit(window))).cast("long")
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " "))
+          .as("chunk_fp"))
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis priority
+    * sampling): each row draws an exponential clock `-ln(u)/w` from a
+    * deterministic md5-uniform `u ∈ (0,1)` and its weight `w`; the k
+    * smallest clocks are exactly a weighted sample without replacement.
+    * This is the distributed-sampling workhorse ([[mixtureSample]] keeps a
+    * RATE per source; this keeps an exact COUNT with per-row weights):
+    * stateless clock assignment (zero shuffle), then one TakeOrderedAndProject
+    * — at 100 TB each partition ships only its local top-k into the take.
+    * Weights must be strictly positive; the draw is stable under corpus
+    * growth (a new row never changes an old row's clock, only the cutoff). */
+  def prioritySample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireFresh(df, "prioritySample", "priority_key")
+    // u = (h + 1) / (2^32 + 1) over the first 8 md5 hex digits: strictly
+    // inside (0,1) so ln(u) is finite and nonzero.
+    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") + 1d) /
+      lit((1L << 32).toDouble + 1d)
+    df.withColumn("priority_key", -log(u) / weight.cast("double"))
+      .orderBy(col("priority_key"), id)
+      .limit(k)
+  }
 }

@@ -265,4 +265,31 @@ object GraphOps {
   def clusterKeepers(components: DataFrame): DataFrame =
     components.groupBy(col("comp").as("keeper_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Quality-aware canonical selection: instead of [[clusterKeepers]]'
+    * min-id keeper, keep the BEST-quality member of each duplicate cluster
+    * (ties on the lower id) — what production dedup actually ships: the
+    * cluster label is an artifact of the propagation, the kept document
+    * should be chosen by content quality. `quality` carries one row per
+    * node (`idCol`, `qualityCol`); members missing from it are dropped
+    * from consideration (callers pass full coverage).
+    *
+    * One broadcast-or-shuffle join on the node id plus one window over the
+    * component key (the same partitioning the CC aggregate produced);
+    * nothing driver-side. Output: (cluster_id, best_id, best_quality,
+    * n_members). */
+  def clusterCanonical(components: DataFrame, quality: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(desc(qualityCol), col("node"))
+    components
+      .join(quality.select(col(idCol).as("node"), col(qualityCol)), "node")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+      .filter(col("__rk") === 1)
+      .select(col("comp").as("cluster_id"), col("node").as("best_id"),
+        col(qualityCol).as("best_quality"), col("n_members"))
+  }
 }

@@ -472,8 +472,89 @@ object Curation extends QueryGroup {
            |    AS score_pctile
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** DSIR importance-weighted data selection (Xie et al. 2023): score every
+    * document by the mean log₂ likelihood ratio of its hashed unigram
+    * features under a TARGET distribution (here: the src0 domain as the
+    * trusted set) vs the RAW corpus distribution, and keep the top 20 —
+    * the hashed-n-gram importance-resampling selector that picks
+    * domain-like data out of a crawl without training a classifier. The
+    * bucket table is 256 rows at ANY corpus size (that is the point of
+    * hashing features); both passes over the token stream are linear. All
+    * hashing is md5, so the oracle reproduces every bucket and both
+    * smoothed distributions exactly; ordering is on the ROUNDED score with
+    * doc_id tie-break so the kept set is engine-stable. */
+  private val q100 = QueryDef(
+    "q100_dsir_select",
+    (s, dir) => CurationOps
+      .dsirScores(Tables.documents(s, dir), col("doc_id"), col("text"),
+        col("source") === "src0", numBuckets = 256)
+      .select(col("doc_id"),
+        graft.engine.Semantics.roundz(col("dsir_score"), 6).as("dsir_score"))
+      .orderBy(desc("dsir_score"), col("doc_id"))
+      .limit(20),
+    Some("""WITH tk AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |b AS (SELECT doc_id, source,
+           |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bkt FROM tk),
+           |cnt AS (SELECT bkt,
+           |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+           |    count(*) AS cr
+           |  FROM b GROUP BY 1),
+           |tot AS (SELECT sum(ct)::DOUBLE AS t, sum(cr)::DOUBLE AS r FROM cnt),
+           |lr AS (SELECT bkt,
+           |    log2((ct + 1) / (t + 256.0)) - log2((cr + 1) / (r + 256.0)) AS lr
+           |  FROM cnt, tot),
+           |sc AS (SELECT doc_id, avg(lr) AS s FROM b JOIN lr USING (bkt) GROUP BY 1)
+           |SELECT doc_id, round(s, 6) + 0.0 AS dsir_score FROM sc
+           |ORDER BY round(s, 6) DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** Sliding-window chunking with overlap — the RAG/long-context chunk cut
+    * q49's packer does not produce: 32-token windows every 24 tokens
+    * (8-token overlap carries context across cuts). The checked output is
+    * each chunk's md5 fingerprint, so the oracle pins the exact chunk CONTENT
+    * at every position, not just counts. Pure narrow map — zero shuffle. */
+  private val q103 = QueryDef(
+    "q103_sliding_chunks",
+    (s, dir) => CurationOps
+      .slidingChunks(Tables.documents(s, dir), col("doc_id"), col("text"),
+        window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |s AS (SELECT doc_id, toks, st.st AS start
+           |  FROM t, unnest(range(0, len(toks), 24)) AS st(st))
+           |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+           |  CAST(len(list_slice(toks, start + 1, least(start + 32, len(toks)))) AS BIGINT)
+           |    AS n_chunk_tokens,
+           |  md5(array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' '))
+           |    AS chunk_fp
+           |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis priority
+    * sampling): 25 documents drawn with probability proportional to length
+    * via deterministic exponential clocks −ln(u)/w, u from md5 — the exact-
+    * count, per-row-weighted companion to q54's per-source rate sampler.
+    * Clock assignment is a stateless narrow map; the only cross-partition
+    * step is the top-k take (TakeOrderedAndProject: each partition ships
+    * its local 25). Both engines compute the SAME clock from the SAME md5
+    * uniform; the reported key is rounded, ties broken on doc_id. */
+  private val q105 = QueryDef(
+    "q105_priority_sample",
+    (s, dir) => CurationOps
+      .prioritySample(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars"), k = 25)
+      .select(col("doc_id"), col("source"),
+        graft.engine.Semantics.roundz(col("priority_key"), 6).as("priority_key"))
+      .orderBy(col("priority_key"), col("doc_id")),
+    Some("""WITH k AS (SELECT doc_id, source,
+           |    -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1) / 4294967297.0)
+           |      / n_chars AS pk
+           |  FROM documents)
+           |SELECT doc_id, source, round(pk, 6) + 0.0 AS priority_key
+           |FROM k ORDER BY pk, doc_id LIMIT 25""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92, q99)
+    Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
+      q99, q100, q103, q105)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

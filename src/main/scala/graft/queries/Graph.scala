@@ -91,5 +91,66 @@ object Graph extends QueryGroup {
            |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
            |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q61)
+  /** Quality-aware cluster canonicalization — q53's clusters, but the kept
+    * document per cluster is the argmax-QUALITY member (distinct-token
+    * count; ties to the lower doc_id), not the min-id label: the production
+    * dedup decision ("which copy ships") decoupled from the propagation
+    * artifact ("which id names the cluster"). One join on the node id plus
+    * one window over the component key on top of the CC output; the
+    * quality feature is integer (distinct-token count) so the argmax is
+    * float-free in both engines. */
+  private val q101 = QueryDef(
+    "q101_cluster_canonical",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.minhashLshCandidatesFromRows(
+        TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text")),
+        8, maxDf = 50)
+      val quality = docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("quality"))
+      GraphOps.clusterCanonical(
+          GraphOps.connectedComponents(pairs, "a_id", "b_id"),
+          quality, "doc_id", "quality")
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
+           |hashed AS (
+           |  SELECT doc_id, source,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2, 3),
+           |edges AS (
+           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bands a JOIN bands b
+           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+           |walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+           |q AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS quality
+           |  FROM documents),
+           |m AS (SELECT comps.comp, comps.node, q.quality,
+           |    count(*) OVER (PARTITION BY comps.comp) AS n_members
+           |  FROM comps JOIN q ON q.doc_id = comps.node)
+           |SELECT CAST(comp AS BIGINT) AS cluster_id, CAST(node AS BIGINT) AS best_id,
+           |  CAST(quality AS BIGINT) AS best_quality, CAST(n_members AS BIGINT) AS n_members
+           |FROM m
+           |QUALIFY row_number() OVER (PARTITION BY comp ORDER BY quality DESC, node) = 1
+           |ORDER BY cluster_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q53, q61, q101)
 }

@@ -351,5 +351,34 @@ object Similarity extends QueryGroup {
     },
     None)
 
-  override val defs: Seq[QueryDef] = Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95)
+  /** SQ8 scalar quantization + asymmetric-distance top-k — the middle rung
+    * of the compression ladder between raw vectors and q81's PQ codes: one
+    * byte per dimension against per-dimension corpus (min, max), ranked by
+    * squared L2 between an exact literal query and each vector's
+    * RECONSTRUCTION. The calibration is a 64-row broadcast dim table; the
+    * scan is one explode + map-side join + one (vec_id) aggregate +
+    * TakeOrderedAndProject. Float-op order is pinned identically in both
+    * engines, so every 8-bit code matches bit-for-bit; only the 64-term
+    * distance sum is rounded (1e-6) against reassociation. */
+  private val q102Query: Seq[Double] = SimilarityOps.lshPlanes(1, 64, seed = 7L).head
+  private val q102 = QueryDef(
+    "q102_sq8_topk",
+    (s, dir) => SimilarityOps.sq8TopK(
+      Tables.embeddings(s, dir), "vec_id", col("embedding"), q102Query, 10),
+    Some(s"""WITH x AS (SELECT vec_id, d.d AS d, embedding[d.d + 1]::DOUBLE AS v
+           |  FROM embeddings, unnest(range(64)) AS d(d)),
+           |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+           |c AS (SELECT vec_id, x.d, v, mn, mx,
+           |    CASE WHEN mx = mn THEN 0.0
+           |         ELSE floor((v - mn) * 255 / (mx - mn) + 0.5) END AS code
+           |  FROM x JOIN st USING (d)),
+           |q AS (SELECT ${q102Query.mkString("[", ", ", "]")}::DOUBLE[] AS qv),
+           |ds AS (SELECT vec_id,
+           |    round(sum((mn + code * (mx - mn) / 255 - qv[d + 1])
+           |            * (mn + code * (mx - mn) / 255 - qv[d + 1])), 6) + 0.0 AS adist
+           |  FROM c, q GROUP BY 1)
+           |SELECT vec_id, adist FROM ds ORDER BY adist, vec_id LIMIT 10""".stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102)
 }

@@ -490,6 +490,36 @@ object Text extends QueryGroup {
     },
     None)
 
+  /** Per-source lexical-diversity report: type-token ratio and
+    * distinct-bigram ratio (distinct-n) — the corpus-level diversity
+    * metrics that catch template-generated or self-repeating sources (q68
+    * is the per-DOCUMENT repetition view; this is the per-SOURCE roll-up
+    * a mixture planner reads). Bigrams stay within document boundaries via
+    * the codegen posexplode + window-`lead` idiom; one Expand-backed
+    * aggregate per source carries both distinct measures. */
+  private val q104 = QueryDef(
+    "q104_diversity",
+    (s, dir) => graft.operators.TextOps
+      .diversityStats(Tables.documents(s, dir), col("source"), col("doc_id"), col("text"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source")),
+    Some("""WITH tk AS (SELECT source, doc_id, i.i AS pos,
+           |    string_split(text, ' ')[i.i + 1] AS tok
+           |  FROM documents, unnest(range(len(string_split(text, ' ')))) AS i(i)),
+           |bi AS (SELECT source, doc_id, pos, tok,
+           |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           |  FROM tk)
+           |SELECT source, count(tok) AS n_tokens,
+           |  CASE WHEN count(tok) > 0
+           |    THEN round(count(DISTINCT tok)::DOUBLE / count(tok), 6) + 0.0
+           |    ELSE 0.0 END AS type_token_ratio,
+           |  CASE WHEN count(CASE WHEN nxt IS NOT NULL THEN 1 END) > 0
+           |    THEN round(count(DISTINCT CASE WHEN nxt IS NOT NULL THEN tok || ' ' || nxt END)::DOUBLE
+           |      / count(CASE WHEN nxt IS NOT NULL THEN 1 END), 6) + 0.0
+           |    ELSE 0.0 END AS distinct_bigram_ratio
+           |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91, q93, q96, q97, q98)
+    Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
+      q93, q96, q97, q98, q104)
 }
