@@ -613,4 +613,54 @@ object DedupOps {
     a.join(b, Seq("cell", "tb")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
   }
+
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * sketch's Jaccard ESTIMATE (fraction of the `numHashes` minwise hashes
+    * that agree — the unbiased estimator the banding math is built on) next
+    * to the EXACT Jaccard, both over the SAME capped shingle universe (set
+    * sizes recomputed AFTER the df cap, unlike [[jaccardPairsFromRows]]'s
+    * full-set sizes — an estimator audit must compare like with like). This
+    * is the sketch-quality report a dedup pipeline ships before trusting a
+    * signature width: E[|est − exact|] ≈ √(J(1−J)/k) tells you whether k
+    * hashes justify the banding thresholds ([[minhashLshCandidates]]'
+    * r/b tuning reads directly off it).
+    *
+    * Plan shape: the capped shingle stream is touched twice — once through
+    * [[minhashBandRows]]' signature aggregate (k·docs rows), once through
+    * the bounded shared-shingle join (q22's generator, same df-cap bound on
+    * candidate volume); both self-joins are equi-joins on (bucket, key).
+    * The estimate needs NO extra work: the band join's match count IS
+    * `n_equal_hashes`. Pairs whose band collision comes from an h1+j·h2
+    * hash collision with zero shared shingles (≈2⁻⁴⁰) drop at the inner
+    * join — a calibration row without an exact value is noise, not signal.
+    * Output: (a_id, b_id, n_equal_hashes, est_jaccard, jaccard, abs_err),
+    * unrounded — callers round for cross-engine comparison. */
+  def minhashCalibration(shingles: DataFrame, numHashes: Int, maxDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = if (maxDf > 0) capShingleDf(shingles, maxDf) else shingles
+    val sized = capped.withColumn("setsize",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val bands = minhashBandRows(capped, numHashes)
+    val ba = bands.toDF("a_id", "bucket", "band", "h")
+    val bb = bands.toDF("b_id", "bucket", "band", "h")
+    val cand = ba.join(bb, Seq("bucket", "band", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_equal_hashes"))
+    val ea = sized.toDF("a_id", "bucket", "sh", "a_size")
+    val eb = sized.toDF("b_id", "bucket", "sh", "b_size")
+    val exact = ea.join(eb, Seq("bucket", "sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a_size")).as("a_size"), max(col("b_size")).as("b_size"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("a_size") + col("b_size") - col("n_common")).cast("double"))
+    cand.join(exact, Seq("a_id", "b_id"))
+      .withColumn("est_jaccard",
+        col("n_equal_hashes").cast("double") / lit(numHashes.toDouble))
+      .select(col("a_id"), col("b_id"), col("n_equal_hashes"),
+        col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
 }

@@ -335,6 +335,36 @@ object TextOps {
         graft.engine.Semantics.roundz(sum(pg * log2(pg / pc)), 6).as("kl_bits"))
   }
 
+  /** Per-group lexical-diversity report: type-token ratio (distinct
+    * unigrams / total unigrams) and distinct-bigram ratio — the distinct-n
+    * diversity metrics curation uses to catch template-generated or
+    * self-repeating sources before they train ([[repetitionStats]] is the
+    * per-DOCUMENT view; this is the per-SOURCE roll-up). Bigrams stay
+    * within document boundaries (the codegen posexplode + window-`lead`
+    * idiom — no cross-doc phantom bigrams).
+    *
+    * Plan shape: one Expand-backed aggregate per group carrying the two
+    * count(distinct) measures; state is the group's vocabulary (sublinear —
+    * the q50 saturation argument), the stream is linear in token count. */
+  def diversityStats(df: DataFrame, group: Column, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = df.select(group.as("grp"), id.as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .withColumn("bi", when(lead("tok", 1).over(w).isNotNull,
+        concat_ws(" ", col("tok"), lead("tok", 1).over(w))))
+    def ratio(distinct: Column, total: Column): Column =
+      when(total > 0, graft.engine.Semantics.roundz(
+        distinct.cast("double") / total.cast("double"), 6)).otherwise(lit(0d))
+    grams.groupBy(col("grp"))
+      .agg(count(col("tok")).as("n_tokens"),
+        countDistinct(col("tok")).as("d_tok"),
+        count(col("bi")).as("n_bi"), countDistinct(col("bi")).as("d_bi"))
+      .select(col("grp"), col("n_tokens"),
+        ratio(col("d_tok"), col("n_tokens")).as("type_token_ratio"),
+        ratio(col("d_bi"), col("n_bi")).as("distinct_bigram_ratio"))
+  }
+
   /** Composite quality score in [0,1]: stopword-ratio band + length prior.
     * The exact formula is arbitrary (reference has none); what matters is
     * that it is deterministic, engine-neutral, and built from the classic
@@ -410,5 +440,47 @@ object TextOps {
       }
     }
     merges.toSeq
+  }
+
+  /** BM25 keyword retrieval scoring (Robertson/Spärck Jones; the Lucene
+    * `k1`/`b` parameterization with the +1 idf floor): rank documents
+    * against a literal bag of query terms by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). This is the lexical
+    * retrieval ranker a training-data pipeline runs next to the embedding
+    * k-NN (q25/q31): targeted corpus probes ("find documents about X"),
+    * quality-by-query audits, and BM25-negative mining for retrievers.
+    *
+    * Plan shape at 100 TB: the term scan filters to the query terms with an
+    * `isin` BEFORE any shuffle (the match stream is |queryTerms|-bounded per
+    * doc, a vanishing fraction of the corpus); doc length is a narrow
+    * `size(split)` map — the full token stream is never exploded. Corpus
+    * stats (N, avgdl) are a 1-row broadcast; per-term df is a ≤|query|-row
+    * broadcast dim. One (doc, term) hash aggregate + one scalar sum per doc
+    * — two shuffles total, both on bounded streams. Score is rounded by the
+    * caller; ordering/tie-breaks belong to the query. Output: one row per
+    * (doc that matches ≥1 term) with `dl` and unrounded `bm25`. */
+  def bm25Scores(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val docs = df.select(id.as("doc_id"), tokenize(text).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"), col("__toks"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val matches = docs
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = matches.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = broadcast(dfreq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1d) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)).as("idf"),
+        col("avgdl")))
+    tf.join(idf, "term")
+      .withColumn("__s", col("idf") * col("tf") * (lit(k1) + 1d) /
+        (col("tf") + lit(k1) * (lit(1d - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms_matched"))
   }
 }

@@ -552,9 +552,62 @@ object Curation extends QueryGroup {
            |SELECT doc_id, source, round(pk, 6) + 0.0 AS priority_key
            |FROM k ORDER BY pk, doc_id LIMIT 25""".stripMargin))
 
+  /** Scale variant of q48: approximate length quantiles via
+    * `percentile_approx` (Greenwald–Khanna-family mergeable sketch, bounded
+    * state per group regardless of group size) — what replaces q48's exact
+    * sort-based percentiles when a single source holds billions of rows.
+    * Accuracy 10000 bounds rank error at n/10000. Engine-specific sketch ⇒
+    * rows-only check by design (q36's HLL discipline); the rank-error
+    * bound is spec-verified in CurationOpsSpec. Output is the sketch's
+    * actual data values (bigint — no float drift). */
+  private val q108 = QueryDef(
+    "q108_approx_quantiles",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("source"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
+      .orderBy(col("source")),
+    None)
+
+  /** Model-based quality filter (GPT-3/CCNet classifier shape, q100's
+    * supervised sibling): logistic regression trained IN-ENGINE — label =
+    * "document is from the trusted src0 domain", features = length,
+    * stopword ratio, type-token ratio, mean word length (engineered as
+    * codegen'd columns, never raw text) — then the trained weights score
+    * every document and the top 15 most-src0-like ship. Each training
+    * iteration is one (d+1)-value gradient aggregate (driver state = 5
+    * doubles); scoring is pure map work. Iterative float trainer ⇒
+    * rows-only check by design (q41's discipline); convergence, separable
+    * recovery, and scoring laws are spec-verified in ClassifierOpsSpec. */
+  private val q109 = QueryDef(
+    "q109_quality_classifier",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = graft.operators.TextOps.tokenize(col("text"))
+      val features: Seq[org.apache.spark.sql.Column] = Seq(
+        log(col("n_chars").cast("double")),
+        graft.operators.TextOps.stopwordCount(toks).cast("double")
+          / greatest(size(toks), lit(1)).cast("double"),
+        size(array_distinct(toks)).cast("double")
+          / greatest(size(toks), lit(1)).cast("double"),
+        col("n_chars").cast("double") / greatest(size(toks), lit(1)).cast("double"))
+      val w = graft.operators.ClassifierOps.logisticTrain(
+        docs, features, col("source") === "src0", lr = 1.0, iters = 15)
+      docs.select(col("doc_id"), col("source"),
+          Semantics.roundz(graft.operators.ClassifierOps.score(features, w), 6)
+            .as("p_trusted"))
+        .orderBy(desc("p_trusted"), col("doc_id"))
+        .limit(15)
+    },
+    None)
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105)
+      q99, q100, q103, q105, q108, q109)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

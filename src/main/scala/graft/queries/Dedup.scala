@@ -436,5 +436,63 @@ object Dedup extends QueryGroup {
          |ORDER BY cosine DESC, a_id, b_id""".stripMargin
     })
 
-  override val defs: Seq[QueryDef] = Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88)
+  /** MinHash estimator calibration — for every one of q23's LSH candidate
+    * pairs, the 8-hash Jaccard ESTIMATE (fraction of agreeing minwise
+    * hashes) next to the EXACT Jaccard over the same capped shingle
+    * universe, plus the absolute error. The sketch-quality report that
+    * justifies (or indicts) a signature width before the banding thresholds
+    * built on it are trusted. Candidate volume is q23's (df-capped band
+    * join); the exact side is q22's bounded shared-shingle join with sizes
+    * recomputed AFTER the cap (estimator and truth must see the same sets).
+    * est − exact is a single subtraction of bitwise-identical doubles in
+    * both engines; all three reported figures are rounded 1e-6. */
+  private val q107 = QueryDef(
+    "q107_minhash_calibration",
+    (s, dir) => DedupOps
+      .minhashCalibration(docShingleRows(s, dir), 8, maxDf = 50)
+      .select(col("a_id"), col("b_id"), col("n_equal_hashes"),
+        graft.engine.Semantics.roundz(col("est_jaccard"), 6).as("est_jaccard"),
+        graft.engine.Semantics.roundz(col("jaccard"), 6).as("jaccard"),
+        graft.engine.Semantics.roundz(col("abs_err"), 6).as("abs_err"))
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id, source,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
+           |hashed AS (
+           |  SELECT doc_id, source,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2, 3),
+           |cand AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_equal_hashes
+           |  FROM bands a JOIN bands b
+           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |csz AS (SELECT doc_id, count(*) AS setsize FROM ex GROUP BY 1),
+           |common AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+           |  FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jac AS (SELECT a_id, b_id,
+           |    CAST(n_common AS DOUBLE) / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE) AS j
+           |  FROM common JOIN csz sa ON sa.doc_id = a_id JOIN csz sb ON sb.doc_id = b_id)
+           |SELECT c.a_id, c.b_id, c.n_equal_hashes,
+           |  round(CAST(n_equal_hashes AS DOUBLE) / 8.0, 6) + 0.0 AS est_jaccard,
+           |  round(j, 6) + 0.0 AS jaccard,
+           |  round(abs(CAST(n_equal_hashes AS DOUBLE) / 8.0 - j), 6) + 0.0 AS abs_err
+           |FROM cand c JOIN jac USING (a_id, b_id)
+           |ORDER BY a_id, b_id""".stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107)
 }

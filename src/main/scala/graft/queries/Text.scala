@@ -519,7 +519,43 @@ object Text extends QueryGroup {
            |    ELSE 0.0 END AS distinct_bigram_ratio
            |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** BM25 keyword retrieval (Robertson; Lucene k1/b parameterization with
+    * the +1 idf floor) — rank the corpus against a literal 3-term query.
+    * The lexical retrieval ranker that runs next to embedding k-NN in a
+    * data pipeline: targeted corpus probes, quality-by-query audits,
+    * BM25-negative mining. The term scan filters to the query terms BEFORE
+    * any shuffle; doc length is a narrow map (the token stream is never
+    * exploded unfiltered); corpus stats and per-term idf are 1-row /
+    * |query|-row broadcasts. Both engines evaluate the score formula with
+    * identical operator association; only the ≤3-term per-doc sum is
+    * rounded (1e-6) against cross-engine sum-order drift. */
+  private val q106 = QueryDef(
+    "q106_bm25_retrieval",
+    (s, dir) => TextOps
+      .bm25Scores(Tables.documents(s, dir), col("doc_id"), col("text"),
+        Seq("vector", "stream", "hash"), k1 = 1.2, b = 0.75)
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        col("n_terms_matched"),
+        Semantics.roundz(col("bm25"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(15),
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+           |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM d),
+           |tm AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tm
+           |  WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+           |idf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           |  FROM dfq, st),
+           |sc AS (SELECT tf.doc_id,
+           |    sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (0.25 + 0.75 * (d.dl::DOUBLE) / avgdl))) AS s,
+           |    count(*) AS n_terms_matched
+           |  FROM tf JOIN idf USING (term) JOIN d ON d.doc_id = tf.doc_id GROUP BY 1)
+           |SELECT sc.doc_id, d.dl::BIGINT AS dl, n_terms_matched, round(s, 6) + 0.0 AS bm25
+           |FROM sc JOIN d ON d.doc_id = sc.doc_id
+           |ORDER BY round(s, 6) DESC, sc.doc_id LIMIT 15""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104)
+      q93, q96, q97, q98, q104, q106)
 }

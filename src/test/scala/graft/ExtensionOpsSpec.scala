@@ -564,6 +564,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(k === Map("s1" -> 1.0, "s2" -> 1.0))
   }
 
+  test("X4: BM25 matches hand computation; higher-tf doc ranks first; non-matching docs absent") {
+    // Corpus: 3 docs; query = {x}. doc1 has tf=2 of 4 tokens, doc2 tf=1 of
+    // 4, doc3 no match. N=3, df(x)=2, avgdl=4.
+    val df = Seq(
+      (1L, "x y x z"), (2L, "x y z w"), (3L, "a b c d")).toDF("doc_id", "text")
+    val r = TextOps.bm25Scores(df, col("doc_id"), col("text"), Seq("x"), k1 = 1.2, b = 0.75)
+      .as[(Long, Double, Double, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r.keySet === Set(1L, 2L)) // doc3 never matches
+    val idf = math.log(1d + (3d - 2d + 0.5) / (2d + 0.5))
+    def s(tf: Double) = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 4d / 4d))
+    assert(math.abs(r(1L)._3 - s(2d)) < 1e-12)
+    assert(math.abs(r(2L)._3 - s(1d)) < 1e-12)
+    assert(r(1L)._3 > r(2L)._3) // tf monotone at equal dl
+    assert(r(1L)._4 === 1L && r(1L)._2 === 4d)
+  }
+
+  test("X2: minhash calibration — identical docs estimate 1.0 with zero error; estimate stays within sketch bounds") {
+    // d1 == d2 (exact dup); d3 shares a prefix with d1.
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d x y z w"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(df, col("doc_id"), lit("all"), col("text"))
+    val r = DedupOps.minhashCalibration(sh, numHashes = 8)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    val dup = r((1L, 2L))
+    assert(dup._3 === 8L && dup._4 === 1.0 && dup._5 === 1.0 && dup._6 === 0.0)
+    // Every estimate is a multiple of 1/8 in [0,1] and err = |est - exact|.
+    r.values.foreach { x =>
+      assert(x._4 >= 0.0 && x._4 <= 1.0 && (x._4 * 8).isWhole)
+      assert(math.abs(x._6 - math.abs(x._4 - x._5)) < 1e-15)
+    }
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
