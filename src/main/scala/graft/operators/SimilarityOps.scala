@@ -529,6 +529,35 @@ object SimilarityOps {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for retriever/embedding training: from scored
+    * k-NN candidates ([[knnJoin]]/[[knnJoinTables]] output), drop every
+    * neighbor that shares a duplicate CLUSTER with its query
+    * ([[GraphOps.connectedComponents]] over the near-dup pair graph — those
+    * are positives/self-copies, not negatives), then keep the top
+    * `k` most-similar survivors per query: the "close but known-different"
+    * examples contrastive training wants. A pipeline that mines negatives
+    * WITHOUT the cluster exclusion trains on false negatives — the
+    * composition is the point.
+    *
+    * Plan shape: two id-only left joins of the (already bounded) candidate
+    * stream against the (node, comp) table — embeddings never re-enter —
+    * and one per-query window that reuses the candidates' q_id hash
+    * partitioning. Vectors with no near-dup cluster have NULL comp: never
+    * co-members, always eligible. Output: (q_id, n_id, cosine, neg_rank). */
+  def hardNegatives(knn: DataFrame, components: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cq = components.select(col("node").as("q_id"), col("comp").as("q_comp"))
+    val cn = components.select(col("node").as("n_id"), col("comp").as("n_comp"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
+    knn.join(cq, Seq("q_id"), "left").join(cn, Seq("n_id"), "left")
+      .filter(col("q_comp").isNull || col("n_comp").isNull ||
+        col("q_comp") =!= col("n_comp"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"),
+        col("neg_rank").cast("long").as("neg_rank"))
+  }
+
   /** Per-dimension (min, max) calibration for scalar quantization — the
     * training pass of an SQ8 index (FAISS `IndexScalarQuantizer` shape):
     * one posexplode + one (dim)-keyed aggregate, state = `dim` rows. At

@@ -27,7 +27,12 @@ object Graph extends QueryGroup {
           GraphOps.connectedComponents(pairs, "a_id", "b_id"))
         .orderBy(col("keeper_id"))
     },
-    Some("""WITH RECURSIVE sets AS (
+    Some(ccKeepersOracle))
+
+  /** Shared by q53 (batch CC) and q111 (incremental merge): both must equal
+    * the recursive-CTE closure over the FULL minhash pair graph. */
+  private lazy val ccKeepersOracle: String =
+    ("""WITH RECURSIVE sets AS (
            |  SELECT doc_id, source,
            |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
            |      THEN list_transform(range(len(string_split(text,' ')) - 2),
@@ -56,7 +61,32 @@ object Graph extends QueryGroup {
            |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
            |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
            |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
-           |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM comps GROUP BY 1 ORDER BY 1""").stripMargin
+
+  /** Incremental cluster maintenance (X8, the crawl-grows case): the pair
+    * graph is split into an "already indexed" part (docs with doc_id % 5
+    * ≠ 0) and a "fresh crawl batch" (every pair touching a % 5 == 0 doc);
+    * the old part is clustered once, then the batch folds in via
+    * [[GraphOps.mergeComponents]] — old connectivity replayed as one star
+    * edge per labeled node, the historical pair edges never regenerated.
+    * The oracle is q53's: a recursive-CTE closure over the FULL graph —
+    * the hash match IS the merge≡recompute equivalence, end-to-end on
+    * real minhash candidates (GraphOpsSpec proves it on random graphs). */
+  private val q111 = QueryDef(
+    "q111_incremental_clusters",
+    (s, dir) => {
+      val pairs = DedupOps.minhashLshCandidatesFromRows(
+        TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text")),
+        8, maxDf = 50)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
+      val newPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
+      val oldComps = GraphOps.connectedComponents(oldPairs, "a_id", "b_id")
+      GraphOps.clusterKeepers(
+          GraphOps.mergeComponents(oldComps, newPairs, "a_id", "b_id"))
+        .orderBy(col("keeper_id"))
+    },
+    Some(ccKeepersOracle))
 
   /** X8 semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs
     * (cell × sign-LSH bucketed candidates, exact-cosine verified — q32's
@@ -152,5 +182,5 @@ object Graph extends QueryGroup {
            |QUALIFY row_number() OVER (PARTITION BY comp ORDER BY quality DESC, node) = 1
            |ORDER BY cluster_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q61, q101)
+  override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111)
 }

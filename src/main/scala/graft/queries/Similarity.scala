@@ -379,6 +379,63 @@ object Similarity extends QueryGroup {
            |  FROM c, q GROUP BY 1)
            |SELECT vec_id, adist FROM ds ORDER BY adist, vec_id LIMIT 10""".stripMargin))
 
+  /** Hard-negative mining (X3×X8 composition): for each of the first 10
+    * query vectors, the 3 most-similar neighbors that do NOT share a
+    * semantic-dup cluster with it (q61's CC over the verified near-dup
+    * graph) — the "close but known-different" pairs contrastive retriever
+    * training wants; mining without the cluster exclusion trains on false
+    * negatives. Candidates are q31's (cell × sign-LSH) pool with the rank
+    * cut disabled (top-k among NEGATIVES, not negatives among top-k);
+    * the exclusion is two id-only left joins, embeddings never re-enter.
+    * Oracle composes q31's scored CTE with q61's recursive-CTE clusters
+    * over the same literal planes. */
+  private val q110Planes = SimilarityOps.lshPlanes(2, 64)
+  private val q110 = QueryDef(
+    "q110_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = graft.operators.DedupOps.embeddingNearDups(
+        emb, "vec_id", col("embedding"), col("label"), 0.35, q110Planes)
+      val comps = graft.operators.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+      val knn = SimilarityOps.knnJoin(
+        emb, emb.filter(col("vec_id") < 10), "label", Int.MaxValue, q110Planes)
+      SimilarityOps.hardNegatives(knn, comps, 3)
+        .orderBy(col("q_id"), col("neg_rank"))
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |bk AS (SELECT vec_id, label, v,
+           |  ${OracleSql.signLshBucketSql("v", q110Planes)} AS bucket FROM e),
+           |edges AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM bk a JOIN bk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE round(list_dot_product(a.v, b.v)
+           |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+           |walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+           |qs AS (SELECT vec_id AS q_id, label, bucket, v AS q_emb FROM bk WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT qs.q_id, e2.vec_id AS n_id,
+           |    round(list_dot_product(e2.v, qs.q_emb)
+           |      / (sqrt(list_dot_product(e2.v, e2.v))
+           |       * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) + 0.0 AS cosine
+           |  FROM bk e2 JOIN qs ON e2.label = qs.label AND e2.bucket = qs.bucket
+           |  WHERE e2.vec_id <> qs.q_id),
+           |neg AS (
+           |  SELECT s.q_id, s.n_id, s.cosine
+           |  FROM scored s
+           |  LEFT JOIN comps cq ON cq.node = s.q_id
+           |  LEFT JOIN comps cn ON cn.node = s.n_id
+           |  WHERE cq.comp IS NULL OR cn.comp IS NULL OR cq.comp <> cn.comp),
+           |rk AS (SELECT q_id, n_id, cosine,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS neg_rank
+           |  FROM neg)
+           |SELECT q_id, n_id, cosine, CAST(neg_rank AS BIGINT) AS neg_rank
+           |FROM rk WHERE neg_rank <= 3 ORDER BY q_id, neg_rank""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102)
+    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102, q110)
 }

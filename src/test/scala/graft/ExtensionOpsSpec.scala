@@ -598,6 +598,18 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("X3: hard negatives exclude same-cluster neighbors and rank the survivors") {
+    // q=0: n=1 is its duplicate-cluster co-member (cos .99 — a positive,
+    // must NOT be mined); n=2/n=3 are true negatives; n=4 clustered
+    // elsewhere stays eligible.
+    val knn = Seq((0L, 1L, 0.99), (0L, 2L, 0.8), (0L, 3L, 0.7), (0L, 4L, 0.6))
+      .toDF("q_id", "n_id", "cosine")
+    val comps = Seq((0L, 0L), (1L, 0L), (4L, 4L)).toDF("node", "comp")
+    val r = SimilarityOps.hardNegatives(knn, comps, 2)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(r.map(x => (x._2, x._4)).toSeq === Seq((2L, 1L), (3L, 2L)))
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),

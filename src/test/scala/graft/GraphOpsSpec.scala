@@ -119,6 +119,30 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge equals full recompute on random graphs (q111's equivalence)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val (oldE, newE) = edges.splitAt(edges.size * 2 / 3)
+      val full = comps(edges)
+      val oldComps = GraphOps.connectedComponents(
+        oldE.toDF("src", "dst"), "src", "dst")
+      val merged = GraphOps.mergeComponents(oldComps, newE.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged === full, s"trial $trial: merge != recompute")
+    }
+  }
+
+  test("merge with an empty standing labeling is a plain CC over the new edges") {
+    val empty = GraphOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    val merged = GraphOps.mergeComponents(
+      empty, Seq((4L, 2L), (2L, 7L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(4L -> 2L, 2L -> 2L, 7L -> 2L))
+  }
+
   test("repeated invocations do not accumulate iteration caches") {
     // Each call persists e + und + one localCheckpoint per round (~12 RDDs
     // for this graph); all but the checkpointed result must be released on
