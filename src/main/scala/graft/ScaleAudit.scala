@@ -145,9 +145,34 @@ object ScaleAudit {
     // node/component counts here show cluster structure, and their ratio
     // the dedup payoff (docs deleted = nodes − components).
     val ccIn = DedupOps.minhashLshCandidatesFromRows(shingles, 8, maxDf = 50)
+      .localCheckpoint(true)
     val cc = graft.operators.GraphOps.connectedComponents(ccIn, "a_id", "b_id")
     val ccNodes = cc.count()
     val ccComps = cc.select("comp").distinct().count()
+
+    // q111 incremental merge: the standing state a crawl batch replays is
+    // ONE star edge per labeled node (≈ cc_nodes — linear in clustered
+    // docs), plus the batch's own pairs; a full recompute pays the whole
+    // q23 edge list every crawl. star_edges + new_batch_pairs ≪ full edge
+    // list (and star growth tracks nodes, not pairs) is the win.
+    val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+    val q111Stars = graft.operators.GraphOps.connectedComponents(
+        ccIn.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), "a_id", "b_id")
+      .filter(col("node") =!= col("comp")).count()
+    val q111NewPairs = ccIn.filter(isNew(col("a_id")) || isNew(col("b_id"))).count()
+
+    // q110 hard-negative mining: scored candidate rows for the 10-query
+    // batch — bounded by (cell × LSH bucket) occupancy around each query,
+    // never queries × corpus (all_pairs would be 10 × vecs).
+    val q110Rows = SimilarityOps.knnJoin(embs, embs.filter(col("vec_id") < 10),
+      "label", Int.MaxValue, SimilarityOps.lshPlanes(2, 64)).count()
+
+    // q106 BM25: the only stream crossing a shuffle is (doc, query-term)
+    // matches — bounded by |query| per doc, a vanishing fraction of the
+    // token stream.
+    val q106Match = TextOps.bm25Scores(docs, col("doc_id"), col("text"),
+        Seq("vector", "stream", "hash"))
+      .agg(coalesce(sum(col("n_terms_matched")), lit(0L))).head.getLong(0)
 
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
@@ -162,7 +187,9 @@ object ScaleAudit {
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
       s""""q88_multitable_candidates":$q88,""" +
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
-      s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps}""")
+      s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps,""" +
+      s""""q111_star_edges":$q111Stars,"q111_new_batch_pairs":$q111NewPairs,""" +
+      s""""q110_knn_candidate_rows":$q110Rows,"q106_match_rows":$q106Match}""")
     spark.stop()
   }
 }

@@ -88,6 +88,27 @@ object StreamingOps {
     df.withWatermark(eventTs, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream equi-join with an event-time interval bound — the
+    * enrichment shape (click ⋈ its impression within `maxDelay`): a right
+    * row matches a left row with the same `key` whose timestamp lies in
+    * [leftTs, leftTs + maxDelay]. Spark buffers BOTH sides in state; the
+    * watermark plus the interval predicate are what let it EVICT — a left
+    * row older than (watermark − maxDelay) and a right row older than the
+    * watermark can never match again and are dropped from state. Without
+    * the time bound a stream-stream join's state grows with the whole
+    * stream; the interval IS the 100 TB story. Inner join, append mode;
+    * both inputs must share only the `key` column name. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, maxDelay: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+        s"l.$key = r.$key AND r.$rightTs >= l.$leftTs" +
+          s" AND r.$rightTs <= l.$leftTs + INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   /** X6 (streaming, built-in): native session-window aggregation — the
     * in-stream analogue of SessionOps.sessionize. One row per closed/updated
     * (entity, session); state bounded by the watermark. */

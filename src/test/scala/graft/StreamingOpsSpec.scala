@@ -147,6 +147,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T-join: stream-stream interval join pairs rows within the bound only") {
+    val imps = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val joined = StreamingOps.streamingIntervalJoin(
+      imps.toDF().toDF("imp_ts", "key", "imp_id"),
+      clicks.toDF().toDF("click_ts", "key", "click_id"),
+      "key", "imp_ts", "click_ts", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"), 1L, "i1"),
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"), 2L, "i2"),
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"), 3L, "i3"))
+      clicks.addData(
+        // in-bound (+5 min, same key) joins; +2 h and wrong-key don't;
+        // a click BEFORE its impression (key 3) must not join either.
+        (java.sql.Timestamp.valueOf("2022-12-25 10:05:00"), 1L, "c1"),
+        (java.sql.Timestamp.valueOf("2022-12-25 12:00:00"), 2L, "c2"),
+        (java.sql.Timestamp.valueOf("2022-12-25 09:55:00"), 3L, "c3"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT imp_id, click_id FROM ivj")
+        .as[(String, String)].collect().toSet
+      assert(got === Set(("i1", "c1")))
+    } finally q.stop()
+  }
+
   test("curation-in-stream: stateless hash split + redaction run unchanged on a stream") {
     import graft.operators.CurationOps
     val input = MemoryStream[(Long, String)](spark)
