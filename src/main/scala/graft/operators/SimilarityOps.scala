@@ -558,6 +558,25 @@ object SimilarityOps {
         col("neg_rank").cast("long").as("neg_rank"))
   }
 
+  /** ANN recall audit: per-query recall@k of an approximate neighbor list
+    * against the exact one — the quality report an ANN deployment ships
+    * BEFORE its bucket/table/probe configuration is trusted ("measure,
+    * don't guess": the (1−θ/π)^p algebra predicts recall, this measures
+    * it). Both inputs are (q_id, n_id, …) neighbor lists ([[knnJoin]] with
+    * and without planes, multi-probe, PQ/ADC — anything ranked); output is
+    * one row per query: truth size, hits, recall. The join ships ids only
+    * — at 100 TB the audit costs two top-k lists and an id equi-join,
+    * run on a sampled query batch. */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id")).withColumn("__hit", lit(1L)),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+
   /** Per-dimension (min, max) calibration for scalar quantization — the
     * training pass of an SQ8 index (FAISS `IndexScalarQuantizer` shape):
     * one posexplode + one (dim)-keyed aggregate, state = `dim` rows. At

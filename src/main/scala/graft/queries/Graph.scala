@@ -75,9 +75,12 @@ object Graph extends QueryGroup {
   private val q111 = QueryDef(
     "q111_incremental_clusters",
     (s, dir) => {
+      // Materialized once: the minhash join feeds BOTH the old-graph CC and
+      // the fresh-batch filter — without this the candidate pipeline runs
+      // twice (a real crawl reads the batch's pairs from its dedup pass).
       val pairs = DedupOps.minhashLshCandidatesFromRows(
         TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text")),
-        8, maxDf = 50)
+        8, maxDf = 50).localCheckpoint(true)
       val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
       val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
       val newPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))

@@ -436,6 +436,55 @@ object Similarity extends QueryGroup {
            |SELECT q_id, n_id, cosine, CAST(neg_rank AS BIGINT) AS neg_rank
            |FROM rk WHERE neg_rank <= 3 ORDER BY q_id, neg_rank""".stripMargin))
 
+  /** ANN recall audit (the "measure, don't guess" knob as a query): per-
+    * query recall@10 of the 2-plane sign-LSH k-NN join (q31's config)
+    * against the exact same-cell neighbor list, for the 10-query batch.
+    * The number that decides whether an index configuration ships — the
+    * (1−θ/π)^p algebra predicts it, this measures it on the corpus. Both
+    * lists are TakeOrdered/window top-ks; the audit join ships ids only. */
+  private val q112Planes = SimilarityOps.lshPlanes(2, 64)
+  private val q112 = QueryDef(
+    "q112_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val truth = SimilarityOps.knnJoin(emb, queries, "label", 10)
+      val ann = SimilarityOps.knnJoin(emb, queries, "label", 10, q112Planes)
+      SimilarityOps.recallAtK(truth, ann)
+        .select(col("q_id"), col("n_truth"), col("n_hit"),
+          graft.engine.Semantics.roundz(col("recall"), 6).as("recall"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH bk AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           |    ${OracleSql.signLshBucketSql("embedding::DOUBLE[]", q112Planes)} AS bucket
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id AS q_id, label, bucket, v AS q_emb FROM bk WHERE vec_id < 10),
+           |tru AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT qs.q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+           |        round(list_dot_product(e.v, qs.q_emb)
+           |          / (sqrt(list_dot_product(e.v, e.v))
+           |           * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) DESC, e.vec_id) AS rk
+           |    FROM bk e JOIN qs ON e.label = qs.label
+           |    WHERE e.vec_id <> qs.q_id) WHERE rk <= 10),
+           |ann AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT qs.q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+           |        round(list_dot_product(e.v, qs.q_emb)
+           |          / (sqrt(list_dot_product(e.v, e.v))
+           |           * sqrt(list_dot_product(qs.q_emb, qs.q_emb))), 6) DESC, e.vec_id) AS rk
+           |    FROM bk e JOIN qs ON e.label = qs.label AND e.bucket = qs.bucket
+           |    WHERE e.vec_id <> qs.q_id) WHERE rk <= 10)
+           |SELECT t.q_id, count(*) AS n_truth,
+           |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 6) + 0.0 AS recall
+           |FROM tru t LEFT JOIN ann a ON a.q_id = t.q_id AND a.n_id = t.n_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102, q110)
+    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102, q110, q112)
 }

@@ -610,6 +610,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r.map(x => (x._2, x._4)).toSeq === Seq((2L, 1L), (3L, 2L)))
   }
 
+  test("X3: recall@k — full overlap is 1.0, disjoint is 0.0, partial counts hits") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L))
+      .toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 99L), (2L, 12L), (3L, 98L))
+      .toDF("q_id", "n_id")
+    val r = SimilarityOps.recallAtK(truth, approx)
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(r(2L) === ((2L, 2L, 1L, 0.5)))
+    assert(r(3L) === ((3L, 1L, 0L, 0.0)))
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
