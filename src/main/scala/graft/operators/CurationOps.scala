@@ -499,6 +499,37 @@ object CurationOps {
           .as("chunk_fp"))
   }
 
+  /** CCNet-style perplexity bucketing: label every row head / middle /
+    * tail by the corpus-wide TERTILES of its LM score (CCNet §4: Wikipedia-
+    * LM perplexity tertiles are the canonical quality strata — "head" is
+    * the best-scoring third a pipeline upsamples, "tail" the third it
+    * drops or down-weights). Generic over the score column, so it
+    * composes with [[graft.operators.TextOps.surprisalScores]] (q69),
+    * the bigram model (q97), or a real LM's scores.
+    *
+    * The cuts are ONE exact-percentile aggregate (two doubles) broadcast
+    * back over the stream — at 100 TB swap in `percentile_approx` (q108's
+    * sketch) for the cut computation; the labeling pass is unchanged, pure
+    * map work. Ties sit at the boundary deterministically (`<=` against
+    * the same cut value in any engine). Adds `ppl_bucket`. */
+  def perplexityBuckets(scored: DataFrame, score: Column): DataFrame = {
+    requireFresh(scored, "perplexityBuckets", "ppl_bucket", "__c1", "__c2")
+    // Cuts are rounded 1e-6 before the comparison: exact-percentile
+    // interpolation differs across engines in the last ulp, and an
+    // unrounded cut lying within an ulp of a (rounded) score would
+    // classify that score differently per engine.
+    val cuts = scored.agg(
+        percentile(score, array(lit(1.0 / 3), lit(2.0 / 3))).as("cs"))
+      .select(graft.engine.Semantics.roundz(col("cs").getItem(0), 6).as("__c1"),
+        graft.engine.Semantics.roundz(col("cs").getItem(1), 6).as("__c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(score <= col("__c1"), "head")
+          .when(score <= col("__c2"), "middle")
+          .otherwise("tail"))
+      .drop("__c1", "__c2")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis priority
     * sampling): each row draws an exponential clock `-ln(u)/w` from a
     * deterministic md5-uniform `u ∈ (0,1)` and its weight `w`; the k

@@ -605,9 +605,103 @@ object Curation extends QueryGroup {
     },
     None)
 
+  /** CCNet head/middle/tail strata (q69's unigram-LM surprisal bucketed at
+    * corpus tertiles — CCNet §4's canonical quality split: "head" is the
+    * third a pipeline upsamples, "tail" what it drops): per (source,
+    * bucket) doc counts and mean surprisal. The cuts are one exact-
+    * percentile aggregate broadcast back over the scored stream (swap in
+    * q108's sketch at the billion-doc scale); labeling is map work. Both
+    * engines bucket the same ROUNDED scores against identically-computed
+    * interpolated cuts. */
+  private val q113 = QueryDef(
+    "q113_perplexity_tertiles",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.operators.TextOps.surprisalScores(
+          docs, col("doc_id"), graft.operators.TextOps.tokenize(col("text")))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      CurationOps.perplexityBuckets(scored, col("avg_surprisal"))
+        .groupBy(col("source"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          // SUM, not mean: the sum of rounded-1e-6 scores sits next to a
+          // multiple of 1e-6 (never near a rounding half-boundary), while
+          // a mean can divide onto an exact .5 at the 6th decimal and
+          // round differently per engine (observed: 8 docs averaging
+          // x.xxxxxx5).
+          Semantics.roundz(sum(col("avg_surprisal")), 6).as("sum_surprisal"))
+        .orderBy(col("source"), col("ppl_bucket"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+           |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM v),
+           |sc AS (SELECT doc_id, round(avg(-log2(CAST(tf AS DOUBLE) / n.n)), 6) + 0.0 AS s
+           |  FROM tok JOIN v USING (tok) CROSS JOIN n GROUP BY doc_id),
+           |cuts AS (SELECT round(quantile_cont(s, 1.0/3), 6) + 0.0 AS c1,
+           |    round(quantile_cont(s, 2.0/3), 6) + 0.0 AS c2 FROM sc),
+           |lab AS (SELECT doc_id, s,
+           |    CASE WHEN s <= c1 THEN 'head' WHEN s <= c2 THEN 'middle' ELSE 'tail' END
+           |      AS ppl_bucket
+           |  FROM sc, cuts)
+           |SELECT d.source, ppl_bucket, count(*) AS n_docs,
+           |  round(sum(s), 6) + 0.0 AS sum_surprisal
+           |FROM lab JOIN documents d USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Cross-source duplication provenance (mirror detection): q78's GLOBAL-
+    * bucket near-dup pair generator aggregated by unordered SOURCE pair
+    * instead of split — which sources copy from which, the report that
+    * catches a mirrored crawl before the mixture planner (q66) double-
+    * weights its content. Pure reuse of [[CurationOps.pairSplitAudit]]
+    * with the source as the label: zero new candidate volume (the
+    * ScaleAudit q78 row covers this generator). */
+  private val q114 = QueryDef(
+    "q114_source_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.DedupOps.minhashLshCandidatesFromRows(
+        graft.operators.TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text")),
+        8, maxDf = 50)
+      CurationOps.pairSplitAudit(pairs, docs.select(col("doc_id"), col("source").as("split")))
+        .select(col("split_lo").as("source_lo"), col("split_hi").as("source_hi"),
+          col("n_pairs"))
+        .orderBy(col("source_lo"), col("source_hi"))
+    },
+    Some("""WITH sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |lk AS (SELECT
+           |    least(coalesce(sa.source, 'unknown'), coalesce(sb.source, 'unknown')) AS source_lo,
+           |    greatest(coalesce(sa.source, 'unknown'), coalesce(sb.source, 'unknown')) AS source_hi
+           |  FROM pairs
+           |  LEFT JOIN documents sa ON sa.doc_id = pairs.a_id
+           |  LEFT JOIN documents sb ON sb.doc_id = pairs.b_id)
+           |SELECT source_lo, source_hi, count(*) AS n_pairs
+           |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109)
+      q99, q100, q103, q105, q108, q109, q113, q114)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

@@ -293,4 +293,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(r === Set(("test", "train", 1L), ("train", "unknown", 1L),
       ("unknown", "unknown", 1L)))
   }
+
+  test("priority sample: exactly k rows; growth only displaces, never admits an old loser over an old winner") {
+    val base = (0L until 100L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    val grown = (0L until 150L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    def kept(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      CurationOps.prioritySample(df, col("id"), col("w"), 20)
+        .select(col("id")).as[Long].collect().toSeq
+    val k0 = kept(base)
+    val k1 = kept(grown)
+    assert(k0.size === 20 && k1.size === 20)
+    // Clocks are per-row-stable: an original row kept in the GROWN corpus
+    // must also have been kept in the base corpus (new rows only displace).
+    assert(k1.filter(_ < 100L).toSet.subsetOf(k0.toSet))
+  }
+
+  test("sliding chunks: stride == window reconstructs the document exactly") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val r = CurationOps.slidingChunks(df, col("doc_id"), col("text"), window = 3, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1: chunks of 3,3,1 tokens; doc 2: one 2-token chunk
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ===
+      Seq((1L, 0L, 3L), (1L, 1L, 3L), (1L, 2L, 1L), (2L, 0L, 2L)))
+    // overlap variant: stride 2 < window 3 — every token position is
+    // covered by at least one chunk and consecutive chunks share a token
+    val o = CurationOps.slidingChunks(df.filter(col("doc_id") === 1L),
+        col("doc_id"), col("text"), window = 3, stride = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(o.map(_._3).sum >= 7)
+  }
+
+  test("DSIR: target == corpus scores every document 0 (log-ratio of identical distributions)") {
+    val df = Seq((1L, "a b c"), (2L, "b c d"), (3L, "e f")).toDF("doc_id", "text")
+    val r = CurationOps.dsirScores(df, col("doc_id"), col("text"), lit(true))
+      .as[(Long, Double)].collect().toMap
+    assert(r.size === 3 && r.values.forall(_ === 0.0))
+  }
+
+  test("perplexity buckets: tertile labels partition the corpus ~evenly and respect score order") {
+    val df = (1 to 90).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val r = CurationOps.perplexityBuckets(df, col("s"))
+      .as[(Long, Double, String)].collect()
+    val byB = r.groupBy(_._3).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byB.keySet === Set("head", "middle", "tail"))
+    assert(byB("head").max < byB("middle").min)
+    assert(byB("middle").max < byB("tail").min)
+    assert(byB("head").size === 30 && byB("tail").size === 30)
+  }
 }

@@ -179,4 +179,30 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(top.head === ((1L, 1.0)))
     assert(top.last === ((2L, 0.0)))
   }
+
+  test("SQ8: an exact copy of the query ranks first with distance within the quantization bound") {
+    val q = Seq(0.1, 0.9, -0.5, 0.3)
+    val emb = Seq(
+      (1L, Seq(0.1, 0.9, -0.5, 0.3)),   // exact copy
+      (2L, Seq(0.9, -0.8, 0.7, -0.9)),  // far
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.sq8TopK(emb, "vec_id", col("embedding"), q, 3)
+      .as[(Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 3L, 2L)) // true distance order survives
+    // Per-dim reconstruction error ≤ range/(2·255); ranges ≤ 1.8 here, so
+    // the copy's reconstructed distance is bounded by 4·(1.8/510)² < 5e-5.
+    assert(r.head._2 < 5e-5)
+  }
+
+  test("SQ8: a constant dimension quantizes with zero error (degenerate-range guard)") {
+    val q = Seq(1.0, 0.0)
+    val emb = Seq((1L, Seq(7.5, 1.0)), (2L, Seq(7.5, -1.0))).toDF("vec_id", "embedding")
+    val r = SimilarityOps.sq8TopK(emb, "vec_id", col("embedding"), q, 2)
+      .as[(Long, Double)].collect().toMap
+    // dim0 is constant 7.5 -> reconstructs exactly; dim1 range [-1,1] with
+    // endpoints -> codes 255/0 reconstruct exactly. Distances are exact.
+    assert(math.abs(r(1L) - (6.5 * 6.5 + 1.0)) < 1e-9)
+    assert(math.abs(r(2L) - (6.5 * 6.5 + 1.0)) < 1e-9)
+  }
 }
