@@ -45,6 +45,13 @@ object ClassifierOps {
     val statAggs = (0 until d).flatMap(i =>
       Seq(avg(col(s"f$i")).as(s"m$i"), stddev_pop(col(s"f$i")).as(s"s$i")))
     val st = data.agg(statAggs.head, statAggs.tail: _*).head()
+    // Empty input or an all-null feature column yields NULL stats — fail
+    // with a diagnosis, not an NPE from getDouble.
+    (0 until d).foreach { i =>
+      require(!st.isNullAt(2 * i),
+        s"cannot train: input is empty or feature $i is all-null " +
+          "(e.g. log() of a non-positive column returns NULL)")
+    }
     val mean = Array.tabulate(d)(i => st.getDouble(2 * i))
     // A constant feature standardizes to all-zeros (sd floor), contributing
     // nothing rather than dividing by zero.
@@ -54,7 +61,6 @@ object ClassifierOps {
         :+ col("y"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = z.count().toDouble
-    require(n > 0, "cannot train on an empty DataFrame")
     val w = Array.fill(d + 1)(0.0) // bias last
     for (_ <- 0 until iters) {
       val margin = (0 until d).map(i => col(s"z$i") * lit(w(i)))

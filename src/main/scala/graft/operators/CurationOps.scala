@@ -547,7 +547,20 @@ object CurationOps {
     // inside (0,1) so ln(u) is finite and nonzero.
     val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") + 1d) /
       lit((1L << 32).toDouble + 1d)
-    df.withColumn("priority_key", -log(u) / weight.cast("double"))
+    // Runtime guard, not just doc: a NULL weight would yield a NULL clock
+    // that sorts FIRST in Spark (always sampled) but LAST elsewhere, and a
+    // non-positive weight a deterministically-winning clock — both silent
+    // sample corruption. The guard must be the CASE branch driving the
+    // whole expression: assert_true passes NULL conditions, and a guard
+    // added as an Add operand never evaluates (Add short-circuits to NULL
+    // on a NULL side).
+    val w = weight.cast("double")
+    val key = when(w.isNull || w <= 0d,
+      raise_error(concat(
+        lit("prioritySample: weight must be strictly positive and non-null, got "),
+        coalesce(w.cast("string"), lit("NULL")))).cast("double"))
+      .otherwise(-log(u) / w)
+    df.withColumn("priority_key", key)
       .orderBy(col("priority_key"), id)
       .limit(k)
   }

@@ -548,9 +548,10 @@ object Curation extends QueryGroup {
     Some("""WITH k AS (SELECT doc_id, source,
            |    -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1) / 4294967297.0)
            |      / n_chars AS pk
-           |  FROM documents)
+           |  FROM documents),
+           |kept AS (SELECT * FROM k ORDER BY pk, doc_id LIMIT 25)
            |SELECT doc_id, source, round(pk, 6) + 0.0 AS priority_key
-           |FROM k ORDER BY pk, doc_id LIMIT 25""".stripMargin))
+           |FROM kept ORDER BY round(pk, 6), doc_id""".stripMargin))
 
   /** Scale variant of q48: approximate length quantiles via
     * `percentile_approx` (Greenwald–Khanna-family mergeable sketch, bounded
@@ -595,8 +596,13 @@ object Curation extends QueryGroup {
         size(array_distinct(toks)).cast("double")
           / greatest(size(toks), lit(1)).cast("double"),
         col("n_chars").cast("double") / greatest(size(toks), lit(1)).cast("double"))
+      // Train/apply separation (the production shape): fit on the q45
+      // train split only — a deterministic hash sample — then score the
+      // FULL corpus with the frozen weights as pure map work.
+      val trainSplit = docs.filter(CurationOps.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100)) === "train")
       val w = graft.operators.ClassifierOps.logisticTrain(
-        docs, features, col("source") === "src0", lr = 1.0, iters = 15)
+        trainSplit, features, col("source") === "src0", lr = 1.0, iters = 15)
       docs.select(col("doc_id"), col("source"),
           Semantics.roundz(graft.operators.ClassifierOps.score(features, w), 6)
             .as("p_trusted"))

@@ -31,7 +31,12 @@ object Graph extends QueryGroup {
 
   /** Shared by q53 (batch CC) and q111 (incremental merge): both must equal
     * the recursive-CTE closure over the FULL minhash pair graph. */
-  private lazy val ccKeepersOracle: String =
+  /** Recursive-CTE closure over the FULL minhash pair graph, ending at the
+    * `comps(node, comp)` labeling. Opens `WITH RECURSIVE`; callers append
+    * either the final SELECT (q53/q111 keepers) or further CTEs after a
+    * comma (q101 canonical selection) — ONE copy of the candidate
+    * generator, so a hashing/df-cap change can never fork the oracles. */
+  private lazy val ccCompsPrefix: String =
     ("""WITH RECURSIVE sets AS (
            |  SELECT doc_id, source,
            |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
@@ -59,7 +64,10 @@ object Graph extends QueryGroup {
            |  SELECT DISTINCT src AS node, src AS comp FROM und
            |  UNION
            |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)""").stripMargin
+
+  private lazy val ccKeepersOracle: String = ccCompsPrefix +
+    ("""
            |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
            |FROM comps GROUP BY 1 ORDER BY 1""").stripMargin
 
@@ -75,12 +83,15 @@ object Graph extends QueryGroup {
   private val q111 = QueryDef(
     "q111_incremental_clusters",
     (s, dir) => {
-      // Materialized once: the minhash join feeds BOTH the old-graph CC and
-      // the fresh-batch filter — without this the candidate pipeline runs
-      // twice (a real crawl reads the batch's pairs from its dedup pass).
+      // Materialized once (LAZY checkpoint — first action triggers it): the
+      // minhash join feeds BOTH the old-graph CC and the fresh-batch filter;
+      // without this the candidate pipeline runs twice (a real crawl reads
+      // the batch's pairs from its dedup pass). Lazy so constructing the
+      // DataFrame alone doesn't execute the join (the CC loop below is the
+      // first action, as in every CC query).
       val pairs = DedupOps.minhashLshCandidatesFromRows(
         TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text")),
-        8, maxDf = 50).localCheckpoint(true)
+        8, maxDf = 50).localCheckpoint(false)
       val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
       val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
       val newPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
@@ -146,34 +157,7 @@ object Graph extends QueryGroup {
           quality, "doc_id", "quality")
         .orderBy(col("cluster_id"))
     },
-    Some("""WITH RECURSIVE sets AS (
-           |  SELECT doc_id, source,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
-           |hashed AS (
-           |  SELECT doc_id, source,
-           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
-           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
-           |  FROM ex),
-           |bands AS (
-           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
-           |  FROM hashed, unnest(range(8)) AS j(band)
-           |  GROUP BY 1, 2, 3),
-           |edges AS (
-           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-           |  FROM bands a JOIN bands b
-           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-           |walk AS (
-           |  SELECT DISTINCT src AS node, src AS comp FROM und
-           |  UNION
-           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+    Some(ccCompsPrefix + (""",
            |q AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS quality
            |  FROM documents),
            |m AS (SELECT comps.comp, comps.node, q.quality,
@@ -183,7 +167,7 @@ object Graph extends QueryGroup {
            |  CAST(quality AS BIGINT) AS best_quality, CAST(n_members AS BIGINT) AS n_members
            |FROM m
            |QUALIFY row_number() OVER (PARTITION BY comp ORDER BY quality DESC, node) = 1
-           |ORDER BY cluster_id""".stripMargin))
+           |ORDER BY cluster_id""").stripMargin))
 
   override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111)
 }

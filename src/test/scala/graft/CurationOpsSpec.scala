@@ -308,6 +308,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(k1.filter(_ < 100L).toSet.subsetOf(k0.toSet))
   }
 
+  test("priority sample: a null or non-positive weight raises instead of silently winning the sample") {
+    val bad = Seq((1L, Some(2.0)), (2L, None)).toDF("id", "w")
+    intercept[Exception] {
+      CurationOps.prioritySample(bad, col("id"), col("w"), 2).collect()
+    }
+    val neg = Seq((1L, 2.0), (2L, -1.0)).toDF("id", "w")
+    intercept[Exception] {
+      CurationOps.prioritySample(neg, col("id"), col("w"), 2).collect()
+    }
+  }
+
   test("sliding chunks: stride == window reconstructs the document exactly") {
     val df = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
     val r = CurationOps.slidingChunks(df, col("doc_id"), col("text"), window = 3, stride = 3)
