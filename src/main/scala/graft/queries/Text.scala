@@ -555,7 +555,66 @@ object Text extends QueryGroup {
            |FROM sc JOIN d ON d.doc_id = sc.doc_id
            |ORDER BY round(s, 6) DESC, sc.doc_id LIMIT 15""".stripMargin))
 
+  /** Per-source DATA CARD — the one-row-per-source profile a data vendor
+    * ships with a corpus release (Datasheets-for-Datasets shape): volume
+    * (docs, tokens), quality mass (q19's composite score summed —
+    * boundary-safe vs a divided mean), median length, and language mix
+    * (q76's distinct-lang count + entropy). Pure composition of linear
+    * aggregates — one pass over the token stream, one percentile, one
+    * (source, lang) aggregate; the provenance/dup half of a card lives in
+    * q114's overlap matrix. */
+  private val q115 = QueryDef(
+    "q115_data_card",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val f = docs
+        .withColumn("toks", TextOps.tokenize(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("stop_ratio", round(
+          TextOps.stopwordCount(col("toks")).cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("mean_word_len", round(
+          col("n_chars").cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("quality",
+          TextOps.qualityScore(col("n_tokens"), col("stop_ratio"), col("mean_word_len")))
+      val prof = f.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Semantics.roundz(sum(col("quality")), 6).as("sum_quality"),
+        Semantics.roundz(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"))
+      val langs = TextOps.categoryEntropy(docs, col("source"), col("lang"))
+        .select(col("grp").as("source"), col("n_categories").as("n_langs"),
+          col("entropy").as("lang_entropy"))
+      prof.join(langs, "source").orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id, n_chars,
+           |    string_split(text, ' ') AS toks,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |f AS (SELECT source, n_chars, n_tokens,
+           |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','on','for'))) AS DOUBLE)
+           |      / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+           |    round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len
+           |  FROM t),
+           |q AS (SELECT source, n_chars, n_tokens,
+           |    round(0.4 * (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.0 END)
+           |        + 0.3 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |        + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 4) AS quality
+           |  FROM f),
+           |prof AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |    round(sum(quality), 6) + 0.0 AS sum_quality,
+           |    round(quantile_cont(n_chars, 0.5), 6) + 0.0 AS p50_chars
+           |  FROM q GROUP BY 1),
+           |lg AS (SELECT source, count(*) AS n_langs,
+           |    round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+           |      * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) + 0.0 AS lang_entropy
+           |  FROM (SELECT source, n, sum(n) OVER (PARTITION BY source) AS tot
+           |        FROM (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2))
+           |  GROUP BY 1)
+           |SELECT source, n_docs, total_tokens, sum_quality, p50_chars, n_langs, lang_entropy
+           |FROM prof JOIN lg USING (source) ORDER BY source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106)
+      q93, q96, q97, q98, q104, q106, q115)
 }
