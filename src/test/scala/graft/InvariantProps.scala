@@ -162,4 +162,33 @@ object InvariantProps extends Properties("graft") {
         labelsOf(Long.MaxValue) == labelsOf(0L)
       }
     }
+
+  property("X8: incremental star-edge merge equals full recompute on any edge split") =
+    Prop.secure {
+      // q111's contract: CC(stars(CC(old)) ∪ fresh) must be BIT-IDENTICAL
+      // to CC(old ∪ fresh) — for any graph and any old/fresh split,
+      // including splits where fresh edges bridge old components and
+      // where fresh introduces brand-new nodes. Fixed-seed batch for the
+      // same runtime reason as the contraction property (three CC runs
+      // per case).
+      val rng = new scala.util.Random(20260813L)
+      (1 to 8).forall { _ =>
+        val edges = List.fill(rng.nextInt(30) + 2)(
+          (rng.between(1L, 21L), rng.between(1L, 21L))).filter(e => e._1 != e._2)
+        edges.nonEmpty && {
+          val cut = rng.nextInt(edges.size)
+          val (oldE, freshE) = edges.splitAt(cut)
+          val G = graft.operators.GraphOps
+          val full = G.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val merged = (if (oldE.isEmpty)
+              G.connectedComponents(freshE.toDF("src", "dst"), "src", "dst")
+            else G.mergeComponents(
+              G.connectedComponents(oldE.toDF("src", "dst"), "src", "dst"),
+              freshE.toDF("src", "dst"), "src", "dst"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          merged == full
+        }
+      }
+    }
 }

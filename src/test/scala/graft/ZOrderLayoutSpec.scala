@@ -113,6 +113,20 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas, null-filling old rows") {
+    // The schema-drift case every long-lived table hits: a crawl adds a
+    // column mid-stream. Old files must stay readable (new column NULL),
+    // new files must not be truncated to the old schema.
+    val base = Scratch.dir(spark, "schema_evo")
+    Seq((1L, "a")).toDF("id", "text").write.mode("overwrite").parquet(s"$base/p1")
+    Seq((2L, "b", "en")).toDF("id", "text", "lang").write.mode("overwrite").parquet(s"$base/p2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$base/p1", s"$base/p2")
+    assert(df.columns.sorted.toSeq === Seq("id", "lang", "text"))
+    val rows = df.select("id", "text", "lang").as[(Long, String, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some("en"))))
+  }
+
   test("morton key raises on out-of-domain inputs instead of silently aliasing") {
     // 2^bits would alias onto key 0's neighborhood; negatives would
     // interleave sign bits — both must fail loudly, not degrade clustering
