@@ -174,6 +174,21 @@ object ScaleAudit {
         Seq("vector", "stream", "hash"))
       .agg(coalesce(sum(col("n_terms_matched")), lit(0L))).head.getLong(0)
 
+    // q112 recall audit, measured (not just the (1−θ/π)^p algebra): mean
+    // recall@10 of the 2-plane single-table LSH k-NN join vs the OR-ed
+    // 2-table variant, against the exact same-cell neighbor lists. The
+    // number that justifies (or indicts) paying q88's ≤2× candidate
+    // volume for the multi-table index.
+    val knnQ = embs.filter(col("vec_id") < 10)
+    val truth = SimilarityOps.knnJoin(embs, knnQ, "label", 10).localCheckpoint(true)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.recallAtK(truth, approx)
+        .agg(avg(col("recall"))).head.getDouble(0)
+    val recall1 = meanRecall(
+      SimilarityOps.knnJoin(embs, knnQ, "label", 10, SimilarityOps.lshPlanes(2, 64)))
+    val recall2 = meanRecall(
+      SimilarityOps.knnJoinTables(embs, knnQ, "label", 10, SimilarityOps.lshTables(2, 2, 64)))
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -189,7 +204,9 @@ object ScaleAudit {
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps,""" +
       s""""q111_star_edges":$q111Stars,"q111_new_batch_pairs":$q111NewPairs,""" +
-      s""""q110_knn_candidate_rows":$q110Rows,"q106_match_rows":$q106Match}""")
+      s""""q110_knn_candidate_rows":$q110Rows,"q106_match_rows":$q106Match,""" +
+      s""""q112_recall_single_table":${math.rint(recall1 * 1000) / 1000},""" +
+      s""""q112_recall_two_table":${math.rint(recall2 * 1000) / 1000}}""")
     spark.stop()
   }
 }
