@@ -485,6 +485,70 @@ object Similarity extends QueryGroup {
            |FROM tru t LEFT JOIN ann a ON a.q_id = t.q_id AND a.n_id = t.n_id
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (the standard hybrid-
+    * search shape: lexical arm ∪ semantic arm, fused by Σ 1/(60+rank) —
+    * Cormack's RRF, the score-free fusion that needs no cross-arm
+    * calibration): q106's BM25 top-20 for a literal term query and q25's
+    * brute-cosine top-20 around vector 0, full-outer-joined on the doc id,
+    * top-10 by fused score. A doc found by only one arm still fuses (its
+    * missing-arm term is 0) — that asymmetry is RRF's point.
+    *
+    * Scale shape: each arm ends in a distributed TakeOrderedAndProject
+    * (top-20); the global rank windows run over those 20-row lists, never
+    * the corpus; the fusion join ships (id, rank) pairs only. */
+  private val q116 = QueryDef(
+    "q116_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val lexTop = graft.operators.TextOps
+        .bm25Scores(docs, col("doc_id"), col("text"), Seq("vector", "stream", "hash"))
+        .select(col("doc_id"), graft.engine.Semantics.roundz(col("bm25"), 6).as("s"))
+        .orderBy(desc("s"), col("doc_id")).limit(20)
+      val lex = lexTop
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(desc("s"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val semTop = SimilarityOps.cosineTopK(emb, emb.filter(col("vec_id") === 0), 20)
+      val sem = semTop
+        .withColumn("sem_rank",
+          row_number().over(Window.orderBy(desc("cosine"), col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full")
+        .withColumn("rrf", graft.engine.Semantics.roundz(
+          coalesce(lit(1d) / (lit(60d) + col("lex_rank")), lit(0d)) +
+          coalesce(lit(1d) / (lit(60d) + col("sem_rank")), lit(0d)), 6))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
+    },
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+           |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM d),
+           |tm AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tm
+           |  WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+           |idf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           |  FROM dfq, st),
+           |sc AS (SELECT tf.doc_id,
+           |    round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (0.25 + 0.75 * (d.dl::DOUBLE) / avgdl))), 6) AS s
+           |  FROM tf JOIN idf USING (term) JOIN d ON d.doc_id = tf.doc_id GROUP BY 1),
+           |lex AS (SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS lex_rank
+           |  FROM sc QUALIFY lex_rank <= 20),
+           |q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+           |cs AS (SELECT e.vec_id,
+           |    round(list_dot_product(e.embedding::DOUBLE[], q.q_emb)
+           |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           |       * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) + 0.0 AS cosine
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+           |sem AS (SELECT vec_id AS doc_id,
+           |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS sem_rank
+           |  FROM cs QUALIFY sem_rank <= 20)
+           |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+           |  round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + sem_rank), 0), 6) + 0.0 AS rrf
+           |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+           |ORDER BY rrf DESC, coalesce(lex.doc_id, sem.doc_id) LIMIT 10""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102, q110, q112)
+    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102, q110, q112, q116)
 }
