@@ -39,9 +39,17 @@ object ClassifierOps {
     require(features.nonEmpty, "need at least one feature")
     require(iters >= 0 && lr > 0, s"need iters >= 0 and lr > 0, got $iters, $lr")
     val d = features.size
+    // Complete-case training set: a row with ANY null feature or a null
+    // label is dropped BEFORE the stats pass, so n, the (mean, std)
+    // standardization and every gradient sum are computed over the same
+    // rows. (Without this, null cells silently drop out of individual
+    // aggregate sums while n still counts their rows, and each column's
+    // mean/std is taken over its own non-null subset — silent
+    // training-set skew instead of a visible row-count change.)
     val data = df.select(
       features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }
         :+ label.cast("boolean").cast("double").as("y"): _*)
+      .na.drop()
     val statAggs = (0 until d).flatMap(i =>
       Seq(avg(col(s"f$i")).as(s"m$i"), stddev_pop(col(s"f$i")).as(s"s$i")))
     val st = data.agg(statAggs.head, statAggs.tail: _*).head()

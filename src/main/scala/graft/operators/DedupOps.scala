@@ -638,8 +638,12 @@ object DedupOps {
   def minhashCalibration(shingles: DataFrame, numHashes: Int, maxDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val capped = if (maxDf > 0) capShingleDf(shingles, maxDf) else shingles
+    // Set size per (doc_id, bucket), matching the per-bucket shared-shingle
+    // join below: nothing forbids a doc appearing under several buckets in
+    // the shingle input, and a doc_id-only window would then sum its set
+    // sizes across buckets and inflate the exact-Jaccard denominator.
     val sized = capped.withColumn("setsize",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("bucket"))))
     val bands = minhashBandRows(capped, numHashes)
     val ba = bands.toDF("a_id", "bucket", "band", "h")
     val bb = bands.toDF("b_id", "bucket", "band", "h")

@@ -288,11 +288,22 @@ object GraphOps {
   def mergeComponents(components: DataFrame, newEdges: DataFrame,
       src: String, dst: String,
       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
-    val stars = components.filter(col("node") =!= col("comp"))
-      .select(col("node").cast("long").as("__ms"), col("comp").cast("long").as("__md"))
+    val standing = components.select(col("node").cast("long").as("node"),
+      col("comp").cast("long").as("comp"))
+    val stars = standing.filter(col("node") =!= col("comp"))
+      .select(col("node").as("__ms"), col("comp").as("__md"))
     val fresh = newEdges.select(col(src).cast("long").as("__ms"),
       col(dst).cast("long").as("__md"))
-    connectedComponents(stars.union(fresh), "__ms", "__md", checkpoint = checkpoint)
+    val merged = connectedComponents(stars.union(fresh), "__ms", "__md",
+      checkpoint = checkpoint)
+    // CC output covers only edge-incident nodes. A labeling produced by an
+    // edge-list CC never contains singleton components (every component has
+    // >= 2 members, so each root appears as some star edge's dst), but the
+    // API does not forbid a caller feeding a standing labeling with
+    // singletons (e.g. isolated docs registered defensively) — those nodes
+    // emit no star edge and, unless a new edge touches them, must be
+    // PRESERVED in the merged labeling, not silently dropped.
+    merged.union(standing.join(merged.select(col("node")), Seq("node"), "left_anti"))
   }
 
   /** Quality-aware canonical selection: instead of [[clusterKeepers]]'

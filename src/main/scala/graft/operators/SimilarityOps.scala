@@ -568,8 +568,12 @@ object SimilarityOps {
     * — at 100 TB the audit costs two top-k lists and an id equi-join,
     * run on a sampled query batch. */
   def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
-    truth.select(col("q_id"), col("n_id"))
-      .join(approx.select(col("q_id"), col("n_id")).withColumn("__hit", lit(1L)),
+    // distinct() both id projections: a duplicate row in either input would
+    // fan out the join and inflate n_truth and n_hit — silently corrupting
+    // the recall figure this audit exists to certify.
+    truth.select(col("q_id"), col("n_id")).distinct()
+      .join(approx.select(col("q_id"), col("n_id")).distinct()
+          .withColumn("__hit", lit(1L)),
         Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_truth"),

@@ -76,7 +76,11 @@ object TextOps {
     * doc_id partitioning the downstream groupBy needs anyway. */
   def shingleRows(df: DataFrame, id: Column, bucket: Column, text: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // Partition by (doc_id, bucket), not doc_id alone: nothing forbids a
+    // doc appearing under several buckets, and a doc_id-only window would
+    // interleave the two row sets' positions (ties on pos), producing
+    // cross-bucket garbage shingles.
+    val w = Window.partitionBy("doc_id", "bucket").orderBy("pos")
     df.select(id.as("doc_id"), bucket.as("bucket"),
         posexplode(split(text, " ")).as(Seq("pos", "tok")))
       .withColumn("sh",

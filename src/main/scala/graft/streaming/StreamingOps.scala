@@ -103,9 +103,13 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
-    l.join(r, expr(
-        s"l.$key = r.$key AND r.$rightTs >= l.$leftTs" +
-          s" AND r.$rightTs <= l.$leftTs + INTERVAL $maxDelay"))
+    // Typed-Column condition, not a spliced SQL string: column names with
+    // spaces/reserved words resolve correctly, and a malformed `maxDelay`
+    // fails HERE on the one fragment that is genuinely SQL (the interval
+    // literal) instead of as an opaque whole-condition parse error.
+    val delay = expr(s"INTERVAL $maxDelay")
+    l.join(r, l(key) === r(key) && r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + delay)
       .drop(r(key))
   }
 

@@ -20,6 +20,19 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(right === 6L)
   }
 
+  test("X7: rows with a null feature or label are dropped as whole rows (complete-case)") {
+    val clean = Seq((-2.0, false), (-1.0, false), (1.0, true), (2.0, true))
+    val dirty = clean.map { case (x, y) => (Some(x), Some(y)) } ++
+      Seq((None: Option[Double], Some(true)), (Some(9.0), None: Option[Boolean]))
+    val wClean = ClassifierOps.logisticTrain(
+      clean.toDF("x", "y"), Seq(col("x")), col("y"), 1.0, 30)
+    val wDirty = ClassifierOps.logisticTrain(
+      dirty.toDF("x", "y"), Seq(col("x")), col("y"), 1.0, 30)
+    // Null-bearing rows must not skew n, the standardization, or the
+    // gradient — training on the dirty frame equals training on the clean.
+    wClean.zip(wDirty).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("X7: log-loss starts at ln 2 for zero iterations and decreases with training") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 200).map { _ =>

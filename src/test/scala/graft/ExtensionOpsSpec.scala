@@ -622,6 +622,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r(3L) === ((3L, 1L, 0L, 0.0)))
   }
 
+  test("X3: recall@k is fan-out-proof — duplicate rows in either input do not inflate it") {
+    val truth = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L)).toDF("q_id", "n_id")
+    val r = SimilarityOps.recallAtK(truth, approx)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq === Seq((1L, 2L, 1L, 0.5)))
+  }
+
+  test("X2: calibration set sizes are per (doc, bucket) — a doc in two buckets is not inflated") {
+    // d1 == d2 within bucket b1; d1 also appears under bucket b2. A
+    // doc_id-only set-size window would sum d1's sizes across buckets
+    // (12 instead of 6) and drag the (1,2) exact Jaccard below 1.0.
+    val df = Seq((1L, "b1", "a b c d e f g h"), (2L, "b1", "a b c d e f g h"),
+      (1L, "b2", "p q r s t u v w")).toDF("doc_id", "bucket", "text")
+    val sh = TextOps.shingleRows(df, col("doc_id"), col("bucket"), col("text"))
+    val r = DedupOps.minhashCalibration(sh, numHashes = 8)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r((1L, 2L))._5 === 1.0, s"exact Jaccard inflated: ${r((1L, 2L))}")
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),

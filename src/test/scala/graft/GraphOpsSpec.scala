@@ -143,6 +143,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(merged === Map(4L -> 2L, 2L -> 2L, 7L -> 2L))
   }
 
+  test("merge preserves singleton components the new edges do not touch") {
+    // A standing labeling MAY contain singletons (node == comp with no
+    // other member) if the caller registered isolated docs defensively;
+    // they emit no star edge, so the merge must union them back rather
+    // than silently dropping them. 50 is untouched (must survive as its
+    // own component); 60 is joined by a new edge (must take the new label).
+    val standing = Seq((1L, 1L), (2L, 1L), (50L, 50L), (60L, 60L))
+      .toDF("node", "comp")
+    val merged = GraphOps.mergeComponents(
+      standing, Seq((60L, 3L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 3L -> 3L, 60L -> 3L))
+  }
+
   test("repeated invocations do not accumulate iteration caches") {
     // Each call persists e + und + one localCheckpoint per round (~12 RDDs
     // for this graph); all but the checkpointed result must be released on
