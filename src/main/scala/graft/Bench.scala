@@ -63,14 +63,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        val r = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           None
         }
+        // UNTIMED between-run sweep: drop this run's leftover state
+        // (localCheckpoint blocks, cache entries) so run N+1 measures the
+        // query, not the session's accumulated debris — the round-6 bench
+        // measured 6–50× mid-session degradation from exactly this.
+        // Session-scoped shared materializations (graft.engine.Shared) are
+        // pinned and survive, as they would in any long-lived driver.
+        graft.engine.Hygiene.sweep(spark)
+        r
       }
       val cold = one()
       val steadies = Seq.fill(steadyRuns)(one())
+      // One full GC + ContextCleaner drain per QUERY (not per run): frees
+      // broadcast/shuffle state whose cleanup rides on GC, without paying
+      // 4 collections per query.
+      graft.engine.Hygiene.sweep(spark, gc = true)
       // Steady figure = median of the SUCCESSFUL steady runs (a transient
       // single-run failure with 2 valid observations still yields a
       // figure); only a query whose every steady run failed reports null

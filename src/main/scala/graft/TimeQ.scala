@@ -17,6 +17,9 @@ object TimeQ {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).count()
       println(f"TIME $n run$i ${(System.nanoTime()-t0)/1e9}%.3f")
+      // Same untimed between-run hygiene as Bench, so isolated TimeQ
+      // numbers and in-bench numbers measure the same thing.
+      graft.engine.Hygiene.sweep(spark)
     }
     spark.stop()
   }

@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Between-query hygiene (see Bench): 117 queries in one session
+      // otherwise accumulate checkpoint blocks until the run degrades.
+      // Shared pipeline materializations are pinned and survive.
+      graft.engine.Hygiene.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -99,20 +99,44 @@ object GraphOps {
         edges.sparkSession.sparkContext.setCheckpointDir(dir)
       case CheckpointStrategy.Local => ()
     }
-    def ckpt(df: DataFrame, eager: Boolean): DataFrame = checkpoint match {
-      case CheckpointStrategy.Local => df.localCheckpoint(eager)
-      case _: CheckpointStrategy.Reliable =>
-        // A reliable checkpoint does NOT cache: its write job re-computes
-        // the plan after the eager count already ran it — on the multi-hour
-        // runs this mode exists for, that doubles every round's dominant
-        // cost. Persist around the checkpoint so the write reads the cache,
-        // then release. The lazy case (contracted edge set) checkpoints
-        // eagerly here for the same reason: its first consumer plus the
-        // checkpoint write would otherwise both recompute the contraction.
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        val out = cached.checkpoint(eager = true)
-        cached.unpersist(blocking = false)
-        out
+    // Every checkpoint this invocation creates is tracked with the round
+    // that created it, and freed on a two-round delay (see the release
+    // note below) — without this, a long session accumulates one block set
+    // PER ROUND PER INVOCATION until the ContextCleaner happens to run,
+    // which round 6's bench measured as a 6–50× mid-session slowdown.
+    var round = 0
+    val spawned = scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame = {
+      val out = checkpoint match {
+        case CheckpointStrategy.Local => df.localCheckpoint(eager)
+        case _: CheckpointStrategy.Reliable =>
+          // A reliable checkpoint does NOT cache: its write job re-computes
+          // the plan after the eager count already ran it — on the multi-hour
+          // runs this mode exists for, that doubles every round's dominant
+          // cost. Persist around the checkpoint so the write reads the cache,
+          // then release. The lazy case (contracted edge set) checkpoints
+          // eagerly here for the same reason: its first consumer plus the
+          // checkpoint write would otherwise both recompute the contraction.
+          val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+          val out = cached.checkpoint(eager = true)
+          cached.unpersist(blocking = false)
+          out
+      }
+      spawned += ((round, out))
+      out
+    }
+    // Free rounds ≤ `upTo`. Sound at `round - 2`: when round r completes,
+    // everything up to round r−1 is materialized (round r's eager label
+    // checkpoint computed through the lazy round-(r−1) active set), and the
+    // only possibly-UNmaterialized plan — round r's lazy active set — only
+    // references round r−1 and r. Round r−2 and older can have no live
+    // reader, so their blocks (localCheckpoints are unrecomputable but also
+    // unreferenced) are safe to drop.
+    def free(upTo: Int): Unit = {
+      val (dead, live) = spawned.partition(_._1 <= upTo)
+      dead.foreach { case (_, df) => graft.engine.Hygiene.release(df) }
+      spawned.clear()
+      spawned ++= live
     }
     // Node ids must already be integral: a silent cast("long") on e.g. a
     // hex-fingerprint string column would turn every id into NULL and
@@ -180,6 +204,7 @@ object GraphOps {
     var budget = maxIters + 1
     var reseeds = 0
     while ((!converged || !validated) && budget > 0) {
+      round = it + 1
       if (converged && !validated) {
         // Post-convergence validation found a crossing edge: reseed the
         // active set from the ORIGINAL edges and resume relaxing, once.
@@ -234,6 +259,7 @@ object GraphOps {
       it += 1
       budget -= 1
       lap(s"round $it")
+      free(it - 2)
       if (converged && !validated) {
         // Contraction's correctness gate: labels must agree across every
         // ORIGINAL edge; with the min-label invariants that is equivalent
@@ -252,6 +278,15 @@ object GraphOps {
       }
     }
     und.unpersist(blocking = false)
+    // Release every remaining iteration checkpoint EXCEPT the blocks
+    // backing the returned labels (the caller still reads those; they are
+    // freed by the caller via Hygiene.release / Hygiene.sweep when done).
+    val keep = graft.engine.Hygiene.backingRdds(labels).map(_.id).toSet
+    spawned.foreach { case (_, df) =>
+      graft.engine.Hygiene.backingRdds(df)
+        .filterNot(r => keep.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
+    }
     require(converged && validated,
       s"connectedComponents did not converge in $maxIters label-changing " +
         "rounds (+1 confirmation); raise maxIters (rounds needed ~ log2 of " +

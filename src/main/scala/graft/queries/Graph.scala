@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.engine.Tables
-import graft.operators.{DedupOps, GraphOps, TextOps}
+import graft.operators.GraphOps
 import org.apache.spark.sql.functions._
 
 /** Graph queries (builder prompt; SURVEY §2.10): cluster resolution over the
@@ -19,14 +19,12 @@ object Graph extends QueryGroup {
     * pair graph, not the corpus. */
   private val q53 = QueryDef(
     "q53_dedup_clusters",
-    (s, dir) => {
-      val pairs = DedupOps.minhashLshCandidatesFromRows(
-        TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text")),
-        8, maxDf = 50)
-      GraphOps.clusterKeepers(
-          GraphOps.connectedComponents(pairs, "a_id", "b_id"))
-        .orderBy(col("keeper_id"))
-    },
+    (s, dir) =>
+      // Candidate pairs + labeling come from the session-shared CC prefix
+      // ([[SharedPipelines.minhashComps]]) — q53/q101/q111 cluster the same
+      // pair graph, and a long-lived driver materializes it once.
+      GraphOps.clusterKeepers(SharedPipelines.minhashComps(s, dir))
+        .orderBy(col("keeper_id")),
     Some(ccKeepersOracle))
 
   /** Shared by q53 (batch CC) and q111 (incremental merge): both must equal
@@ -83,15 +81,11 @@ object Graph extends QueryGroup {
   private val q111 = QueryDef(
     "q111_incremental_clusters",
     (s, dir) => {
-      // Materialized once (LAZY checkpoint — first action triggers it): the
-      // minhash join feeds BOTH the old-graph CC and the fresh-batch filter;
-      // without this the candidate pipeline runs twice (a real crawl reads
-      // the batch's pairs from its dedup pass). Lazy so constructing the
-      // DataFrame alone doesn't execute the join (the CC loop below is the
-      // first action, as in every CC query).
-      val pairs = DedupOps.minhashLshCandidatesFromRows(
-        TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text")),
-        8, maxDf = 50).localCheckpoint(false)
+      // The minhash pair list feeds BOTH the old-graph CC and the
+      // fresh-batch filter; the session-shared materialization
+      // ([[SharedPipelines.minhashPairs]]) serves both from one checkpoint
+      // (a real crawl reads the batch's pairs from its dedup pass).
+      val pairs = SharedPipelines.minhashPairs(s, dir)
       val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
       val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
       val newPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
@@ -108,16 +102,15 @@ object Graph extends QueryGroup {
     * canonical keeper per cluster. This is the embedding-space counterpart
     * of q53's lexical clustering; together they are the two halves of a
     * production dedup pass (lexical first, semantic on the survivors). */
-  private val q61Planes = graft.operators.SimilarityOps.lshPlanes(2, 64)
+  private val q61Planes = SharedPipelines.semPlanes
   private val q61 = QueryDef(
     "q61_semantic_dedup",
-    (s, dir) => {
-      val pairs = DedupOps.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
-        col("embedding"), col("label"), 0.35, q61Planes)
-      GraphOps.clusterKeepers(
-          GraphOps.connectedComponents(pairs, "a_id", "b_id"))
-        .orderBy(col("keeper_id"))
-    },
+    (s, dir) =>
+      // Pair generation + CC shared with q110 ([[SharedPipelines
+      // .semanticComps]]): both arms of the semantic family read the same
+      // near-dup clusters.
+      GraphOps.clusterKeepers(SharedPipelines.semanticComps(s, dir))
+        .orderBy(col("keeper_id")),
     Some(s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
            |bk AS (SELECT vec_id, label, v,
            |  ${OracleSql.signLshBucketSql("v", q61Planes)} AS bucket FROM e),
@@ -147,13 +140,10 @@ object Graph extends QueryGroup {
     "q101_cluster_canonical",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = DedupOps.minhashLshCandidatesFromRows(
-        TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text")),
-        8, maxDf = 50)
       val quality = docs.select(col("doc_id"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("quality"))
       GraphOps.clusterCanonical(
-          GraphOps.connectedComponents(pairs, "a_id", "b_id"),
+          SharedPipelines.minhashComps(s, dir),
           quality, "doc_id", "quality")
         .orderBy(col("cluster_id"))
     },

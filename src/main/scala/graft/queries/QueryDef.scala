@@ -20,6 +20,56 @@ trait QueryGroup {
   def defs: Seq[QueryDef]
 }
 
+/** Deterministic pipeline prefixes several queries rebuild identically,
+  * served once per session through [[graft.engine.Shared]]: the CC family
+  * (q53/q101/q111 over the minhash pair graph; q61/q110 over the semantic
+  * near-dup graph) otherwise re-runs the same candidate generation and
+  * label propagation up to 6× per bench pass. Sharing elides only the
+  * common prefix's recomputation — each query's RESULT (and oracle SQL)
+  * is unchanged. Builds are pre-resolved OUTSIDE the nested `cached` call
+  * (a by-name build that itself entered the shared map could recurse into
+  * the backing ConcurrentHashMap mid-compute). */
+object SharedPipelines {
+  import graft.engine.{Shared, Tables}
+  import graft.operators.{DedupOps, GraphOps, TextOps}
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.col
+
+  /** The one sign-LSH plane set the semantic family (q61/q110/q112) keys
+    * its buckets on — 2 tables' worth of 6 planes over dim 64. */
+  val semPlanes: Seq[Seq[Double]] = graft.operators.SimilarityOps.lshPlanes(2, 64)
+
+  /** q23's MinHash+LSH candidate-pair list over `documents` — the edge set
+    * the lexical CC family clusters. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Shared.cached(s, s"minhash-pairs:$dir") {
+      DedupOps.minhashLshCandidatesFromRows(
+        TextOps.shingleRows(Tables.documents(s, dir),
+          col("doc_id"), col("source"), col("text")),
+        8, maxDf = 50)
+    }
+
+  /** Connected components over [[minhashPairs]] — q53's and q101's shared
+    * (node, comp) labeling. */
+  def minhashComps(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    Shared.cached(s, s"minhash-cc:$dir") {
+      GraphOps.connectedComponents(pairs, "a_id", "b_id")
+    }
+  }
+
+  /** Connected components over the embedding-cosine near-dup pair graph
+    * (cell × sign-LSH candidates, threshold 0.35) — q61's clusters and
+    * q110's false-negative exclusion set. */
+  def semanticComps(s: SparkSession, dir: String): DataFrame =
+    Shared.cached(s, s"semantic-cc:$dir") {
+      GraphOps.connectedComponents(
+        DedupOps.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
+          col("embedding"), col("label"), 0.35, semPlanes),
+        "a_id", "b_id")
+    }
+}
+
 /** Oracle-SQL fragments shared across query groups. */
 object OracleSql {
 

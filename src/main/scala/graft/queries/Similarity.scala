@@ -389,14 +389,15 @@ object Similarity extends QueryGroup {
     * the exclusion is two id-only left joins, embeddings never re-enter.
     * Oracle composes q31's scored CTE with q61's recursive-CTE clusters
     * over the same literal planes. */
-  private val q110Planes = SimilarityOps.lshPlanes(2, 64)
+  private val q110Planes = SharedPipelines.semPlanes
   private val q110 = QueryDef(
     "q110_hard_negatives",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pairs = graft.operators.DedupOps.embeddingNearDups(
-        emb, "vec_id", col("embedding"), col("label"), 0.35, q110Planes)
-      val comps = graft.operators.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+      // The exclusion set is the session-shared semantic clustering
+      // ([[SharedPipelines.semanticComps]] — q61's pipeline): hard-negative
+      // mining reads the SAME dedup clusters the dedup pass produced.
+      val comps = SharedPipelines.semanticComps(s, dir)
       val knn = SimilarityOps.knnJoin(
         emb, emb.filter(col("vec_id") < 10), "label", Int.MaxValue, q110Planes)
       SimilarityOps.hardNegatives(knn, comps, 3)
