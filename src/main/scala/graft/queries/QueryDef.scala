@@ -86,6 +86,46 @@ object OracleSql {
       s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Unrolled deterministic Lloyd's k-means as DuckDB CTE blocks — the
+    * oracle for the fixed-iteration trainers (q41/q90/q95). The iteration
+    * count is a literal in each query's definition, so the loop UNROLLS
+    * into a linear CTE chain (no recursion needed): `<p>c0` holds the k
+    * seed centroids (the k lowest-vec_id vectors — [[graft.operators
+    * .SimilarityOps.kmeans]]'s deterministic seeding) as ONE row with a
+    * LIST(LIST(DOUBLE)) column `cs`, and each step assigns (argmin of
+    * −2·v·c + |c|², ties to the lower cluster via list_position's
+    * first-occurrence rule — the engine computes the same two dot products
+    * in the same left-to-right order, so scores agree to the ulp) then
+    * re-averages per (cluster, dim), empty clusters keeping their
+    * centroid. Emits `<p>c0 .. <p>c<iters>`; `src` must expose
+    * (vec_id, v). Compose with [[kmeansAssignSelect]] for the final
+    * labeling. */
+  def kmeansCtes(p: String, src: String, k: Int, iters: Int, dim: Int): String = {
+    val seed = s"${p}c0 AS (SELECT list(v ORDER BY vec_id) AS cs " +
+      s"FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k))"
+    val steps = (1 to iters).map { i =>
+      s"""${p}a$i AS (${kmeansAssignSelect(s"${p}c${i - 1}", src)}),
+         |${p}m$i AS (SELECT cluster, d.i AS dim, avg(v[d.i + 1]) AS m
+         |  FROM ${p}a$i, unnest(range($dim)) AS d(i) GROUP BY 1, 2),
+         |${p}n$i AS (SELECT cluster, list(m ORDER BY dim) AS nc FROM ${p}m$i GROUP BY 1),
+         |${p}c$i AS (SELECT list(coalesce(n.nc, cs[j.j + 1]) ORDER BY j.j) AS cs
+         |  FROM ${p}c${i - 1} CROSS JOIN unnest(range($k)) AS j(j)
+         |  LEFT JOIN ${p}n$i n ON n.cluster = j.j)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** The nearest-centroid labeling of `src` (vec_id, v) against the
+    * single-row centroid CTE `csCte` — one SELECT, usable as a CTE body or
+    * subquery. Ties to the lower cluster id (first occurrence of the list
+    * minimum), exactly the Spark side's (d, idx) struct-min rule. */
+  def kmeansAssignSelect(csCte: String, src: String): String =
+    s"""SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cluster
+       |  FROM (SELECT vec_id, v,
+       |      list_transform(cs, c -> -2 * list_dot_product(v, c)
+       |        + list_dot_product(c, c)) AS ds
+       |    FROM $src CROSS JOIN $csCte)""".stripMargin
+
   /** Recursive-CTE reproduction of [[graft.functions.SubwordEncode]]'s
     * greedy longest-match tokenization over the SAME literal vocabulary:
     * `jp` holds, per (doc, word, char position), the longest vocab entry

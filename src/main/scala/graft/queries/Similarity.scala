@@ -103,8 +103,12 @@ object Similarity extends QueryGroup {
 
   /** IVF coarse-quantizer TRAINING (q26 probes such cells): deterministic
     * Lloyd's k-means over the embedding corpus, reported as cluster sizes.
-    * Not ANSI-expressible → rows-only check; blob-recovery and centroid
-    * properties are ScalaTest-verified. */
+    * The trainer's fixed iteration count and deterministic contract
+    * (lowest-id seeds, tie-to-lower-cluster, empty-cluster-keeps-centroid)
+    * make it ANSI-expressible after all: the oracle UNROLLS the three
+    * Lloyd iterations into a CTE chain ([[OracleSql.kmeansCtes]]) — both
+    * engines compute the identical assignment arithmetic in the identical
+    * order, so the hash match is exact, not approximate. */
   private val q41 = QueryDef(
     "q41_kmeans_train",
     (s, dir) => {
@@ -112,7 +116,11 @@ object Similarity extends QueryGroup {
       val (assign, _) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)
       assign.groupBy(col("cluster")).agg(count(lit(1)).as("n")).orderBy(col("cluster"))
     },
-    None)
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |${OracleSql.kmeansCtes("k_", "e", k = 8, iters = 3, dim = 64)},
+           |fin AS (${OracleSql.kmeansAssignSelect("k_c3", "e")})
+           |SELECT CAST(cluster AS INT) AS cluster, count(*) AS n
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Johnson–Lindenstrauss random projection 64 → 8 dims (the reduction
     * step upstream of ANN): one codegen'd VecDot per output dim against a
@@ -299,7 +307,49 @@ object Similarity extends QueryGroup {
           SimilarityOps.pqAdcDistance(tables, j => col(s"code_$j")), 6))
         .orderBy(col("vec_id"))
     },
-    None)
+    // Four per-subspace unrolled-Lloyd chains (q41's oracle idiom over each
+    // 16-dim slice of the 1-in-4 sample — pqTrain is DEFINED as kmeans per
+    // subspace), then the encode argmin over the trained books and the ADC
+    // sum, every float chain left-associated exactly as the Scala foldLeft
+    // / reduce computes it, so round(…, 6) compares identical doubles.
+    Some {
+      val sub = 64 / pqM
+      def slice(j: Int) = s"v[${j * sub + 1}:${(j + 1) * sub}]"
+      val chains = (0 until pqM).map { j =>
+        s"""s$j AS (SELECT vec_id, ${slice(j)} AS v FROM samp),
+           |${OracleSql.kmeansCtes(s"s${j}_", s"s$j", k = pqK, iters = 2, dim = sub)}""".stripMargin
+      }.mkString(",\n")
+      val csRefs = (0 until pqM).map(j => s"s${j}_c2").mkString(", ")
+      val dsCols = (0 until pqM).map { j =>
+        s"s${j}_c2.cs AS cs$j,\n    list_transform(s${j}_c2.cs, " +
+          s"c -> -2 * list_dot_product(${slice(j)}, c) + list_dot_product(c, c)) AS ds$j"
+      }.mkString(",\n    ")
+      val codeCols = (0 until pqM).map { j =>
+        s"CAST(list_position(ds$j, list_min(ds$j)) - 1 AS BIGINT) AS code_$j"
+      }.mkString(",\n    ")
+      val csCarry = (0 until pqM).map(j => s"cs$j").mkString(", ")
+      val cbCols = (0 until pqM).map(j => s"cs$j[code_$j + 1] AS cb$j").mkString(", ")
+      val codes = (0 until pqM).map(j => s"code_$j").mkString(", ")
+      val adc = (0 until pqM).map { j =>
+        (1 to sub).map { d =>
+          val q = pqQuery(j * sub + d - 1)
+          s"($q - cb$j[$d]) * ($q - cb$j[$d])"
+        }.mkString("(", " + ", ")")
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+         |$chains,
+         |enc0 AS (SELECT vec_id,
+         |    $dsCols
+         |  FROM e, $csRefs),
+         |enc1 AS (SELECT vec_id, $csCarry,
+         |    $codeCols
+         |  FROM enc0),
+         |enc2 AS (SELECT vec_id, $codes, $cbCols FROM enc1)
+         |SELECT vec_id, $codes,
+         |  round($adc, 6) + 0.0 AS adc_dist
+         |FROM enc2 ORDER BY vec_id""".stripMargin
+    })
 
   /** Multi-probe sign-LSH top-10 ([[SimilarityOps.cosineTopKLshMultiProbe]]):
     * q35's single-bucket probe widened to the full Hamming-1 probe ring —
@@ -349,7 +399,22 @@ object Similarity extends QueryGroup {
         SimilarityOps.assignCells(emb, "vec_id", col("embedding"), centroids), "vec_id")
       SimilarityOps.cosineTopKIvf(cells, cells.filter(col("vec_id") === 0), "cell", 10)
     },
-    None)
+    // q41's unrolled-Lloyd oracle, trained on the 1-in-4 sample, with the
+    // final assignment labeling the FULL corpus before the cell-pruned
+    // cosine ranking — the exact train → assign → probe composition.
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |samp AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+           |${OracleSql.kmeansCtes("k_", "samp", k = 8, iters = 2, dim = 64)},
+           |cells AS (${OracleSql.kmeansAssignSelect("k_c2", "e")}),
+           |q AS (SELECT vec_id AS q_id, v AS q_v, cluster AS q_cell
+           |  FROM cells WHERE vec_id = 0)
+           |SELECT c.vec_id,
+           |  round(list_dot_product(c.v, q.q_v)
+           |    / (sqrt(list_dot_product(c.v, c.v))
+           |     * sqrt(list_dot_product(q.q_v, q.q_v))), 6) + 0.0 AS cosine
+           |FROM cells c JOIN q ON c.cluster = q.q_cell
+           |WHERE c.vec_id <> q.q_id
+           |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin))
 
   /** SQ8 scalar quantization + asymmetric-distance top-k — the middle rung
     * of the compression ladder between raw vectors and q81's PQ codes: one
