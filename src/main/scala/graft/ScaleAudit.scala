@@ -189,6 +189,20 @@ object ScaleAudit {
     val recall2 = meanRecall(
       SimilarityOps.knnJoinTables(embs, knnQ, "label", 10, SimilarityOps.lshTables(2, 2, 64)))
 
+    // q117 auto-tuner: the configuration the recall-targeting sweep CHOOSES
+    // (cheapest measured mean recall@10 ≥ 0.8 across six (tables, planes)
+    // points) and its measured cost — recall ≥ 0.8 at a KNOWN candidate
+    // volume is the row that certifies an index config for deployment.
+    // headOption: a corpus where no swept config meets the target reports
+    // -1s rather than failing the whole audit.
+    val tuned = SimilarityOps.lshAutoTune(embs, knnQ, "label", 10,
+        Seq((1, 2), (2, 2), (4, 2), (8, 2), (2, 4), (4, 4)), 64, 0.8)
+      .filter(col("chosen")).collect().headOption
+    val tunedTables = tuned.map(_.getAs[Int]("n_tables")).getOrElse(-1)
+    val tunedPlanes = tuned.map(_.getAs[Int]("n_planes")).getOrElse(-1)
+    val tunedRecall = tuned.map(_.getAs[Double]("mean_recall")).getOrElse(-1d)
+    val tunedCand = tuned.map(_.getAs[Long]("candidate_pairs")).getOrElse(-1L)
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -206,7 +220,9 @@ object ScaleAudit {
       s""""q111_star_edges":$q111Stars,"q111_new_batch_pairs":$q111NewPairs,""" +
       s""""q110_knn_candidate_rows":$q110Rows,"q106_match_rows":$q106Match,""" +
       s""""q112_recall_single_table":${math.rint(recall1 * 1000) / 1000},""" +
-      s""""q112_recall_two_table":${math.rint(recall2 * 1000) / 1000}}""")
+      s""""q112_recall_two_table":${math.rint(recall2 * 1000) / 1000},""" +
+      s""""q117_tuned_tables":$tunedTables,"q117_tuned_planes":$tunedPlanes,""" +
+      s""""q117_tuned_recall":$tunedRecall,"q117_tuned_candidate_pairs":$tunedCand}""")
     spark.stop()
   }
 }

@@ -529,6 +529,56 @@ object SimilarityOps {
       .select(col("q_id"), col("n_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Recall-targeting LSH auto-tuner: q112 MEASURES one configuration's
+    * recall; this operator CHOOSES one. For each candidate operating point
+    * (T tables, p planes) it measures, on a sampled query batch, the mean
+    * recall@k of the OR-ed multi-table k-NN join ([[knnJoinTables]])
+    * against the exact same-cell neighbor list, alongside the
+    * DISTINCT candidate-pair volume (the cost an ANN deployment actually
+    * pays — each pair is one cosine evaluation), and flags the CHEAPEST
+    * configuration whose measured recall meets `recallTarget` (ties to
+    * fewer tables, then fewer planes). The (1−θ/π)^p · table-OR algebra
+    * predicts the recall curve; this measures it on the corpus — tuning
+    * by measurement, not by formula.
+    *
+    * Plan shape: one exact truth join plus, per config, one bounded
+    * bucket join and one id-distinct — all unioned into a single plan
+    * (configs.size 1-row aggregates), no driver-side loop. At 100 TB the
+    * batch is a deterministic query sample and every join is the audited
+    * density-bounded generator; sweep cost = Σ_T (T × single-table), paid
+    * once before an index configuration ships.
+    *
+    * Output: (n_tables, n_planes, mean_recall, candidate_pairs,
+    * meets_target, chosen), one row per config. */
+  def lshAutoTune(corpus: DataFrame, queries: DataFrame, cellCol: String,
+      k: Int, configs: Seq[(Int, Int)], dim: Int, recallTarget: Double,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(configs.nonEmpty, "need at least one (tables, planes) config")
+    val truth = knnJoin(corpus, queries, cellCol, k)
+    val per = configs.map { case (t, p) =>
+      val tables = lshTables(t, p, dim, seed)
+      val ann = knnJoinTables(corpus, queries, cellCol, k, tables)
+      val c = lshCandidateRows(corpus, "vec_id", col("embedding"), col(cellCol), tables, "n_")
+      val qs = lshCandidateRows(queries, "vec_id", col("embedding"), col(cellCol), tables, "q_")
+      val cand = qs.join(c, Seq("cell", "tb"))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id")).distinct()
+        .agg(count(lit(1)).as("candidate_pairs"))
+      recallAtK(truth, ann)
+        .agg(graft.engine.Semantics.roundz(avg(col("recall")), 6).as("mean_recall"))
+        .crossJoin(cand) // two 1-row aggregates
+        .select(lit(t).as("n_tables"), lit(p).as("n_planes"),
+          col("mean_recall"), col("candidate_pairs"))
+    }.reduce(_ union _)
+    // Tiny frame (one row per config): the single-partition window is fine.
+    val w = Window.orderBy(desc("meets_target"), col("candidate_pairs"),
+      col("n_tables"), col("n_planes"))
+    per
+      .withColumn("meets_target", col("mean_recall") >= lit(recallTarget))
+      .withColumn("chosen", col("meets_target") && row_number().over(w) === 1)
+  }
+
   /** Hard-negative mining for retriever/embedding training: from scored
     * k-NN candidates ([[knnJoin]]/[[knnJoinTables]] output), drop every
     * neighbor that shares a duplicate CLUSTER with its query

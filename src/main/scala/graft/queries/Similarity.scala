@@ -615,6 +615,78 @@ object Similarity extends QueryGroup {
            |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
            |ORDER BY rrf DESC, coalesce(lex.doc_id, sem.doc_id) LIMIT 10""".stripMargin))
 
+  /** X3 recall-targeting auto-tuner ([[SimilarityOps.lshAutoTune]]): q112
+    * measures ONE configuration's recall@10; this sweeps six (tables,
+    * planes) operating points on the 10-query batch and flags the cheapest
+    * one whose MEASURED mean recall meets 0.8 — the decision procedure
+    * that turns the recall audit into an index configuration. The oracle
+    * reproduces each config's candidate join with its literal plane sets
+    * (agree-on-any-table expressed as an OR of per-table bucket
+    * equalities) and the same cheapest-meeting window. */
+  private val q117Configs = Seq((1, 2), (2, 2), (4, 2), (8, 2), (2, 4), (4, 4))
+  private val q117 = QueryDef(
+    "q117_lsh_autotune",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.lshAutoTune(emb, emb.filter(col("vec_id") < 10), "label",
+          k = 10, configs = q117Configs, dim = 64, recallTarget = 0.8)
+        .orderBy(col("n_tables"), col("n_planes"))
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           |        / (sqrt(list_dot_product($a, $a))
+           |         * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+      val cfgs = q117Configs.zipWithIndex.map { case ((t, p), i) =>
+        val tables = SimilarityOps.lshTables(t, p, 64)
+        val anyTable = tables.map(planes =>
+          s"(${OracleSql.signLshBucketSql("e.v", planes)})" +
+            s" = (${OracleSql.signLshBucketSql("qs.q_v", planes)})")
+          .mkString("(", "\n      OR ", ")")
+        s"""cfg${i}_cand AS (
+           |  SELECT DISTINCT qs.q_id, e.vec_id AS n_id
+           |  FROM e JOIN qs ON e.label = qs.label AND $anyTable
+           |  WHERE e.vec_id <> qs.q_id),
+           |cfg${i}_ann AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT c.q_id, c.n_id,
+           |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+           |        ${cos("e.v", "qs.q_v")} DESC, c.n_id) AS rk
+           |    FROM cfg${i}_cand c
+           |    JOIN e ON e.vec_id = c.n_id
+           |    JOIN qs ON qs.q_id = c.q_id) WHERE rk <= 10),
+           |cfg${i}_rec AS (
+           |  SELECT t.q_id, count(*) AS n_truth, count(a.n_id) AS n_hit
+           |  FROM tru t LEFT JOIN cfg${i}_ann a
+           |    ON a.q_id = t.q_id AND a.n_id = t.n_id
+           |  GROUP BY 1),
+           |cfg$i AS (
+           |  SELECT $t AS n_tables, $p AS n_planes,
+           |    round(avg(n_hit::DOUBLE / n_truth::DOUBLE), 6) + 0.0 AS mean_recall,
+           |    (SELECT count(*) FROM cfg${i}_cand) AS candidate_pairs
+           |  FROM cfg${i}_rec)""".stripMargin
+      }.mkString(",\n")
+      val unioned = q117Configs.indices
+        .map(i => s"SELECT * FROM cfg$i").mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, label, v AS q_v FROM e WHERE vec_id < 10),
+         |tru AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT qs.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |        ${cos("e.v", "qs.q_v")} DESC, e.vec_id) AS rk
+         |    FROM e JOIN qs ON e.label = qs.label
+         |    WHERE e.vec_id <> qs.q_id) WHERE rk <= 10),
+         |$cfgs,
+         |allc AS ($unioned),
+         |flg AS (SELECT *, mean_recall >= 0.8 AS meets_target FROM allc)
+         |SELECT n_tables, n_planes, mean_recall, candidate_pairs, meets_target,
+         |  meets_target AND row_number() OVER (ORDER BY meets_target DESC,
+         |    candidate_pairs, n_tables, n_planes) = 1 AS chosen
+         |FROM flg ORDER BY n_tables, n_planes""".stripMargin
+    })
+
   override val defs: Seq[QueryDef] =
-    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95, q102, q110, q112, q116)
+    Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
+      q102, q110, q112, q116, q117)
 }

@@ -93,6 +93,41 @@ class MultiTableLshSpec extends SparkSpec {
     assert(multi.toSet.subsetOf(exact))
   }
 
+  test("lshAutoTune: one row per config, nested-table cost monotonicity, cheapest-meeting chosen") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val configs = Seq((1, 2), (2, 2), (4, 2), (2, 4))
+    val rows = SimilarityOps.lshAutoTune(emb, queries, "label", 5, configs, 64,
+        recallTarget = 0.0)
+      .collect().map(r => (r.getAs[Int]("n_tables"), r.getAs[Int]("n_planes")) -> r).toMap
+    assert(rows.keySet === configs.toSet)
+    rows.values.foreach { r =>
+      val rec = r.getAs[Double]("mean_recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Boolean]("meets_target")) // target 0: every config meets
+    }
+    // lshTables(T, p) is a PREFIX-nested family (table t = seed + t), so at
+    // fixed p both the candidate pool and — with ranking by exact cosine
+    // against an exact-truth list — the recall are monotone in T.
+    val cand = (t: Int) => rows((t, 2)).getAs[Long]("candidate_pairs")
+    assert(cand(1) <= cand(2) && cand(2) <= cand(4))
+    val rec = (t: Int) => rows((t, 2)).getAs[Double]("mean_recall")
+    assert(rec(1) <= rec(2) && rec(2) <= rec(4))
+    // chosen = the unique cheapest meeting config.
+    val chosen = rows.values.filter(_.getAs[Boolean]("chosen")).toSeq
+    assert(chosen.size === 1)
+    assert(chosen.head.getAs[Long]("candidate_pairs") ===
+      rows.values.map(_.getAs[Long]("candidate_pairs")).min)
+  }
+
+  test("lshAutoTune: an unreachable target chooses nothing") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val rows = SimilarityOps.lshAutoTune(emb, queries, "label", 5,
+      Seq((1, 2), (2, 2)), 64, recallTarget = 1.1).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => !r.getAs[Boolean]("meets_target")))
+    assert(rows.forall(r => !r.getAs[Boolean]("chosen")))
+  }
+
   test("cosineTopKLsh: numTables widens the reachable candidate set") {
     val q = emb.filter(col("vec_id") === 0)
     def ids(nt: Int): Set[Long] =
