@@ -105,8 +105,12 @@ object Layout {
       if (removed.isEmpty) manifest
       else manifest.filter(!col("file").isin(removed: _*))
     } else {
-      // The manifest is one small row per file: materialize the recomputed
-      // rows once so collecting their spellings doesn't re-scan the data.
+      // Driver-side state here is bounded by the COMMIT (changed + removed
+      // paths and the recomputed rows' spellings — a handful of files per
+      // commit at any table size), never by the manifest: the standing
+      // manifest only ever flows through distributed filter/union. The
+      // recomputed rows are materialized once so collecting their
+      // spellings doesn't re-scan the data.
       val fresh = manifestAgg(spark.read.parquet(changed: _*), cols).localCheckpoint(true)
       val freshSpellings = fresh.select(col("file")).collect().map(_.getString(0)).toSeq
       val stale = (changed ++ removed ++ freshSpellings).distinct
@@ -150,18 +154,33 @@ object Layout {
     arranged.write.mode("overwrite").parquet(outPath)
   }
 
-  /** Manifest-pruned read: list the files whose [min, max] range on `c`
-    * intersects [lo, hi] (the ONLY driver-side state — one row per file,
-    * exactly what any manifest reader holds), read just those, and
-    * re-apply the row-level predicate. Returns the same rows as a full
-    * scan + filter while touching the subset of files the layout earns —
-    * on a Z-ordered 100 TB table the difference between a full scan and a
-    * few percent of it for a selective 2-D predicate. */
-  def readPruned(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
-      c: String, lo: Long, hi: Long): DataFrame = {
-    val files = manifest
+  /** The file paths whose [min, max] range on `c` intersects [lo, hi] —
+    * the range filter runs DISTRIBUTED on the manifest DataFrame, and only
+    * the SURVIVING paths are collected. That collect is the final
+    * pruned-path handoff every manifest reader performs (Spark's
+    * DataSource API takes driver-side path lists for split planning), so
+    * its size is bounded by the files the PREDICATE touches, never by the
+    * table: on a million-file table a selective predicate collects the few
+    * matching paths; only a predicate that genuinely spans the table
+    * collects the full list — and then reads it all anyway, so the
+    * handoff is never the dominant cost. LayoutPruneSpec asserts the
+    * bound (collected == intersecting, not manifest size). */
+  private[graft] def prunedFiles(manifest: DataFrame, c: String,
+      lo: Long, hi: Long): Array[String] =
+    manifest
       .filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
       .select(col("file")).collect().map(_.getString(0))
+
+  /** Manifest-pruned read: read just the files whose [min, max] stats
+    * intersect the predicate ([[prunedFiles]] — driver state bounded by
+    * the PRUNED set, not the manifest), and re-apply the row-level
+    * predicate. Returns the same rows as a full scan + filter while
+    * touching the subset of files the layout earns — on a Z-ordered
+    * 100 TB table the difference between a full scan and a few percent of
+    * it for a selective 2-D predicate. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, manifest: DataFrame,
+      c: String, lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(manifest, c, lo, hi)
     if (files.isEmpty) {
       // preserve the schema without reading data: filter-to-false on one file
       val any = manifest.select(col("file")).limit(1).collect()

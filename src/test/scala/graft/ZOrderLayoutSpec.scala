@@ -140,6 +140,26 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(negative.getMessage.contains("mortonKey"))
   }
 
+  test("pruned-path handoff is bounded by the predicate, not the manifest") {
+    // 40 one-file writes → a 40-row manifest. A range covering 2 files must
+    // collect exactly those 2 paths — the driver-side handoff scales with
+    // what the PREDICATE touches, never with table/manifest size (the
+    // million-file posture: readPruned's only collect is this one).
+    val base = Scratch.dir(spark, "prune_bound")
+    (0 until 40).foreach { i =>
+      Seq((i.toLong * 10, i.toLong)).toDF("x", "y")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/f$i")
+    }
+    val manifest = Layout.statsManifest(spark, s"$base/f*", Seq("x"))
+      .localCheckpoint(true)
+    assert(manifest.count() === 40L)
+    val hit = Layout.prunedFiles(manifest, "x", 100L, 115L)
+    assert(hit.length === 2, s"expected the 2 intersecting files, got ${hit.length}")
+    val rows = Layout.readPruned(spark, manifest, "x", 100L, 115L)
+      .select("x").as[Long].collect().sorted
+    assert(rows.toSeq === Seq(100L, 110L))
+  }
+
   test("z-order clusters both dimensions: y-predicate touches fewer files than an x-sort") {
     // 64×64 grid, one row per cell — every (x, y) equally likely.
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
