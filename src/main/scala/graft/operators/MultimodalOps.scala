@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample run per-partition over batches.
   *
   * Codec status: IMAGE decode is real (JDK `javax.imageio` — PNG/BMP/GIF/
-  * JPEG true dimensions, no external libraries); audio/video decode and
-  * pixel resampling are STUBBED behind the [[MediaCodec]] trait (no such
-  * codec ships with the JDK and this container has no media libraries).
+  * JPEG true dimensions, no external libraries); AUDIO header parse is real
+  * for the RIFF/WAVE family (`javax.sound.sampled`); VIDEO container
+  * ENVELOPE parse is real for ISO BMFF / MP4 (pure byte arithmetic over
+  * the public box layout — duration from `mvhd`, dimensions from `tkhd`).
+  * Only frame/sample DECODE and pixel resampling are STUBBED behind the
+  * [[MediaCodec]] trait (no such codec ships with the JDK and this
+  * container has no media libraries).
   * The Spark-side plumbing is real and tested either way: schema, encoders,
   * partition batching, and the mapPartitions execution shape (the Scala
   * analogue of mapInPandas — one codec instantiation per partition,
@@ -70,8 +74,87 @@ object MultimodalOps {
             case Some(ms) => (0, 0, ms)
             case None => (0, 0, 1000L + h % 600000L)
           }
-        case "video" => (64 + h % 1920, 64 + (h / 7) % 1080, 1000L + h % 3600000L)
+        case "video" =>
+          mp4Envelope(payload) match {
+            case Some(env) => env
+            case None => (64 + h % 1920, 64 + (h / 7) % 1080, 1000L + h % 3600000L)
+          }
         case _ => (0, 0, 0L)
+      }
+    }
+
+    /** True envelope of an ISO BMFF (MP4/QuickTime-family) payload from
+      * its container headers — pure byte arithmetic over the public box
+      * layout (ISO/IEC 14496-12), no codec: duration_ms from `moov/mvhd`
+      * (duration ÷ timescale, version 0 and 1 layouts), width/height from
+      * the first `moov/trak/tkhd` with nonzero dimensions (16.16 fixed
+      * point). Frame DECODE stays out of scope (the JDK ships no video
+      * codec) — but the envelope a curation pipeline filters on (how long,
+      * what aspect) is real. None when the payload is not a parseable BMFF
+      * container. */
+    private def mp4Envelope(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+      def u32(o: Int): Long =
+        if (o + 4 > payload.length) -1L
+        else ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+          ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def boxType(o: Int): String =
+        if (o + 8 > payload.length) ""
+        else new String(payload, o + 4, 4, "ISO-8859-1")
+      // Walk sibling boxes in [from, until), returning (offset, bodyStart,
+      // bodyEnd) for each; size 1 = 64-bit largesize, size 0 = to-end.
+      def boxes(from: Int, until: Int): Iterator[(Int, Int, Int)] =
+        new Iterator[(Int, Int, Int)] {
+          private var o = from
+          def hasNext: Boolean = o + 8 <= until
+          def next(): (Int, Int, Int) = {
+            val sz = u32(o)
+            val (bodyStart, end) = sz match {
+              case 0 => (o + 8, until)
+              case 1 => (o + 16, (o + u64(o + 8)).min(until.toLong).toInt)
+              case s => (o + 8, (o + s).min(until.toLong).toInt)
+            }
+            val r = (o, bodyStart, end.max(bodyStart))
+            o = r._3
+            r
+          }
+        }
+      if (boxType(0) != "ftyp") None
+      else boxes(0, payload.length).find(b => boxType(b._1) == "moov").flatMap {
+        case (_, moovStart, moovEnd) =>
+          val kids = boxes(moovStart, moovEnd).toSeq
+          val dur = kids.find(b => boxType(b._1) == "mvhd").flatMap { case (_, s, _) =>
+            val version = payload.lift(s).map(_ & 0xff).getOrElse(-1)
+            val (timescale, duration) = version match {
+              case 0 => (u32(s + 12), u32(s + 16))
+              case 1 => (u32(s + 20), u64(s + 24))
+              case _ => (-1L, -1L)
+            }
+            if (timescale > 0 && duration >= 0)
+              Some(math.round(duration.toDouble / timescale * 1000d))
+            else None
+          }
+          // First trak whose tkhd carries nonzero 16.16 width/height (the
+          // video track; audio traks carry zeros).
+          val dims = kids.iterator.filter(b => boxType(b._1) == "trak").flatMap {
+            case (_, ts, te) =>
+              boxes(ts, te).find(b => boxType(b._1) == "tkhd").flatMap { case (_, s, _) =>
+                val version = payload.lift(s).map(_ & 0xff).getOrElse(-1)
+                // tkhd fixed fields before the matrix: v0 = 4+4+4+4+4+4,
+                // v1 widens the two times and the duration to 64 bits.
+                val fixedEnd = if (version == 0) s + 4 + 4 + 4 + 4 + 4 + 4
+                  else if (version == 1) s + 4 + 8 + 8 + 4 + 4 + 8
+                  else -1
+                if (fixedEnd < 0) None
+                else {
+                  val wOff = fixedEnd + 8 + 2 + 2 + 2 + 2 + 36
+                  val w = (u32(wOff) >> 16).toInt
+                  val hgt = (u32(wOff + 4) >> 16).toInt
+                  if (w > 0 && hgt > 0) Some((w, hgt)) else None
+                }
+              }
+          }.nextOption()
+          dur.map { ms => (dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0), ms) }
       }
     }
 

@@ -483,6 +483,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(feats.values.forall(f => f.width === 0 && f.height === 0))
   }
 
+  test("multimodal: ISO-BMFF (MP4) video headers parse to true duration and track dimensions") {
+    import MultimodalOps._
+    // A minimal hand-assembled BMFF container (public ISO/IEC 14496-12 box
+    // layout): ftyp + moov(mvhd v0 + trak(tkhd v0)). timescale 1000,
+    // duration 7500 → 7500 ms; tkhd width/height 640×360 in 16.16 fixed.
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ // v0+flags, ctime, mtime
+      u32(1000) ++ u32(7500) ++ Array.fill[Byte](80)(0)) // timescale, duration, rest
+    val tkhd = box("tkhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(7500) ++
+      Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++    // reserved..matrix
+      u32(640L << 16) ++ u32(360L << 16))               // width, height (16.16)
+    val mp4 = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    val media = Seq(
+      MediaRecord(1L, "video", mp4, "s0"),
+      MediaRecord(2L, "video", "not-a-container".getBytes, "s0") // hash fallback
+    ).toDS()
+    val feats = extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).duration_ms === 7500L)
+    assert(feats(1L).width === 640 && feats(1L).height === 360)
+    assert(feats(2L).duration_ms >= 1000L)
+  }
+
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {
     import MultimodalOps._
     val media = Seq(
