@@ -11,7 +11,7 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     SparkEntry.queries("q02_count_all")(spark, dir).count()
     for (n <- args; i <- 1 to 2) {
       val t0 = System.nanoTime()
