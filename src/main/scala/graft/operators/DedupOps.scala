@@ -67,6 +67,39 @@ object DedupOps {
       .drop("__df")
   }
 
+  /** Quantile-CALIBRATED df cap — the scale-robust form of [[capShingleDf]]:
+    * drop (bucket, sh) groups whose document frequency exceeds the df
+    * distribution's q-quantile instead of a fixed absolute cut. An absolute
+    * cap silently changes meaning as the corpus grows: round 7's sf1 audit
+    * measured q78's fixed df≤50 keeping ~99% of global shingles at sf0.1
+    * and dropping ~96% of them at sf1 (global df had grown past the cap for
+    * nearly every shingle under vocabulary saturation) — a recall collapse
+    * with no error. A quantile cap keeps cutting the same SHARE of the
+    * universe (the hottest 1−q) at any corpus size.
+    *
+    * The threshold is the DISCRETE quantile — the smallest df whose
+    * cumulative share of (bucket, sh) groups reaches q — so it stays an
+    * exact integer in any engine (a percentile-CONT midpoint would
+    * interpolate floats and break oracle hashing). The cume_dist window
+    * runs single-partition over the df GROUP table, which is the
+    * vocabulary-bounded (saturating) quantity, not the corpus; a table
+    * whose vocabulary genuinely explodes computes the same threshold on a
+    * hash-sample of groups. */
+  def capShingleDfQuantile(shingles: DataFrame, q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    val grp = shingles.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
+    val thr = grp
+      .withColumn("__cd", cume_dist().over(Window.orderBy(col("__df"))))
+      .filter(col("__cd") >= q)
+      .agg(min(col("__df")).as("__thr"))
+    shingles
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
+      .crossJoin(broadcast(thr))
+      .filter(col("__df") <= col("__thr"))
+      .drop("__df", "__thr")
+  }
+
   /** X2 (MinHash+LSH, row form — the scale path): same candidate semantics
     * as [[minhashLshCandidates]] but over exploded (doc_id, bucket, sh) rows
     * from [[TextOps.shingleRows]], with Kirsch–Mitzenmacher hashing: ONE
@@ -151,8 +184,12 @@ object DedupOps {
     // The df cap sits AFTER the setsize window (sizes stay full-set; only
     // the intersection is capped) and shuffles to (bucket, sh) — which the
     // join then reuses, so hardening costs zero additional exchanges.
+    // Per (doc_id, bucket), matching the per-bucket join below — the same
+    // denominator discipline as minhashCalibration: nothing forbids a doc
+    // appearing under several buckets, and a doc_id-only window would sum
+    // its set sizes across buckets.
     val sized = shingles.withColumn("setsize",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("bucket"))))
     val ex = if (maxDf > 0) capShingleDf(sized, maxDf) else sized
     val a = ex.toDF("a_id", "bucket", "sh", "a_size")
     val b = ex.toDF("b_id", "bucket", "sh", "b_size")
@@ -183,8 +220,12 @@ object DedupOps {
   def containmentPairs(shingles: DataFrame, maxDf: Int = 0,
       minContainment: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Per (doc_id, bucket), matching the per-bucket join below — the same
+    // denominator discipline as minhashCalibration: nothing forbids a doc
+    // appearing under several buckets, and a doc_id-only window would sum
+    // its set sizes across buckets.
     val sized = shingles.withColumn("setsize",
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("bucket"))))
     val ex = if (maxDf > 0) capShingleDf(sized, maxDf) else sized
     val a = ex.toDF("a_id", "bucket", "sh", "a_size")
     val b = ex.toDF("b_id", "bucket", "sh", "b_size")

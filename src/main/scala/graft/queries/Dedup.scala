@@ -493,6 +493,105 @@ object Dedup extends QueryGroup {
            |FROM cand c JOIN jac USING (a_id, b_id)
            |ORDER BY a_id, b_id""".stripMargin))
 
+  /** X2 quantile-calibrated df cap ([[DedupOps.capShingleDfQuantile]]):
+    * q23's global-bucket variant (q78's shape) with the hot-shingle cut at
+    * the df distribution's 0.95-quantile instead of a fixed df ≤ 50 — the
+    * cap that keeps cutting the same SHARE of the shingle universe as the
+    * corpus grows (round 7's sf1 audit measured the fixed cap silently
+    * flipping from keep-99% to drop-96% under vocabulary saturation). The
+    * oracle reproduces the discrete-quantile threshold with the identical
+    * cume_dist window. */
+  private val q118 = QueryDef(
+    "q118_minhash_quantile_cap",
+    (s, dir) => DedupOps.minhashLshCandidatesFromRows(
+        DedupOps.capShingleDfQuantile(
+          TextOps.shingleRows(Tables.documents(s, dir),
+            col("doc_id"), lit("all"), col("text")),
+          q = 0.95),
+        8)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
+           |thr AS (SELECT min(df) AS t FROM (
+           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
+           |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN dfs USING (sh), thr
+           |  WHERE dfs.df <= thr.t),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |bands AS (
+           |  SELECT doc_id, j.band, min(h1 + j.band * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(band)
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""".stripMargin))
+
+  /** X2×X8 verify-before-cluster — the production composition the sf1
+    * audit showed is mandatory at scale: clustering RAW LSH candidates
+    * percolates into giant components under saturation (q53's audit row hit
+    * a 46k-doc cluster at sf1), so real pipelines verify candidates (exact
+    * Jaccard here, q65's edit-distance elsewhere) BEFORE connected
+    * components. Edges = shared-shingle pairs with exact Jaccard ≥ 0.5
+    * over the GLOBAL bucket (near-duplicates cross source boundaries — the
+    * same reason q78 audits global leakage; a source-bucketed verify would
+    * miss nearly every true copy in this corpus); clusters then contain
+    * only true near-duplicates. The oracle composes q22's verified pair
+    * CTE, globalized, with the recursive-CTE closure. */
+  private val q119 = QueryDef(
+    "q119_verified_clusters",
+    (s, dir) => {
+      val globalShingles = TextOps.shingleRows(Tables.documents(s, dir),
+        col("doc_id"), lit("all"), col("text"))
+      val verified = DedupOps.jaccardPairsFromRows(globalShingles, maxDf = 50)
+        .filter(col("jaccard") >= 0.5)
+      graft.operators.GraphOps.clusterKeepers(
+          graft.operators.GraphOps.connectedComponents(verified, "a_id", "b_id"))
+        .orderBy(col("keeper_id"))
+    },
+    Some("""WITH RECURSIVE sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |sizes AS (SELECT doc_id, len(shset) AS setsize FROM sets WHERE len(shset) > 0),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |common AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+           |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst
+           |  FROM common
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(CAST(n_common AS DOUBLE)
+           |      / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) >= 0.5),
+           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+           |walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+           |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
+           |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
-    Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107)
+    Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
+      q118, q119)
 }

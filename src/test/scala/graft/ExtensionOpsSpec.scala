@@ -670,6 +670,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r((1L, 2L))._5 === 1.0, s"exact Jaccard inflated: ${r((1L, 2L))}")
   }
 
+  test("X2: quantile df cap cuts the same SHARE at any corpus scale; a fixed cap does not") {
+    // 10 shingle groups with df = k·1 .. k·10 (k = corpus scale). At q=0.9
+    // the discrete-quantile threshold lands on the 9th value at EITHER
+    // scale — always cutting exactly the hottest group — while the fixed
+    // df≤50 cap flips from inert (k=1) to dropping half the universe
+    // (k=10): the sf1-audit recall collapse in miniature.
+    def shingles(k: Int) = (0 until 10).flatMap { i =>
+      (0 until k * (i + 1)).map(d => (i * 10000L + d, "b", s"s$i"))
+    }.toDF("doc_id", "bucket", "sh")
+    def keptGroups(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("sh").distinct().count()
+    assert(keptGroups(DedupOps.capShingleDfQuantile(shingles(1), 0.9)) === 9L)
+    assert(keptGroups(DedupOps.capShingleDfQuantile(shingles(10), 0.9)) === 9L)
+    assert(keptGroups(DedupOps.capShingleDf(shingles(1), 50)) === 10L)
+    assert(keptGroups(DedupOps.capShingleDf(shingles(10), 50)) === 5L)
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
