@@ -111,6 +111,12 @@ object ScaleAudit {
     // per-source rows; must still track dup density, not corpus².
     val globalShingles = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"))
     val q78 = DedupOps.minhashLshCandidatesFromRows(globalShingles, 8, maxDf = 50).count()
+    // q118 calibrated variant: the 0.95-quantile df cap in place of the
+    // fixed df≤50 — the row that shows the quantile cap KEEPS generating
+    // candidates at sf1 where the fixed cap collapses (df grew past 50 for
+    // ~96% of the saturated global vocabulary).
+    val q118 = DedupOps.minhashLshCandidatesFromRows(
+      DedupOps.capShingleDfQuantile(globalShingles, 0.95), 8).count()
 
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
@@ -211,6 +217,7 @@ object ScaleAudit {
       s""""q56_exact_hit_probe_rows":$exactHits,""" +
       s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
       s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
+      s""""q118_quantile_cap_candidates":$q118,""" +
       s""""q85_distinct_cdc_chunks":$q85DistinctChunks,"q85_cdc_chunk_rows":$q85ChunkRows,""" +
       s""""q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +

@@ -467,6 +467,11 @@ object DedupOps {
     candidates.select(col("a_id"), col("b_id"))
       .join(d.select(col("__id").as("a_id"), col("__txt").as("a_txt")), "a_id")
       .join(d.select(col("__id").as("b_id"), col("__txt").as("b_txt")), "b_id")
+      // Exact prefilter, result-identical: |len(a) − len(b)| lower-bounds
+      // the edit distance, so pairs it excludes could only have produced
+      // a -1 from the thresholded levenshtein anyway — at the cost of two
+      // length reads instead of a banded DP.
+      .filter(abs(length(col("a_txt")) - length(col("b_txt"))) <= maxDist)
       .withColumn("edit_distance",
         levenshtein(col("a_txt"), col("b_txt"), maxDist).cast("long"))
       .filter(col("edit_distance") >= 0)

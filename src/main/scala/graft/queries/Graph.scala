@@ -81,17 +81,17 @@ object Graph extends QueryGroup {
   private val q111 = QueryDef(
     "q111_incremental_clusters",
     (s, dir) => {
-      // The minhash pair list feeds BOTH the old-graph CC and the
-      // fresh-batch filter; the session-shared materialization
-      // ([[SharedPipelines.minhashPairs]]) serves both from one checkpoint
-      // (a real crawl reads the batch's pairs from its dedup pass).
+      // The standing labeling ([[SharedPipelines.minhashOldComps]] — the
+      // (node, comp) state a crawl has BEFORE the batch) and the pair list
+      // both come from the session materialization; what this query
+      // re-executes per invocation is the incremental work itself: the
+      // fresh-batch filter plus the star-merge CC.
       val pairs = SharedPipelines.minhashPairs(s, dir)
       val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
-      val oldPairs = pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id")))
       val newPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
-      val oldComps = GraphOps.connectedComponents(oldPairs, "a_id", "b_id")
       GraphOps.clusterKeepers(
-          GraphOps.mergeComponents(oldComps, newPairs, "a_id", "b_id"))
+          GraphOps.mergeComponents(
+            SharedPipelines.minhashOldComps(s, dir), newPairs, "a_id", "b_id"))
         .orderBy(col("keeper_id"))
     },
     Some(ccKeepersOracle))
