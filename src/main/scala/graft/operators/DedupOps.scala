@@ -445,7 +445,8 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .filter(abs(col("a_ntok") - col("b_ntok")) <= maxTokDiff)
       .withColumn("edit_distance",
-        levenshtein(col("a_txt"), col("b_txt"), maxDist).cast("long"))
+        graft.functions.GraftFunctions
+          .levenshteinBounded(col("a_txt"), col("b_txt"), maxDist).cast("long"))
       .filter(col("edit_distance") >= 0) // threshold form returns -1 above maxDist
       .select(col("a_id"), col("b_id"), col("edit_distance"))
   }
@@ -473,7 +474,8 @@ object DedupOps {
       // length reads instead of a banded DP.
       .filter(abs(length(col("a_txt")) - length(col("b_txt"))) <= maxDist)
       .withColumn("edit_distance",
-        levenshtein(col("a_txt"), col("b_txt"), maxDist).cast("long"))
+        graft.functions.GraftFunctions
+          .levenshteinBounded(col("a_txt"), col("b_txt"), maxDist).cast("long"))
       .filter(col("edit_distance") >= 0)
       .select(col("a_id"), col("b_id"), col("edit_distance"))
   }
