@@ -47,6 +47,32 @@ object Bench {
     // order for run-to-run comparability.
     try SparkEntry.queries.get("q02_count_all").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // Session-shared pipeline prefixes (graft.queries.SharedPipelines) are
+    // built BEFORE any query is timed, each as its own named bench row:
+    // pinned materializations otherwise charge their build to whichever
+    // consumer query happens to run first (skewing that query's cold figure
+    // and breaking per-query comparability across rounds) while every other
+    // consumer reads blocks. Build order follows the dependency chain, so
+    // each row times only its OWN increment (comps = CC over already-built
+    // pairs). Their sum is added to the headline cold "value" — the work is
+    // real and paid once per session — and itemized under "shared".
+    val sharedBuilds: Seq[(String, () => Unit)] = {
+      import graft.queries.SharedPipelines
+      Seq(
+        "shared_minhash_pairs" -> (() => { SharedPipelines.minhashPairs(spark, sfDir); () }),
+        "shared_minhash_cc" -> (() => { SharedPipelines.minhashComps(spark, sfDir); () }),
+        "shared_minhash_oldcc" -> (() => { SharedPipelines.minhashOldComps(spark, sfDir); () }),
+        "shared_semantic_cc" -> (() => { SharedPipelines.semanticComps(spark, sfDir); () }))
+    }
+    val shared: Seq[(String, Option[Double])] = sharedBuilds.map { case (name, build) =>
+      val t0 = System.nanoTime()
+      val r = try { build(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        None
+      }
+      (name, r)
+    }
     // A thrown query must never IMPROVE the bench: failures are recorded by
     // name, reported in the JSON, and fail the process (nonzero exit).
     // Each query is timed 4×: run1 (cold — includes its one-time codegen/JIT,
@@ -99,13 +125,22 @@ object Bench {
       .mkString("{", ",", "}")
     val qsSteady = results.map { case (k, _, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, c, s) if c.isEmpty || s.isEmpty => "\"" + k + "\"" }
+    val failed = (shared.collect { case (k, None) => "\"" + k + "\"" } ++
+        results.collect { case (k, c, s) if c.isEmpty || s.isEmpty => "\"" + k + "\"" })
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val sharedTotal = shared.flatMap(_._2).sum
+    // Headline cold value INCLUDES the shared-prefix builds: a session pays
+    // them exactly once, and before round 8 they were hidden inside the
+    // first consumer query's cold figure — excluding them now would make
+    // the total look faster than any real cold session.
+    val total = results.flatMap(_._2).sum + sharedTotal
     val steadyTotal = results.flatMap(_._3).sum
+    val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""steady_total":$steadyTotal,"steady_runs":$steadyRuns,"steady_stat":"median",""" +
-      s""""queries_steady":$qsSteady,"failed":$failed,"sf":"$sfDir",""" +
+      s""""queries_steady":$qsSteady,"shared":$sharedJson,"shared_total":${fmt(Some(sharedTotal))},""" +
+      s""""failed":$failed,"sf":"$sfDir",""" +
       s""""load_before":$loadBefore,"load_after":$loadAfter}"""
     // Full line first (humans, files), COMPACT line last: a log-tail window
     // shorter than the per-query dicts cuts the full line mid-JSON, so the
@@ -119,6 +154,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,""" +
       s""""failed":$failed,"sf":"$sfDir","load_after":$loadAfter,"detail":"target/bench_full.json"}""")
     spark.stop()
-    if (results.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
+    if (shared.exists(_._2.isEmpty) ||
+      results.exists(r => r._2.isEmpty || r._3.isEmpty)) sys.exit(1)
   }
 }

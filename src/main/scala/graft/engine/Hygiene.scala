@@ -20,15 +20,26 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Hygiene {
 
-  /** RDD ids [[sweep]] must never unpersist: session-scoped shared
+  /** RDDs [[sweep]] must never unpersist: session-scoped shared
     * materializations ([[Shared]]) that later queries will re-read.
     * (A localCheckpointed RDD is UNRECOMPUTABLE once its blocks drop —
     * lineage was truncated — so sweeping a still-referenced one would
-    * fail the next reader, not slow it.) */
-  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    * fail the next reader, not slow it.)
+    *
+    * Keyed by (applicationId, rddId), not the bare integer id: the set is
+    * JVM-global, and a SparkContext that stops without [[Shared.clear]]
+    * would otherwise leave stale small-integer pins that silently exempt
+    * UNRELATED fresh RDDs of the next context in the same JVM (fresh
+    * contexts reuse small ids) — re-opening the leak sweep exists to fix.
+    * Entries of dead applications can never match a live sweep's key; they
+    * cost a few bytes each until JVM exit. */
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
-  def pin(rdds: Iterable[RDD[_]]): Unit = rdds.foreach(r => pinned.add(r.id))
-  def unpin(rdds: Iterable[RDD[_]]): Unit = rdds.foreach(r => pinned.remove(r.id))
+  def pin(rdds: Iterable[RDD[_]]): Unit =
+    rdds.foreach(r => pinned.add((r.sparkContext.applicationId, r.id)))
+  def unpin(rdds: Iterable[RDD[_]]): Unit =
+    rdds.foreach(r => pinned.remove((r.sparkContext.applicationId, r.id)))
 
   /** The RDDs physically backing `df`'s plan — the `LogicalRDD` leaves a
     * `localCheckpoint`/`checkpoint` rewrote the plan to. Empty for a plan
@@ -54,8 +65,9 @@ object Hygiene {
     * running query (it would unpersist mid-flight iteration state). */
   def sweep(spark: SparkSession, gc: Boolean = false): Unit = {
     spark.catalog.clearCache()
+    val app = spark.sparkContext.applicationId
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+      if (!pinned.contains((app, id))) rdd.unpersist(blocking = false)
     }
     if (gc) {
       System.gc()
@@ -84,13 +96,30 @@ object Shared {
     * first use. The build is materialized eagerly (localCheckpoint) so
     * every consumer — including the first — reads blocks, not a live plan
     * whose lineage would re-run per consumer. Keyed by applicationId so a
-    * new SparkContext in the same JVM never reads a dead context's blocks. */
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark.sparkContext.applicationId, key), { _ =>
+    * new SparkContext in the same JVM never reads a dead context's blocks.
+    *
+    * The build runs OUTSIDE any map lock: an eager localCheckpoint is a
+    * full Spark job (potentially minutes for a CC prefix), and running it
+    * inside `computeIfAbsent` would hold the bin lock for the duration —
+    * blocking unrelated keys on the same stripe and deadlocking a build
+    * that re-enters the map. Two racing threads may both build; the
+    * publish is `putIfAbsent` and the loser releases its duplicate. */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val k = (spark.sparkContext.applicationId, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
       val out = build.localCheckpoint(eager = true)
       Hygiene.pin(Hygiene.backingRdds(out))
-      out
-    })
+      val prior = cache.putIfAbsent(k, out)
+      if (prior == null) out
+      else {
+        Hygiene.unpin(Hygiene.backingRdds(out))
+        Hygiene.release(out)
+        prior
+      }
+    }
+  }
 
   /** Drop and free every shared entry of this application. */
   def clear(spark: SparkSession): Unit = {

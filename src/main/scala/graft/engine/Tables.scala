@@ -20,13 +20,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Plain parquet scan. Filter/projection pushdown is Catalyst's job —
-    * callers declare plans, never pre-materialize.
-    *
-    * `events.parquet` stores TIMESTAMP(NANOS) which Spark's TimestampType
-    * (µs) cannot represent; `nanosAsLong` reads it as raw nanos (long) and
-    * [[events]] derives a µs-truncated TimestampType column. Oracle SQL must
-    * likewise truncate (`CAST(ts AS TIMESTAMP)` in DuckDB) when a timestamp
-    * value is output. */
+    * callers declare plans, never pre-materialize. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     Engine.ensureInitialized(spark) // once per session, guarded
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -39,18 +33,35 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events` with `ts` exposed BOTH ways: `ts` = µs-truncated TimestampType
-    * (what queries filter/group on) and `ts_ns` = raw int64 nanos (kept for
-    * precision-exact arithmetic like sessionization gaps). Integer `div`
-    * (not `/`, which promotes to double and rounds above 2^53 ns) matches
-    * DuckDB's CAST(ts AS TIMESTAMP) truncation exactly for positive epochs —
-    * and gives [[graft.plans.SargableTimestampRules]] a monotone integer
-    * chain it can invert to push date filters onto the raw ts_ns scan. */
+  /** `events` with `ts` exposed BOTH ways: `ts` = µs TimestampType (what
+    * queries filter/group on) and `ts_ns` = int64 nanos (kept for
+    * precision-exact arithmetic like sessionization gaps). The reader
+    * ADAPTS to how the generator stamped the column — the physical parquet
+    * type has changed across driver rounds, and a library must read both:
+    *
+    *  - TIMESTAMP(NANOS): Spark's TimestampType (µs) cannot represent it,
+    *    so `nanosAsLong` (Engine.ensureInitialized) reads raw nanos and the
+    *    µs `ts` is derived by integer `div` (not `/`, which promotes to
+    *    double and rounds above 2^53 ns) — matching DuckDB's
+    *    CAST(ts AS TIMESTAMP) truncation exactly for positive epochs, and
+    *    giving [[graft.plans.SargableTimestampRules]] a monotone integer
+    *    chain it inverts to push date filters onto the raw ts_ns scan.
+    *  - TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ): `ts` is
+    *    the session-TZ cast of the native column (value-preserving — every
+    *    entrypoint pins the session TZ to UTC) and ts_ns = µs·1000. The
+    *    sargable rule's NTZ case strips the cast from literal comparisons
+    *    so day filters still reach the parquet scan natively. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

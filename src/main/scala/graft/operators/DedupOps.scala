@@ -80,18 +80,26 @@ object DedupOps {
     * The threshold is the DISCRETE quantile — the smallest df whose
     * cumulative share of (bucket, sh) groups reaches q — so it stays an
     * exact integer in any engine (a percentile-CONT midpoint would
-    * interpolate floats and break oracle hashing). The cume_dist window
-    * runs single-partition over the df GROUP table, which is the
-    * vocabulary-bounded (saturating) quantity, not the corpus; a table
-    * whose vocabulary genuinely explodes computes the same threshold on a
-    * hash-sample of groups. */
+    * interpolate floats and break oracle hashing). It is computed from the
+    * df HISTOGRAM (groupBy(__df).count()), never by ordering the group
+    * table itself: a cume_dist window over the groups would funnel the
+    * entire vocabulary through ONE partition — a single-partition
+    * bottleneck at exactly the exploding-vocabulary scale this operator
+    * targets. The histogram is bounded by DISTINCT df values (≪ groups —
+    * df is a small-integer count with a long-tail distribution), so its
+    * one ordered cumulative-sum window is over a provably tiny table; both
+    * aggregates before it are ordinary distributed hash aggregates. */
   def capShingleDfQuantile(shingles: DataFrame, q: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
     val grp = shingles.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
-    val thr = grp
-      .withColumn("__cd", cume_dist().over(Window.orderBy(col("__df"))))
-      .filter(col("__cd") >= q)
+    val hist = grp.groupBy(col("__df")).agg(count(lit(1)).as("__n"))
+    // Same arithmetic as cume_dist (cumulative/total as double, >= q), so
+    // the threshold — and every downstream oracle hash — is unchanged.
+    val thr = hist
+      .withColumn("__cum", sum(col("__n")).over(Window.orderBy(col("__df"))))
+      .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__tot"))))
+      .filter(col("__cum").cast("double") / col("__tot").cast("double") >= q)
       .agg(min(col("__df")).as("__thr"))
     shingles
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))

@@ -110,10 +110,17 @@ object SimilarityOps {
         nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
 
     for (_ <- 1 to iters) {
+      // Centroid means are ROUNDED (1e-6, −0.0 normalized) before they feed
+      // the next assignment: avg() sums floats in shuffle-fetch order, so an
+      // unrounded mean is reproducible only at a fixed partitioning — a
+      // config change could shift it an ulp and flip a near-tie argmin.
+      // The oracle ([[graft.queries.OracleSql.kmeansCtes]]) rounds its CTE
+      // means identically, so the cross-engine match holds by construction,
+      // not by luck of summation order.
       val next = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
         .collect()
       val byCluster = next.groupBy(_.getAs[Int]("cluster"))
       centroids = centroids.indices.map { i =>
@@ -383,13 +390,15 @@ object SimilarityOps {
       val clusterCols = books.zipWithIndex.map { case (book, j) =>
         nearestCentroid(slice(col("v"), j * sub + 1, sub), book, "cluster")
       }
+      // Rounded exactly as [[kmeans]]'s update (see there): pins the
+      // cross-engine match against float-summation-order drift.
       val next = vecs
         .withColumn("cl", array(clusterCols: _*))
         .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
         .withColumn("j", (col("dim") / lit(sub)).cast("int"))
         .groupBy(col("j"), element_at(col("cl"), col("j") + 1).as("cluster"),
           (col("dim") % lit(sub)).as("sdim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
         .collect()
       val byKey = next.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("cluster")))
       // books(j).indices, not 0 until k: a training sample smaller than k
@@ -449,7 +458,10 @@ object SimilarityOps {
       emb.cast("array<double>").as("v"))
     val cent = v.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("m"))
+      // Rounded like the k-means centroid update: avg() is summation-order-
+      // dependent, and the unrounded mean feeds a distance whose 6-decimal
+      // output round could flip on an ulp. Oracle rounds identically.
+      .agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
       .groupBy(col("cell"))
       // interpreted HOFs are fine here: one row per CELL, not per vector
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule making derived-timestamp predicates sargable
   * (SURVEY §4 "optional date-predicate canonicalization", now load-bearing).
@@ -63,6 +63,24 @@ object SargableTimestampRules extends Rule[LogicalPlan] {
     case LessThan(IntegralDivide(e, Literal(k: Long, LongType), _), Literal(m: Long, LongType))
         if k > 0 && m >= 1 && m <= Long.MaxValue / k =>
       LessThan(e, Literal(m * k, LongType))
+
+    // Layer 3: strip the session-TZ cast off a native TIMESTAMP_NTZ column
+    // (the MICROS-stamped events.parquet — Tables.events' second branch).
+    // With the session TZ pinned to UTC the cast is a value-preserving
+    // order-isomorphism (local micros = instant micros), so a comparison
+    // against a TimestampType literal is equivalent to comparing the raw
+    // NTZ column against the same micros as an NTZ literal — which
+    // FileSourceStrategy then pushes into the parquet scan. Guarded on the
+    // UTC conf: under any other zone the cast is only weakly monotone
+    // across DST transitions, where equality inversion would be wrong.
+    case cmp @ BinaryComparison(
+        Cast(e, TimestampType, _, _), Literal(m: Long, TimestampType))
+        if e.dataType == TimestampNTZType && conf.sessionLocalTimeZone == "UTC" =>
+      cmp.withNewChildren(Seq(e, Literal(m, TimestampNTZType)))
+    case cmp @ BinaryComparison(
+        Literal(m: Long, TimestampType), Cast(e, TimestampType, _, _))
+        if e.dataType == TimestampNTZType && conf.sessionLocalTimeZone == "UTC" =>
+      cmp.withNewChildren(Seq(Literal(m, TimestampNTZType), e))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

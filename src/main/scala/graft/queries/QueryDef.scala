@@ -112,7 +112,12 @@ object OracleSql {
     * first-occurrence rule — the engine computes the same two dot products
     * in the same left-to-right order, so scores agree to the ulp) then
     * re-averages per (cluster, dim), empty clusters keeping their
-    * centroid. Emits `<p>c0 .. <p>c<iters>`; `src` must expose
+    * centroid. The per-dim means are ROUNDED (1e-6, −0.0 normalized via
+    * `+ 0.0`), mirroring [[graft.operators.SimilarityOps.kmeans]]'s rounded
+    * update: avg() sums floats in engine-specific order, so only rounding
+    * BOTH sides makes the matching centroids (and every argmin they feed)
+    * identical by construction rather than empirically at one
+    * partition/thread count. Emits `<p>c0 .. <p>c<iters>`; `src` must expose
     * (vec_id, v). Compose with [[kmeansAssignSelect]] for the final
     * labeling. */
   def kmeansCtes(p: String, src: String, k: Int, iters: Int, dim: Int): String = {
@@ -120,7 +125,7 @@ object OracleSql {
       s"FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k))"
     val steps = (1 to iters).map { i =>
       s"""${p}a$i AS (${kmeansAssignSelect(s"${p}c${i - 1}", src)}),
-         |${p}m$i AS (SELECT cluster, d.i AS dim, avg(v[d.i + 1]) AS m
+         |${p}m$i AS (SELECT cluster, d.i AS dim, round(avg(v[d.i + 1]), 6) + 0.0 AS m
          |  FROM ${p}a$i, unnest(range($dim)) AS d(i) GROUP BY 1, 2),
          |${p}n$i AS (SELECT cluster, list(m ORDER BY dim) AS nc FROM ${p}m$i GROUP BY 1),
          |${p}c$i AS (SELECT list(coalesce(n.nc, cs[j.j + 1]) ORDER BY j.j) AS cs

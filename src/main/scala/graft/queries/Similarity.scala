@@ -108,7 +108,9 @@ object Similarity extends QueryGroup {
     * make it ANSI-expressible after all: the oracle UNROLLS the three
     * Lloyd iterations into a CTE chain ([[OracleSql.kmeansCtes]]) — both
     * engines compute the identical assignment arithmetic in the identical
-    * order, so the hash match is exact, not approximate. */
+    * order, and both ROUND each iteration's centroid means (1e-6), so the
+    * match is robust by construction: an avg() whose float summation order
+    * differs across partitionings lands on the same rounded centroid. */
   private val q41 = QueryDef(
     "q41_kmeans_train",
     (s, dir) => {
@@ -157,7 +159,7 @@ object Similarity extends QueryGroup {
         Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"))
       .orderBy(col("vec_id")),
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |d AS (SELECT label, CAST(i.i AS INT) AS dim, avg(v[i.i + 1]) AS m
+           |d AS (SELECT label, CAST(i.i AS INT) AS dim, round(avg(v[i.i + 1]), 6) + 0.0 AS m
            |  FROM e, unnest(range(len(v))) AS i(i) GROUP BY 1, 2),
            |cent AS (SELECT label, list(m ORDER BY dim) AS c FROM d GROUP BY 1)
            |SELECT vec_id, label AS cell,

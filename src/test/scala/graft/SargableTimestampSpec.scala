@@ -50,4 +50,37 @@ class SargableTimestampSpec extends SparkSpec {
         s"expected pushed ts_ns upper bound in:\n$physical")
     }
   }
+
+  // TIMESTAMP(MICROS) generator stamp (isAdjustedToUTC=false → read as
+  // TIMESTAMP_NTZ): Tables.events' second branch exposes ts as the
+  // session-TZ cast, and layer 3 must strip that cast so the day filter
+  // reaches the native NTZ parquet column.
+  private def withMicroParquet(test: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("sargus").toFile.getAbsolutePath
+    val rows = (0 until 72).map { h =>
+      (h.toLong, java.time.LocalDateTime.ofEpochSecond(
+        19700L * 86400L + h * 3600L, 0, java.time.ZoneOffset.UTC))
+    }
+    rows.toDF("id", "ts").write.mode("overwrite").parquet(dir)
+    test(dir)
+  }
+
+  test("NTZ day filter: result preserved and pushed onto the native ts column") {
+    withMicroParquet { dir =>
+      if (!spark.experimental.extraOptimizations.contains(SargableTimestampRules))
+        spark.experimental.extraOptimizations ++= Seq(SargableTimestampRules)
+      val scanned = spark.read.parquet(dir)
+      assert(scanned.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampNTZType)
+      val df = scanned.withColumn("ts", col("ts").cast("timestamp"))
+      val d = java.time.LocalDate.ofEpochDay(19701).toString
+      val q = df.filter(Semantics.onDate(col("ts"), d)).select("id")
+      assert(q.as[Long].collect().toSet === (24L until 48L).toSet)
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("GreaterThanOrEqual(ts"),
+        s"expected pushed ts lower bound in:\n$physical")
+      assert(physical.contains("LessThan(ts"),
+        s"expected pushed ts upper bound in:\n$physical")
+    }
+  }
 }
