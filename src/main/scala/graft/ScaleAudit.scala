@@ -117,6 +117,20 @@ object ScaleAudit {
     // ~96% of the saturated global vocabulary).
     val q118 = DedupOps.minhashLshCandidatesFromRows(
       DedupOps.capShingleDfQuantile(globalShingles, 0.95), 8).count()
+    // q120 banded variant (r=2) COMPOSED with the quantile cap — the two
+    // saturation knobs a production pipeline runs together: the cap keeps
+    // the pipeline live (q118 row), banding's S-curve (P = 1 − (1 − j²)⁴
+    // vs r=1's 1 − (1 − j)⁸) then crushes the one-hot-minhash pair mass
+    // the cap alone still admits. Contrast against the q118 row.
+    val cappedShingles = DedupOps.capShingleDfQuantile(globalShingles, 0.95)
+      .localCheckpoint(true)
+    val q120 = DedupOps.minhashLshCandidatesBanded(
+      cappedShingles, 8, rowsPerBand = 2).count()
+    // r=4 (2 bands of 4): the next S-curve step — P = 1 − (1 − j⁴)² —
+    // documents the knob's progression on this corpus's Jaccard mass.
+    val q120r4 = DedupOps.minhashLshCandidatesBanded(
+      cappedShingles, 8, rowsPerBand = 4).count()
+    cappedShingles.unpersist(false)
 
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
@@ -217,7 +231,8 @@ object ScaleAudit {
       s""""q56_exact_hit_probe_rows":$exactHits,""" +
       s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
       s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
-      s""""q118_quantile_cap_candidates":$q118,""" +
+      s""""q118_quantile_cap_candidates":$q118,"q120_banded_candidates":$q120,""" +
+      s""""q120_banded_r4_candidates":$q120r4,""" +
       s""""q85_distinct_cdc_chunks":$q85DistinctChunks,"q85_cdc_chunk_rows":$q85ChunkRows,""" +
       s""""q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +

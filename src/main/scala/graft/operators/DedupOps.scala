@@ -34,8 +34,9 @@ object DedupOps {
 
   /** X2 (MinHash+LSH): candidate near-dup pairs. Explodes each doc's
     * signature into (bandKey, doc) rows and self-joins per band — the LSH
-    * bucket join. `rowsPerBand` = 1 suits the tiny test corpus (low true
-    * Jaccard); production corpora use r=2..4 to keep buckets selective.
+    * bucket join. One minhash per band (r = 1) suits the tiny test corpus
+    * (low true Jaccard); production corpora raise the per-band bar with
+    * [[minhashBandedRows]]'s r = 2..4 to keep buckets selective.
     * Output: (a_id, b_id, n_shared_bands), a < b, deterministic. */
   def minhashLshCandidates(docs: DataFrame, id: String, shingleSet: Column,
       numHashes: Int, bucketCol: Column): DataFrame = {
@@ -143,6 +144,58 @@ object DedupOps {
       .agg(mins.head, mins.tail: _*)
     sigs.select(col("doc_id"), col("bucket"),
       posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*)).as(Seq("band", "h")))
+  }
+
+  /** The r-rows-per-band generalization of [[minhashBandRows]] — the
+    * SELECTIVITY knob the round-7 sf1 audit showed is mandatory on
+    * self-similar corpora. With r = 1 a pair collides on a band whenever
+    * ONE minhash agrees (P = j per band, j = true Jaccard), and under
+    * vocabulary saturation shared hot shingles make that near-certain for
+    * unrelated pairs — the audit measured 27k candidates at sf0.1 /
+    * quadratic growth to sf1 on the global bucket. Banding r minwise
+    * values into one key raises the per-band collision bar to ALL r
+    * agreeing (P = j^r): the classic S-curve P(candidate) = 1 − (1 − j^r)^b
+    * (Broder; MMDS ch.3), which crushes the low-Jaccard mass (j = 0.2,
+    * r=2, b=4: 0.83 → 0.063) while keeping true near-dups (j = 0.9:
+    * 1.0 → 0.98). The band key is the ':'-joined decimal minhash values —
+    * reproducible in any engine with md5 + string_agg, so the query
+    * carrying it keeps a hard hash oracle.
+    *
+    * Same plan shape as r = 1: one codegen'd md5 per shingle, one
+    * (doc, bucket) hash aggregate for all numHashes minima, then a
+    * numHashes/r-row explode — the band join downstream shuffles FEWER
+    * rows than r = 1 (b rows per doc instead of numHashes). */
+  def minhashBandedRows(shingles: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxDf: Int = 0): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
+    val hashed = (if (maxDf > 0) capShingleDf(shingles, maxDf) else shingles)
+      .withColumn("h", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("h"), 1, 10), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 11, 10), 16, 10).cast("long"))
+    val mins = (0 until numHashes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id"), col("bucket"))
+      .agg(mins.head, mins.tail: _*)
+    val keys = (0 until numHashes / rowsPerBand).map { b =>
+      concat_ws(":", (0 until rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*)
+    }
+    sigs.select(col("doc_id"), col("bucket"),
+      posexplode(array(keys: _*)).as(Seq("band", "bk")))
+  }
+
+  /** X2 (banded MinHash+LSH): [[minhashLshCandidatesFromRows]] with the
+    * r-rows-per-band S-curve of [[minhashBandedRows]] — candidates form
+    * only where all r minhashes of some band agree. (a_id, b_id,
+    * n_shared_bands), a < b, deterministic. */
+  def minhashLshCandidatesBanded(shingles: DataFrame, numHashes: Int,
+      rowsPerBand: Int, maxDf: Int = 0): DataFrame = {
+    val bands = minhashBandedRows(shingles, numHashes, rowsPerBand, maxDf)
+    val a = bands.toDF("a_id", "bucket", "band", "bk")
+    val b = bands.toDF("b_id", "bucket", "band", "bk")
+    a.join(b, Seq("bucket", "band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** Incremental NEAR-dup crawl dedup — the MinHash twin of the exact

@@ -500,7 +500,8 @@ object Dedup extends QueryGroup {
     * corpus grows (round 7's sf1 audit measured the fixed cap silently
     * flipping from keep-99% to drop-96% under vocabulary saturation). The
     * oracle reproduces the discrete-quantile threshold with the identical
-    * cume_dist window. */
+    * cumulative/total arithmetic (its cume_dist window equals the Spark
+    * side's distinct-df histogram cumulative — same integer threshold). */
   private val q118 = QueryDef(
     "q118_minhash_quantile_cap",
     (s, dir) => DedupOps.minhashLshCandidatesFromRows(
@@ -591,7 +592,61 @@ object Dedup extends QueryGroup {
            |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
            |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X2 banded MinHash ([[DedupOps.minhashLshCandidatesBanded]], r = 2) on
+    * the quantile-capped pool — the two saturation knobs COMPOSED the way a
+    * production pipeline runs them. q118's quantile cap keeps the pipeline
+    * LIVE as the corpus saturates (a fixed df cap silently collapses —
+    * round-7 audit), but alone it still admits every pair sharing ONE hot
+    * minhash (2.4M candidates at sf1); banding the 8 minhashes into 4
+    * bands of 2 requires BOTH of a band's minwise values to agree —
+    * P(candidate) = 1 − (1 − j²)⁴ vs r=1's 1 − (1 − j)⁸ — which crushes
+    * exactly that low-Jaccard mass while keeping true near-dups (measured
+    * at all three SFs in BASELINE.md's round-8 audit). The band key is the
+    * ':'-joined decimal minhash pair, so DuckDB reproduces it exactly
+    * (string_agg ordered by hash index) and the query keeps a hard hash
+    * oracle. */
+  private val q120 = QueryDef(
+    "q120_banded_minhash",
+    (s, dir) => DedupOps.minhashLshCandidatesBanded(
+        DedupOps.capShingleDfQuantile(
+          TextOps.shingleRows(Tables.documents(s, dir),
+            col("doc_id"), lit("all"), col("text")),
+          q = 0.95),
+        numHashes = 8, rowsPerBand = 2)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
+           |thr AS (SELECT min(df) AS t FROM (
+           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
+           |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN dfs USING (sh), thr
+           |  WHERE dfs.df <= thr.t),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |mh AS (
+           |  SELECT doc_id, j.j AS j, min(h1 + j.j * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(j)
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, j // 2 AS band, string_agg(h::VARCHAR, ':' ORDER BY j) AS bk
+           |  FROM mh GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119)
+      q118, q119, q120)
 }

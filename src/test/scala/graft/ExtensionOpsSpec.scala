@@ -50,6 +50,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!cand.contains((1L, 3L))) // disjoint sets share no minhash (w.h.p.)
   }
 
+  test("X2: r=2 banded minhash — identical docs hit all bands; candidates are an S-curve subset of r=1") {
+    // Hot-shingle skew corpus (the df-cap test's shape, UNCAPPED here):
+    // every doc shares "hot hot hot", docs 0/1 are true near-dups. Under
+    // r=1 the hot shingle's minhash pairs many unrelated docs; r=2 demands
+    // two simultaneous agreements, which unrelated single-shingle overlap
+    // rarely produces. All hashing is md5 → fully deterministic assertions.
+    val docs = (0 until 40).map { i =>
+      val body = if (i <= 1) "dup dup dup dup dup" else s"u${i}a u${i}b u${i}c u${i}d u${i}e"
+      (i.toLong, s"hot hot hot $body", "s")
+    }.toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
+    val r1 = DedupOps.minhashLshCandidatesFromRows(rows, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared_bands")).toMap
+    val banded = DedupOps.minhashLshCandidatesBanded(rows, 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared_bands")).toMap
+    // identical shingle sets agree on every minhash → all 4 two-row bands
+    assert(banded((0L, 1L)) === 4L)
+    // a banded collision IS two adjacent minhash agreements, so every
+    // banded pair must appear under r=1 with ≥ 2·n_shared_bands hash hits
+    banded.foreach { case (pair, nb) =>
+      assert(r1.contains(pair) && r1(pair) >= 2 * nb,
+        s"$pair: r1=${r1.get(pair)} banded=$nb")
+    }
+    // the S-curve payoff: strictly fewer candidates than r=1 on skew
+    assert(banded.size < r1.size, s"banded=${banded.size} r1=${r1.size}")
+  }
+
   test("X2: hot-shingle df cap bounds the shared-shingle join on a skewed corpus") {
     // 40 docs all sharing one ubiquitous trigram ("hot hot hot"); docs 0 and
     // 1 are true near-dups, the rest pairwise disjoint apart from the hot
