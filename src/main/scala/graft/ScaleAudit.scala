@@ -131,6 +131,20 @@ object ScaleAudit {
     val q120r4 = DedupOps.minhashLshCandidatesBanded(
       cappedShingles, 8, rowsPerBand = 4).count()
     cappedShingles.unpersist(false)
+    // The REPRESENTATION knob, same pipeline: 5-gram shingles instead of
+    // 3-gram. Under vocabulary saturation the 3-gram universe caps at
+    // ~|V|³-ish and df grows with the corpus; widening to 5 grows the
+    // universe geometrically and drops df back to discriminative levels —
+    // the remedy volume knobs (cap, banding) cannot provide. Quantile cap
+    // + r=1, directly comparable to the q118 row.
+    // floor = 2: on a sparse 5-gram universe the discrete 0.95-quantile
+    // can land on t = 1, which drops every SHARED shingle (true dups
+    // included — measured as exactly 0 candidates at sf0.01 without the
+    // floor). The floor keeps shared evidence alive at any sparsity.
+    val fiveGram = DedupOps.minhashLshCandidatesFromRows(
+      DedupOps.capShingleDfQuantile(
+        TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5),
+        0.95, floor = 2), 8).count()
 
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
@@ -232,7 +246,7 @@ object ScaleAudit {
       s""""q67_distinct_chunks":$distinctChunks,"q67_chunks_removed":$q67Removed,""" +
       s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
       s""""q118_quantile_cap_candidates":$q118,"q120_banded_candidates":$q120,""" +
-      s""""q120_banded_r4_candidates":$q120r4,""" +
+      s""""q120_banded_r4_candidates":$q120r4,"q118_5gram_candidates":$fiveGram,""" +
       s""""q85_distinct_cdc_chunks":$q85DistinctChunks,"q85_cdc_chunk_rows":$q85ChunkRows,""" +
       s""""q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +

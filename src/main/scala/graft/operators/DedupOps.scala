@@ -89,10 +89,19 @@ object DedupOps {
     * targets. The histogram is bounded by DISTINCT df values (≪ groups —
     * df is a small-integer count with a long-tail distribution), so its
     * one ordered cumulative-sum window is over a provably tiny table; both
-    * aggregates before it are ordinary distributed hash aggregates. */
-  def capShingleDfQuantile(shingles: DataFrame, q: Double): DataFrame = {
+    * aggregates before it are ordinary distributed hash aggregates.
+    *
+    * `floor` guards the SPARSE edge the round-8 5-gram audit measured:
+    * when more than q of all groups have df = 1 (a wide-shingle universe
+    * on a small corpus), the discrete quantile lands on t = 1 — and a
+    * df ≤ 1 cut drops every SHARED shingle, true duplicates included
+    * (candidates measured to exactly 0). The threshold never goes below
+    * `floor`; the default 1 is a no-op (df ≥ 1 always), production wide-
+    * shingle configs pass ≥ 2 so shared evidence always survives. */
+  def capShingleDfQuantile(shingles: DataFrame, q: Double, floor: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    require(floor >= 1, s"df floor must be >= 1, got $floor")
     val grp = shingles.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
     val hist = grp.groupBy(col("__df")).agg(count(lit(1)).as("__n"))
     // Same arithmetic as cume_dist (cumulative/total as double, >= q), so
@@ -101,7 +110,7 @@ object DedupOps {
       .withColumn("__cum", sum(col("__n")).over(Window.orderBy(col("__df"))))
       .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__tot"))))
       .filter(col("__cum").cast("double") / col("__tot").cast("double") >= q)
-      .agg(min(col("__df")).as("__thr"))
+      .agg(greatest(min(col("__df")), lit(floor.toLong)).as("__thr"))
     shingles
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
       .crossJoin(broadcast(thr))

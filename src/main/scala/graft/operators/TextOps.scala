@@ -74,18 +74,26 @@ object TextOps {
     * sf0.1). This formulation is posexplode(split) + window `lead`, fully
     * codegen'd: ~20× faster, and the per-doc window shuffle is the same
     * doc_id partitioning the downstream groupBy needs anyway. */
-  def shingleRows(df: DataFrame, id: Column, bucket: Column, text: Column): DataFrame = {
+  def shingleRows(df: DataFrame, id: Column, bucket: Column, text: Column,
+      n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     // Partition by (doc_id, bucket), not doc_id alone: nothing forbids a
     // doc appearing under several buckets, and a doc_id-only window would
     // interleave the two row sets' positions (ties on pos), producing
     // cross-bucket garbage shingles.
+    // `n` is the REPRESENTATION knob the round-8 saturation audit turns:
+    // when a corpus's n-gram universe saturates (df high everywhere),
+    // volume knobs (df caps, banding) manage join cost but cannot restore
+    // selectivity — widening the shingle grows the universe geometrically
+    // and drops per-shingle df back to discriminative levels.
     val w = Window.partitionBy("doc_id", "bucket").orderBy("pos")
+    val toks = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
     df.select(id.as("doc_id"), bucket.as("bucket"),
         posexplode(split(text, " ")).as(Seq("pos", "tok")))
       .withColumn("sh",
-        when(lead("tok", 2).over(w).isNotNull,
-          concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w))))
+        when(if (n == 1) lit(true) else lead("tok", n - 1).over(w).isNotNull,
+          concat_ws(" ", toks: _*)))
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), col("bucket"), col("sh"))
       .distinct()

@@ -44,6 +44,13 @@ class ExtensionOpsSpec extends SparkSpec {
       .filter(col("a_id") === 1 && col("b_id") === 2)
       .select("jaccard").as[Double].head()
     assert(jac === 1.0)
+    // width knob: n=5 emits only full 5-grams, n=1 the distinct tokens
+    val r5 = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"), n = 5)
+    assert(r5.filter(col("doc_id") === 1).select("sh").as[String].collect().toSet ===
+      Set("a b c d e"))
+    val r1 = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"), n = 1)
+    assert(r1.filter(col("doc_id") === 1).select("sh").as[String].collect().toSet ===
+      Set("a", "b", "c", "d", "e"))
     val cand = DedupOps.minhashLshCandidatesFromRows(rows, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared_bands")).toMap
     assert(cand((1L, 2L)) === 8L) // identical sets agree on every hash
