@@ -785,4 +785,71 @@ object DedupOps {
         col("est_jaccard"), col("jaccard"),
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
   }
+
+  /** Cross-document repeated-SPAN scrub — the ExactSubstr result of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    * 2022) computed with hash joins instead of a suffix array: a token
+    * position is removed from EVERY document when some `w`-token window
+    * covering it also occurs in at least `minDocs` distinct documents.
+    * [[repeatedChunkRemoval]] (disjoint chunks) and [[cdcChunkRemoval]]
+    * (content-defined cuts) only catch repeats that respect their chunk
+    * boundaries; here the window slides over every token position, so a
+    * repeated passage is caught at ARBITRARY alignment — and because
+    * overlapping hits union into maximal covered spans, the removal is
+    * exactly "every maximal cross-doc-repeated span of length ≥ w", the
+    * suffix-array semantics at w-token resolution.
+    *
+    * Scale design: the gram stream is one row per token (posexplode + the
+    * codegen window-`lead` idiom — HOF `transform` would drop the stage out
+    * of codegen); the df count aggregates on md5(gram) so the shuffle
+    * carries a fixed-width key; the hit join is an equi-join against the
+    * (hash) table of grams with df ≥ minDocs, whose size duplication
+    * density itself bounds. Covered positions come from an explode of
+    * `sequence(pos, pos+w-1)` over HIT grams only — a ≤w× fan-out of the
+    * duplicated region, not the corpus — deduped on the same (doc_id, pos)
+    * key the anti-join consumes. Reassembly is one per-doc aggregate. A
+    * suffix array would find variable-length repeats in O(n log n) single-
+    * node; this trades that for three shuffles that scale out. At 100 TB
+    * the df table is the only state, and grouping by xxhash64 instead of
+    * md5 halves its width (md5 kept here for the cross-engine oracle).
+    *
+    * Returns (doc_id, clean_text, n_kept, n_removed) for EVERY input
+    * document, empty clean_text when fully consumed. Documents shorter
+    * than `w` tokens form no window and are never scrubbed. */
+  def repeatedSpanScrub(docs: DataFrame, id: String, text: Column,
+      w: Int = 5, minDocs: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && minDocs >= 2, "need w >= 1, minDocs >= 2")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col(id).as("doc_id"),
+      posexplode(split(text, " ")).as(Seq("pos", "tok")))
+    val leads = col("tok") +: (1 until w).map(i => lead("tok", i).over(win))
+    val grams = toks
+      .withColumn("gh", when(
+        if (w == 1) lit(true) else lead("tok", w - 1).over(win).isNotNull,
+        md5(concat_ws(" ", leads: _*))))
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("gh"))
+    val covered = grams.join(dup, "gh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reasm = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(id).as("doc_id"),
+        size(split(text, " ")).cast("long").as("__n_toks"))
+      .join(reasm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

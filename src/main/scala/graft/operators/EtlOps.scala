@@ -136,4 +136,57 @@ object EtlOps {
   def writeRawPartitioned(df: DataFrame, vehicleCol: Column, dateCol: Column, path: String): Unit =
     df.withColumn("vehicle_id", vehicleCol).withColumn("date", to_date(dateCol))
       .write.mode("append").partitionBy("vehicle_id", "date").json(path)
+
+  /** Slowly-changing-dimension TYPE-2 merge — the versioned upgrade of
+    * [[upsertNewKeys]]' Type-1 discipline (transform.py:190-195 keeps only
+    * the latest row; a warehouse that must answer "what was this dimension
+    * worth when the fact happened" keeps every version with validity
+    * intervals instead). One batch of updates is applied to a standing
+    * dimension `dim` (key cols + `tracked` cols + `validFrom`/`validTo`,
+    * current rows marked by NULL `validTo`):
+    *
+    *  - a CHANGED current row (any tracked column differs, null-safely) is
+    *    closed (`validTo` = `effective`) and a new current version opens
+    *    at `effective`;
+    *  - an unchanged current row, a current row with no update, and every
+    *    closed history row pass through untouched;
+    *  - an update for an absent key inserts its first current row.
+    *
+    * Callers must feed ONE update row per key per batch (collapse a CDC
+    * stream to last-per-key first — [[graft.streaming.StreamingOps]]'
+    * dedup does exactly that); two same-key updates at one effective date
+    * have no defined version order.
+    *
+    * Plan shape: history rows take a filter-only path that never enters
+    * the join; current rows FULL-OUTER-join the batch on the key (the
+    * batch is typically ≪ dim and broadcastable, but full-outer forces a
+    * shuffle join — at 100 TB both sides hash-partition on the key once
+    * and the two output branches reuse that one exchange). The changed
+    * flag is a null-safe column comparison, the closed/opened variants are
+    * two projections of the SAME joined frame unioned back with history —
+    * no second join, no window. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+      tracked: Seq[String], effective: Column,
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty && tracked.nonEmpty, "need key and tracked columns")
+    val outCols = (keys ++ tracked :+ validFrom :+ validTo).map(col)
+    val hist = dim.filter(col(validTo).isNotNull).select(outCols: _*)
+    val cur = dim.filter(col(validTo).isNull)
+      .withColumn("__has_c", lit(true))
+    val u = updates.select(
+      keys.map(col) ++ tracked.map(c => col(c).as(s"__u_$c")) :+
+        lit(true).as("__has_u"): _*)
+    val j = cur.join(u, keys, "full_outer")
+    val changed = col("__has_c").isNotNull && col("__has_u").isNotNull &&
+      tracked.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+    val toType = dim.schema(validTo).dataType
+    val closedOrKept = j.filter(col("__has_c").isNotNull)
+      .select(keys.map(col) ++ tracked.map(col) :+ col(validFrom) :+
+        when(changed, effective).otherwise(lit(null)).cast(toType).as(validTo): _*)
+    val opened = j.filter(col("__has_u").isNotNull &&
+        (col("__has_c").isNull || changed))
+      .select(keys.map(col) ++ tracked.map(c => col(s"__u_$c").as(c)) :+
+        effective.as(validFrom) :+ lit(null).cast(toType).as(validTo): _*)
+    hist.unionByName(closedOrKept).unionByName(opened)
+  }
 }

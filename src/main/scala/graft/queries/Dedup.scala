@@ -646,7 +646,48 @@ object Dedup extends QueryGroup {
            |  GROUP BY 1, 2)
            |SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""".stripMargin))
 
+  /** X1 sub-document, arbitrary-alignment: ExactSubstr-style repeated-span
+    * scrub ([[DedupOps.repeatedSpanScrub]], w = 5) — every token position
+    * covered by a 5-gram window occurring in ≥ 2 distinct documents is
+    * removed from ALL of them, overlapping hits merging into maximal
+    * spans. The alignment-free upgrade of q67 (disjoint chunks) / q85
+    * (content-defined chunks): those only see repeats that respect a cut
+    * boundary, this catches a passage pasted mid-sentence. Hash-join
+    * formulation of the suffix-array dedup from Lee et al. 2022. */
+  private val q121 = QueryDef(
+    "q121_repeated_span_scrub",
+    (s, dir) => DedupOps.repeatedSpanScrub(
+        Tables.documents(s, dir), "doc_id", col("text"), w = 5)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, i.i AS pos, string_split(text, ' ')[i.i + 1] AS tok
+           |  FROM documents, unnest(range(len(string_split(text, ' ')))) AS i(i)),
+           |grams AS (
+           |  SELECT doc_id, pos,
+           |    md5(concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+           |      lead(tok, 3) OVER w, lead(tok, 4) OVER w)) AS gh,
+           |    (lead(tok, 4) OVER w) IS NOT NULL AS isfull
+           |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |fg AS (SELECT doc_id, pos, gh FROM grams WHERE isfull),
+           |dup AS (SELECT gh FROM fg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+           |cov AS (SELECT DISTINCT fg.doc_id, fg.pos + o.o AS pos
+           |  FROM fg JOIN dup USING (gh), unnest(range(5)) AS o(o)),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+           |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+           |  WHERE c.doc_id IS NULL),
+           |reasm AS (
+           |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           |    count(*) AS n_kept
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(r.clean_text, '') AS clean_text,
+           |  coalesce(r.n_kept, 0) AS n_kept,
+           |  len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS n_removed
+           |FROM documents d LEFT JOIN reasm r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120)
+      q118, q119, q120, q121)
 }

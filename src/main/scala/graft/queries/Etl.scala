@@ -153,5 +153,79 @@ object Etl extends QueryGroup {
            |  AND e.err_us >= c.ts_us + 1 AND e.err_us <= c.ts_us + 3600::BIGINT * 1000000
            |GROUP BY 1 ORDER BY event_id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q14, q15, q16, q42, q43)
+  /** J2 versioned: SCD Type-2 dimension merge ([[EtlOps.scd2Apply]]) — one
+    * update batch against a standing `customer` dimension that already has
+    * history (every key≡0 mod 4 carries a closed 2018→2020 version). The
+    * batch derives three disjoint populations from the same table so every
+    * merge branch is exercised and the oracle stays self-contained:
+    * key≡0 mod 3 changes `bal` (close + reopen), key≡1 mod 3 re-sends
+    * identical values (no-op), keys +1,000,000 are first-seen inserts.
+    * `bal` arithmetic is a single IEEE double addition — deterministic
+    * cross-engine with no rounding step. */
+  private val q122 = QueryDef(
+    "q122_scd2_merge",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val cur = c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("bal"),
+        to_date(lit("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val hist = c.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          (col("c_acctbal") - lit(50.0)).as("bal"),
+          to_date(lit("2018-01-01")).as("valid_from"),
+          to_date(lit("2020-01-01")).as("valid_to"))
+      val upd = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            (col("c_acctbal") + lit(100.5)).as("bal"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 1)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_acctbal").as("bal")))
+        .unionByName(c.filter(col("c_custkey") % 10 === 7)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            lit("NEW").as("segment"), lit(0.0).as("bal")))
+      EtlOps.scd2Apply(hist.unionByName(cur), upd,
+          keys = Seq("c_custkey"), tracked = Seq("segment", "bal"),
+          effective = to_date(lit("2023-06-01")))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""WITH cur AS (
+           |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS bal,
+           |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+           |  FROM customer),
+           |hist AS (
+           |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal - 50.0 AS bal,
+           |    DATE '2018-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+           |  FROM customer WHERE c_custkey % 4 = 0),
+           |upd AS (
+           |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal + 100.5 AS bal
+           |  FROM customer WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey, c_mktsegment, c_acctbal
+           |  FROM customer WHERE c_custkey % 3 = 1
+           |  UNION ALL
+           |  SELECT c_custkey + 1000000, 'NEW', CAST(0.0 AS DOUBLE)
+           |  FROM customer WHERE c_custkey % 10 = 7),
+           |j AS (
+           |  SELECT coalesce(c.c_custkey, u.c_custkey) AS k,
+           |    c.segment AS cs, c.bal AS cb, c.valid_from AS cvf,
+           |    u.segment AS us, u.bal AS ub,
+           |    c.c_custkey IS NOT NULL AS has_c, u.c_custkey IS NOT NULL AS has_u,
+           |    (c.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL AND
+           |     (c.segment IS DISTINCT FROM u.segment
+           |      OR c.bal IS DISTINCT FROM u.bal)) AS chg
+           |  FROM cur c FULL JOIN upd u ON c.c_custkey = u.c_custkey),
+           |sel AS (
+           |  SELECT c_custkey AS k, segment, bal, valid_from, valid_to FROM hist
+           |  UNION ALL
+           |  SELECT k, cs, cb, cvf,
+           |    CASE WHEN chg THEN DATE '2023-06-01' END
+           |  FROM j WHERE has_c
+           |  UNION ALL
+           |  SELECT k, us, ub, DATE '2023-06-01', CAST(NULL AS DATE)
+           |  FROM j WHERE has_u AND (NOT has_c OR chg))
+           |SELECT k AS c_custkey, segment, bal, valid_from, valid_to
+           |FROM sel ORDER BY c_custkey, valid_from""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q14, q15, q16, q42, q43, q122)
 }

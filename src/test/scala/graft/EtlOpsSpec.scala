@@ -134,4 +134,53 @@ class EtlOpsSpec extends SparkSpec {
     // 2022-12-25 is a Sunday, 2022-12-26 a Monday (Weekday)
     assert(tr === Set((101L, 7L, "Sunday", "Out"), (202L, 8L, "Weekday", "Out")))
   }
+
+  test("SCD2: changed rows close + reopen, no-ops and history pass through, new keys insert") {
+    import java.sql.Date
+    val d18 = Date.valueOf("2018-01-01"); val d20 = Date.valueOf("2020-01-01")
+    val eff = Date.valueOf("2023-06-01")
+    val dim = Seq(
+      (1L, "a", d20, null: Date), //  update re-sends identical values: no-op
+      (2L, "b", d20, null: Date), //  update changes the value: close + reopen
+      (3L, "c", d20, null: Date), //  no update at all
+      (4L, "old", d18, d20), //       closed HISTORY row: must pass through
+      (4L, "d", d20, null: Date) //   same key's current row, changed
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, "a"), (2L, "B"), (4L, "D"), (5L, "E")).toDF("k", "v")
+    val got = EtlOps.scd2Apply(dim, upd, keys = Seq("k"), tracked = Seq("v"),
+        effective = lit(eff))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Date]("valid_from"), Option(r.getAs[Date]("valid_to"))))
+      .toSet
+    assert(got === Set(
+      (1L, "a", d20, None),
+      (2L, "b", d20, Some(eff)), (2L, "B", eff, None),
+      (3L, "c", d20, None),
+      (4L, "old", d18, Some(d20)), (4L, "d", d20, Some(eff)), (4L, "D", eff, None),
+      (5L, "E", eff, None)))
+    // applying the SAME batch to the merged result is a fixpoint: every
+    // update now matches its current row's values, so nothing changes.
+    val again = EtlOps.scd2Apply(
+      EtlOps.scd2Apply(dim, upd, Seq("k"), Seq("v"), lit(eff)),
+      upd, Seq("k"), Seq("v"), lit(Date.valueOf("2024-01-01")))
+    assert(again.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+      r.getAs[Date]("valid_from"), Option(r.getAs[Date]("valid_to")))).toSet === got)
+  }
+
+  test("SCD2: tracked-column comparison is null-safe (null→null no-op, null→value change)") {
+    import java.sql.Date
+    val d20 = Date.valueOf("2020-01-01"); val eff = Date.valueOf("2023-06-01")
+    val dim = Seq((1L, null: String, d20, null: Date), (2L, null: String, d20, null: Date))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1L, null: String), (2L, "x")).toDF("k", "v")
+    val got = EtlOps.scd2Apply(dim, upd, Seq("k"), Seq("v"), lit(eff))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("v")),
+        Option(r.getAs[Date]("valid_to"))))
+      .toSet
+    assert(got === Set(
+      (1L, None, None), //                      null == null: unchanged
+      (2L, None, Some(eff)), (2L, Some("x"), None)))
+  }
 }

@@ -721,6 +721,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(keptGroups(DedupOps.capShingleDf(shingles(10), 50)) === 5L)
   }
 
+  test("X1: repeated-span scrub removes a cross-doc passage at ANY alignment, merging overlaps") {
+    val df = Seq(
+      (1L, "u1 u2 A B C D E F u3"), // shared passage at offset 2
+      (2L, "v1 A B C D E F v2 v3"), // same passage at offset 1
+      (3L, "A B C D"), //              shorter than w: forms no window, never scrubbed
+      (4L, "w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    val r = DedupOps.repeatedSpanScrub(df, "doc_id", col("text"), w = 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_kept"), x.getAs[Long]("n_removed"))))
+      .toMap
+    // A..F is 6 tokens: two overlapping 5-gram hits per doc union into the
+    // one maximal span, at different offsets in each doc.
+    assert(r(1L) === (("u1 u2 u3", 3L, 6L)))
+    assert(r(2L) === (("v1 v2 v3", 3L, 6L)))
+    assert(r(3L) === (("A B C D", 4L, 0L)))
+    assert(r(4L) === (("w1 w2 w3 w4 w5 w6 w7", 7L, 0L)))
+  }
+
+  test("X1: repeated-span scrub — fully-consumed docs surface with empty text; within-doc repeats don't count") {
+    val df = Seq(
+      (1L, "X Y Z W Q"), //            exact twins: fully consumed
+      (2L, "X Y Z W Q"),
+      (3L, "P Q2 R S T m P Q2 R S T") // repeat WITHIN one doc: df=1, kept
+    ).toDF("doc_id", "text")
+    val r = DedupOps.repeatedSpanScrub(df, "doc_id", col("text"), w = 5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_kept"), x.getAs[Long]("n_removed"))))
+      .toMap
+    assert(r(1L) === (("", 0L, 5L)))
+    assert(r(2L) === (("", 0L, 5L)))
+    assert(r(3L) === (("P Q2 R S T m P Q2 R S T", 11L, 0L)))
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),
