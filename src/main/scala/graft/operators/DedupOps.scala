@@ -310,6 +310,51 @@ object DedupOps {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Exact-Jaccard VERIFY over an EXPLICIT candidate-pair list — the stage
+    * between a calibrated candidate generator (quantile-capped banded LSH)
+    * and clustering. Unlike [[jaccardPairsFromRows]], which joins every
+    * shared shingle corpus-wide (quadratic in per-shingle df on a
+    * saturated corpus), this routes the shingle stream THROUGH the pair
+    * list: cost is |candidates| × avg shingle-set size, so the verify bill
+    * can never exceed what the generator was calibrated to emit — the
+    * round-7 sf1 lesson (an uncalibrated 123k-pair pool honestly amplified
+    * through edit-distance verify to 207 s) encoded as an operator whose
+    * cost is BOUNDED BY its input.
+    *
+    * Jaccard is computed on the FULL (uncapped, unblocked) sets: true
+    * similarity is a property of the documents, not of the blocking scheme
+    * that surfaced the pair, so the df cap that bounded candidate
+    * GENERATION does not bias the verdict. Output: (a_id, b_id, n_common,
+    * a_size, b_size, jaccard), pairs at or above `threshold` only. */
+  def jaccardVerifyPairs(cand: DataFrame, shingles: DataFrame,
+      threshold: Double): DataFrame = {
+    // One row per pair MEMBER (side 0 = a, 1 = b), then ONE join against the
+    // distinct shingle stream: the shingle pipeline is EVALUATED ONCE, and
+    // set sizes fall out of the same joined stream (the join on doc_id alone
+    // carries every shingle of each member doc, so the per-side row count IS
+    // |A| / |B|) — no doc-level window, no second sizes aggregate. No
+    // broadcast HINT on the member table: a calibrated pool is tiny and AQE
+    // converts the join to broadcast at runtime (probe side read locally),
+    // while an uncalibrated multi-million-pair pool degrades to a shuffle
+    // join instead of blowing up the driver.
+    val pairs = cand.select(col("a_id"), col("b_id"))
+    val members = pairs.select(col("a_id"), col("b_id"), col("a_id").as("doc_id"), lit(0).as("side"))
+      .union(pairs.select(col("a_id"), col("b_id"), col("b_id").as("doc_id"), lit(1).as("side")))
+    val rows = shingles.select(col("doc_id"), col("sh")).distinct()
+    members.join(rows, "doc_id")
+      .groupBy(col("a_id"), col("b_id"), col("sh"))
+      .agg(count(lit(1)).as("__hits"),
+        sum(when(col("side") === 0, 1L)).as("__a1"),
+        sum(when(col("side") === 1, 1L)).as("__b1"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(when(col("__hits") === 2, 1L)).as("n_common"),
+        sum(col("__a1")).as("a_size"), sum(col("__b1")).as("b_size"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** X2 (n-gram Jaccard verifier): true Jaccard over shingle sets for pairs
     * sharing ≥1 shingle inside a bucket. The shingle join generates only
     * pairs with nonzero intersection — never the cross product. */

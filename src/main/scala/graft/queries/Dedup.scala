@@ -687,7 +687,93 @@ object Dedup extends QueryGroup {
            |FROM documents d LEFT JOIN reasm r USING (doc_id)
            |ORDER BY doc_id""".stripMargin))
 
+  /** X1+X2+X8 END-TO-END: the calibrated near-dup scrub a production
+    * training-data pipeline actually runs, as ONE oracle-checked query —
+    * every knob the round-7/8 saturation audits measured, composed in
+    * their production operating points: 5-gram shingles (the
+    * REPRESENTATION knob — restores per-shingle selectivity on a
+    * saturated corpus, 590× candidate collapse at sf1), quantile df cap
+    * with floor 2 (stays LIVE as df distributions shift, never collapses
+    * on a sparse universe), banded MinHash r = 2 (the S-curve crushes
+    * low-Jaccard band collisions), exact-Jaccard verify on FULL sets
+    * ([[DedupOps.jaccardVerifyPairs]] — cost bounded by the calibrated
+    * pool, and LSH candidates never feed CC unverified: the q53 giant-
+    * cluster lesson), connected components, min-id keeper per cluster,
+    * reported as the per-source scrub bill (n_docs, n_dropped) a data
+    * card records. */
+  private val q124 = QueryDef(
+    "q124_calibrated_neardup_scrub",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh5 = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
+      val cand = DedupOps.minhashLshCandidatesBanded(
+        DedupOps.capShingleDfQuantile(sh5, q = 0.95, floor = 2),
+        numHashes = 8, rowsPerBand = 2)
+      val verified = DedupOps.jaccardVerifyPairs(cand, sh5, threshold = 0.5)
+      val comps = graft.operators.GraphOps.connectedComponents(verified, "a_id", "b_id")
+      val dropped = comps.filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"), lit(true).as("is_dup"))
+      docs.join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("is_dup")).as("n_dropped"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH RECURSIVE sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+           |      THEN list_transform(range(len(string_split(text,' ')) - 4),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           |          || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]
+           |          || ' ' || string_split(text,' ')[i+5])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |sizes AS (SELECT doc_id, len(shset) AS setsize FROM sets WHERE len(shset) > 0),
+           |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
+           |thr AS (SELECT greatest(min(df), 2) AS t FROM (
+           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
+           |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN dfs USING (sh), thr
+           |  WHERE dfs.df <= thr.t),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |mh AS (
+           |  SELECT doc_id, j.j AS j, min(h1 + j.j * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(j)
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, j // 2 AS band, string_agg(h::VARCHAR, ':' ORDER BY j) AS bk
+           |  FROM mh GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+           |cmn AS (
+           |  SELECT p.a_id, p.b_id, count(*) AS n_common
+           |  FROM pairs p
+           |  JOIN ex0 a ON a.doc_id = p.a_id
+           |  JOIN ex0 b ON b.doc_id = p.b_id AND b.sh = a.sh
+           |  GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM cmn
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(CAST(n_common AS DOUBLE)
+           |      / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) >= 0.5),
+           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+           |walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+           |dropped AS (SELECT node AS doc_id FROM comps WHERE node <> comp)
+           |SELECT d.source, count(*) AS n_docs, count(dr.doc_id) AS n_dropped
+           |FROM documents d LEFT JOIN dropped dr USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121)
+      q118, q119, q120, q121, q124)
 }

@@ -688,7 +688,35 @@ object Similarity extends QueryGroup {
          |FROM flg ORDER BY n_tables, n_planes""".stripMargin
     })
 
+  /** X3+X7 (cluster-balanced curation — the SemDeDup/topic-balance shape):
+    * train the coarse quantizer (q41's deterministic Lloyd, k = 8, 2
+    * iterations), assign every vector to its cluster, then draw a
+    * DETERMINISTIC uniform quota (25) per cluster ([[graft.operators
+    * .CurationOps.quotaSample]]'s md5-ranked draw). Semantic clusters play
+    * the role sources play in q46: a corpus whose topics are wildly
+    * imbalanced gets sampled back to topic parity — the embedding-space
+    * version of mixture balancing, and the selection step SemDeDup-style
+    * pipelines run after clustering. Oracle: the unrolled-Lloyd CTE chain
+    * (identical arithmetic, rounded centroids) + QUALIFY row_number over
+    * the same md5 priority — exact, not approximate. */
+  private val q123 = QueryDef(
+    "q123_cluster_balanced_sample",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (assign, _) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.operators.CurationOps.quotaSample(assign, col("cluster"), col("vec_id"), k = 25)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("cluster"), col("vec_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |${OracleSql.kmeansCtes("k_", "e", k = 8, iters = 2, dim = 64)},
+           |asg AS (${OracleSql.kmeansAssignSelect("k_c2", "e")}),
+           |samp AS (SELECT vec_id, CAST(cluster AS INT) AS cluster FROM asg
+           |  QUALIFY row_number() OVER (PARTITION BY cluster
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 25)
+           |SELECT vec_id, cluster FROM samp ORDER BY cluster, vec_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
-      q102, q110, q112, q116, q117)
+      q102, q110, q112, q116, q117, q123)
 }

@@ -114,6 +114,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(sigs.values.forall(_ >= 0L)) // bit 63 never set: positive in every engine
   }
 
+  test("X2: jaccardVerifyPairs — exact full-set jaccard, bounded by the candidate list") {
+    val docs = Seq(
+      (1L, "a b c d e f", "s"), (2L, "a b c d e g", "s"),
+      (3L, "a b c x y z", "s"), (4L, "p q r s t u", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"))
+    // the corpus-wide shared-shingle join is the semantics reference
+    val ref = DedupOps.jaccardPairsFromRows(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(ref.contains((1L, 3L))) // they DO share "a b c" corpus-wide...
+    // ...but the candidate list deliberately omits (1,3): verify must never
+    // resurrect a pair the generator didn't emit (cost bounded by input)
+    val cand = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = DedupOps.jaccardVerifyPairs(cand, rows, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(got.keySet === Set((1L, 2L))) // (3,4) share nothing → no row
+    assert(got((1L, 2L)) === ref((1L, 2L))) // same jaccard as the full join
+    // threshold is applied to the verified value
+    assert(DedupOps.jaccardVerifyPairs(cand, rows, got((1L, 2L)) + 0.01).count() === 0L)
+  }
+
   test("X2: banded simhash candidates equal the all-pairs result for Hamming <= 6") {
     // Near pairs guaranteed by construction: two identical-token-set groups
     // (Hamming 0 within a group) plus one-token perturbations of group A
