@@ -141,10 +141,24 @@ object ScaleAudit {
     // can land on t = 1, which drops every SHARED shingle (true dups
     // included — measured as exactly 0 candidates at sf0.01 without the
     // floor). The floor keeps shared evidence alive at any sparsity.
+    val fiveGramSh = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
+      .localCheckpoint(true)
     val fiveGram = DedupOps.minhashLshCandidatesFromRows(
-      DedupOps.capShingleDfQuantile(
-        TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5),
-        0.95, floor = 2), 8).count()
+      DedupOps.capShingleDfQuantile(fiveGramSh, 0.95, floor = 2), 8).count()
+    // q124 end-to-end rows: the same 5-gram quantile-capped pool banded at
+    // r = 2 (its candidate generator) and the exact-Jaccard-verified
+    // (≥ 0.5) edge set that feeds CC. The verify pool is the number that
+    // closes round 7's q65 ledger: verify cost is structurally bounded by
+    // the generator's output (jaccardVerifyPairs routes the shingle stream
+    // through the pair list), so these two rows growing linearly IS the
+    // proof the whole scrub stays linear.
+    val q124Cand = DedupOps.minhashLshCandidatesBanded(
+      DedupOps.capShingleDfQuantile(fiveGramSh, 0.95, floor = 2), 8, rowsPerBand = 2)
+      .localCheckpoint(true)
+    val q124CandN = q124Cand.count()
+    val q124Verified = DedupOps.jaccardVerifyPairs(q124Cand, fiveGramSh, 0.5).count()
+    fiveGramSh.unpersist(false)
+    q124Cand.unpersist(false)
 
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
@@ -247,6 +261,7 @@ object ScaleAudit {
       s""""q73_tfidf_pairs":$q73,"q78_global_minhash_candidates":$q78,""" +
       s""""q118_quantile_cap_candidates":$q118,"q120_banded_candidates":$q120,""" +
       s""""q120_banded_r4_candidates":$q120r4,"q118_5gram_candidates":$fiveGram,""" +
+      s""""q124_banded_5gram_candidates":$q124CandN,"q124_verified_pairs":$q124Verified,""" +
       s""""q85_distinct_cdc_chunks":$q85DistinctChunks,"q85_cdc_chunk_rows":$q85ChunkRows,""" +
       s""""q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
