@@ -141,6 +141,41 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("X2: pair-list verify equals the corpus-wide jaccard join restricted to those pairs") =
+    Prop.secure {
+      // jaccardVerifyPairs must report, for every OFFERED pair, exactly the
+      // (n_common, a_size, b_size, jaccard) the corpus-wide shared-shingle
+      // join computes — and nothing for pairs it wasn't offered. Random
+      // corpora over a 4-word alphabet (heavy shingle collisions) and random
+      // candidate masks, including docs too short to shingle (such pairs
+      // must vanish on both sides). Fixed-seed batch: each case pays the
+      // corpus-wide join AND the verify pipeline.
+      val rng = new scala.util.Random(20260814L)
+      import graft.operators.TextOps
+      (1 to 8).forall { _ =>
+        val n = rng.nextInt(5) + 2
+        val docs = (1L to n.toLong).map { i =>
+          (i, List.fill(rng.nextInt(8) + 1)("abcd".charAt(rng.nextInt(4)).toString).mkString(" "))
+        }
+        val cand = (for { a <- 1L to n.toLong; b <- (a + 1) to n.toLong if rng.nextBoolean() }
+          yield (a, b)).toList
+        cand.isEmpty || {
+          val sh = TextOps.shingleRows(docs.toDF("doc_id", "text"),
+            col("doc_id"), lit("all"), col("text"))
+          def tuples(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+            (r.getLong(0), r.getLong(1)) ->
+              ((r.getAs[Long]("n_common"), r.getAs[Long]("a_size"),
+                r.getAs[Long]("b_size"), r.getAs[Double]("jaccard")))
+          }.toMap
+          val ref = tuples(DedupOps.jaccardPairsFromRows(sh)
+            .select("a_id", "b_id", "n_common", "a_size", "b_size", "jaccard"))
+          val got = tuples(DedupOps.jaccardVerifyPairs(cand.toDF("a_id", "b_id"), sh, 0.0)
+            .select("a_id", "b_id", "n_common", "a_size", "b_size", "jaccard"))
+          got == ref.view.filterKeys(cand.toSet).toMap
+        }
+      }
+    }
+
   property("X8: contracted CC labels equal uncontracted CC labels on any graph") =
     Prop.secure {
       // The contraction rewrite must never change the RESULT, only the
