@@ -100,22 +100,34 @@ object DedupOps {
     * shingle configs pass ≥ 2 so shared evidence always survives. */
   def capShingleDfQuantile(shingles: DataFrame, q: Double, floor: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
-    require(floor >= 1, s"df floor must be >= 1, got $floor")
     val grp = shingles.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
-    val hist = grp.groupBy(col("__df")).agg(count(lit(1)).as("__n"))
-    // Same arithmetic as cume_dist (cumulative/total as double, >= q), so
-    // the threshold — and every downstream oracle hash — is unchanged.
-    val thr = hist
-      .withColumn("__cum", sum(col("__n")).over(Window.orderBy(col("__df"))))
-      .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__tot"))))
-      .filter(col("__cum").cast("double") / col("__tot").cast("double") >= q)
-      .agg(greatest(min(col("__df")), lit(floor.toLong)).as("__thr"))
+    val thr = dfQuantileThreshold(grp.select(col("__df")), q, floor)
     shingles
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
       .crossJoin(broadcast(thr))
       .filter(col("__df") <= col("__thr"))
       .drop("__df", "__thr")
+  }
+
+  /** The discrete q-quantile threshold (never below `floor`) of a `__df`
+    * column, as a broadcastable 1-row (__thr) frame — the calibration
+    * arithmetic of [[capShingleDfQuantile]], exposed so an INCREMENTAL
+    * maintainer (a standing per-batch df-stats table in streaming — see
+    * [[graft.streaming.StreamingOps]]) computes the identical threshold a
+    * batch recompute over the same corpus would. Histogram-based: cost
+    * bounded by DISTINCT df values, not by vocabulary size; the cumulative/
+    * total arithmetic matches cume_dist exactly, so oracle hashes keyed on
+    * the threshold are engine- and path-independent. */
+  def dfQuantileThreshold(dfCol: DataFrame, q: Double, floor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    require(floor >= 1, s"df floor must be >= 1, got $floor")
+    val hist = dfCol.groupBy(col("__df")).agg(count(lit(1)).as("__n"))
+    hist
+      .withColumn("__cum", sum(col("__n")).over(Window.orderBy(col("__df"))))
+      .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__tot"))))
+      .filter(col("__cum").cast("double") / col("__tot").cast("double") >= q)
+      .agg(greatest(min(col("__df")), lit(floor.toLong)).as("__thr"))
   }
 
   /** X2 (MinHash+LSH, row form — the scale path): same candidate semantics

@@ -217,6 +217,96 @@ object StreamingOps {
         } finally bands.unpersist(false)
       }
 
+  /** X2 (streaming, CALIBRATED): [[streamingLshSuspects]] with the
+    * quantile df cap maintained INCREMENTALLY — the streaming form of the
+    * round-7/8 saturation lesson. A fixed df cap set at deploy time
+    * silently flips from no-op to drop-everything as the corpus saturates
+    * (and a batch-local quantile would see only the batch's own df, never
+    * the corpus's), so the operator keeps a SECOND standing table next to
+    * the band index: per-batch (bucket, sh, __df) partial counts under
+    * `batch=<id>`. Each micro-batch (1) sums prior partials with its own
+    * — the standing GLOBAL df of every shingle seen so far, (2) derives
+    * the df threshold from that table's histogram
+    * ([[graft.operators.DedupOps.dfQuantileThreshold]] — BIT-IDENTICAL to
+    * what a full-corpus recompute would calibrate, spec-proven), (3) caps
+    * its shingles by the standing df, bands the survivors (r rows/band),
+    * probes the standing band index + its own earlier-id rows exactly as
+    * the uncalibrated op, and (4) registers its bands and its df partials.
+    * Each output row carries the batch's `df_threshold` for observability.
+    *
+    * Signature drift is the honest trade: as the threshold moves,
+    * signatures of NEW batches are computed over a slightly different
+    * capped universe than old index entries — which only costs RECALL
+    * (suspects feed a verifier downstream; a missed collision is the
+    * documented LSH trade, a false one is verified away). Production
+    * re-indexes on a cadence; the standing stats table is exactly what
+    * that rebuild needs. Per-batch work stays corpus-size-independent in
+    * ROWS SCANNED (the batch's own passes + two index equi-joins + one
+    * df-stats aggregate whose input is the standing vocabulary — the
+    * q50-measured SATURATING table, not the corpus); same replay contract
+    * as the uncalibrated op (stats and bands partitions overwritten,
+    * probe reads batch < current only). */
+  def streamingCalibratedLshSuspects(docs: DataFrame, checkpoint: String,
+      indexPath: String, statsPath: String, outPath: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, q: Double = 0.95,
+      floor: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{DedupOps, TextOps}
+        val sh = TextOps.shingleRows(batch.toDF(), col("doc_id"), lit("all"), col("text"))
+          .persist() // df-counted, capped, AND banded — compute once
+        try {
+          val batchDf = sh.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
+          val prior =
+            try Some(spark.read.option("basePath", statsPath).parquet(statsPath)
+              .filter(col("batch") < id).drop("batch"))
+            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no stats yet
+          val standing = prior match {
+            case Some(p) => p.unionByName(batchDf)
+              .groupBy(col("bucket"), col("sh")).agg(sum(col("__df")).as("__df"))
+            case None => batchDf
+          }
+          val thr = DedupOps.dfQuantileThreshold(standing.select(col("__df")), q, floor)
+          val capped = sh.join(standing, Seq("bucket", "sh"))
+            .crossJoin(broadcast(thr))
+            .filter(col("__df") <= col("__thr"))
+            .select(col("doc_id"), col("bucket"), col("sh"))
+          val bands = DedupOps.minhashBandedRows(capped, numHashes, rowsPerBand)
+            .withColumnRenamed("bk", "h")
+            .persist() // probed AND registered — compute the signatures once
+          try {
+            val index =
+              try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
+                .filter(col("batch") < id).drop("batch"))
+              catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
+            val flagged = index match {
+              case Some(idx) => DedupOps.incrementalLshSuspects(bands, idx)
+              case None => bands.select(col("doc_id")).distinct()
+                .withColumn("lsh_suspect", lit(false))
+            }
+            val intra = bands.as("p").join(bands.as("e"),
+                col("p.bucket") === col("e.bucket") && col("p.band") === col("e.band") &&
+                  col("p.h") === col("e.h") && col("e.doc_id") < col("p.doc_id"),
+                "left_semi")
+              .select(col("doc_id")).distinct().withColumn("__intra", lit(true))
+            batch.toDF().join(flagged, Seq("doc_id"), "left")
+              .join(intra, Seq("doc_id"), "left")
+              .crossJoin(broadcast(thr))
+              // docs too short to shingle — or whose every shingle the cap
+              // dropped — have no bands and are never suspects
+              .withColumn("lsh_suspect",
+                coalesce(col("lsh_suspect"), lit(false)) || coalesce(col("__intra"), lit(false)))
+              .withColumn("df_threshold", col("__thr"))
+              .drop("__intra", "__thr")
+              .write.mode("append").parquet(outPath)
+            bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+            batchDf.write.mode("overwrite").parquet(s"$statsPath/batch=$id")
+          } finally bands.unpersist(false)
+        } finally sh.unpersist(false)
+      }
+
   /** X2/X3 (streaming): the EMBEDDING analogue of [[streamingLshSuspects]]
     * — incremental SEMANTIC near-dup suspect flagging. Each micro-batch
     * sign-LSH-buckets its vectors under the given OR-ed plane tables

@@ -98,6 +98,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X2-stream calibrated: standing df stats recalibrate the quantile cap to the full-corpus threshold") {
+    import graft.operators.{DedupOps, TextOps}
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val (cp, idx, st, out) = (tmp("clsh_cp"), tmp("clsh_idx"), tmp("clsh_st"), tmp("clsh_out"))
+    val q = StreamingOps.streamingCalibratedLshSuspects(docs, cp, idx, st, out).start()
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "one two three four five six seven eight nine ten")),
+      Seq((3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4L, "totally novel words appearing nowhere else in any batch here"),
+        (5L, "xy")))
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val outDf = spark.read.parquet(out)
+      val flags = outDf.select(col("doc_id"), col("lsh_suspect")).as[(Long, Boolean)].collect().toMap
+      // doc 3 repeats doc 1 across batches → suspect; novel and too-short docs admitted
+      assert(flags === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
+      // each batch's recorded threshold equals a batch recompute of the
+      // full-corpus-so-far quantile threshold — incremental ≡ recompute
+      val thrByDoc = outDf.select(col("doc_id"), col("df_threshold")).as[(Long, Long)].collect().toMap
+      batches.indices.foreach { k =>
+        val corpusSoFar = batches.take(k + 1).flatten.toDF("doc_id", "text")
+        val grp = TextOps.shingleRows(corpusSoFar, col("doc_id"), lit("all"), col("text"))
+          .groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
+        val expected = DedupOps.dfQuantileThreshold(grp.select(col("__df")), 0.95, 2)
+          .head.getLong(0)
+        batches(k).map(_._1).filter(thrByDoc.contains).foreach { d =>
+          assert(thrByDoc(d) === expected, s"batch $k doc $d")
+        }
+      }
+      // the standing stats table aggregates to the true corpus df
+      val standing = spark.read.option("basePath", st).parquet(st).drop("batch")
+        .groupBy(col("bucket"), col("sh")).agg(sum(col("__df")).as("__df"))
+      val full = TextOps.shingleRows(batches.flatten.toDF("doc_id", "text"),
+          col("doc_id"), lit("all"), col("text"))
+        .groupBy(col("bucket"), col("sh")).agg(count(lit(1)).cast("long").as("__df"))
+      assert(standing.exceptAll(full).isEmpty && full.exceptAll(standing).isEmpty)
+    } finally q.stop()
+  }
+
   test("X3-stream: semantic suspects — cross-batch and intra-batch bucket collisions flag") {
     import graft.operators.SimilarityOps
     val input = MemoryStream[(Long, Array[Double])](spark)
