@@ -157,6 +157,16 @@ object ScaleAudit {
       .localCheckpoint(true)
     val q124CandN = q124Cand.count()
     val q124Verified = DedupOps.jaccardVerifyPairs(q124Cand, fiveGramSh, 0.5).count()
+    // Ground truth for the scrub's RECALL: every pair whose exact 5-gram
+    // Jaccard ≥ 0.5, from the uncapped corpus-wide shared-shingle join
+    // (affordable here precisely because 5-gram df is discriminative —
+    // the representation-knob finding). jaccardVerifyPairs computes the
+    // IDENTICAL metric over the identical sets, so verified ⊆ true by
+    // construction and recall = q124_verified_pairs / q124_true_pairs —
+    // what the cap+banding generation stage gave up, isolated from any
+    // verify-stage error.
+    val q124True = DedupOps.jaccardPairsFromRows(fiveGramSh)
+      .filter(col("jaccard") >= 0.5).count()
     fiveGramSh.unpersist(false)
     q124Cand.unpersist(false)
 
@@ -262,6 +272,7 @@ object ScaleAudit {
       s""""q118_quantile_cap_candidates":$q118,"q120_banded_candidates":$q120,""" +
       s""""q120_banded_r4_candidates":$q120r4,"q118_5gram_candidates":$fiveGram,""" +
       s""""q124_banded_5gram_candidates":$q124CandN,"q124_verified_pairs":$q124Verified,""" +
+      s""""q124_true_pairs":$q124True,""" +
       s""""q85_distinct_cdc_chunks":$q85DistinctChunks,"q85_cdc_chunk_rows":$q85ChunkRows,""" +
       s""""q85_chunks_removed":$q85Removed,""" +
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
