@@ -87,6 +87,100 @@ object ClassifierOps {
     (raw :+ bias).toSeq
   }
 
+  /** The rational ("fast") sigmoid σ̃(t) = 0.5·(1 + h/(1+|h|)), h = t/2 —
+    * same shape as the logistic curve (σ̃(0)=0.5, monotone, saturating,
+    * σ̃'(0)=0.25=σ'(0)) but built ONLY from IEEE-exact operations (÷2, abs,
+    * +, ÷, ×), each of which is correctly rounded by the standard. Two
+    * engines evaluating this expression over identical inputs in the
+    * written order produce BIT-IDENTICAL doubles — unlike exp(), whose
+    * libm implementations (JVM StrictMath vs C++ std::exp) may differ in
+    * the last ulp per call. This is what lets [[logisticTrainExact]] carry
+    * a hard cross-engine hash oracle instead of a rows-only check. */
+  def rationalSigmoid(t: Column): Column = {
+    val h = t / lit(2d)
+    lit(0.5) * (lit(1d) + h / (lit(1d) + abs(h)))
+  }
+
+  /** [[logisticTrain]]'s by-construction-deterministic sibling — the
+    * variant whose fixed-iteration training loop is EXACTLY reproducible
+    * by another engine (the DuckDB oracle unrolls it as a CTE chain,
+    * [[graft.queries.OracleSql.logisticCtes]]), the same discipline that
+    * took the k-means family (q41/q90/q95) from rows-check to hash-match:
+    *
+    *  - the link is [[rationalSigmoid]] (IEEE-exact ops only, no exp);
+    *  - standardization stats are ROUNDED (1e-6, −0.0-normalized; sd
+    *    floored at 1e-6) before any z is computed — avg/stddev sum floats
+    *    in engine-specific order, so only rounding both sides makes the
+    *    standardized features identical by construction;
+    *  - each iteration's MEAN gradient is rounded the same way before the
+    *    update, so the weight trajectory is a sequence of exactly-equal
+    *    doubles on both engines (w' = w − lr·g is one exactly-rounded
+    *    multiply-subtract over identical operands).
+    *
+    * Scale posture is [[logisticTrain]]'s unchanged: persisted
+    * standardized projection, one (d+1)-sum aggregate per iteration,
+    * driver state = the weights. Returns (weights over STANDARDIZED
+    * features with bias last, rounded means, rounded floored sds) — score
+    * with the same standardization, e.g. via [[scoreStandardized]]. */
+  def logisticTrainExact(df: DataFrame, features: Seq[Column], label: Column,
+      lr: Double = 1.0, iters: Int = 10): (Seq[Double], Seq[Double], Seq[Double]) = {
+    require(features.nonEmpty, "need at least one feature")
+    require(iters >= 0 && lr > 0, s"need iters >= 0 and lr > 0, got $iters, $lr")
+    val d = features.size
+    val data = df.select(
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }
+        :+ label.cast("boolean").cast("double").as("y"): _*)
+      .na.drop()
+    val statAggs = (0 until d).flatMap(i => Seq(
+      graft.engine.Semantics.roundz(avg(col(s"f$i")), 6).as(s"m$i"),
+      greatest(graft.engine.Semantics.roundz(stddev_pop(col(s"f$i")), 6), lit(1e-6)).as(s"s$i")))
+    val st = data.agg(statAggs.head, statAggs.tail: _*).head()
+    (0 until d).foreach { i =>
+      require(!st.isNullAt(2 * i),
+        s"cannot train: input is empty or feature $i is all-null")
+    }
+    val mean = Array.tabulate(d)(i => st.getDouble(2 * i))
+    val sd = Array.tabulate(d)(i => st.getDouble(2 * i + 1))
+    val z = data.select(
+      (0 until d).map(i => ((col(s"f$i") - mean(i)) / sd(i)).as(s"z$i"))
+        :+ col("y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = z.count().toDouble
+    val w = Array.fill(d + 1)(0.0) // bias last
+    for (_ <- 0 until iters) {
+      // Margin accumulates bias-first then features in order — the oracle
+      // writes the same parenthesisation, so each per-row margin (and the
+      // rational-sigmoid residual it feeds) is bit-identical cross-engine.
+      val margin = (0 until d).map(i => col(s"z$i") * lit(w(i)))
+        .foldLeft(lit(w(d)))(_ + _)
+      val resid = rationalSigmoid(margin) - col("y")
+      val g = z.agg(
+        graft.engine.Semantics.roundz(sum(resid) / lit(n), 6).as("gb"),
+        (0 until d).map(i =>
+          graft.engine.Semantics.roundz(sum(resid * col(s"z$i")) / lit(n), 6).as(s"g$i")): _*)
+        .head()
+      w(d) -= lr * g.getDouble(0)
+      for (i <- 0 until d) w(i) -= lr * g.getDouble(i + 1)
+    }
+    z.unpersist(blocking = false)
+    (w.toSeq, mean.toSeq, sd.toSeq)
+  }
+
+  /** σ̃(w·z + b) over RAW feature columns, standardizing with the (mean,
+    * sd) [[logisticTrainExact]] returned — the exact-variant's scoring
+    * expression, pure codegen'd map work like [[score]]. The z-terms and
+    * the margin accumulate in the same order as training, so the oracle's
+    * scoring CTE reproduces every probability bit-for-bit. */
+  def scoreStandardized(features: Seq[Column], weights: Seq[Double],
+      means: Seq[Double], sds: Seq[Double]): Column = {
+    require(weights.size == features.size + 1,
+      s"need ${features.size + 1} weights (bias last), got ${weights.size}")
+    val margin = features.zipWithIndex
+      .map { case (f, i) => (f.cast("double") - lit(means(i))) / lit(sds(i)) * lit(weights(i)) }
+      .foldLeft(lit(weights.last))(_ + _)
+    rationalSigmoid(margin)
+  }
+
   /** σ(w·x + b) over RAW feature columns with [[logisticTrain]]'s returned
     * weights (bias last) — a pure codegen'd expression: the full-corpus
     * scoring pass is map work, zero shuffle. */

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable distinct-count sketching (A3's scale rung; SURVEY §2.5).
+  *
+  * q36 uses Spark's native HyperLogLog++ (`approx_count_distinct`) — the
+  * right production choice, but its sketch is engine-specific, so the
+  * correctness gate can only rows-check it. This object is the
+  * BY-CONSTRUCTION-DETERMINISTIC sibling: a HyperLogLog whose every step
+  * (hash, bucketing, rank, harmonic sum) is defined in engine-portable
+  * arithmetic, so an independent engine re-executing the definition
+  * reproduces the estimate BIT-FOR-BIT — the same discipline that gave
+  * the iterative trainers hard oracles (q41/q90/q95/q125).
+  *
+  *  - hash = md5 (both engines emit identical lowercase hex);
+  *  - bucket = first p/4 hex chars; rank input w = the next 13 hex chars
+  *    (52 bits) — integer substring parses, no float;
+  *  - rho = 53 − bitlength(w) (w = 0 ⇒ 53), via `bin()` string length —
+  *    both engines strip leading zeros, no log2() call;
+  *  - the harmonic sum Σ 2^−M_j is kept in FIXED POINT as
+  *    Σ 2^(53−M_j) — an exact BIGINT (≤ m·2^53 < 2^63), so the one float
+  *    division at the end operates on identical operands in both engines
+  *    and is IEEE-exactly-rounded to the same double.
+  *
+  * The estimate is the RAW HLL estimator α_m·m²/Z — deliberately without
+  * the small-range linear-counting correction, whose ln() would
+  * reintroduce libm dependence (Java vs C log differ in the last ulp).
+  * The spec covers accuracy where the raw estimator is in its regime
+  * (n ≳ 2.5·m); below that the reported `rel_err` column documents the
+  * textbook small-range bias honestly.
+  *
+  * Scale: one hash-aggregate pass to m partial-merged registers — the
+  * same constant-state posture as the native HLL; at 100 TB the register
+  * table is m rows regardless of corpus size.
+  */
+object SketchOps {
+
+  /** (bucket, reg) register table for a deterministic HLL over `key`:
+    * all 2^p buckets present (unhit buckets hold 0), reg = max rho. */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
+    val spark = df.sparkSession
+    val hexChars = p / 4
+    val h = md5(key.cast("string"))
+    val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("long")
+    val hit = df.select(
+        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+    spark.range(1L << p).select(col("id").as("bucket"))
+      .join(hit, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
+  }
+
+  /** One-row raw-HLL estimate from [[hllRegisters]]: m, the count of
+    * nonzero registers, the exact fixed-point harmonic numerator
+    * Σ 2^(53−reg) (bigint), and the raw estimate α_m·m²·2^53/S rounded
+    * 1e-6. Literal-arithmetic α and one exactly-rounded division keep the
+    * float path bit-identical across engines. */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = (1L << p).toDouble
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    registers.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("nonzero_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("harmonic_fp"))
+      .withColumn("hll_estimate",
+        graft.engine.Semantics.roundz(
+          alpha * lit(m) * lit(m) * lit(9007199254740992.0)
+            / col("harmonic_fp").cast("double"), 6))
+  }
+}

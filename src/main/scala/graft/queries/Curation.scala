@@ -611,6 +611,65 @@ object Curation extends QueryGroup {
     },
     None)
 
+  /** q109's by-construction-deterministic sibling — the quality classifier
+    * whose ENTIRE training loop hash-matches a DuckDB re-execution, the
+    * discipline that took the k-means trainers (q41/q90/q95) from
+    * rows-check to hash-match. Three changes make it exact where q109 is
+    * rows-checked: the link is the rational sigmoid (IEEE-exact ops only —
+    * no exp(), whose libms differ in the last ulp), features use raw
+    * n_chars instead of log(n_chars) (log is transcendental too), and the
+    * standardization stats + per-iteration mean gradients are rounded
+    * 1e-6 on both sides (the only remaining variance is float-sum order,
+    * which rounding absorbs — [[OracleSql.logisticCtes]]). Same production
+    * shape: fit on the q45 train split, score the full corpus with frozen
+    * weights as pure map work, ship the top 15 most-src0-like. */
+  private val q125 = QueryDef(
+    "q125_logistic_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = graft.operators.TextOps.tokenize(col("text"))
+      val nt = greatest(size(toks), lit(1)).cast("double")
+      val features: Seq[org.apache.spark.sql.Column] = Seq(
+        col("n_chars").cast("double"),
+        graft.operators.TextOps.stopwordCount(toks).cast("double") / nt,
+        size(array_distinct(toks)).cast("double") / nt,
+        col("n_chars").cast("double") / nt)
+      val trainSplit = docs.filter(CurationOps.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100)) === "train")
+      val (w, m, sd) = graft.operators.ClassifierOps.logisticTrainExact(
+        trainSplit, features, col("source") === "src0", lr = 1.0, iters = 10)
+      docs.select(col("doc_id"), col("source"),
+          Semantics.roundz(
+            graft.operators.ClassifierOps.scoreStandardized(features, w, m, sd), 6)
+            .as("p_trusted"))
+        .orderBy(desc("p_trusted"), col("doc_id"))
+        .limit(15)
+    },
+    Some {
+      val stops = graft.operators.TextOps.defaultStopwords
+        .map(s => s"'$s'").mkString(", ")
+      val score = OracleSql.rationalSigmoidSql(
+        OracleSql.marginSql(4, i => s"((f$i - m$i) / s$i)", i => s"w$i", "wb"))
+      s"""WITH feat AS (
+         |  SELECT doc_id, source, f0, f1, f2, f3,
+         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y, bucket
+         |  FROM (SELECT doc_id, source,
+         |      CAST(n_chars AS DOUBLE) AS f0,
+         |      CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / nt AS f1,
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / nt AS f2,
+         |      CAST(n_chars AS DOUBLE) / nt AS f3, bucket
+         |    FROM (SELECT doc_id, source, n_chars,
+         |        string_split(text, ' ') AS toks,
+         |        CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS nt,
+         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         |      FROM documents))),
+         |tr AS (SELECT f0, f1, f2, f3, y FROM feat WHERE bucket < 80),
+         |${OracleSql.logisticCtes("lg", "tr", 4, 10, 1.0)}
+         |SELECT doc_id, source, round($score, 6) + 0.0 AS p_trusted
+         |FROM feat CROSS JOIN lgst CROSS JOIN lgw10
+         |ORDER BY p_trusted DESC, doc_id LIMIT 15""".stripMargin
+    })
+
   /** CCNet head/middle/tail strata (q69's unigram-LM surprisal bucketed at
     * corpus tertiles — CCNet §4's canonical quality split: "head" is the
     * third a pipeline upsamples, "tail" what it drops): per (source,
@@ -707,7 +766,7 @@ object Curation extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109, q113, q114)
+      q99, q100, q103, q105, q108, q109, q113, q114, q125)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

@@ -146,6 +146,67 @@ object OracleSql {
        |        + list_dot_product(c, c)) AS ds
        |    FROM $src CROSS JOIN $csCte)""".stripMargin
 
+  /** The rational-sigmoid expression over a margin expression `t` —
+    * [[graft.operators.ClassifierOps.rationalSigmoid]]'s exact SQL twin
+    * (÷2, abs, +, ÷, × are all IEEE-exactly-rounded, so both engines
+    * produce the same double for the same `t`). */
+  def rationalSigmoidSql(t: String): String =
+    s"0.5 * (1 + (($t) / 2) / (1 + abs(($t) / 2)))"
+
+  /** The margin accumulation `(((wb + z0*w0) + z1*w1) + …)` — bias first,
+    * then features in index order, left-associated, mirroring
+    * [[graft.operators.ClassifierOps.logisticTrainExact]]'s foldLeft so
+    * every intermediate rounding step agrees cross-engine. `zTerm(i)`
+    * supplies the i-th standardized feature expression. */
+  def marginSql(d: Int, zTerm: Int => String, w: Int => String, wb: String): String =
+    (0 until d).foldLeft(wb) { (acc, i) => s"($acc + ${zTerm(i)} * ${w(i)})" }
+
+  /** Unrolled batch-gradient logistic training (rational link) as DuckDB
+    * CTE blocks — the oracle for
+    * [[graft.operators.ClassifierOps.logisticTrainExact]], the same
+    * unroll-the-fixed-iteration-loop discipline as [[kmeansCtes]].
+    * `featSrc` must expose (f0..f{d-1}, y with y ∈ {0.0, 1.0}). Emits:
+    *
+    *  - `<p>st` — one row of rounded means `m_i` and rounded floored sds
+    *    `s_i` (1e-6 round + −0.0 normalize; sd floored at 1e-6), exactly
+    *    the Spark side's stat aggregate;
+    *  - `<p>z` — the standardized training rows;
+    *  - `<p>n` — the training count as DOUBLE;
+    *  - `<p>w0 .. <p>w<iters>` — the weight trajectory: each step binds
+    *    the margin once (`t`), forms the rational-sigmoid residual, rounds
+    *    the MEAN gradient per coordinate, and subtracts lr·g. Every float
+    *    op either has identical operands in identical order (exactly
+    *    rounded ⇒ bit-equal) or is immediately rounded at 1e-6 on both
+    *    sides, so the trajectory matches the engine's by construction.
+    *
+    * Compose a scoring SELECT over `<p>st` + `<p>w<iters>` with
+    * [[marginSql]] + [[rationalSigmoidSql]]. */
+  def logisticCtes(p: String, featSrc: String, d: Int, iters: Int, lr: Double): String = {
+    val is = 0 until d
+    val st = s"${p}st AS (SELECT " + is.map(i =>
+      s"round(avg(f$i), 6) + 0.0 AS m$i, " +
+        s"greatest(round(stddev_pop(f$i), 6) + 0.0, 0.000001) AS s$i")
+      .mkString(", ") + s" FROM $featSrc)"
+    val z = s"${p}z AS (SELECT " + is.map(i => s"(f$i - m$i) / s$i AS z$i")
+      .mkString(", ") + s", y FROM $featSrc CROSS JOIN ${p}st)"
+    val n = s"${p}n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}z)"
+    val w0 = s"${p}w0 AS (SELECT " + is.map(i => s"0.0 AS w$i").mkString(", ") +
+      ", 0.0 AS wb)"
+    val steps = (1 to iters).map { k =>
+      val margin = marginSql(d, i => s"z$i", i => s"w$i", "wb")
+      s"""${p}r$k AS (SELECT ${is.map(i => s"z$i").mkString(", ")},
+         |    ${rationalSigmoidSql("t")} - y AS r
+         |  FROM (SELECT z.*, $margin AS t FROM ${p}z z CROSS JOIN ${p}w${k - 1})),
+         |${p}g$k AS (SELECT round(sum(r) / max(n), 6) + 0.0 AS gb,
+         |    ${is.map(i => s"round(sum(r * z$i) / max(n), 6) + 0.0 AS g$i").mkString(", ")}
+         |  FROM ${p}r$k CROSS JOIN ${p}n),
+         |${p}w$k AS (SELECT ${is.map(i => s"w$i - $lr * g$i AS w$i").mkString(", ")},
+         |    wb - $lr * gb AS wb
+         |  FROM ${p}w${k - 1} CROSS JOIN ${p}g$k)""".stripMargin
+    }
+    (Seq(st, z, n, w0) ++ steps).mkString(",\n")
+  }
+
   /** Recursive-CTE reproduction of [[graft.functions.SubwordEncode]]'s
     * greedy longest-match tokenization over the SAME literal vocabulary:
     * `jp` holds, per (doc, word, char position), the longest vocab entry

@@ -32,6 +32,50 @@ object Relational extends QueryGroup {
         countDistinct(col("user_id")).as("exact_users")),
     None)
 
+  /** A3's deterministic-sketch rung: q36's HyperLogLog re-expressed in
+    * engine-portable arithmetic ([[graft.operators.SketchOps]] — md5
+    * buckets, bin()-length ranks, FIXED-POINT harmonic sum) so the DuckDB
+    * oracle re-executes the whole sketch and the estimate hash-matches
+    * bit-for-bit — the first oracle-checked sketch in the surface (q36 and
+    * q108 stay rows-checked because their sketches are engine-internal).
+    * Raw estimator only (no linear-counting correction: its ln() is libm-
+    * dependent); `rel_err` reports the resulting bias against the exact
+    * count honestly. One hash-aggregate pass to 256 registers — constant
+    * state at any corpus size, same posture as the native HLL. */
+  private val q126 = QueryDef(
+    "q126_hll_exact_oracle",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = graft.operators.SketchOps.hllEstimate(
+        graft.operators.SketchOps.hllRegisters(ev, col("user_id"), p = 8), p = 8)
+      est.crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .withColumn("rel_err", roundz(
+          col("hll_estimate") / col("exact_users").cast("double") - lit(1.0), 6))
+    },
+    Some("""WITH hx AS (SELECT md5(user_id::VARCHAR) AS h FROM events),
+           |pr AS (SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+           |    ('0x' || substr(h, 3, 13))::BIGINT AS w FROM hx),
+           |rg AS (SELECT bucket,
+           |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+           |  FROM pr GROUP BY 1),
+           |regs AS (SELECT sp.bucket, coalesce(rg.reg, 0) AS reg
+           |  FROM (SELECT range AS bucket FROM range(256)) sp
+           |  LEFT JOIN rg USING (bucket)),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_regs,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - reg AS INTEGER)) AS BIGINT)
+           |      AS harmonic_fp
+           |  FROM regs),
+           |est AS (SELECT m, nonzero_regs, harmonic_fp,
+           |    round((0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+           |        * 9007199254740992.0 / CAST(harmonic_fp AS DOUBLE), 6) + 0.0
+           |      AS hll_estimate
+           |  FROM agg)
+           |SELECT m, nonzero_regs, harmonic_fp, hll_estimate, exact_users,
+           |  round(hll_estimate / CAST(exact_users AS DOUBLE) - 1, 6) + 0.0 AS rel_err
+           |FROM est CROSS JOIN (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+           |  AS exact_users FROM events)""".stripMargin))
+
   private val q01 = QueryDef(
     "q01_count_on_date",
     (s, dir) => Tables.events(s, dir)
@@ -293,5 +337,5 @@ object Relational extends QueryGroup {
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   override val defs: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39, q40)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39, q40, q126)
 }

@@ -70,6 +70,37 @@ class ClassifierOpsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, e) => assert(math.abs(g - e) < 1e-15) }
   }
 
+  test("X7: exact trainer (rational link) separates separable data and its weight " +
+    "trajectory lands on 1e-6-grid doubles") {
+    val df = Seq((-2.0, false), (-1.5, false), (-1.0, false),
+      (1.0, true), (1.5, true), (2.0, true)).toDF("x", "y")
+    val (w, m, sd) = ClassifierOps.logisticTrainExact(
+      df, Seq(col("x")), col("y"), lr = 1.0, iters = 30)
+    assert(w.head > 0) // +x predicts the positive class
+    val right = df
+      .withColumn("p", ClassifierOps.scoreStandardized(Seq(col("x")), w, m, sd))
+      .filter((col("p") > 0.5) === col("y")).count()
+    assert(right === 6L)
+    // Every weight is a sum of 1e-6-rounded mean gradients (lr = 1), so it
+    // must sit exactly on the decimal grid — the property that makes the
+    // trajectory reproducible by ANY engine that rounds the same way.
+    (w ++ m ++ sd).foreach { v =>
+      val scaled = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(scaled.toDouble - v) < 1e-12, s"$v off the 1e-6 grid")
+    }
+  }
+
+  test("X7: rational sigmoid matches the hand formula and brackets the exp sigmoid shape") {
+    val df = Seq(-4.0, -1.0, 0.0, 1.0, 4.0).toDF("t")
+    val got = df.select(ClassifierOps.rationalSigmoid(col("t"))).as[Double].collect()
+    val want = Seq(-4.0, -1.0, 0.0, 1.0, 4.0).map { t =>
+      val h = t / 2; 0.5 * (1 + h / (1 + math.abs(h)))
+    }
+    got.zip(want).foreach { case (g, e) => assert(g === e) } // bit-exact, not approx
+    assert(got(2) === 0.5 && got(0) < 0.5 && got(4) > 0.5)
+    assert(math.abs(got(0) - (1.0 - got(4))) < 1e-15) // odd symmetry around 0.5
+  }
+
   test("X7: approx quantiles respect the sketch rank-error bound (q108's scale variant)") {
     val n = 10000
     val df = new scala.util.Random(7).shuffle((1 to n).toList).toDF("v")
