@@ -564,4 +564,51 @@ object CurationOps {
       .orderBy(col("priority_key"), id)
       .limit(k)
   }
+
+  /** Global deterministic shuffle rank — the "shuffle the corpus" step a
+    * training run needs before sharding: rank 1..n in (md5(id), id) order,
+    * computed WITHOUT a single-partition global sort. The md5 hex prefix
+    * (2 chars → 256 buckets) partitions the key space into contiguous
+    * lexicographic ranges, so global rank = bucket offset + within-bucket
+    * row_number: the per-bucket window sees ~n/256 rows and the offset
+    * table is 256 rows broadcast back. At 100 TB widen the prefix (3 hex
+    * chars → 4096 buckets) — the pattern is the standard distributed
+    * rank (range-partition + per-partition enumerate + prefix-sum
+    * offsets), every stage bounded. Adds `rank` (bigint, 1-based). */
+  def shuffleRank(df: DataFrame, id: Column): DataFrame = {
+    requireFresh(df, "shuffleRank", "rank", "__h", "__bucket", "__rn", "__off", "__n")
+    val withKey = df.withColumn("__h", md5(id.cast("string")))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+    val offsets = withKey.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(Window.orderBy(col("__bucket"))) - col("__n"))
+      .select(col("__bucket"), col("__off"))
+    withKey
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__bucket")).orderBy(col("__h"), id)).cast("long"))
+      .join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("rank", col("__off") + col("__rn"))
+      .drop("__h", "__bucket", "__rn", "__off")
+  }
+
+  /** Fixed-size shard assignment over [[shuffleRank]]'s global shuffle
+    * order — the last stage of a training-data pipeline (shuffle globally,
+    * cut into equal shards, write one file per shard). Adds `shard`
+    * (0-based; every shard except the last holds exactly `rowsPerShard`
+    * rows). Deterministic at any partitioning and any corpus size: a doc's
+    * shard depends only on the corpus content, never on the cluster. */
+  def shardAssign(df: DataFrame, id: Column, rowsPerShard: Int): DataFrame = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    shuffleRank(df, id)
+      .withColumn("shard",
+        graft.engine.Semantics.intDiv(col("rank") - 1, lit(rowsPerShard.toLong)))
+  }
+
+  /** Write path for [[shardAssign]]: one directory per shard, each written
+    * by the task that owns the whole shard (`repartition` on the shard id
+    * co-locates a shard's rows before the write — no shard straddles
+    * writer tasks, so downstream readers stream shard files in order).
+    * Parquet `partitionBy` keeps the layout queryable as a table. */
+  def writeShards(sharded: DataFrame, path: String): Unit =
+    sharded.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

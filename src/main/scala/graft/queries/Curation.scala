@@ -670,6 +670,41 @@ object Curation extends QueryGroup {
          |ORDER BY p_trusted DESC, doc_id LIMIT 15""".stripMargin
     })
 
+  /** Shuffle-and-shard — the pipeline's LAST stage: a global deterministic
+    * shuffle ((md5(doc_id), doc_id) order, computed as range-bucketed
+    * rank + prefix-sum offsets, never a single-partition sort —
+    * [[CurationOps.shuffleRank]]) cut into fixed 100-row shards. The
+    * checked output pins every shard's membership boundary (first/last doc
+    * in shuffle order) and payload size, so the oracle proves the exact
+    * global permutation, not just the counts. The write path
+    * ([[CurationOps.writeShards]], spec-verified) lands one directory per
+    * shard with each shard written by a single task. */
+  private val q127 = QueryDef(
+    "q127_shuffle_shards",
+    (s, dir) => CurationOps
+      .shardAssign(Tables.documents(s, dir), col("doc_id"), rowsPerShard = 100)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min_by(col("doc_id"), col("rank")).as("first_doc"),
+        max_by(col("doc_id"), col("rank")).as("last_doc"))
+      .orderBy(col("shard")),
+    Some("""WITH o AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h,
+           |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT AS bucket
+           |  FROM documents),
+           |rk AS (SELECT doc_id, n_chars, bucket, h,
+           |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+           |  FROM o),
+           |off AS (SELECT bucket, sum(count(*)) OVER (ORDER BY bucket) - count(*) AS off
+           |  FROM o GROUP BY bucket),
+           |g AS (SELECT doc_id, n_chars, off + rn AS rank,
+           |    CAST((off + rn - 1) // 100 AS BIGINT) AS shard
+           |  FROM rk JOIN off USING (bucket))
+           |SELECT shard, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  min_by(doc_id, rank) AS first_doc, max_by(doc_id, rank) AS last_doc
+           |FROM g GROUP BY shard ORDER BY shard""".stripMargin))
+
   /** CCNet head/middle/tail strata (q69's unigram-LM surprisal bucketed at
     * corpus tertiles — CCNet §4's canonical quality split: "head" is the
     * third a pipeline upsamples, "tail" what it drops): per (source,
@@ -766,7 +801,7 @@ object Curation extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109, q113, q114, q125)
+      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

@@ -352,4 +352,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(byB("middle").max < byB("tail").min)
     assert(byB("head").size === 30 && byB("tail").size === 30)
   }
+
+  test("X7: shuffleRank is the exact (md5(id), id) permutation — a bijection onto 1..n") {
+    val df = (1 to 1000).toDF("id")
+    val got = CurationOps.shuffleRank(df, col("id"))
+      .select(col("id"), col("rank")).as[(Int, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === (1L to 1000L)) // every rank exactly once
+    // The bucketed+offset computation must equal the straight global sort.
+    val want = (1 to 1000).map(i => (i, md5String(i))).sortBy { case (i, h) => (h, i) }
+      .map(_._1)
+    assert(got.map(_._1).toSeq === want)
+  }
+
+  test("X7: shardAssign cuts the shuffle order into fixed-size shards, last shard ragged") {
+    val sharded = CurationOps.shardAssign((1 to 1042).toDF("id"), col("id"), 100)
+    val sizes = sharded.groupBy("shard").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(sizes.map(_._1).toSeq === (0L to 10L))
+    assert(sizes.take(10).forall(_._2 == 100L) && sizes.last._2 === 42L)
+    // Shard boundaries respect the global order: max rank of shard k is
+    // below min rank of shard k+1.
+    val bounds = sharded.groupBy("shard")
+      .agg(min("rank").as("lo"), max("rank").as("hi"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    bounds.sliding(2).foreach { case Array((_, _, hi), (_, lo, _)) =>
+      assert(hi < lo)
+    }
+  }
+
+  test("X7: writeShards lands one readable directory per shard with the assigned rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val sharded = CurationOps.shardAssign((1 to 250).toDF("id"), col("id"), 100)
+    CurationOps.writeShards(sharded, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 250L)
+    assert(back.select("shard").distinct().count() === 3L)
+    // Round-trip preserves the assignment exactly (partition column included).
+    val a = sharded.select(col("id"), col("shard")).as[(Int, Long)].collect().toSet
+    val b = back.select(col("id"), col("shard").cast("long")).as[(Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  private def md5String(i: Int): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
 }
