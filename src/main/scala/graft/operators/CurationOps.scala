@@ -575,19 +575,65 @@ object CurationOps {
     * chars → 4096 buckets) — the pattern is the standard distributed
     * rank (range-partition + per-partition enumerate + prefix-sum
     * offsets), every stage bounded. Adds `rank` (bigint, 1-based). */
-  def shuffleRank(df: DataFrame, id: Column): DataFrame = {
-    requireFresh(df, "shuffleRank", "rank", "__h", "__bucket", "__rn", "__off", "__n")
-    val withKey = df.withColumn("__h", md5(id.cast("string")))
+  def shuffleRank(df: DataFrame, id: Column): DataFrame =
+    groupedShuffleRank(df, lit(0L), id)
+
+  /** [[shuffleRank]] per GROUP: rank 1..|group| in (md5(id), id) order
+    * within each `group` value — same range-bucket + prefix-sum-offset
+    * construction, with the offset table keyed (group, md5-prefix) so no
+    * window ever sees more than ~|group|/256 rows even when there are only
+    * a handful of groups (a plain PARTITION BY group window would funnel a
+    * whole group through one partition — exactly the straggler this
+    * operator exists to avoid at 100 TB). Adds `rank`. */
+  def groupedShuffleRank(df: DataFrame, group: Column, id: Column): DataFrame = {
+    requireFresh(df, "groupedShuffleRank",
+      "rank", "__g", "__h", "__bucket", "__rn", "__off", "__n")
+    val withKey = df.withColumn("__g", group)
+      .withColumn("__h", md5(id.cast("string")))
       .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
-    val offsets = withKey.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", sum(col("__n")).over(Window.orderBy(col("__bucket"))) - col("__n"))
-      .select(col("__bucket"), col("__off"))
+    val offsets = withKey.groupBy(col("__g"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__bucket"))) - col("__n"))
+      .select(col("__g"), col("__bucket"), col("__off"))
     withKey
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__bucket")).orderBy(col("__h"), id)).cast("long"))
-      .join(broadcast(offsets), Seq("__bucket"))
+        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)).cast("long"))
+      .join(broadcast(offsets), Seq("__g", "__bucket"))
       .withColumn("rank", col("__off") + col("__rn"))
-      .drop("__h", "__bucket", "__rn", "__off")
+      .drop("__g", "__h", "__bucket", "__rn", "__off")
+  }
+
+  /** Padding-waste report for length-aware batch construction — the
+    * dynamic-batching step of a training run: within each `group` (a
+    * length bucket; pass a constant for the unbucketed baseline), docs are
+    * taken in [[groupedShuffleRank]]'s deterministic shuffle order and cut
+    * into `batchSize`-doc batches; a batch pads every member to its
+    * longest member, so its physical cost is n·max(tokens). Returns one
+    * row per group: batch count, doc count, real and padded token mass,
+    * and `waste_ratio` = 1 − real/padded — the number that says what
+    * length bucketing buys over batching the raw shuffle order. All
+    * arithmetic is integer until the final rounded ratio. */
+  def batchPadWaste(df: DataFrame, group: Column, id: Column, nTokens: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    requireFresh(df, "batchPadWaste", "len_bucket", "__tok", "__batch")
+    val ranked = groupedShuffleRank(
+      df.withColumn("len_bucket", group).withColumn("__tok", nTokens.cast("long")),
+      col("len_bucket"), id)
+    ranked
+      .withColumn("__batch",
+        graft.engine.Semantics.intDiv(col("rank") - 1, lit(batchSize.toLong)))
+      .groupBy(col("len_bucket"), col("__batch"))
+      .agg(count(lit(1)).as("__n"), max(col("__tok")).as("__mx"),
+        sum(col("__tok")).as("__sum"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_batches"), sum(col("__n")).as("n_docs"),
+        sum(col("__sum")).as("total_tokens"),
+        sum(col("__n") * col("__mx")).as("padded_tokens"))
+      .withColumn("waste_ratio", graft.engine.Semantics.roundz(
+        lit(1.0) - col("total_tokens").cast("double")
+          / col("padded_tokens").cast("double"), 6))
   }
 
   /** Fixed-size shard assignment over [[shuffleRank]]'s global shuffle

@@ -705,6 +705,63 @@ object Curation extends QueryGroup {
            |  min_by(doc_id, rank) AS first_doc, max_by(doc_id, rank) AS last_doc
            |FROM g GROUP BY shard ORDER BY shard""".stripMargin))
 
+  /** Length-bucketed dynamic batching — the padding-efficiency step of a
+    * training run: docs bucket at corpus length QUARTILES (exact
+    * interpolated percentiles, q48's parity discipline), each bucket's
+    * deterministic shuffle order cuts into 32-doc batches, and a batch's
+    * physical cost is n·max(tokens) (every member pads to the longest).
+    * The report carries the unbucketed baseline as bucket −1 computed from
+    * the SAME machinery, so the padding saving is measured inside the
+    * query, not asserted. Ranking is [[CurationOps.groupedShuffleRank]] —
+    * (group, md5-prefix) range buckets, so even 4 giant buckets never
+    * funnel through single-partition windows. */
+  private val q128 = QueryDef(
+    "q128_length_bucket_batches",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      val cuts = base.agg(
+        percentile(col("tok"), array(lit(0.25), lit(0.5), lit(0.75))).as("cs"))
+        .select(Semantics.roundz(col("cs").getItem(0), 6).as("c1"),
+          Semantics.roundz(col("cs").getItem(1), 6).as("c2"),
+          Semantics.roundz(col("cs").getItem(2), 6).as("c3"))
+      val bucketed = base.crossJoin(broadcast(cuts))
+        .withColumn("g",
+          when(col("tok") <= col("c1"), lit(0L))
+            .when(col("tok") <= col("c2"), lit(1L))
+            .when(col("tok") <= col("c3"), lit(2L)).otherwise(lit(3L)))
+      val perBucket = CurationOps.batchPadWaste(
+        bucketed.select(col("doc_id"), col("tok"), col("g")),
+        col("g"), col("doc_id"), col("tok"), 32)
+      val baseline = CurationOps.batchPadWaste(
+        base, lit(-1L), col("doc_id"), col("tok"), 32)
+      perBucket.union(baseline).orderBy(col("len_bucket"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           |  FROM documents),
+           |c AS (SELECT round(quantile_cont(tok, 0.25), 6) + 0.0 AS c1,
+           |    round(quantile_cont(tok, 0.5), 6) + 0.0 AS c2,
+           |    round(quantile_cont(tok, 0.75), 6) + 0.0 AS c3 FROM t),
+           |b AS (SELECT doc_id, tok,
+           |    CAST(CASE WHEN tok <= c1 THEN 0 WHEN tok <= c2 THEN 1
+           |              WHEN tok <= c3 THEN 2 ELSE 3 END AS BIGINT) AS g
+           |  FROM t CROSS JOIN c
+           |  UNION ALL SELECT doc_id, tok, CAST(-1 AS BIGINT) AS g FROM t),
+           |r AS (SELECT g, tok, row_number() OVER (
+           |    PARTITION BY g ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           |  FROM b),
+           |bb AS (SELECT g, (rn - 1) // 32 AS batch, count(*) AS n,
+           |    max(tok) AS mx, sum(tok) AS sm
+           |  FROM r GROUP BY 1, 2)
+           |SELECT g AS len_bucket, CAST(count(*) AS BIGINT) AS n_batches,
+           |  CAST(sum(n) AS BIGINT) AS n_docs,
+           |  CAST(sum(sm) AS BIGINT) AS total_tokens,
+           |  CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+           |  round(1.0 - CAST(sum(sm) AS DOUBLE) / CAST(sum(n * mx) AS DOUBLE), 6)
+           |    + 0.0 AS waste_ratio
+           |FROM bb GROUP BY g ORDER BY len_bucket""".stripMargin))
+
   /** CCNet head/middle/tail strata (q69's unigram-LM surprisal bucketed at
     * corpus tertiles — CCNet §4's canonical quality split: "head" is the
     * third a pipeline upsamples, "tail" what it drops): per (source,
@@ -801,7 +858,7 @@ object Curation extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127)
+      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

@@ -393,6 +393,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("X7: groupedShuffleRank is a per-group bijection onto 1..|group|") {
+    val df = (1 to 500).map(i => (i, i % 3)).toDF("id", "g")
+    val got = CurationOps.groupedShuffleRank(df, col("g"), col("id"))
+      .groupBy(col("g")).agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("rank").as("lo"),
+        org.apache.spark.sql.functions.max("rank").as("hi"),
+        org.apache.spark.sql.functions.countDistinct("rank").as("d"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    got.foreach { case (_, n, lo, hi, d) =>
+      assert(lo === 1L && hi === n && d === n)
+    }
+  }
+
+  test("X7: batchPadWaste — hand case: padded mass is n·max per batch, ragged last batch") {
+    // One group, 5 docs, batchSize 2 → batches of 2, 2, 1.
+    val df = Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L), (5, 50L)).toDF("id", "tok")
+    val r = CurationOps.batchPadWaste(df, lit(0L), col("id"), col("tok"), 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    val (_, nBatches, nDocs, total, padded, waste) = r
+    assert(nBatches === 3L && nDocs === 5L && total === 150L)
+    // Independently recompute padded mass from the md5 order.
+    val order = Seq(1, 2, 3, 4, 5).sortBy(i => (md5String(i), i))
+    val toks = order.map(i => i * 10L)
+    val wantPadded = toks.grouped(2).map(b => b.size * b.max).sum
+    assert(padded === wantPadded)
+    assert(math.abs(waste - (1.0 - total.toDouble / padded.toDouble)) < 1e-6)
+  }
+
+  test("X7: length bucketing never costs more padded tokens than batching the raw order") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map(i => (i, 5L + rnd.nextInt(200).toLong)).toDF("id", "tok")
+    val bucketed = CurationOps.batchPadWaste(
+      df.withColumn("g", (col("tok") / 50).cast("long")),
+      col("g"), col("id"), col("tok"), 16)
+      .agg(org.apache.spark.sql.functions.sum("padded_tokens")).as[Long].head()
+    val baseline = CurationOps.batchPadWaste(df, lit(-1L), col("id"), col("tok"), 16)
+      .select("padded_tokens").as[Long].head()
+    assert(bucketed < baseline,
+      s"bucketed padded $bucketed should beat raw-order padded $baseline")
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))
