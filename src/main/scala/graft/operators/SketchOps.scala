@@ -55,6 +55,48 @@ object SketchOps {
       .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
   }
 
+  /** The d salted-md5 counter positions of `key` in a d×w count-min
+    * sketch: element i of the array is the column for row i, hashed as
+    * md5("i:" || key) — the salt string keeps the d rows independent while
+    * staying reproducible by any engine with md5. */
+  def cmsPositions(key: Column, d: Int, w: Int): Column =
+    array((0 until d).map { i =>
+      conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % w
+    }: _*)
+
+  /** Count-min sketch counters over `key` occurrences: (row, col, cnt),
+    * cnt = how many input rows hash to that cell. ALL-INTEGER arithmetic —
+    * unlike the HLL's one float division there is no float anywhere, so
+    * the sketch is trivially bit-identical cross-engine. d·w cells of
+    * state regardless of corpus size; the build is one explode(d) +
+    * hash-aggregate pass with map-side partials. */
+  def cmsCounters(df: DataFrame, key: Column, d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
+    df.select(posexplode(cmsPositions(key, d, w)).as(Seq("row", "col")))
+      .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each probe key: min over the key's d
+    * cells — the classic CMS estimate, ≥ the true count always and
+    * ≤ true + εN with probability 1−δ (ε = e/w, δ = e^−d). Join ships
+    * (row, col) pairs against the d·w-cell counter table (broadcastable
+    * at any corpus size). Adds `cms_est` to the probe rows, which must be
+    * unique (they are the group-back key). */
+  def cmsQuery(counters: DataFrame, probes: DataFrame, probeKey: Column,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    require(!probes.columns.contains("row") && !probes.columns.contains("col"),
+      "cmsQuery reserves column names row/col; rename them in the probe set first")
+    val keep = probes.columns.map(col)
+    probes
+      .select(keep :+ posexplode(cmsPositions(probeKey, d, w)).as(Seq("row", "col")): _*)
+      .join(counters, Seq("row", "col"), "left")
+      // A never-hit cell is absent from the counter table — its value is 0,
+      // and min() must see it (CMS estimates of unseen keys can be 0).
+      .groupBy(keep: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** One-row raw-HLL estimate from [[hllRegisters]]: m, the count of
     * nonzero registers, the exact fixed-point harmonic numerator
     * Σ 2^(53−reg) (bigint), and the raw estimate α_m·m²·2^53/S rounded

@@ -291,6 +291,44 @@ object Text extends QueryGroup {
            |HAVING CAST(count(*) AS BIGINT) * 200 >= tot.n
            |ORDER BY n_occurrences DESC, tok""".stripMargin))
 
+  /** q64's sketch rung with a HARD oracle: a count-min sketch (d=4 rows ×
+    * w=512 salted-md5 counters — [[graft.operators.SketchOps]]) estimates
+    * the frequency of the top-20 exact tokens; the oracle re-executes the
+    * whole sketch in SQL and the estimates hash-match because CMS is
+    * ALL-INTEGER arithmetic (unlike q36's HLL there is not even a float
+    * division to pin down). `overcount` = est − exact exposes the sketch's
+    * one-sided error per probe (≥ 0 structurally, ≤ εN w.h.p. — the bound
+    * the spec asserts). The counter table is d·w cells at any corpus
+    * size — the state a 100 TB frequency monitor actually keeps. */
+  private val q129 = QueryDef(
+    "q129_count_min_sketch",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokenize(col("text"))).as("tok"))
+      val counters = graft.operators.SketchOps.cmsCounters(toks, col("tok"), d = 4, w = 512)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_tf"))
+        .orderBy(desc("exact_tf"), col("tok")).limit(20)
+      graft.operators.SketchOps.cmsQuery(counters, top, col("tok"), d = 4, w = 512)
+        .withColumn("overcount", col("cms_est") - col("exact_tf"))
+        .select(col("tok"), col("exact_tf"), col("cms_est"), col("overcount"))
+        .orderBy(desc("exact_tf"), col("tok"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |hits AS (SELECT r.r AS row,
+           |    ('0x' || substr(md5(r.r::VARCHAR || ':' || tok), 1, 8))::BIGINT % 512 AS col
+           |  FROM toks CROSS JOIN unnest(range(4)) AS r(r)),
+           |cnt AS (SELECT row, col, count(*) AS c FROM hits GROUP BY 1, 2),
+           |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_tf FROM toks
+           |  GROUP BY 1 ORDER BY exact_tf DESC, tok LIMIT 20),
+           |probe AS (SELECT top.tok, top.exact_tf,
+           |    CAST(min(coalesce(cnt.c, 0)) AS BIGINT) AS cms_est
+           |  FROM top CROSS JOIN unnest(range(4)) AS r(r)
+           |  LEFT JOIN cnt ON cnt.row = r.r AND cnt.col =
+           |    ('0x' || substr(md5(r.r::VARCHAR || ':' || top.tok), 1, 8))::BIGINT % 512
+           |  GROUP BY 1, 2)
+           |SELECT tok, exact_tf, cms_est, cms_est - exact_tf AS overcount
+           |FROM probe ORDER BY exact_tf DESC, tok""".stripMargin))
+
   /** Within-doc repetition profile (Gopher repetition signals): per-doc
     * duplicate token/bigram/trigram fractions via the codegen-resident
     * posexplode + lead formulation and one Expand aggregate. */
@@ -616,5 +654,5 @@ object Text extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115)
+      q93, q96, q97, q98, q104, q106, q115, q129)
 }

@@ -41,6 +41,42 @@ class SketchOpsSpec extends SparkSpec {
     assert(eMerged === eFull)
   }
 
+  test("X: CMS conservation — every sketch row's counters sum to the insertion count") {
+    val keys = (1 to 3000).map(i => i % 97).toDF("k")
+    val rows = SketchOps.cmsCounters(keys, col("k"), d = 4, w = 64)
+      .groupBy("row").agg(org.apache.spark.sql.functions.sum("cnt").as("s"))
+      .as[(Int, Long)].collect()
+    assert(rows.length === 4 && rows.forall(_._2 == 3000L))
+  }
+
+  test("X: CMS estimates are one-sided (est >= true) and within eN for every probe") {
+    val rnd = new scala.util.Random(11)
+    // Zipf-ish stream: key i appears ~ 2000/i times.
+    val stream = (1 to 50).flatMap(i => Seq.fill(2000 / i)(i))
+    val df = rnd.shuffle(stream).toDF("k")
+    val n = stream.size
+    val (d, w) = (4, 512)
+    val counters = SketchOps.cmsCounters(df, col("k"), d, w)
+    val truth = df.groupBy(col("k")).count().withColumnRenamed("count", "tf")
+    val est = SketchOps.cmsQuery(counters, truth, col("k"), d, w)
+      .as[(Int, Long, Long)].collect()
+    val epsN = math.E / w * n
+    est.foreach { case (k, tf, e) =>
+      assert(e >= tf, s"CMS undercounted key $k: $e < $tf")
+      assert(e <= tf + epsN, s"key $k overcount ${e - tf} exceeds eN=$epsN")
+    }
+  }
+
+  test("X: CMS unseen-key estimate is bounded by eN (and 0 when its cells are never hit)") {
+    val df = (1 to 1000).toDF("k")
+    val counters = SketchOps.cmsCounters(df, col("k"), d = 4, w = 512)
+    val unseen = Seq(100001, 100002, 100003).toDF("k")
+    val est = SketchOps.cmsQuery(counters, unseen, col("k"), d = 4, w = 512)
+      .as[(Int, Long)].collect()
+    val epsN = math.E / 512 * 1000
+    est.foreach { case (_, e) => assert(e >= 0 && e <= epsN) }
+  }
+
   test("X: raw-regime accuracy — 50k distinct keys estimate within 10% (σ ≈ 1.04/√256 ≈ 6.5%)") {
     val n = 50000
     val est = SketchOps.hllEstimate(SketchOps.hllRegisters((1 to n).toDF("k"), col("k")))
