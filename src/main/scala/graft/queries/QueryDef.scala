@@ -213,6 +213,52 @@ object OracleSql {
     (Seq(st, z, n, w0) ++ steps).mkString(",\n")
   }
 
+  /** Unrolled BPE training as DuckDB CTE blocks — the oracle for
+    * [[graft.operators.TextOps.bpeTrain]], completing the
+    * unroll-the-fixed-iteration-loop sweep (k-means q41/q90/q95, logistic
+    * q125): with the merge count a literal, the "iterative argmax" is a
+    * linear CTE chain, and since BPE is ALL string/integer arithmetic
+    * the match is exact with nothing to round. Emits `<p>w0 .. <p>w<K>`
+    * (the (freq, syms) word table per generation, built from
+    * `documents`) and `<p>t1 .. <p>t<K>` (each step's winning pair —
+    * count-desc, then lexicographic (a, b), exactly the engine's
+    * orderBy(desc(n), a, b).limit(1)). The re-application is the same
+    * greedy left-to-right non-overlapping fold as the engine's
+    * `aggregate(...)` — list_reduce needs a seed element of the
+    * accumulator type, hence the prepend-empty-list-of-lists idiom.
+    * MATERIALIZED for the kmeans/logistic reason: each `w<k>` is
+    * referenced twice. */
+  def bpeCtes(p: String, merges: Int): String = {
+    val w0 = s"""${p}w0 AS MATERIALIZED (SELECT count(*) AS freq,
+       |    string_split_regex(w, '') AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    val steps = (1 to merges).map { k =>
+      s"""${p}t$k AS MATERIALIZED (SELECT a, b, n FROM (
+         |    SELECT syms[i.i + 1] AS a, syms[i.i + 2] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |    FROM ${p}w${k - 1}, unnest(range(len(syms) - 1)) AS i(i) GROUP BY 1, 2)
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |${p}w$k AS MATERIALIZED (SELECT freq,
+         |    CASE WHEN t.a IS NULL THEN syms ELSE list_reduce(
+         |      list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+         |      (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND e[1] = t.b
+         |        THEN list_append(list_slice(acc, 1, len(acc) - 1), t.a || t.b)
+         |        ELSE list_append(acc, e[1]) END) END AS syms
+         |  FROM ${p}w${k - 1} LEFT JOIN ${p}t$k t ON TRUE)""".stripMargin
+    }
+    (w0 +: steps).mkString(",\n")
+  }
+
+  /** The merge table [[bpeCtes]] learned, in training order —
+    * (rank, "left", "right", merged, n), the exact shape q96 emits. */
+  def bpeMergeTableSelect(p: String, merges: Int): String = {
+    val arms = (1 to merges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, a AS "left", b AS "right",
+         |    a || b AS merged, n FROM ${p}t$k""".stripMargin
+    }
+    s"SELECT * FROM (\n${arms.mkString("\nUNION ALL ")}\n) ORDER BY rank"
+  }
+
   /** Recursive-CTE reproduction of [[graft.functions.SubwordEncode]]'s
     * greedy longest-match tokenization over the SAME literal vocabulary:
     * `jp` holds, per (doc, word, char position), the longest vocab entry
@@ -222,10 +268,19 @@ object OracleSql {
     * fragment (it opens `WITH RECURSIVE`). */
   def subwordWalkSql(vocab: Seq[String]): String = {
     val values = vocab.map(v => s"('${v.replace("'", "''")}')").mkString(", ")
+    subwordWalkSqlFrom(s"vocab(v) AS (VALUES $values)")
+  }
+
+  /** [[subwordWalkSql]] with the vocabulary as an arbitrary CTE (and an
+    * optional prelude of CTEs it depends on) instead of literal VALUES —
+    * what lets the TRAINED-vocab pipeline (q98: [[bpeCtes]] merges → this
+    * walk) carry a hash oracle end-to-end. */
+  def subwordWalkSqlFrom(vocabCte: String, prelude: String = ""): String = {
+    val pre = if (prelude.nonEmpty) prelude + ",\n" else ""
     // The vocab match is an INNER theta-join on a materialized position CTE
     // (`ps`), left-joined back on plain equality keys — DuckDB rejects a
     // correlated LEFT JOIN directly against the lateral unnest.
-    s"""WITH RECURSIVE vocab(v) AS (VALUES $values),
+    s"""WITH RECURSIVE $pre$vocabCte,
        |wrd AS (SELECT doc_id, i.i AS wi, string_split(text, ' ')[i.i + 1] AS w
        |  FROM documents, unnest(range(len(string_split(text, ' ')))) AS i(i)),
        |ps AS (SELECT doc_id, wi, w, p.p AS pos FROM wrd, unnest(range(len(w))) AS p(p)),

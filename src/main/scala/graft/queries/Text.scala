@@ -493,10 +493,13 @@ object Text extends QueryGroup {
     * distributed: 10 merges learned from the corpus's distinct-word
     * frequency table (character start, frequency-weighted adjacent-pair
     * argmax, lexicographic tie-break, greedy non-overlap reapplication).
-    * Output = the merge table in training order with pair counts. The
-    * iterative argmax isn't ANSI-expressible → rows-only check;
-    * BpeTrainSpec verifies against an independent reference trainer and
-    * composes the learned vocab into [[TextOps.subwordTokenize]]. */
+    * Output = the merge table in training order with pair counts. With the
+    * merge count a literal the loop UNROLLS into an exact CTE chain
+    * ([[OracleSql.bpeCtes]] — all string/integer arithmetic, nothing to
+    * round), completing the unrolled-trainer oracle sweep (k-means
+    * q41/q90/q95, logistic q125); BpeTrainSpec additionally verifies
+    * against an independent reference trainer and composes the learned
+    * vocab into [[TextOps.subwordTokenize]]. */
   private val q96 = QueryDef(
     "q96_bpe_train",
     (s, dir) => {
@@ -506,16 +509,18 @@ object Text extends QueryGroup {
         (i.toLong + 1L, a, b, a + b, n)
       }.toDF("rank", "left", "right", "merged", "n").orderBy(col("rank"))
     },
-    None)
+    Some(s"""WITH ${OracleSql.bpeCtes("bp", 10)}
+           |${OracleSql.bpeMergeTableSelect("bp", 10)}""".stripMargin))
 
   /** X4 the full tokenizer loop IN the engine: [[TextOps.bpeTrain]] learns
     * 10 merges from the corpus, their folded tokens become the vocabulary,
     * and [[TextOps.subwordTokenize]] (the codegen trie encoder) re-encodes
     * the same corpus — train and encode both distributed, no hand vocab.
-    * Output: top-20 trained subwords by frequency. Rows-only check (the
-    * trained vocab descends from q96's iterative argmax, not ANSI-
-    * expressible); q91 keeps the literal-vocab hash oracle for the
-    * encoder itself, and BpeTrainSpec pins the composition. */
+    * Output: top-20 trained subwords by frequency. Oracle-checked END TO
+    * END: [[OracleSql.bpeCtes]]' unrolled training feeds its learned
+    * vocab straight into the recursive longest-match walk
+    * ([[OracleSql.subwordWalkSqlFrom]]) — train and encode both
+    * re-executed by the second engine in one statement. */
   private val q98 = QueryDef(
     "q98_trained_subword",
     (s, dir) => {
@@ -526,7 +531,12 @@ object Text extends QueryGroup {
         .groupBy(col("sub")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("sub")).limit(20)
     },
-    None)
+    Some(s"""${OracleSql.subwordWalkSqlFrom(
+              vocabCte = "vocab(v) AS (SELECT DISTINCT a || b FROM (" +
+                (1 to 10).map(k => s"SELECT a, b FROM bpt$k").mkString(" UNION ALL ") + "))",
+              prelude = OracleSql.bpeCtes("bp", 10))}
+           |SELECT tok AS sub, count(*) AS n FROM walk
+           |GROUP BY 1 ORDER BY n DESC, sub LIMIT 20""".stripMargin))
 
   /** Per-source lexical-diversity report: type-token ratio and
     * distinct-bigram ratio (distinct-n) — the corpus-level diversity
