@@ -97,6 +97,57 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Equi-width histogram quantile sketch — the deterministic, mergeable
+    * quantile structure beside q108's engine-internal t-digest (the same
+    * relationship [[hllRegisters]] has to q36's native HLL): per group,
+    * `bins` equal integer-width buckets over [min, max]; a quantile's
+    * estimate is the UPPER EDGE of the first bucket whose cumulative
+    * count reaches the ceil(q·n) rank, which bounds the true discrete
+    * quantile from above by construction and errs by at most one bucket
+    * width (emitted as `err_bound`). ALL-INTEGER arithmetic — bin index
+    * ((v−min)·bins) div range, rank (num·n + den − 1) div den, edge
+    * min + ceil((b+1)·range/bins) − 1 — so a second engine reproduces
+    * every estimate exactly. State per group = bins counters + (min, max,
+    * n), constant at any corpus size; the window runs over ≤ bins rows
+    * per group. Partial histograms merge by bin-wise sum ONLY under a
+    * shared [min, max] frame — which is exactly how this computes (a
+    * bounds pass, then the histogram pass bins every partition against
+    * the same frame); merging sketches built on different frames needs a
+    * lossy re-bin, the classic equi-width caveat.
+    *
+    * `qs` = (output column, numerator, denominator), e.g.
+    * ("p50", 1, 2). */
+  def histogramQuantiles(df: DataFrame, group: Column, value: Column, bins: Int,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d },
+      "each quantile must satisfy 0 < num <= den")
+    import org.apache.spark.sql.expressions.Window
+    import graft.engine.Semantics.intDiv
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+    val stats = base.groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val range = col("mx") - col("mn") + lit(1L)
+    val binned = base.join(broadcast(stats), Seq("g"))
+      .withColumn("bin", intDiv((col("v") - col("mn")) * lit(bins.toLong), range))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
+    val withEdge = cum.join(broadcast(stats), Seq("g"))
+      .withColumn("upper",
+        col("mn") + intDiv((col("bin") + 1) * range + lit(bins.toLong - 1), lit(bins.toLong)) - lit(1L))
+    val estAggs = qs.map { case (name, num, den) =>
+      val rank = intDiv(col("n") * lit(num.toLong) + lit(den.toLong - 1), lit(den.toLong))
+      min(when(col("cum") >= rank, col("upper"))).as(name)
+    }
+    withEdge
+      .groupBy(col("g"), col("n"), col("mn"), col("mx"))
+      .agg(estAggs.head, estAggs.tail: _*)
+      .withColumn("err_bound",
+        intDiv(col("mx") - col("mn") + lit(bins.toLong), lit(bins.toLong)))
+      .drop("mn", "mx")
+  }
+
   /** One-row raw-HLL estimate from [[hllRegisters]]: m, the count of
     * nonzero registers, the exact fixed-point harmonic numerator
     * Σ 2^(53−reg) (bigint), and the raw estimate α_m·m²·2^53/S rounded

@@ -611,6 +611,43 @@ object Curation extends QueryGroup {
     },
     None)
 
+  /** q108's deterministic-sketch sibling (the quantile member of the
+    * exact-sketch trilogy with q126 HLL and q129 CMS): per-source
+    * p50/p90/p99 from a 64-bin equi-width histogram sketch
+    * ([[graft.operators.SketchOps.histogramQuantiles]]) — 64 counters +
+    * (min, max, n) per group at any corpus size (bin-wise mergeable under
+    * the shared bounds frame the two-pass build fixes), ALL-INTEGER
+    * arithmetic so the oracle re-executes the sketch and the estimates
+    * hash-match. Each estimate bounds the true discrete
+    * quantile from above by ≤ `err_bound` (one bucket width) — the
+    * guarantee q108's t-digest states in rank space, restated in value
+    * space with a proof-by-reexecution. */
+  private val q130 = QueryDef(
+    "q130_histogram_quantiles",
+    (s, dir) => graft.operators.SketchOps.histogramQuantiles(
+        Tables.documents(s, dir), col("source"), col("n_chars"), bins = 64,
+        qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .withColumnRenamed("g", "source")
+      .orderBy(col("source")),
+    Some("""WITH t AS (SELECT source AS g, n_chars AS v FROM documents),
+           |st AS (SELECT g, min(v) AS mn, max(v) AS mx,
+           |    CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+           |b AS (SELECT t.g, ((v - mn) * 64) // (mx - mn + 1) AS bin
+           |  FROM t JOIN st USING (g)),
+           |h AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |c AS (SELECT g, bin, cnt,
+           |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM h),
+           |e AS (SELECT c.g, cum,
+           |    mn + ((bin + 1) * (mx - mn + 1) + 63) // 64 - 1 AS upper,
+           |    n, mn, mx
+           |  FROM c JOIN st USING (g))
+           |SELECT g AS source, n,
+           |  CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN upper END) AS BIGINT) AS p50,
+           |  CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN upper END) AS BIGINT) AS p90,
+           |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN upper END) AS BIGINT) AS p99,
+           |  CAST((mx - mn + 64) // 64 AS BIGINT) AS err_bound
+           |FROM e GROUP BY g, n, mn, mx ORDER BY source""".stripMargin))
+
   /** q109's by-construction-deterministic sibling — the quality classifier
     * whose ENTIRE training loop hash-matches a DuckDB re-execution, the
     * discipline that took the k-means trainers (q41/q90/q95) from
@@ -858,7 +895,7 @@ object Curation extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128)
+      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

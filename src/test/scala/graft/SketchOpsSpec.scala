@@ -77,6 +77,35 @@ class SketchOpsSpec extends SparkSpec {
     est.foreach { case (_, e) => assert(e >= 0 && e <= epsN) }
   }
 
+  test("X: histogram quantiles bound the true discrete quantile from above within err_bound") {
+    val rnd = new scala.util.Random(3)
+    val vals = (1 to 5000).map(_ => 10L + math.abs(rnd.nextGaussian() * 300).toLong)
+    val df = vals.map(v => ("g0", v)).toDF("g", "v")
+    val r = SketchOps.histogramQuantiles(df, col("g"), col("v"), bins = 64,
+      qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    val (_, n, p50, p90, p99, err) = r
+    assert(n === 5000L)
+    val sorted = vals.sorted
+    def disc(num: Int, den: Int): Long = sorted(((n * num + den - 1) / den - 1).toInt)
+    for ((est, (num, den)) <- Seq(p50 -> (1, 2), p90 -> (9, 10), p99 -> (99, 100))) {
+      val truth = disc(num, den)
+      assert(est >= truth, s"estimate $est below true quantile $truth")
+      assert(est - truth <= err, s"estimate $est exceeds $truth by more than err_bound $err")
+    }
+    assert(p50 <= p90 && p90 <= p99) // monotone across quantiles
+  }
+
+  test("X: histogram sketch is exact when distinct values <= bins cover the range densely") {
+    // Values 0..63 with bins=64: every value gets its own bucket, so the
+    // upper-edge estimate IS the discrete quantile.
+    val df = (0L to 63L).flatMap(v => Seq.fill(10)(("g", v))).toDF("g", "v")
+    val r = SketchOps.histogramQuantiles(df, col("g"), col("v"), bins = 64,
+      qs = Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(r._3 === 31L && r._4 === 63L && r._5 === 1L) // p50, p99, err_bound
+  }
+
   test("X: raw-regime accuracy — 50k distinct keys estimate within 10% (σ ≈ 1.04/√256 ≈ 6.5%)") {
     val n = 50000
     val est = SketchOps.hllEstimate(SketchOps.hllRegisters((1 to n).toDF("k"), col("k")))
