@@ -228,10 +228,10 @@ object OracleSql {
     * accumulator type, hence the prepend-empty-list-of-lists idiom.
     * MATERIALIZED for the kmeans/logistic reason: each `w<k>` is
     * referenced twice. */
-  def bpeCtes(p: String, merges: Int): String = {
+  def bpeCtes(p: String, merges: Int, docsSql: String = "documents"): String = {
     val w0 = s"""${p}w0 AS MATERIALIZED (SELECT count(*) AS freq,
        |    string_split_regex(w, '') AS syms
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsSql)
        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
     val steps = (1 to merges).map { k =>
       s"""${p}t$k AS MATERIALIZED (SELECT a, b, n FROM (
@@ -275,14 +275,15 @@ object OracleSql {
     * optional prelude of CTEs it depends on) instead of literal VALUES —
     * what lets the TRAINED-vocab pipeline (q98: [[bpeCtes]] merges → this
     * walk) carry a hash oracle end-to-end. */
-  def subwordWalkSqlFrom(vocabCte: String, prelude: String = ""): String = {
+  def subwordWalkSqlFrom(vocabCte: String, prelude: String = "",
+      docsSql: String = "documents"): String = {
     val pre = if (prelude.nonEmpty) prelude + ",\n" else ""
     // The vocab match is an INNER theta-join on a materialized position CTE
     // (`ps`), left-joined back on plain equality keys — DuckDB rejects a
     // correlated LEFT JOIN directly against the lateral unnest.
     s"""WITH RECURSIVE $pre$vocabCte,
        |wrd AS (SELECT doc_id, i.i AS wi, string_split(text, ' ')[i.i + 1] AS w
-       |  FROM documents, unnest(range(len(string_split(text, ' ')))) AS i(i)),
+       |  FROM $docsSql, unnest(range(len(string_split(text, ' ')))) AS i(i)),
        |ps AS (SELECT doc_id, wi, w, p.p AS pos FROM wrd, unnest(range(len(w))) AS p(p)),
        |mt AS (SELECT doc_id, wi, pos, max(len(v.v)) AS mlen
        |  FROM ps JOIN vocab v ON substr(ps.w, ps.pos + 1, len(v.v)) = v.v

@@ -538,6 +538,52 @@ object Text extends QueryGroup {
            |SELECT tok AS sub, count(*) AS n FROM walk
            |GROUP BY 1 ORDER BY n DESC, sub LIMIT 20""".stripMargin))
 
+  /** Tokenizer-validation audit — the check a pipeline runs BEFORE
+    * committing to a tokenizer: train BPE on the q45 train split only,
+    * encode the held-out TEST split with the learned vocab, and report
+    * each source's char-fallback rate (pieces of length 1 — every learned
+    * merge is ≥ 2 chars, so a 1-char piece is exactly an uncovered
+    * position). High fallback on one source = the tokenizer underserves
+    * it (the multilingual-tokenizer-fairness measurement). Oracle-checked
+    * END-TO-END: the split filter, the unrolled training, the trained
+    * vocab and the recursive longest-match walk all re-execute in one
+    * DuckDB statement over the SAME split membership. */
+  private val q131 = QueryDef(
+    "q131_vocab_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("split",
+        graft.operators.CurationOps.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+      val vocab = TextOps.bpeTrain(
+        docs.filter(col("split") === "train"), col("text"), numMerges = 10)
+        .map { case (a, b, _) => a + b }
+      docs.filter(col("split") === "test")
+        .select(col("source"), explode(TextOps.subwordTokenize(col("text"), vocab)).as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(when(length(col("p")) === 1, 1L).otherwise(0L)).as("n_fallbacks"))
+        .withColumn("fallback_rate", Semantics.roundz(
+          col("n_fallbacks").cast("double") / col("n_pieces").cast("double"), 6))
+        .orderBy(col("source"))
+    },
+    Some {
+      val bkt = """bkt AS (SELECT doc_id, source, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)""".stripMargin
+      s"""${OracleSql.subwordWalkSqlFrom(
+            vocabCte = "vocab(v) AS (SELECT DISTINCT a || b FROM (" +
+              (1 to 10).map(k => s"SELECT a, b FROM bpt$k").mkString(" UNION ALL ") + "))",
+            prelude = bkt + ",\n" +
+              OracleSql.bpeCtes("bp", 10, "(SELECT text FROM bkt WHERE bucket < 80)"),
+            docsSql = "(SELECT doc_id, text FROM bkt WHERE bucket >= 90)")}
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN len(tok) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fallbacks,
+         |  round(CAST(sum(CASE WHEN len(tok) = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 6) + 0.0 AS fallback_rate
+         |FROM walk JOIN bkt d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   /** Per-source lexical-diversity report: type-token ratio and
     * distinct-bigram ratio (distinct-n) — the corpus-level diversity
     * metrics that catch template-generated or self-repeating sources (q68
@@ -664,5 +710,5 @@ object Text extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115, q129)
+      q93, q96, q97, q98, q104, q106, q115, q129, q131)
 }
