@@ -692,4 +692,54 @@ object SimilarityOps {
       .orderBy(col("adist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Top principal component by FIXED-ITERATION power iteration — the
+    * dimensionality-reduction trainer of the embedding family (whiten
+    * before PQ, project before IVF), with the same exact-oracle
+    * discipline as [[kmeans]]: deterministic seed (e₀), each iteration
+    * one aggregate pass (u = Σ x'·(x'·v)/n over mean-centered vectors,
+    * per-dim sums ROUNDED 1e-6 — the only order-dependent float step),
+    * then a normalization whose arithmetic is exactly reproducible: the
+    * norm is Σu² accumulated left-to-right (the [[graft.functions.VecDot]]
+    * / list_dot_product order both engines share), sqrt and divide are
+    * IEEE-exactly-rounded, and the quotient re-rounds 1e-6 with Spark's
+    * HALF_UP semantics. Driver state = the (μ, v) pair — 2·dim doubles;
+    * the corpus is touched once per iteration plus one stats pass.
+    * Degenerate input (u = 0) yields the zero vector on both engines
+    * rather than NaN. Returns (rounded mean vector, rounded component). */
+  def powerIterationTop(emb: DataFrame, embCol: Column, dim: Int,
+      iters: Int): (Seq[Double], Seq[Double]) = {
+    require(dim >= 1 && iters >= 1, s"need dim, iters >= 1; got $dim, $iters")
+    def round6(x: Double): Double = {
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r == 0.0) 0.0 else r
+    }
+    val vecs = emb.select(embCol.cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count().toDouble
+    require(n > 0, "cannot fit a principal component on an empty input")
+    val mu = Array.ofDim[Double](dim)
+    vecs.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
+      .collect().foreach(r => mu(r.getAs[Int]("d")) = r.getAs[Double]("m"))
+    var w = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val centered = zip_with(col("v"), typedlit(mu.toSeq), (a, b) => a - b)
+      val u = Array.ofDim[Double](dim)
+      vecs
+        .select(posexplode(centered).as(Seq("d", "x")),
+          dot(centered, typedlit(w.toSeq)).as("s"))
+        .groupBy(col("d"))
+        .agg(graft.engine.Semantics.roundz(sum(col("x") * col("s")) / lit(n), 6).as("u"))
+        .collect().foreach(r => u(r.getAs[Int]("d")) = r.getAs[Double]("u"))
+      // Left-to-right Σu² — the same accumulation order as the SQL side's
+      // list_dot_product(ul, ul), so the norm (and every loading) is
+      // bit-identical across engines.
+      val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
+      w = if (norm == 0.0) Array.fill(dim)(0.0) else u.map(x => round6(x / norm))
+    }
+    vecs.unpersist(blocking = false)
+    (mu.toSeq, w.toSeq)
+  }
 }

@@ -259,6 +259,40 @@ object OracleSql {
     s"SELECT * FROM (\n${arms.mkString("\nUNION ALL ")}\n) ORDER BY rank"
   }
 
+  /** Unrolled power iteration as DuckDB CTE blocks — the oracle for
+    * [[graft.operators.SimilarityOps.powerIterationTop]]: `<p>mu` holds
+    * the rounded per-dim means as one list row, `<p>v0` the e₀ seed, and
+    * each step computes the centered projections, the rounded mean
+    * gradient list `ul`, and the normalized next vector — u/√(Σu²) with
+    * the Σ accumulated by list_dot_product in the same left-to-right
+    * order the engine's fold uses, so every loading is bit-identical.
+    * Degenerate u = 0 yields the zero vector on both sides. MATERIALIZED
+    * for the usual unrolled-chain reason. `embeddings` must expose
+    * `embedding`. */
+  def powerIterationCtes(p: String, dim: Int, iters: Int): String = {
+    val src = s"${p}src AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings)"
+    val nn = s"${p}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}src)"
+    val mu = s"""${p}mu AS MATERIALIZED (SELECT list(m ORDER BY dim) AS mu FROM (
+       |  SELECT d.i AS dim, round(avg(v[d.i + 1]), 6) + 0.0 AS m
+       |  FROM ${p}src, unnest(range($dim)) AS d(i) GROUP BY 1))""".stripMargin
+    val v0 = s"${p}v0 AS (SELECT list_transform(range($dim), " +
+      "i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS w)"
+    val steps = (1 to iters).map { k =>
+      s"""${p}s$k AS MATERIALIZED (SELECT c, list_dot_product(c, w) AS s
+         |  FROM (SELECT list_transform(range($dim), i -> v[i + 1] - mu[i + 1]) AS c
+         |    FROM ${p}src CROSS JOIN ${p}mu) CROSS JOIN ${p}v${k - 1}),
+         |${p}u$k AS MATERIALIZED (SELECT list(u ORDER BY dim) AS ul FROM (
+         |  SELECT d.i AS dim, round(sum(c[d.i + 1] * s) / max(n), 6) + 0.0 AS u
+         |  FROM ${p}s$k CROSS JOIN ${p}nn, unnest(range($dim)) AS d(i) GROUP BY 1)),
+         |${p}v$k AS MATERIALIZED (SELECT CASE WHEN list_dot_product(ul, ul) = 0
+         |    THEN list_transform(range($dim), i -> 0.0)
+         |    ELSE list_transform(ul, u ->
+         |      round(u / sqrt(list_dot_product(ul, ul)), 6) + 0.0) END AS w
+         |  FROM ${p}u$k)""".stripMargin
+    }
+    (Seq(src, nn, mu, v0) ++ steps).mkString(",\n")
+  }
+
   /** Recursive-CTE reproduction of [[graft.functions.SubwordEncode]]'s
     * greedy longest-match tokenization over the SAME literal vocabulary:
     * `jp` holds, per (doc, word, char position), the longest vocab entry

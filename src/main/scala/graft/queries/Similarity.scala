@@ -716,7 +716,33 @@ object Similarity extends QueryGroup {
            |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 25)
            |SELECT vec_id, cluster FROM samp ORDER BY cluster, vec_id""".stripMargin))
 
+  /** X3 dimensionality-reduction trainer: the corpus's top principal
+    * component by 4-step power iteration
+    * ([[SimilarityOps.powerIterationTop]] — the whiten-before-PQ /
+    * project-before-IVF preprocessing step), with the trained artifact
+    * itself as the checked output: (dim, rounded mean, rounded loading).
+    * Exact-oracle discipline like the other unrolled trainers
+    * ([[OracleSql.powerIterationCtes]]): per-dim aggregates rounded 1e-6,
+    * normalization arithmetic bit-identical (left-to-right Σu², IEEE
+    * sqrt/divide). On this iid-Gaussian fixture the spectrum is nearly
+    * flat, so the component is an arbitrary — but exactly reproducible —
+    * direction; PcaSpec proves convergence to the true top component on
+    * anisotropic data. */
+  private val q132 = QueryDef(
+    "q132_pca_power_iteration",
+    (s, dir) => {
+      import s.implicits._
+      val (mu, v) = SimilarityOps.powerIterationTop(
+        Tables.embeddings(s, dir), col("embedding"), dim = 64, iters = 4)
+      mu.indices.map(i => (i.toLong, mu(i), v(i)))
+        .toDF("dim", "mean", "loading").orderBy(col("dim"))
+    },
+    Some(s"""WITH ${OracleSql.powerIterationCtes("pc", dim = 64, iters = 4)}
+           |SELECT d.i AS dim, mu[d.i + 1] AS mean, w[d.i + 1] AS loading
+           |FROM pcv4 CROSS JOIN pcmu, unnest(range(64)) AS d(i)
+           |ORDER BY dim""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
-      q102, q110, q112, q116, q117, q123)
+      q102, q110, q112, q116, q117, q123, q132)
 }

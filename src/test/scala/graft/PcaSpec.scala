@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Laws of the power-iteration principal component (q132): recovery of a
+  * planted dominant direction, unit normalization, and degenerate-input
+  * behavior. The cross-engine exactness itself is proven by the q132
+  * oracle; these cover the math. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted(n: Int, dim: Int, axis: Int, strength: Double): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(5)
+    (1 to n).map { _ =>
+      val noise = Seq.fill(dim)(rnd.nextGaussian() * 0.1)
+      val t = rnd.nextGaussian() * strength
+      noise.zipWithIndex.map { case (x, i) => if (i == axis) x + t else x }
+    }
+  }
+
+  test("X3: power iteration recovers a planted dominant axis") {
+    val df = planted(2000, 8, axis = 3, strength = 2.0).map(Tuple1(_)).toDF("embedding")
+    val (_, v) = SimilarityOps.powerIterationTop(df, col("embedding"), dim = 8, iters = 6)
+    assert(math.abs(v(3)) > 0.99, s"loading on the planted axis was ${v(3)}")
+    v.zipWithIndex.filter(_._2 != 3).foreach { case (x, i) =>
+      assert(math.abs(x) < 0.1, s"off-axis dim $i loading $x")
+    }
+  }
+
+  test("X3: the returned component is unit-norm up to rounding") {
+    val df = planted(500, 6, axis = 0, strength = 1.0).map(Tuple1(_)).toDF("embedding")
+    val (_, v) = SimilarityOps.powerIterationTop(df, col("embedding"), dim = 6, iters = 4)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+  }
+
+  test("X3: identical vectors (zero covariance) yield the zero vector, not NaN") {
+    val df = Seq.fill(50)(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("embedding")
+    val (mu, v) = SimilarityOps.powerIterationTop(df, col("embedding"), dim = 3, iters = 3)
+    assert(mu === Seq(1.0, 2.0, 3.0))
+    assert(v === Seq(0.0, 0.0, 0.0))
+  }
+}
