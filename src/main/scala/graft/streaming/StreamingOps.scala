@@ -354,6 +354,40 @@ object StreamingOps {
         } finally buckets.unpersist(false)
       }
 
+  /** Streaming distinct-count monitor — the deterministic HLL
+    * ([[graft.operators.SketchOps]], q126) on the streaming path: each
+    * micro-batch writes its own register table (batch-keyed, the standing
+    * store discipline of the LSH index above) and appends the
+    * register-merged estimate over everything seen so far. Two properties
+    * make this the right 100 TB monitor shape:
+    *
+    *  - the standing state is 2^p registers PER BATCH of bookkeeping but
+    *    the merge (`max` per bucket) collapses it to 2^p values — state
+    *    is sketch-sized, never corpus-sized;
+    *  - `max` is idempotent AND commutative, so at-least-once redelivery
+    *    (a replayed batch id, a duplicated row) cannot move any register
+    *    — the estimate after any prefix of batches is BIT-IDENTICAL to
+    *    the one-shot batch sketch over the union of those batches
+    *    (spec-asserted), with no dedup bookkeeping at all. A count-sum
+    *    monitor needs the `batch < id` replay guard; a max-merge sketch
+    *    gets replay safety from algebra. */
+  def streamingHllMonitor(events: DataFrame, key: String, checkpoint: String,
+      registersPath: String, outPath: String, p: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.SketchOps
+        SketchOps.hllRegisters(batch.toDF(), col(key), p)
+          .write.mode("overwrite").parquet(s"$registersPath/batch=$id")
+        val standing = spark.read.option("basePath", registersPath)
+          .parquet(registersPath)
+          .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+        SketchOps.hllEstimate(standing, p)
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
+
   /** Convenience: run a streaming query until all currently-available input
     * is processed, then stop (test/batch-catchup harness). */
   def runAvailableNow(w: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {

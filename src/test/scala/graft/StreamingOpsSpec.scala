@@ -303,4 +303,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.count() === 2)
     assert(rows.filter(col("_corrupt_record").isNotNull).count() === 1)
   }
+
+  test("X-stream: HLL monitor — prefix estimate equals the one-shot batch sketch, " +
+    "and redelivery cannot move it") {
+    import graft.operators.SketchOps
+    val input = MemoryStream[Long](spark)
+    val (cp, regs, out) = (tmp("hll_cp"), tmp("hll_regs"), tmp("hll_out"))
+    val q = StreamingOps.streamingHllMonitor(
+      input.toDF().toDF("user_id"), "user_id", cp, regs, out).start()
+    try {
+      input.addData(1L to 400L: _*)
+      q.processAllAvailable()
+      // batch 2 overlaps batch 1 heavily — at-least-once redelivery shape.
+      input.addData(200L to 700L: _*)
+      q.processAllAvailable()
+      val est = spark.read.parquet(out)
+        .orderBy(col("batch")).select(col("batch"), col("hll_estimate"))
+        .as[(Long, Double)].collect()
+      assert(est.length === 2)
+      // The streamed estimate after each prefix must be BIT-identical to a
+      // one-shot batch sketch over the union of those batches.
+      def oneShot(hi: Long): Double = SketchOps.hllEstimate(
+        SketchOps.hllRegisters((1L to hi).toDF("k"), col("k")))
+        .select(col("hll_estimate")).as[Double].head()
+      assert(est(0)._2 === oneShot(400L))
+      assert(est(1)._2 === oneShot(700L))
+      // Redelivering already-seen keys is a no-op on the estimate.
+      input.addData(1L to 400L: _*)
+      q.processAllAvailable()
+      val after = spark.read.parquet(out).orderBy(col("batch"))
+        .select(col("hll_estimate")).as[Double].collect()
+      assert(after.last === oneShot(700L))
+    } finally q.stop()
+  }
 }
