@@ -709,7 +709,22 @@ object SimilarityOps {
     * rather than NaN. Returns (rounded mean vector, rounded component). */
   def powerIterationTop(emb: DataFrame, embCol: Column, dim: Int,
       iters: Int): (Seq[Double], Seq[Double]) = {
-    require(dim >= 1 && iters >= 1, s"need dim, iters >= 1; got $dim, $iters")
+    val (mu, comps) = powerIterationComponents(emb, embCol, dim, iters, k = 1)
+    (mu, comps.head)
+  }
+
+  /** k leading principal components by power iteration with DEFLATION —
+    * component c seeds at axis e_c and, each iteration, subtracts its
+    * projection onto every already-extracted component (u ← u − (u·vⱼ)vⱼ
+    * in extraction order) before normalizing, the classic orthogonal
+    * iteration. Same exact-oracle arithmetic as the single-component
+    * form; the deflation adds only exactly-rounded dot/multiply/subtract
+    * steps, so the oracle mirrors it term for term. Returns (rounded
+    * mean, components in extraction order). */
+  def powerIterationComponents(emb: DataFrame, embCol: Column, dim: Int,
+      iters: Int, k: Int): (Seq[Double], Seq[Seq[Double]]) = {
+    require(dim >= 1 && iters >= 1 && k >= 1 && k <= dim,
+      s"need dim, iters >= 1 and 1 <= k <= dim; got $dim, $iters, $k")
     def round6(x: Double): Double = {
       val r = java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -723,23 +738,35 @@ object SimilarityOps {
     vecs.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
       .collect().foreach(r => mu(r.getAs[Int]("d")) = r.getAs[Double]("m"))
-    var w = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
-    for (_ <- 1 to iters) {
-      val centered = zip_with(col("v"), typedlit(mu.toSeq), (a, b) => a - b)
-      val u = Array.ofDim[Double](dim)
-      vecs
-        .select(posexplode(centered).as(Seq("d", "x")),
-          dot(centered, typedlit(w.toSeq)).as("s"))
-        .groupBy(col("d"))
-        .agg(graft.engine.Semantics.roundz(sum(col("x") * col("s")) / lit(n), 6).as("u"))
-        .collect().foreach(r => u(r.getAs[Int]("d")) = r.getAs[Double]("u"))
-      // Left-to-right Σu² — the same accumulation order as the SQL side's
-      // list_dot_product(ul, ul), so the norm (and every loading) is
-      // bit-identical across engines.
-      val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
-      w = if (norm == 0.0) Array.fill(dim)(0.0) else u.map(x => round6(x / norm))
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (c <- 0 until k) {
+      var w = Array.tabulate(dim)(i => if (i == c) 1.0 else 0.0)
+      for (_ <- 1 to iters) {
+        val centered = zip_with(col("v"), typedlit(mu.toSeq), (a, b) => a - b)
+        var u = Array.ofDim[Double](dim)
+        vecs
+          .select(posexplode(centered).as(Seq("d", "x")),
+            dot(centered, typedlit(w.toSeq)).as("s"))
+          .groupBy(col("d"))
+          .agg(graft.engine.Semantics.roundz(sum(col("x") * col("s")) / lit(n), 6).as("u"))
+          .collect().foreach(r => u(r.getAs[Int]("d")) = r.getAs[Double]("u"))
+        // Deflate against prior components in extraction order; each dot
+        // accumulates left-to-right (the list_dot_product order), each
+        // element update is one multiply + one subtract — all
+        // exactly-rounded IEEE ops the oracle reproduces literally.
+        for (p <- comps) {
+          val d = u.zip(p).foldLeft(0.0) { case (acc, (ui, pi)) => acc + ui * pi }
+          u = u.zip(p).map { case (ui, pi) => ui - d * pi }
+        }
+        // Left-to-right Σu² — the same accumulation order as the SQL side's
+        // list_dot_product(ul, ul), so the norm (and every loading) is
+        // bit-identical across engines.
+        val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
+        w = if (norm == 0.0) Array.fill(dim)(0.0) else u.map(x => round6(x / norm))
+      }
+      comps += w
     }
     vecs.unpersist(blocking = false)
-    (mu.toSeq, w.toSeq)
+    (mu.toSeq, comps.map(_.toSeq).toSeq)
   }
 }

@@ -269,28 +269,52 @@ object OracleSql {
     * Degenerate u = 0 yields the zero vector on both sides. MATERIALIZED
     * for the usual unrolled-chain reason. `embeddings` must expose
     * `embedding`. */
-  def powerIterationCtes(p: String, dim: Int, iters: Int): String = {
+  def powerIterationCtes(p: String, dim: Int, iters: Int): String =
+    pcaCtes(p, dim, iters, k = 1)
+
+  /** k-component generalization of [[powerIterationCtes]] with DEFLATION —
+    * the oracle for [[graft.operators.SimilarityOps
+    * .powerIterationComponents]]: component c's chain seeds at axis e_c
+    * and, per iteration, subtracts its projection onto every final prior
+    * component `<p>v<j>x<iters>` in extraction order (one chained CTE per
+    * prior — dot, multiply, subtract, all exactly-rounded IEEE ops the
+    * engine performs identically) before the normalize step. Emits the
+    * shared `<p>src`/`<p>nn`/`<p>mu`/`<p>ctr` (centered vectors,
+    * materialized once for all chains) and per component
+    * `<p>v<c>x0 .. <p>v<c>x<iters>`. */
+  def pcaCtes(p: String, dim: Int, iters: Int, k: Int): String = {
     val src = s"${p}src AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings)"
     val nn = s"${p}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}src)"
     val mu = s"""${p}mu AS MATERIALIZED (SELECT list(m ORDER BY dim) AS mu FROM (
        |  SELECT d.i AS dim, round(avg(v[d.i + 1]), 6) + 0.0 AS m
        |  FROM ${p}src, unnest(range($dim)) AS d(i) GROUP BY 1))""".stripMargin
-    val v0 = s"${p}v0 AS (SELECT list_transform(range($dim), " +
-      "i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS w)"
-    val steps = (1 to iters).map { k =>
-      s"""${p}s$k AS MATERIALIZED (SELECT c, list_dot_product(c, w) AS s
-         |  FROM (SELECT list_transform(range($dim), i -> v[i + 1] - mu[i + 1]) AS c
-         |    FROM ${p}src CROSS JOIN ${p}mu) CROSS JOIN ${p}v${k - 1}),
-         |${p}u$k AS MATERIALIZED (SELECT list(u ORDER BY dim) AS ul FROM (
-         |  SELECT d.i AS dim, round(sum(c[d.i + 1] * s) / max(n), 6) + 0.0 AS u
-         |  FROM ${p}s$k CROSS JOIN ${p}nn, unnest(range($dim)) AS d(i) GROUP BY 1)),
-         |${p}v$k AS MATERIALIZED (SELECT CASE WHEN list_dot_product(ul, ul) = 0
-         |    THEN list_transform(range($dim), i -> 0.0)
-         |    ELSE list_transform(ul, u ->
-         |      round(u / sqrt(list_dot_product(ul, ul)), 6) + 0.0) END AS w
-         |  FROM ${p}u$k)""".stripMargin
+    val ctr = s"""${p}ctr AS MATERIALIZED (SELECT
+       |    list_transform(range($dim), i -> v[i + 1] - mu[i + 1]) AS c
+       |  FROM ${p}src CROSS JOIN ${p}mu)""".stripMargin
+    val chains = (0 until k).flatMap { c =>
+      val v0 = s"${p}v${c}x0 AS (SELECT list_transform(range($dim), " +
+        s"i -> CASE WHEN i = $c THEN 1.0 ELSE 0.0 END) AS w)"
+      val steps = (1 to iters).map { it =>
+        val sCte = s"""${p}s${c}x$it AS MATERIALIZED (SELECT c, list_dot_product(c, w) AS s
+           |  FROM ${p}ctr CROSS JOIN ${p}v${c}x${it - 1})""".stripMargin
+        val uCte = s"""${p}u${c}x${it}j0 AS MATERIALIZED (SELECT list(u ORDER BY dim) AS ul FROM (
+           |  SELECT d.i AS dim, round(sum(c[d.i + 1] * s) / max(n), 6) + 0.0 AS u
+           |  FROM ${p}s${c}x$it CROSS JOIN ${p}nn, unnest(range($dim)) AS d(i) GROUP BY 1))""".stripMargin
+        val defl = (0 until c).map { j =>
+          s"""${p}u${c}x${it}j${j + 1} AS (SELECT list_transform(range($dim),
+             |    i -> ul[i + 1] - list_dot_product(ul, w) * w[i + 1]) AS ul
+             |  FROM ${p}u${c}x${it}j$j CROSS JOIN ${p}v${j}x$iters)""".stripMargin
+        }
+        val vCte = s"""${p}v${c}x$it AS MATERIALIZED (SELECT CASE WHEN list_dot_product(ul, ul) = 0
+           |    THEN list_transform(range($dim), i -> 0.0)
+           |    ELSE list_transform(ul, u ->
+           |      round(u / sqrt(list_dot_product(ul, ul)), 6) + 0.0) END AS w
+           |  FROM ${p}u${c}x${it}j$c)""".stripMargin
+        (Seq(sCte, uCte) ++ defl :+ vCte).mkString(",\n")
+      }
+      v0 +: steps
     }
-    (Seq(src, nn, mu, v0) ++ steps).mkString(",\n")
+    (Seq(src, nn, mu, ctr) ++ chains).mkString(",\n")
   }
 
   /** Recursive-CTE reproduction of [[graft.functions.SubwordEncode]]'s

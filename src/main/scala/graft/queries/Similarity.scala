@@ -739,10 +739,46 @@ object Similarity extends QueryGroup {
     },
     Some(s"""WITH ${OracleSql.powerIterationCtes("pc", dim = 64, iters = 4)}
            |SELECT d.i AS dim, mu[d.i + 1] AS mean, w[d.i + 1] AS loading
-           |FROM pcv4 CROSS JOIN pcmu, unnest(range(64)) AS d(i)
+           |FROM pcv0x4 CROSS JOIN pcmu, unnest(range(64)) AS d(i)
            |ORDER BY dim""".stripMargin))
+
+  /** X3 the 2-component embedding MAP (q132 extended by deflation —
+    * [[SimilarityOps.powerIterationComponents]]): every vector projects
+    * onto the two leading components and each label reports its mean
+    * (c1, c2) coordinate — the per-cluster scatter summary an embedding
+    * dashboard plots, and the whitening transform PQ/IVF preprocessing
+    * applies. Projections are exact per row (centered dot against rounded
+    * components); the per-label means are the only order-dependent sums,
+    * rounded 1e-6 on both sides. */
+  private val q133 = QueryDef(
+    "q133_pca_projection_map",
+    (s, dir) => {
+      val (mu, comps) = SimilarityOps.powerIterationComponents(
+        Tables.embeddings(s, dir), col("embedding"), dim = 64, iters = 4, k = 2)
+      val centered = zip_with(col("embedding").cast("array<double>"),
+        typedlit(mu), (a, b) => a - b)
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          SimilarityOps.dot(centered, typedlit(comps(0))).as("p1"),
+          SimilarityOps.dot(centered, typedlit(comps(1))).as("p2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.engine.Semantics.roundz(avg(col("p1")), 6).as("mean_c1"),
+          graft.engine.Semantics.roundz(avg(col("p2")), 6).as("mean_c2"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH ${OracleSql.pcaCtes("pm", dim = 64, iters = 4, k = 2)},
+           |proj AS (SELECT e.label,
+           |    list_dot_product(list_transform(range(64), i -> e.embedding[i + 1]::DOUBLE - mu[i + 1]), v1.w) AS p1,
+           |    list_dot_product(list_transform(range(64), i -> e.embedding[i + 1]::DOUBLE - mu[i + 1]), v2.w) AS p2
+           |  FROM embeddings e CROSS JOIN pmmu
+           |  CROSS JOIN pmv0x4 v1 CROSS JOIN pmv1x4 v2)
+           |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+           |  round(avg(p1), 6) + 0.0 AS mean_c1,
+           |  round(avg(p2), 6) + 0.0 AS mean_c2
+           |FROM proj GROUP BY 1 ORDER BY 1""".stripMargin))
 
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
-      q102, q110, q112, q116, q117, q123, q132)
+      q102, q110, q112, q116, q117, q123, q132, q133)
 }

@@ -35,6 +35,25 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
   }
 
+  test("X3: deflation extracts two planted axes in variance order, orthogonal") {
+    val rnd = new scala.util.Random(9)
+    val data = (1 to 3000).map { _ =>
+      val noise = Seq.fill(8)(rnd.nextGaussian() * 0.05)
+      val t1 = rnd.nextGaussian() * 3.0 // dominant on axis 2
+      val t2 = rnd.nextGaussian() * 1.5 // second on axis 6
+      noise.zipWithIndex.map { case (x, i) =>
+        if (i == 2) x + t1 else if (i == 6) x + t2 else x
+      }
+    }
+    val df = data.map(Tuple1(_)).toDF("embedding")
+    val (_, comps) = SimilarityOps.powerIterationComponents(
+      df, col("embedding"), dim = 8, iters = 8, k = 2)
+    assert(math.abs(comps(0)(2)) > 0.99, s"c1 on planted axis 2: ${comps(0)(2)}")
+    assert(math.abs(comps(1)(6)) > 0.99, s"c2 on planted axis 6: ${comps(1)(6)}")
+    val ortho = comps(0).zip(comps(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 1e-3, s"components not orthogonal: $ortho")
+  }
+
   test("X3: identical vectors (zero covariance) yield the zero vector, not NaN") {
     val df = Seq.fill(50)(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("embedding")
     val (mu, v) = SimilarityOps.powerIterationTop(df, col("embedding"), dim = 3, iters = 3)
