@@ -565,6 +565,36 @@ object CurationOps {
       .limit(k)
   }
 
+  /** Temperature-scaled source sampling plan (the multilingual/UNIMAX
+    * α-sampling knob: p_i ∝ n_i^α flattens a head-heavy source mix; α = 1
+    * is proportional, α → 0 uniform). α is fixed at 1/2 — the common
+    * T = 2 operating point — precisely BECAUSE n^0.5 is sqrt, an
+    * IEEE-exactly-rounded op, where a general pow() is libm-dependent:
+    * the whole plan stays on the exact-oracle discipline. Per source:
+    * available tokens, sampling probability p_i = w_i/Σw (w = √tokens;
+    * the Σ is the one order-dependent float, rounded 1e-6 on both sides),
+    * planned tokens against a budget, and the implied epochs over the
+    * source (> 1 = upsampled, the value the knob exists to bound). Two
+    * tiny aggregates — plan cost is independent of corpus size. */
+  def temperatureMixture(df: DataFrame, source: Column, tokens: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val avail = df.select(source.as("source"), tokens.as("__tok"))
+      .groupBy(col("source")).agg(sum(col("__tok")).as("avail_tokens"))
+      .withColumn("__w", sqrt(col("avail_tokens").cast("double")))
+    avail
+      .crossJoin(broadcast(avail.agg(
+        graft.engine.Semantics.roundz(sum(col("__w")), 6).as("__sw"))))
+      .withColumn("sample_p",
+        graft.engine.Semantics.roundz(col("__w") / col("__sw"), 6))
+      .withColumn("planned_tokens",
+        floor(lit(budgetTokens.toDouble) * col("sample_p")).cast("long"))
+      .withColumn("epochs", graft.engine.Semantics.roundz(
+        col("planned_tokens").cast("double") / col("avail_tokens").cast("double"), 6))
+      .select(col("source"), col("avail_tokens"), col("sample_p"),
+        col("planned_tokens"), col("epochs"))
+  }
+
   /** Global deterministic shuffle rank — the "shuffle the corpus" step a
     * training run needs before sharding: rank 1..n in (md5(id), id) order,
     * computed WITHOUT a single-partition global sort. The md5 hex prefix

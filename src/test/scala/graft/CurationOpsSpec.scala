@@ -435,6 +435,24 @@ class CurationOpsSpec extends SparkSpec {
       s"bucketed padded $bucketed should beat raw-order padded $baseline")
   }
 
+  test("X7: temperature mixture flattens a head-heavy source mix (α = 1/2 law)") {
+    // 3 sources with token mass 90k / 9k / 1k.
+    val rows = Seq.fill(90)(("big", 1000L)) ++ Seq.fill(9)(("mid", 1000L)) ++
+      Seq(("small", 1000L))
+    val r = CurationOps.temperatureMixture(
+      rows.toDF("source", "tok"), col("source"), col("tok"), budgetTokens = 100000L)
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // Probabilities follow sqrt mass: 300/141.4 ratio ~ sqrt(90/9) ≈ 3.16,
+    // not the raw 10x — the flattening the knob exists for.
+    val pBig = r("big")._3; val pMid = r("mid")._3; val pSmall = r("small")._3
+    assert(math.abs(pBig / pMid - math.sqrt(10.0)) < 0.01)
+    assert(math.abs(pMid / pSmall - math.sqrt(9.0)) < 0.01)
+    assert(math.abs((pBig + pMid + pSmall) - 1.0) < 1e-4)
+    // The small source is upsampled (epochs > 1), the big one downsampled.
+    assert(r("small")._5 > 1.0 && r("big")._5 < 1.0)
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))
