@@ -618,8 +618,17 @@ object CurationOps {
   def groupedShuffleRank(df: DataFrame, group: Column, id: Column): DataFrame = {
     requireFresh(df, "groupedShuffleRank",
       "rank", "__g", "__h", "__bucket", "__rn", "__off", "__n")
+    // A NULL id would hash to a NULL bucket and silently VANISH in the
+    // offsets equi-join (null keys never match) — a dropped row in a
+    // permutation operator is corruption, not a convention. Fail loudly,
+    // the prioritySample guard idiom: the raise must drive the column
+    // expression itself, not ride as a dead operand.
+    val guardedId = when(id.isNull,
+      raise_error(lit("shuffleRank: id must be non-null — a null id row " +
+        "would silently drop from the permutation")).cast("string"))
+      .otherwise(id.cast("string"))
     val withKey = df.withColumn("__g", group)
-      .withColumn("__h", md5(id.cast("string")))
+      .withColumn("__h", md5(guardedId))
       .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
     val offsets = withKey.groupBy(col("__g"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))

@@ -124,7 +124,12 @@ object SketchOps {
       "each quantile must satisfy 0 < num <= den")
     import org.apache.spark.sql.expressions.Window
     import graft.engine.Semantics.intDiv
+    // Complete-case: a NULL value would land in a NULL bin whose position
+    // in the cumulative window differs BY ENGINE (Spark sorts nulls first,
+    // DuckDB last) — the one input shape that could silently de-sync the
+    // oracle. Dropped explicitly so n, the bounds, and every rank agree.
     val base = df.select(group.as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val stats = base.groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
     val range = col("mx") - col("mn") + lit(1L)

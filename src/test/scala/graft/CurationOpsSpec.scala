@@ -435,6 +435,16 @@ class CurationOpsSpec extends SparkSpec {
       s"bucketed padded $bucketed should beat raw-order padded $baseline")
   }
 
+  test("X7: shuffleRank refuses a null id loudly instead of silently dropping the row") {
+    val df = Seq(Some(1), Some(2), None).toDF("id")
+    val e = intercept[Exception] {
+      CurationOps.shuffleRank(df, col("id")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("must be non-null")), s"got: $e")
+  }
+
   test("X7: temperature mixture flattens a head-heavy source mix (α = 1/2 law)") {
     // 3 sources with token mass 90k / 9k / 1k.
     val rows = Seq.fill(90)(("big", 1000L)) ++ Seq.fill(9)(("mid", 1000L)) ++

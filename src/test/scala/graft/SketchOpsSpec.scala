@@ -96,6 +96,15 @@ class SketchOpsSpec extends SparkSpec {
     assert(p50 <= p90 && p90 <= p99) // monotone across quantiles
   }
 
+  test("X: histogram quantiles drop null values as whole rows (complete-case n)") {
+    val df = (Seq.fill(5)(Some(10L)) ++ Seq(None, None) ++ Seq.fill(5)(Some(20L)))
+      .map(v => ("g", v)).toDF("g", "v")
+    val r = SketchOps.histogramQuantiles(df, col("g"), col("v"), bins = 4,
+      qs = Seq(("p50", 1, 2)))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(r._2 === 10L) // n excludes the null rows
+  }
+
   test("X: histogram sketch is exact when distinct values <= bins cover the range densely") {
     // Values 0..63 with bins=64: every value gets its own bucket, so the
     // upper-edge estimate IS the discrete quantile.
