@@ -635,12 +635,20 @@ object CurationOps {
       .withColumn("__off", sum(col("__n")).over(
         Window.partitionBy(col("__g")).orderBy(col("__bucket"))) - col("__n"))
       .select(col("__g"), col("__bucket"), col("__off"))
+    // NULL-SAFE group equality on the offsets join: groupBy and the window
+    // both treat a NULL group as its own group, but a plain equi-join would
+    // drop its rows (null keys never match) — the same silent-row-loss the
+    // id guard above refuses, surfacing here whenever the caller's group
+    // expression is nullable (a length bucket over a null token count).
+    val off = offsets.withColumnRenamed("__g", "__og")
+      .withColumnRenamed("__bucket", "__obucket")
     withKey
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)).cast("long"))
-      .join(broadcast(offsets), Seq("__g", "__bucket"))
+      .join(broadcast(off),
+        col("__g") <=> col("__og") && col("__bucket") === col("__obucket"))
       .withColumn("rank", col("__off") + col("__rn"))
-      .drop("__g", "__h", "__bucket", "__rn", "__off")
+      .drop("__g", "__og", "__h", "__bucket", "__obucket", "__rn", "__off")
   }
 
   /** Padding-waste report for length-aware batch construction — the

@@ -349,7 +349,18 @@ object DedupOps {
     // converts the join to broadcast at runtime (probe side read locally),
     // while an uncalibrated multi-million-pair pool degrades to a shuffle
     // join instead of blowing up the driver.
-    val pairs = cand.select(col("a_id"), col("b_id"))
+    // Normalize the candidate list before fan-out: a duplicate pair (a
+    // multi-generator union, an ungrouped edge list) or a reversed (b, a)
+    // would double every per-shingle hit count — __hits === 2 then NEVER
+    // matches and a true near-dup silently verifies to jaccard 0, a false
+    // negative feeding the scrub. least/greatest + distinct makes the
+    // operator total over any id-pair list at the cost of one exchange
+    // over the (tiny) candidate ids.
+    val pairs = cand.select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
     val members = pairs.select(col("a_id"), col("b_id"), col("a_id").as("doc_id"), lit(0).as("side"))
       .union(pairs.select(col("a_id"), col("b_id"), col("b_id").as("doc_id"), lit(1).as("side")))
     val rows = shingles.select(col("doc_id"), col("sh")).distinct()

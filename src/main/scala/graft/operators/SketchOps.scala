@@ -123,33 +123,37 @@ object SketchOps {
     require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d },
       "each quantile must satisfy 0 < num <= den")
     import org.apache.spark.sql.expressions.Window
-    import graft.engine.Semantics.intDiv
     // Complete-case: a NULL value would land in a NULL bin whose position
     // in the cumulative window differs BY ENGINE (Spark sorts nulls first,
     // DuckDB last) — the one input shape that could silently de-sync the
     // oracle. Dropped explicitly so n, the bounds, and every rank agree.
+    //
+    // All divisions below are SQL `div` — EXACT int64 integral division,
+    // matching DuckDB's `//`. Semantics.intDiv (floor of a double divide)
+    // would misbin values once (v − min)·bins exceeds 2^53 — e.g. a
+    // nanosecond-timestamp column spanning days. The remaining bound is
+    // the multiplication itself: ranges beyond Long.MaxValue/bins
+    // (≈ 1.4e17 at 64 bins) overflow and must be rescaled first.
     val base = df.select(group.as("g"), value.cast("long").as("v"))
       .filter(col("v").isNotNull)
     val stats = base.groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
-    val range = col("mx") - col("mn") + lit(1L)
     val binned = base.join(broadcast(stats), Seq("g"))
-      .withColumn("bin", intDiv((col("v") - col("mn")) * lit(bins.toLong), range))
+      .withColumn("bin", expr(s"((v - mn) * CAST($bins AS BIGINT)) div (mx - mn + 1)"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
     val cum = binned.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
     val withEdge = cum.join(broadcast(stats), Seq("g"))
-      .withColumn("upper",
-        col("mn") + intDiv((col("bin") + 1) * range + lit(bins.toLong - 1), lit(bins.toLong)) - lit(1L))
+      .withColumn("upper", expr(
+        s"mn + (((bin + 1) * (mx - mn + 1) + ${bins - 1}) div $bins) - 1"))
     val estAggs = qs.map { case (name, num, den) =>
-      val rank = intDiv(col("n") * lit(num.toLong) + lit(den.toLong - 1), lit(den.toLong))
-      min(when(col("cum") >= rank, col("upper"))).as(name)
+      min(when(col("cum") >= expr(s"(n * $num + ${den - 1}) div $den"),
+        col("upper"))).as(name)
     }
     withEdge
       .groupBy(col("g"), col("n"), col("mn"), col("mx"))
       .agg(estAggs.head, estAggs.tail: _*)
-      .withColumn("err_bound",
-        intDiv(col("mx") - col("mn") + lit(bins.toLong), lit(bins.toLong)))
+      .withColumn("err_bound", expr(s"(mx - mn + $bins) div $bins"))
       .drop("mn", "mx")
   }
 
@@ -159,6 +163,11 @@ object SketchOps {
     * 1e-6. Literal-arithmetic α and one exactly-rounded division keep the
     * float path bit-identical across engines. */
   def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    // The literal-arithmetic α below is the m ≥ 128 approximation
+    // (0.7213/(1 + 1.079/m)); the HLL paper specifies different constants
+    // for m = 16/32/64, so smaller sketches are rejected rather than
+    // silently biased ~1% on top of the documented raw-estimator bias.
+    require(p >= 7, s"hllEstimate's alpha approximation needs m >= 128 (p >= 7), got p=$p")
     val m = (1L << p).toDouble
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
     registers.agg(

@@ -188,34 +188,48 @@ object StreamingOps {
             batch.toDF(), col("doc_id"), lit("all"), col("text")),
           numHashes, maxDf)
           .persist() // probed AND registered — compute the signatures once
-        try {
-          val index =
-            try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
-              .filter(col("batch") < id).drop("batch"))
-            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
-          val flagged = index match {
-            case Some(idx) => graft.operators.DedupOps.incrementalLshSuspects(bands, idx)
-            case None => bands.select(col("doc_id")).distinct()
-              .withColumn("lsh_suspect", lit(false))
-          }
-          // Within-batch blind spot closed: collide each band row against
-          // the batch's own bands from EARLIER docs (doc_id order stands in
-          // for arrival order inside a batch).
-          val intra = bands.as("p").join(bands.as("e"),
-              col("p.bucket") === col("e.bucket") && col("p.band") === col("e.band") &&
-                col("p.h") === col("e.h") && col("e.doc_id") < col("p.doc_id"),
-              "left_semi")
-            .select(col("doc_id")).distinct().withColumn("__intra", lit(true))
-          batch.toDF().join(flagged, Seq("doc_id"), "left")
-            .join(intra, Seq("doc_id"), "left")
-            // docs too short to shingle have no bands — never suspects
-            .withColumn("lsh_suspect",
-              coalesce(col("lsh_suspect"), lit(false)) || coalesce(col("__intra"), lit(false)))
-            .drop("__intra")
-            .write.mode("append").parquet(outPath)
-          bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
-        } finally bands.unpersist(false)
+        try flagAndRegisterBands(batch.toDF(), id, bands, indexPath, outPath)
+        finally bands.unpersist(false)
       }
+
+  /** The probe→flag→register tail both lexical streaming dedup operators
+    * share ([[streamingLshSuspects]], [[streamingCalibratedLshSuspects]]):
+    * LEFT SEMI probe of the standing band index (strictly earlier
+    * batches), the within-batch earlier-id collision that closes the
+    * intra-batch blind spot (doc_id order stands in for arrival order
+    * inside a batch), the flag join back onto the batch rows, the output
+    * append, and the band registration under `batch=<id>`. Factored so a
+    * change to the replay contract or the blind-spot logic cannot drift
+    * between the two operators. `decorate` attaches variant-specific
+    * observability columns before the append. */
+  private def flagAndRegisterBands(batch: DataFrame, id: Long, bands: DataFrame,
+      indexPath: String, outPath: String,
+      decorate: DataFrame => DataFrame = identity): Unit = {
+    val spark = batch.sparkSession
+    val index =
+      try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
+        .filter(col("batch") < id).drop("batch"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
+    val flagged = index match {
+      case Some(idx) => graft.operators.DedupOps.incrementalLshSuspects(bands, idx)
+      case None => bands.select(col("doc_id")).distinct()
+        .withColumn("lsh_suspect", lit(false))
+    }
+    val intra = bands.as("p").join(bands.as("e"),
+        col("p.bucket") === col("e.bucket") && col("p.band") === col("e.band") &&
+          col("p.h") === col("e.h") && col("e.doc_id") < col("p.doc_id"),
+        "left_semi")
+      .select(col("doc_id")).distinct().withColumn("__intra", lit(true))
+    decorate(batch.join(flagged, Seq("doc_id"), "left")
+        .join(intra, Seq("doc_id"), "left")
+        // docs too short to shingle — or whose every shingle the cap
+        // dropped — have no bands and are never suspects
+        .withColumn("lsh_suspect",
+          coalesce(col("lsh_suspect"), lit(false)) || coalesce(col("__intra"), lit(false)))
+        .drop("__intra"))
+      .write.mode("append").parquet(outPath)
+    bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+  }
 
   /** X2 (streaming, CALIBRATED): [[streamingLshSuspects]] with the
     * quantile df cap maintained INCREMENTALLY — the streaming form of the
@@ -277,31 +291,10 @@ object StreamingOps {
             .withColumnRenamed("bk", "h")
             .persist() // probed AND registered — compute the signatures once
           try {
-            val index =
-              try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
-                .filter(col("batch") < id).drop("batch"))
-              catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
-            val flagged = index match {
-              case Some(idx) => DedupOps.incrementalLshSuspects(bands, idx)
-              case None => bands.select(col("doc_id")).distinct()
-                .withColumn("lsh_suspect", lit(false))
-            }
-            val intra = bands.as("p").join(bands.as("e"),
-                col("p.bucket") === col("e.bucket") && col("p.band") === col("e.band") &&
-                  col("p.h") === col("e.h") && col("e.doc_id") < col("p.doc_id"),
-                "left_semi")
-              .select(col("doc_id")).distinct().withColumn("__intra", lit(true))
-            batch.toDF().join(flagged, Seq("doc_id"), "left")
-              .join(intra, Seq("doc_id"), "left")
-              .crossJoin(broadcast(thr))
-              // docs too short to shingle — or whose every shingle the cap
-              // dropped — have no bands and are never suspects
-              .withColumn("lsh_suspect",
-                coalesce(col("lsh_suspect"), lit(false)) || coalesce(col("__intra"), lit(false)))
-              .withColumn("df_threshold", col("__thr"))
-              .drop("__intra", "__thr")
-              .write.mode("append").parquet(outPath)
-            bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+            flagAndRegisterBands(batch.toDF(), id, bands, indexPath, outPath,
+              decorate = out => out.crossJoin(broadcast(thr))
+                .withColumn("df_threshold", col("__thr"))
+                .drop("__thr"))
             batchDf.write.mode("overwrite").parquet(s"$statsPath/batch=$id")
           } finally bands.unpersist(false)
         } finally sh.unpersist(false)

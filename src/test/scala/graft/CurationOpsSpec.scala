@@ -445,6 +445,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("must be non-null")), s"got: $e")
   }
 
+  test("X7: groupedShuffleRank keeps a NULL group as its own group instead of dropping it") {
+    val df = Seq((1, Some("a")), (2, Some("a")), (3, None), (4, None))
+      .toDF("id", "g")
+    val got = CurationOps.groupedShuffleRank(df, col("g"), col("id"))
+    assert(got.count() === 4L) // nothing vanished in the offsets join
+    val nullRanks = got.filter(col("g").isNull)
+      .select("rank").as[Long].collect().sorted
+    assert(nullRanks.toSeq === Seq(1L, 2L)) // its own 1..n rank space
+  }
+
   test("X7: temperature mixture flattens a head-heavy source mix (α = 1/2 law)") {
     // 3 sources with token mass 90k / 9k / 1k.
     val rows = Seq.fill(90)(("big", 1000L)) ++ Seq.fill(9)(("mid", 1000L)) ++

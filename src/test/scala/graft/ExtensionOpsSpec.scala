@@ -135,6 +135,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(DedupOps.jaccardVerifyPairs(cand, rows, got((1L, 2L)) + 0.01).count() === 0L)
   }
 
+  test("X2: jaccardVerifyPairs is total over duplicate, reversed, and self pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f", "s"), (2L, "a b c d e g", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"))
+    val clean = DedupOps.jaccardVerifyPairs(
+      Seq((1L, 2L)).toDF("a_id", "b_id"), rows, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // A messy candidate list — the pair twice, once reversed, plus a self
+    // pair — must yield exactly the clean result (before normalization,
+    // duplicated members doubled every hit count and the true pair
+    // silently verified to jaccard 0).
+    val messy = Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 1L)).toDF("a_id", "b_id")
+    val got = DedupOps.jaccardVerifyPairs(messy, rows, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(got === clean)
+  }
+
   test("X2: banded simhash candidates equal the all-pairs result for Hamming <= 6") {
     // Near pairs guaranteed by construction: two identical-token-set groups
     // (Hamming 0 within a group) plus one-token perturbations of group A

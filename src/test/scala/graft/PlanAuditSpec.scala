@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (120 queries, 115 oracles)") {
-    assert(SparkEntry.queries.size >= 120,
-      s"query surface shrank: ${SparkEntry.queries.size} < 120")
-    assert(SparkEntry.oracleSql.size >= 115,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 115")
+  test("query ledger matches the documented surface (134 queries, 131 oracles)") {
+    assert(SparkEntry.queries.size >= 134,
+      s"query surface shrank: ${SparkEntry.queries.size} < 134")
+    assert(SparkEntry.oracleSql.size >= 131,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 131")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }

@@ -105,6 +105,23 @@ class SketchOpsSpec extends SparkSpec {
     assert(r._2 === 10L) // n excludes the null rows
   }
 
+  test("X: histogram bin arithmetic stays exact beyond 2^53 (wide-range long values)") {
+    // Range ≈ 9e15 > 2^53: a double-based floor-divide misbins values near
+    // bucket edges; SQL `div` is exact int64. Values at exact bucket
+    // boundaries of a 4-bin sketch over [0, 4e15·9/4).
+    val hi = 9000000000000000L // 9e15
+    val df = Seq(0L, hi / 4, hi / 2, 3 * hi / 4, hi - 1).map(("g", _)).toDF("g", "v")
+    val r = SketchOps.histogramQuantiles(df, col("g"), col("v"), bins = 4,
+      qs = Seq(("p50", 1, 2), ("p99", 99, 100)))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val (_, n, p50, p99, err) = r
+    assert(n === 5L)
+    // Exact discrete quantiles of the 5 sorted values with the upper-edge
+    // bound: p50 rank 3 → hi/2 is in bin 2, upper edge ≥ hi/2, within err.
+    assert(p50 >= hi / 2 && p50 - hi / 2 <= err)
+    assert(p99 >= hi - 1 && p99 - (hi - 1) <= err)
+  }
+
   test("X: histogram sketch is exact when distinct values <= bins cover the range densely") {
     // Values 0..63 with bins=64: every value gets its own bucket, so the
     // upper-edge estimate IS the discrete quantile.
