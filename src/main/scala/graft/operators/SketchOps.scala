@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *  - rho = 53 − bitlength(w) (w = 0 ⇒ 53), via `bin()` string length —
   *    both engines strip leading zeros, no log2() call;
   *  - the harmonic sum Σ 2^−M_j is kept in FIXED POINT as
-  *    Σ 2^(53−M_j) — an exact BIGINT (≤ m·2^53 < 2^63), so the one float
-  *    division at the end operates on identical operands in both engines
-  *    and is IEEE-exactly-rounded to the same double.
+  *    Σ 2^(53−M_j) — an exact BIGINT, so the one float division at the
+  *    end operates on identical operands in both engines and is
+  *    IEEE-exactly-rounded to the same double. The bound m·2^53 < 2^63
+  *    only holds for p ≤ 9 (each EMPTY bucket contributes a full 2^53),
+  *    so [[hllEstimate]] rejects larger p rather than letting Spark's
+  *    non-ANSI sum wrap silently — see its guard.
   *
   * The estimate is the RAW HLL estimator α_m·m²/Z — deliberately without
   * the small-range linear-counting correction, whose ln() would
@@ -65,16 +68,28 @@ object SketchOps {
         .cast("long") % w
     }: _*)
 
+  /** A built count-min sketch: the (row, col, cnt) counter table PLUS the
+    * (d, w) geometry it was hashed with. The geometry travels with the
+    * counters so [[cmsQuery]] cannot be called with mismatched parameters
+    * — probing a d×w sketch with d'×w' positions hashes to cells that
+    * don't correspond to the build and silently returns wrong (often 0)
+    * estimates, violating the one-sided est ≥ true guarantee with no
+    * error raised. */
+  final case class CmsSketch(counters: DataFrame, d: Int, w: Int)
+
   /** Count-min sketch counters over `key` occurrences: (row, col, cnt),
     * cnt = how many input rows hash to that cell. ALL-INTEGER arithmetic —
     * unlike the HLL's one float division there is no float anywhere, so
     * the sketch is trivially bit-identical cross-engine. d·w cells of
     * state regardless of corpus size; the build is one explode(d) +
-    * hash-aggregate pass with map-side partials. */
-  def cmsCounters(df: DataFrame, key: Column, d: Int = 4, w: Int = 512): DataFrame = {
+    * hash-aggregate pass with map-side partials. Returns the counters
+    * bundled with their geometry ([[CmsSketch]]). */
+  def cmsCounters(df: DataFrame, key: Column, d: Int = 4, w: Int = 512): CmsSketch = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d, w=$w")
-    df.select(posexplode(cmsPositions(key, d, w)).as(Seq("row", "col")))
-      .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt"))
+    CmsSketch(
+      df.select(posexplode(cmsPositions(key, d, w)).as(Seq("row", "col")))
+        .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt")),
+      d, w)
   }
 
   /** Point-query the sketch for each probe key: min over the key's d
@@ -82,15 +97,17 @@ object SketchOps {
     * ≤ true + εN with probability 1−δ (ε = e/w, δ = e^−d). Join ships
     * (row, col) pairs against the d·w-cell counter table (broadcastable
     * at any corpus size). Adds `cms_est` to the probe rows, which must be
-    * unique (they are the group-back key). */
-  def cmsQuery(counters: DataFrame, probes: DataFrame, probeKey: Column,
-      d: Int = 4, w: Int = 512): DataFrame = {
+    * unique (they are the group-back key). Probe positions are computed
+    * from the geometry carried inside `sketch`, so they are the build's
+    * by construction. */
+  def cmsQuery(sketch: CmsSketch, probes: DataFrame, probeKey: Column): DataFrame = {
     require(!probes.columns.contains("row") && !probes.columns.contains("col"),
       "cmsQuery reserves column names row/col; rename them in the probe set first")
     val keep = probes.columns.map(col)
     probes
-      .select(keep :+ posexplode(cmsPositions(probeKey, d, w)).as(Seq("row", "col")): _*)
-      .join(counters, Seq("row", "col"), "left")
+      .select(keep :+ posexplode(cmsPositions(probeKey, sketch.d, sketch.w))
+        .as(Seq("row", "col")): _*)
+      .join(sketch.counters, Seq("row", "col"), "left")
       // A never-hit cell is absent from the counter table — its value is 0,
       // and min() must see it (CMS estimates of unseen keys can be 0).
       .groupBy(keep: _*)
@@ -136,14 +153,20 @@ object SketchOps {
     // (≈ 1.4e17 at 64 bins) overflow and must be rescaled first.
     val base = df.select(group.as("g"), value.cast("long").as("v"))
       .filter(col("v").isNotNull)
+    // NULL-SAFE group joins (<=>): groupBy keeps a NULL group as its own
+    // row, but an equi-join on "g" would never match it back, silently
+    // dropping that group from the output — the same silent-row-loss
+    // class groupedShuffleRank fixed with <=>. A DuckDB oracle over a
+    // nullable group must mirror this with IS NOT DISTINCT FROM.
     val stats = base.groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
-    val binned = base.join(broadcast(stats), Seq("g"))
+      .withColumnRenamed("g", "gs")
+    val binned = base.join(broadcast(stats), col("g") <=> col("gs")).drop("gs")
       .withColumn("bin", expr(s"((v - mn) * CAST($bins AS BIGINT)) div (mx - mn + 1)"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
     val cum = binned.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("bin"))))
-    val withEdge = cum.join(broadcast(stats), Seq("g"))
+    val withEdge = cum.join(broadcast(stats), col("g") <=> col("gs")).drop("gs")
       .withColumn("upper", expr(
         s"mn + (((bin + 1) * (mx - mn + 1) + ${bins - 1}) div $bins) - 1"))
     val estAggs = qs.map { case (name, num, den) =>
@@ -167,7 +190,14 @@ object SketchOps {
     // (0.7213/(1 + 1.079/m)); the HLL paper specifies different constants
     // for m = 16/32/64, so smaller sketches are rejected rather than
     // silently biased ~1% on top of the documented raw-estimator bias.
-    require(p >= 7, s"hllEstimate's alpha approximation needs m >= 128 (p >= 7), got p=$p")
+    // The UPPER bound is the fixed point's: with m = 2^p registers and an
+    // empty bucket contributing 2^(53-0), the worst-case harmonic sum is
+    // m·2^53 = 2^(p+53), which overflows int64 for p ≥ 10 — Spark's
+    // non-ANSI sum would wrap to garbage silently and a DuckDB oracle
+    // (hugeint sum) would diverge. p ≤ 9 keeps the sum provably < 2^63;
+    // given hllRegisters' p % 4 == 0 rule the practical setting is p = 8.
+    require(p >= 7 && p <= 9,
+      s"hllEstimate needs 7 <= p <= 9 (alpha approximation below, int64 fixed-point sum above), got p=$p")
     val m = (1L << p).toDouble
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
     registers.agg(

@@ -712,9 +712,16 @@ object Curation extends QueryGroup {
         .map(s => s"'$s'").mkString(", ")
       val score = OracleSql.rationalSigmoidSql(
         OracleSql.marginSql(4, i => s"((f$i - m$i) / s$i)", i => s"w$i", "wb"))
+      // y mirrors the engine exactly: a NULL source yields a NULL boolean
+      // label in Spark, which na.drop() then excludes from training — so
+      // the oracle maps NULL source to NULL y (not 0.0) and the tr CTE
+      // drops null-feature/null-label rows just like na.drop(). The
+      // current fixture has no nulls, but the weight trajectory must not
+      // depend on that.
       s"""WITH feat AS (
          |  SELECT doc_id, source, f0, f1, f2, f3,
-         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y, bucket
+         |    CASE WHEN source IS NULL THEN NULL
+         |         WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y, bucket
          |  FROM (SELECT doc_id, source,
          |      CAST(n_chars AS DOUBLE) AS f0,
          |      CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / nt AS f1,
@@ -725,7 +732,9 @@ object Curation extends QueryGroup {
          |        CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS nt,
          |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
          |      FROM documents))),
-         |tr AS (SELECT f0, f1, f2, f3, y FROM feat WHERE bucket < 80),
+         |tr AS (SELECT f0, f1, f2, f3, y FROM feat WHERE bucket < 80
+         |  AND f0 IS NOT NULL AND f1 IS NOT NULL AND f2 IS NOT NULL
+         |  AND f3 IS NOT NULL AND y IS NOT NULL),
          |${OracleSql.logisticCtes("lg", "tr", 4, 10, 1.0)}
          |SELECT doc_id, source, round($score, 6) + 0.0 AS p_trusted
          |FROM feat CROSS JOIN lgst CROSS JOIN lgw10

@@ -305,10 +305,10 @@ object Text extends QueryGroup {
     (s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(explode(TextOps.tokenize(col("text"))).as("tok"))
-      val counters = graft.operators.SketchOps.cmsCounters(toks, col("tok"), d = 4, w = 512)
+      val sketch = graft.operators.SketchOps.cmsCounters(toks, col("tok"), d = 4, w = 512)
       val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_tf"))
         .orderBy(desc("exact_tf"), col("tok")).limit(20)
-      graft.operators.SketchOps.cmsQuery(counters, top, col("tok"), d = 4, w = 512)
+      graft.operators.SketchOps.cmsQuery(sketch, top, col("tok"))
         .withColumn("overcount", col("cms_est") - col("exact_tf"))
         .select(col("tok"), col("exact_tf"), col("cms_est"), col("overcount"))
         .orderBy(desc("exact_tf"), col("tok"))

@@ -43,7 +43,7 @@ class SketchOpsSpec extends SparkSpec {
 
   test("X: CMS conservation — every sketch row's counters sum to the insertion count") {
     val keys = (1 to 3000).map(i => i % 97).toDF("k")
-    val rows = SketchOps.cmsCounters(keys, col("k"), d = 4, w = 64)
+    val rows = SketchOps.cmsCounters(keys, col("k"), d = 4, w = 64).counters
       .groupBy("row").agg(org.apache.spark.sql.functions.sum("cnt").as("s"))
       .as[(Int, Long)].collect()
     assert(rows.length === 4 && rows.forall(_._2 == 3000L))
@@ -56,9 +56,9 @@ class SketchOpsSpec extends SparkSpec {
     val df = rnd.shuffle(stream).toDF("k")
     val n = stream.size
     val (d, w) = (4, 512)
-    val counters = SketchOps.cmsCounters(df, col("k"), d, w)
+    val sketch = SketchOps.cmsCounters(df, col("k"), d, w)
     val truth = df.groupBy(col("k")).count().withColumnRenamed("count", "tf")
-    val est = SketchOps.cmsQuery(counters, truth, col("k"), d, w)
+    val est = SketchOps.cmsQuery(sketch, truth, col("k"))
       .as[(Int, Long, Long)].collect()
     val epsN = math.E / w * n
     est.foreach { case (k, tf, e) =>
@@ -69,9 +69,9 @@ class SketchOpsSpec extends SparkSpec {
 
   test("X: CMS unseen-key estimate is bounded by eN (and 0 when its cells are never hit)") {
     val df = (1 to 1000).toDF("k")
-    val counters = SketchOps.cmsCounters(df, col("k"), d = 4, w = 512)
+    val sketch = SketchOps.cmsCounters(df, col("k"), d = 4, w = 512)
     val unseen = Seq(100001, 100002, 100003).toDF("k")
-    val est = SketchOps.cmsQuery(counters, unseen, col("k"), d = 4, w = 512)
+    val est = SketchOps.cmsQuery(sketch, unseen, col("k"))
       .as[(Int, Long)].collect()
     val epsN = math.E / 512 * 1000
     est.foreach { case (_, e) => assert(e >= 0 && e <= epsN) }
@@ -94,6 +94,27 @@ class SketchOpsSpec extends SparkSpec {
       assert(est - truth <= err, s"estimate $est exceeds $truth by more than err_bound $err")
     }
     assert(p50 <= p90 && p90 <= p99) // monotone across quantiles
+  }
+
+  test("X: hllEstimate rejects p outside [7,9] — the int64 fixed-point sum would wrap at p >= 10") {
+    val regs12 = SketchOps.hllRegisters((1 to 10).toDF("k"), col("k"), p = 12)
+    val e = intercept[IllegalArgumentException](SketchOps.hllEstimate(regs12, p = 12))
+    assert(e.getMessage.contains("7 <= p <= 9"))
+    // And the boundary case that motivated the guard: at p = 12 with mostly
+    // empty buckets the worst-case sum is 2^65 > Long.MaxValue.
+    assert(BigInt(1) << 65 > BigInt(Long.MaxValue))
+  }
+
+  test("X: a NULL group gets its own histogram instead of silently vanishing") {
+    val df = ((1L to 10L).map(v => (Some("g"), v)) ++ (1L to 4L).map(v => (None: Option[String], v * 100)))
+      .toDF("g", "v")
+    val r = SketchOps.histogramQuantiles(df, col("g"), col("v"), bins = 4,
+      qs = Seq(("p50", 1, 2)))
+      .as[(Option[String], Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.length === 2)
+    val nullGroup = r.find(_._1.isEmpty).get
+    assert(nullGroup._2 === 4L) // n of the NULL group's own rows
+    assert(nullGroup._3 >= 200L) // its p50 comes from ITS values (100..400), not g's
   }
 
   test("X: histogram quantiles drop null values as whole rows (complete-case n)") {
