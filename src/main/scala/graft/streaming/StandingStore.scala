@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-keyed standing state for foreachBatch operators, with replay-safe
+  * periodic COMPACTION — the store behind the streaming dedup indexes, the
+  * df-stats partials, and the HLL register tables.
+  *
+  * Why it exists: a foreachBatch operator that registers per-batch state
+  * under `batch=<id>` and re-reads ALL prior partitions every micro-batch
+  * pays a scan that grows as batches × per-batch-state — invisible at ten
+  * batches, a linear-in-time per-batch regression at 10⁵. The fix is the
+  * LSM discipline: every N batches, rewrite the merged standing state as
+  * ONE partition and drop the subsumed ones, so the per-batch read is
+  * (merged state) + (≤ N recent raw partitions) — bounded by the state's
+  * own saturation (vocabulary, sketch size), never by stream age.
+  *
+  * Layout under `root`:
+  *  - `raw/batch=<id>`     — one partition per micro-batch, overwritten on
+  *    replay (the existing effectively-once contract);
+  *  - `compact/upto=<U>`   — a committed merge of all state from batches
+  *    ≤ U. Multiple levels may transiently coexist; READERS TAKE ONLY THE
+  *    NEWEST COMMITTED LEVEL (highest U with a `_SUCCESS` marker), which
+  *    is what makes compaction crash-safe:
+  *
+  *     - crash BEFORE the level commit → no `_SUCCESS`, readers still see
+  *       the old level + raw partitions; the replayed batch re-runs the
+  *       compaction idempotently;
+  *     - crash AFTER the commit but BEFORE cleanup → subsumed raw
+  *       partitions and stale levels still exist on disk, but readers
+  *       ignore everything ≤ U by construction, so sum-merged state is
+  *       never double-counted (a plain rewrite-in-place protocol would
+  *       double-count exactly here);
+  *     - Structured Streaming replays at most the CURRENT batch id (all
+  *       earlier ones are checkpoint-committed), so deleting raw
+  *       partitions < id can never race a replay that still needs them.
+  *
+  * The `merge` function a caller supplies (bin-wise sum, register max,
+  * identity for semi-join indexes) must be IDEMPOTENT on already-merged
+  * input — that is what lets a replayed compaction rewrite the same level
+  * without changing it.
+  */
+object StandingStore {
+
+  private def fsFor(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Register a batch's own state partition (overwrite = replay-safe). */
+  def writeRaw(df: DataFrame, root: String, id: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$root/raw/batch=$id")
+
+  /** Newest COMMITTED compact level (highest `upto=U` dir holding a
+    * `_SUCCESS` marker), or -1 when none exists. */
+  def maxUpto(spark: SparkSession, root: String): Long = {
+    val dir = new Path(s"$root/compact")
+    val fs = fsFor(spark, root)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("upto=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Standing state from batches ≤ `through`: the newest committed compact
+    * level plus the raw partitions it does not subsume. None when no state
+    * exists yet. Rows are UNMERGED (a key may appear in the level and in
+    * several raw partitions); callers merge. */
+  def readThrough(spark: SparkSession, root: String, through: Long): Option[DataFrame] = {
+    val u = maxUpto(spark, root)
+    val compacted =
+      if (u < 0) None else Some(spark.read.parquet(s"$root/compact/upto=$u"))
+    val raw =
+      try Some(spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+        .filter(col("batch") > u && col("batch") <= through).drop("batch"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // no raw dir yet
+    (compacted, raw) match {
+      case (Some(c), Some(r)) => Some(c.unionByName(r))
+      case (c, r)             => c.orElse(r)
+    }
+  }
+
+  /** Standing state from batches STRICTLY BEFORE `id` — what batch `id`
+    * probes (its own attempt from a failed try is never read back). */
+  def readBefore(spark: SparkSession, root: String, id: Long): Option[DataFrame] =
+    readThrough(spark, root, id - 1)
+
+  /** Everything currently in the store, merged by the caller afterwards —
+    * test/inspection surface. */
+  def readAll(spark: SparkSession, root: String): Option[DataFrame] =
+    readThrough(spark, root, Long.MaxValue)
+
+  /** Physical rows a batch-`id` reader scans (compact level + live raw
+    * partitions) — the quantity compaction bounds; spec/observability
+    * surface. 0 when the store is empty. */
+  def physicalRowCount(spark: SparkSession, root: String): Long =
+    readAll(spark, root).map(_.count()).getOrElse(0L)
+
+  /** Compact all state from batches < `id` into level `upto = id-1`, then
+    * best-effort delete the subsumed raw partitions and stale levels. Call
+    * at the START of batch `id`, before the batch registers its own
+    * partition. Safe to re-run at the same `id` (replay): the level
+    * rewrite is idempotent because `merge` is. */
+  def compact(spark: SparkSession, root: String, id: Long,
+      merge: DataFrame => DataFrame): Unit =
+    readBefore(spark, root, id).foreach { standing =>
+      merge(standing).write.mode("overwrite").parquet(s"$root/compact/upto=${id - 1}")
+      val fs = fsFor(spark, root)
+      val rawDir = new Path(s"$root/raw")
+      if (fs.exists(rawDir)) fs.listStatus(rawDir).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= id - 1)
+          fs.delete(s.getPath, true)
+      }
+      val compDir = new Path(s"$root/compact")
+      if (fs.exists(compDir)) fs.listStatus(compDir).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("upto=") && n.stripPrefix("upto=").toLong < id - 1)
+          fs.delete(s.getPath, true)
+      }
+    }
+
+  /** Run [[compact]] every `every` batches (0 = never). The cadence test
+    * is on the batch id, so a replayed batch re-runs exactly the
+    * compactions its first attempt ran. */
+  def maybeCompact(spark: SparkSession, root: String, id: Long, every: Int,
+      merge: DataFrame => DataFrame): Unit =
+    if (every > 0 && id > 0 && id % every == 0) compact(spark, root, id, merge)
+}

@@ -171,14 +171,24 @@ object StreamingOps {
     *
     * Effectively-once under replay: the batch's band partition is
     * OVERWRITTEN (not appended) and the probe reads only partitions with
-    * batch < current, so a replayed batch neither double-registers its
-    * bands nor LSH-collides with its own first attempt (the batch-local
+    * batch < current ([[StandingStore.readBefore]]), so a replayed batch
+    * neither double-registers its bands nor LSH-collides with its own
+    * first attempt (the batch-local
     * self-probe is deterministic, so a replay re-flags the same docs). The
     * flagged OUTPUT append is at-least-once on replay, as with any
     * foreachBatch file append; dedup on doc_id downstream if the sink must
-    * be exact. */
+    * be exact.
+    *
+    * Every `compactEvery` batches the band index is COMPACTED
+    * ([[StandingStore]]): the accumulated `batch=<id>` partitions are
+    * rewritten as one level and dropped, so the per-batch index scan is
+    * bounded by the index's own size (rows ∝ corpus bands, files O(1) +
+    * O(compactEvery)) instead of degrading with stream age — the
+    * small-file accumulation a 10⁵-micro-batch deployment would otherwise
+    * hit. 0 disables. */
   def streamingLshSuspects(docs: DataFrame, checkpoint: String, indexPath: String,
-      outPath: String, numHashes: Int = 8, maxDf: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      outPath: String, numHashes: Int = 8, maxDf: Int = 0,
+      compactEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -188,7 +198,7 @@ object StreamingOps {
             batch.toDF(), col("doc_id"), lit("all"), col("text")),
           numHashes, maxDf)
           .persist() // probed AND registered — compute the signatures once
-        try flagAndRegisterBands(batch.toDF(), id, bands, indexPath, outPath)
+        try flagAndRegisterBands(batch.toDF(), id, bands, indexPath, outPath, compactEvery)
         finally bands.unpersist(false)
       }
 
@@ -201,15 +211,16 @@ object StreamingOps {
     * append, and the band registration under `batch=<id>`. Factored so a
     * change to the replay contract or the blind-spot logic cannot drift
     * between the two operators. `decorate` attaches variant-specific
-    * observability columns before the append. */
+    * observability columns before the append. Index state lives in a
+    * [[StandingStore]] (raw per-batch partitions + periodic compaction);
+    * the identity merge is correct for a semi-join index — row
+    * multiplicity never changes a LEFT SEMI probe. */
   private def flagAndRegisterBands(batch: DataFrame, id: Long, bands: DataFrame,
-      indexPath: String, outPath: String,
+      indexPath: String, outPath: String, compactEvery: Int,
       decorate: DataFrame => DataFrame = identity): Unit = {
     val spark = batch.sparkSession
-    val index =
-      try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
-        .filter(col("batch") < id).drop("batch"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
+    StandingStore.maybeCompact(spark, indexPath, id, compactEvery, identity)
+    val index = StandingStore.readBefore(spark, indexPath, id)
     val flagged = index match {
       case Some(idx) => graft.operators.DedupOps.incrementalLshSuspects(bands, idx)
       case None => bands.select(col("doc_id")).distinct()
@@ -228,7 +239,7 @@ object StreamingOps {
           coalesce(col("lsh_suspect"), lit(false)) || coalesce(col("__intra"), lit(false)))
         .drop("__intra"))
       .write.mode("append").parquet(outPath)
-    bands.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+    StandingStore.writeRaw(bands, indexPath, id)
   }
 
   /** X2 (streaming, CALIBRATED): [[streamingLshSuspects]] with the
@@ -259,25 +270,34 @@ object StreamingOps {
     * df-stats aggregate whose input is the standing vocabulary — the
     * q50-measured SATURATING table, not the corpus); same replay contract
     * as the uncalibrated op (stats and bands partitions overwritten,
-    * probe reads batch < current only). */
+    * probe reads batch < current only).
+    *
+    * Both standing tables COMPACT every `compactEvery` batches
+    * ([[StandingStore]]): without it the df-stats scan reads
+    * batches × per-batch-vocabulary rows (the summed result is
+    * vocabulary-bounded but the INPUT is not), a linear-in-time per-batch
+    * regression at 10⁵ micro-batches. After compaction the scan input is
+    * the merged vocabulary itself (one row per distinct (bucket, shingle))
+    * plus ≤ compactEvery recent raw partials — bounded by vocabulary
+    * saturation, not stream age. The df partials merge by bin-wise SUM,
+    * which is exactly the associative partial-aggregate algebra; the
+    * spec asserts compacted ≡ uncompacted bit-for-bit. 0 disables. */
   def streamingCalibratedLshSuspects(docs: DataFrame, checkpoint: String,
       indexPath: String, statsPath: String, outPath: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, q: Double = 0.95,
-      floor: Int = 2): DataStreamWriter[org.apache.spark.sql.Row] =
+      floor: Int = 2, compactEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         import graft.operators.{DedupOps, TextOps}
+        StandingStore.maybeCompact(spark, statsPath, id, compactEvery,
+          _.groupBy(col("bucket"), col("sh")).agg(sum(col("__df")).as("__df")))
         val sh = TextOps.shingleRows(batch.toDF(), col("doc_id"), lit("all"), col("text"))
           .persist() // df-counted, capped, AND banded — compute once
         try {
           val batchDf = sh.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
-          val prior =
-            try Some(spark.read.option("basePath", statsPath).parquet(statsPath)
-              .filter(col("batch") < id).drop("batch"))
-            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no stats yet
-          val standing = prior match {
+          val standing = StandingStore.readBefore(spark, statsPath, id) match {
             case Some(p) => p.unionByName(batchDf)
               .groupBy(col("bucket"), col("sh")).agg(sum(col("__df")).as("__df"))
             case None => batchDf
@@ -291,11 +311,11 @@ object StreamingOps {
             .withColumnRenamed("bk", "h")
             .persist() // probed AND registered — compute the signatures once
           try {
-            flagAndRegisterBands(batch.toDF(), id, bands, indexPath, outPath,
+            flagAndRegisterBands(batch.toDF(), id, bands, indexPath, outPath, compactEvery,
               decorate = out => out.crossJoin(broadcast(thr))
                 .withColumn("df_threshold", col("__thr"))
                 .drop("__thr"))
-            batchDf.write.mode("overwrite").parquet(s"$statsPath/batch=$id")
+            StandingStore.writeRaw(batchDf, statsPath, id)
           } finally bands.unpersist(false)
         } finally sh.unpersist(false)
       }
@@ -311,23 +331,23 @@ object StreamingOps {
     * is the batch's own bucket pass + two equi-joins — corpus-size-
     * independent. Suspects feed an exact-cosine verifier downstream
     * (q32/q61's verification stage); same effectively-once replay contract
-    * as the lexical op. */
+    * and `compactEvery`-batch index compaction ([[StandingStore]]) as the
+    * lexical op. */
   def streamingSemanticSuspects(embs: DataFrame, checkpoint: String, indexPath: String,
-      outPath: String, tables: Seq[Seq[Seq[Double]]]): DataStreamWriter[org.apache.spark.sql.Row] =
+      outPath: String, tables: Seq[Seq[Seq[Double]]],
+      compactEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
     embs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
+        StandingStore.maybeCompact(spark, indexPath, id, compactEvery, identity)
         val buckets = batch.toDF()
           .select(col("vec_id"), explode(graft.operators.SimilarityOps.tableBuckets(
             col("embedding").cast("array<double>"), tables)).as("tb"))
           .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
           .persist() // probed AND registered — compute the buckets once
         try {
-          val index =
-            try Some(spark.read.option("basePath", indexPath).parquet(indexPath)
-              .filter(col("batch") < id).drop("batch"))
-            catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no index yet
+          val index = StandingStore.readBefore(spark, indexPath, id)
           val cross = index match {
             case Some(idx) => buckets.join(idx, Seq("t", "b"), "left_semi")
               .select(col("vec_id")).distinct()
@@ -343,7 +363,7 @@ object StreamingOps {
           batch.toDF().join(suspects, Seq("vec_id"), "left")
             .withColumn("sem_suspect", coalesce(col("sem_suspect"), lit(false)))
             .write.mode("append").parquet(outPath)
-          buckets.write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+          StandingStore.writeRaw(buckets, indexPath, id)
         } finally buckets.unpersist(false)
       }
 
@@ -363,18 +383,26 @@ object StreamingOps {
     *    the one-shot batch sketch over the union of those batches
     *    (spec-asserted), with no dedup bookkeeping at all. A count-sum
     *    monitor needs the `batch < id` replay guard; a max-merge sketch
-    *    gets replay safety from algebra. */
+    *    gets replay safety from algebra.
+    *
+    * The register store compacts every `compactEvery` batches
+    * ([[StandingStore]]): the per-batch 2^p-row tables max-merge into one
+    * level, so the standing scan reads 2^p + (≤ compactEvery)·2^p rows
+    * forever instead of batches·2^p. Max-merge makes the compacted level
+    * trivially idempotent under replay. 0 disables. */
   def streamingHllMonitor(events: DataFrame, key: String, checkpoint: String,
-      registersPath: String, outPath: String, p: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+      registersPath: String, outPath: String, p: Int = 8,
+      compactEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         import graft.operators.SketchOps
-        SketchOps.hllRegisters(batch.toDF(), col(key), p)
-          .write.mode("overwrite").parquet(s"$registersPath/batch=$id")
-        val standing = spark.read.option("basePath", registersPath)
-          .parquet(registersPath)
+        StandingStore.maybeCompact(spark, registersPath, id, compactEvery,
+          _.groupBy(col("bucket")).agg(max(col("reg")).as("reg")))
+        StandingStore.writeRaw(
+          SketchOps.hllRegisters(batch.toDF(), col(key), p), registersPath, id)
+        val standing = StandingStore.readThrough(spark, registersPath, id).get
           .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
         SketchOps.hllEstimate(standing, p)
           .withColumn("batch", lit(id))

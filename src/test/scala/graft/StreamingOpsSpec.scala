@@ -92,7 +92,8 @@ class StreamingOpsSpec extends SparkSpec {
       assert(flags === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false,
         5L -> false, 6L -> false, 7L -> true))
       // the standing index holds all batches' bands, keyed by batch id
-      val batches = spark.read.option("basePath", idx).parquet(idx)
+      // (3 batches < default compactEvery=16 → all still raw)
+      val batches = spark.read.option("basePath", s"$idx/raw").parquet(s"$idx/raw")
         .select(col("batch")).distinct().as[Long].collect().toSet
       assert(batches === Set(0L, 1L, 2L))
     } finally q.stop()
@@ -130,7 +131,7 @@ class StreamingOpsSpec extends SparkSpec {
         }
       }
       // the standing stats table aggregates to the true corpus df
-      val standing = spark.read.option("basePath", st).parquet(st).drop("batch")
+      val standing = graft.streaming.StandingStore.readAll(spark, st).get
         .groupBy(col("bucket"), col("sh")).agg(sum(col("__df")).as("__df"))
       val full = TextOps.shingleRows(batches.flatten.toDF("doc_id", "text"),
           col("doc_id"), lit("all"), col("text"))
@@ -164,7 +165,7 @@ class StreamingOpsSpec extends SparkSpec {
       assert(flags(5L) === true, "identical vector within the batch must flag")
       assert(flags(1L) === false && flags(4L) === false, "first-seen vectors are admitted")
       // the standing index registered both batches
-      val batches = spark.read.option("basePath", idx).parquet(idx)
+      val batches = spark.read.option("basePath", s"$idx/raw").parquet(s"$idx/raw")
         .select(col("batch")).distinct().as[Long].collect().toSet
       assert(batches === Set(0L, 1L))
     } finally q.stop()
@@ -334,6 +335,116 @@ class StreamingOpsSpec extends SparkSpec {
       val after = spark.read.parquet(out).orderBy(col("batch"))
         .select(col("hll_estimate")).as[Double].collect()
       assert(after.last === oneShot(700L))
+    } finally q.stop()
+  }
+
+  test("StandingStore: readers take only the newest committed level — a crash between " +
+    "level commit and cleanup cannot double-count, and compaction replay is idempotent") {
+    import graft.streaming.StandingStore
+    val root = tmp("store")
+    val mergeSum = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+    (0L to 3L).foreach { id =>
+      StandingStore.writeRaw(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), root, id)
+    }
+    val truth = Map("a" -> 4L, "b" -> 8L)
+    def standingSum(): Map[String, Long] =
+      mergeSum(StandingStore.readAll(spark, root).get).as[(String, Long)].collect().toMap
+    assert(standingSum() === truth)
+    // Simulate the crash window: the compact level for batches <= 3 is
+    // COMMITTED but the subsumed raw partitions were never deleted.
+    mergeSum(StandingStore.readAll(spark, root).get)
+      .write.parquet(s"$root/compact/upto=3")
+    assert(StandingStore.maxUpto(spark, root) === 3L)
+    assert(standingSum() === truth) // raws <= upto are ignored, NOT double-counted
+    // A later batch's real compaction cleans up and changes nothing.
+    StandingStore.compact(spark, root, 4L, mergeSum)
+    assert(standingSum() === truth)
+    // Replay of the same compaction id is idempotent.
+    StandingStore.compact(spark, root, 4L, mergeSum)
+    assert(standingSum() === truth)
+    assert(StandingStore.physicalRowCount(spark, root) === 2L) // merged level only
+    // New raw state after compaction is read alongside the level.
+    StandingStore.writeRaw(Seq(("a", 10L)).toDF("k", "v"), root, 4L)
+    assert(standingSum() === Map("a" -> 14L, "b" -> 8L))
+  }
+
+  test("X2-stream compaction: calibrated suspects with compaction are bit-identical to " +
+    "the uncompacted run, and the stats scan stays vocabulary-bounded") {
+    import graft.streaming.StandingStore
+    // Batches reuse one small vocabulary so the standing df table SATURATES
+    // while raw per-batch partials keep arriving — the exact shape where an
+    // uncompacted store's scan grows with batch count for no information.
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      "gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    val nBatches = 6
+    def run(compactEvery: Int, tag: String): (Map[Long, (Boolean, Long)], String) = {
+      val input = MemoryStream[(Long, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "text")
+      val (cp, idx, st, out) = (tmp(s"cc_cp$tag"), tmp(s"cc_idx$tag"), tmp(s"cc_st$tag"), tmp(s"cc_out$tag"))
+      val q = StreamingOps.streamingCalibratedLshSuspects(
+        docs, cp, idx, st, out, compactEvery = compactEvery).start()
+      try {
+        (0 until nBatches).foreach { b =>
+          input.addData((b.toLong * 10 + 1, texts(b % texts.size)),
+            (b.toLong * 10 + 2, s"novel words only batch $b brings along here today fine"))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val flags = spark.read.parquet(out)
+        .select(col("doc_id"), col("lsh_suspect"), col("df_threshold"))
+        .as[(Long, Boolean, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      (flags, st)
+    }
+    val (flagsC, stC) = run(compactEvery = 2, "c")
+    val (flagsU, stU) = run(compactEvery = 0, "u")
+    // (1) outputs bit-identical: same flags, same per-batch thresholds
+    assert(flagsC === flagsU)
+    // (2) compaction actually ran and bounded the physical scan: the
+    // compacted store reads fewer rows than the uncompacted one...
+    assert(StandingStore.maxUpto(spark, stC) >= 0L)
+    val physC = StandingStore.physicalRowCount(spark, stC)
+    val physU = StandingStore.physicalRowCount(spark, stU)
+    assert(physC < physU, s"compacted store reads $physC rows, uncompacted $physU")
+    // ...and its compact level is EXACTLY the merged vocabulary (one row
+    // per distinct (bucket, sh) across the subsumed batches) — the
+    // "input is the standing vocabulary" claim, now true for rows READ.
+    val u = StandingStore.maxUpto(spark, stC)
+    val level = spark.read.parquet(s"$stC/compact/upto=$u")
+    assert(level.count() === level.select(col("bucket"), col("sh")).distinct().count())
+    // (3) after 3x the compaction interval, raw partitions beyond the
+    // level are at most compactEvery-many batch ids
+    val liveRaw = spark.read.option("basePath", s"$stC/raw").parquet(s"$stC/raw")
+      .filter(col("batch") > u)
+      .select(col("batch")).distinct().count()
+    assert(liveRaw <= 2L, s"$liveRaw raw partitions survive past the level")
+  }
+
+  test("X-stream compaction: HLL monitor estimates are unmoved by register compaction " +
+    "and the store stays sketch-bounded") {
+    import graft.operators.SketchOps
+    import graft.streaming.StandingStore
+    val input = MemoryStream[Long](spark)
+    val (cp, regs, out) = (tmp("hllc_cp"), tmp("hllc_regs"), tmp("hllc_out"))
+    val q = StreamingOps.streamingHllMonitor(
+      input.toDF().toDF("user_id"), "user_id", cp, regs, out, compactEvery = 2).start()
+    try {
+      val ends = Seq(100L, 200L, 300L, 400L, 500L, 600L)
+      ends.foreach { hi => input.addData(1L to hi: _*); q.processAllAvailable() }
+      val est = spark.read.parquet(out).orderBy(col("batch"))
+        .select(col("hll_estimate")).as[Double].collect()
+      def oneShot(hi: Long): Double = SketchOps.hllEstimate(
+        SketchOps.hllRegisters((1L to hi).toDF("k"), col("k")))
+        .select(col("hll_estimate")).as[Double].head()
+      // every prefix estimate bit-identical to the one-shot batch sketch,
+      // across two compactions (ids 2 and 4)
+      ends.zipWithIndex.foreach { case (hi, i) => assert(est(i) === oneShot(hi), s"batch $i") }
+      // store = one 256-row compact level (upto=3) + raw batches 4 and 5 —
+      // 3·2^p rows, vs 6·2^p uncompacted: sketch-bounded, not age-bounded
+      assert(StandingStore.maxUpto(spark, regs) === 3L)
+      assert(StandingStore.physicalRowCount(spark, regs) === 3L * 256L)
     } finally q.stop()
   }
 }
