@@ -567,23 +567,50 @@ object CurationOps {
 
   /** Temperature-scaled source sampling plan (the multilingual/UNIMAX
     * α-sampling knob: p_i ∝ n_i^α flattens a head-heavy source mix; α = 1
-    * is proportional, α → 0 uniform). α is fixed at 1/2 — the common
-    * T = 2 operating point — precisely BECAUSE n^0.5 is sqrt, an
-    * IEEE-exactly-rounded op, where a general pow() is libm-dependent:
-    * the whole plan stays on the exact-oracle discipline. Per source:
+    * is proportional, α → 0 uniform). This entry point pins α = 1/2 — the
+    * common T = 2 operating point, where n^0.5 is one sqrt, an
+    * IEEE-exactly-rounded op; [[temperatureMixtureAlpha]] opens the knob
+    * to any dyadic α while KEEPING the exact-oracle discipline. Per source:
     * available tokens, sampling probability p_i = w_i/Σw (w = √tokens;
     * the Σ is the one order-dependent float, rounded 1e-6 on both sides),
     * planned tokens against a budget, and the implied epochs over the
     * source (> 1 = upsampled, the value the knob exists to bound). Two
     * tiny aggregates — plan cost is independent of corpus size. */
   def temperatureMixture(df: DataFrame, source: Column, tokens: Column,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long): DataFrame =
+    temperatureMixtureAlpha(df, source, tokens, budgetTokens,
+      alphaNum = 1, alphaLog2Den = 1)
+
+  /** [[temperatureMixture]] with the α knob OPEN across the dyadic
+    * rationals: α = alphaNum / 2^alphaLog2Den ∈ (0, 1] — the range real
+    * UNIMAX configs sweep (α ∈ {0.25, 0.375, 0.5, 0.75, 1} all land on
+    * dyadics; any other setting is approximated to 1/2^10 ≈ 0.001). The
+    * trick that keeps the HARD oracle: n^(k/2^m) is computed as m repeated
+    * sqrt's (each IEEE-exactly-rounded) followed by k−1 left-associated
+    * multiplies (each exactly rounded) — a deterministic composition both
+    * engines reproduce BIT-FOR-BIT, where one pow() call is libm-dependent
+    * in its last ulp. α = 1 (k=1, m=0) degenerates to proportional
+    * allocation; α → 0 flattens toward uniform (spec-asserted). Same
+    * two-tiny-aggregate plan: cost independent of corpus size. */
+  def temperatureMixtureAlpha(df: DataFrame, source: Column, tokens: Column,
+      budgetTokens: Long, alphaNum: Int, alphaLog2Den: Int): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(alphaLog2Den >= 0 && alphaLog2Den <= 10,
+      s"alphaLog2Den must be in [0, 10], got $alphaLog2Den")
+    require(alphaNum > 0 && alphaNum.toLong <= (1L << alphaLog2Den),
+      s"alpha = $alphaNum/2^$alphaLog2Den must lie in (0, 1]")
     val avail = df.select(source.as("source"), tokens.as("__tok"))
       .groupBy(col("source")).agg(sum(col("__tok")).as("avail_tokens"))
-      .withColumn("__w", sqrt(col("avail_tokens").cast("double")))
-    avail
-      .crossJoin(broadcast(avail.agg(
+    // n^(1/2^m): m exactly-rounded sqrt's, composed.
+    val root = (1 to alphaLog2Den).foldLeft(col("avail_tokens").cast("double")) {
+      (c, _) => sqrt(c)
+    }
+    // root^k: k-1 left-associated exactly-rounded multiplies — the same
+    // association an oracle writes as s*s*...*s.
+    val weight = (2 to alphaNum).foldLeft(root)((c, _) => c * root)
+    val weighted = avail.withColumn("__w", weight)
+    weighted
+      .crossJoin(broadcast(weighted.agg(
         graft.engine.Semantics.roundz(sum(col("__w")), 6).as("__sw"))))
       .withColumn("sample_p",
         graft.engine.Semantics.roundz(col("__w") / col("__sw"), 6))
@@ -699,9 +726,17 @@ object CurationOps {
   /** Write path for [[shardAssign]]: one directory per shard, each written
     * by the task that owns the whole shard (`repartition` on the shard id
     * co-locates a shard's rows before the write — no shard straddles
-    * writer tasks, so downstream readers stream shard files in order).
+    * writer tasks) with rows SORTED BY RANK inside each file, so a
+    * downstream reader streaming shard files in order replays exactly the
+    * global permutation [[shuffleRank]] computed — without the
+    * within-file sort the write would land rows in hash-shuffle arrival
+    * order and the permutation's reproducibility would be lost at the
+    * last step. `sortWithinPartitions(shard, rank)` leads with the
+    * partition column, so the dynamic-partition writer's required
+    * child ordering is already satisfied and no second sort is inserted.
     * Parquet `partitionBy` keeps the layout queryable as a table. */
   def writeShards(sharded: DataFrame, path: String): Unit =
     sharded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -636,6 +636,33 @@ object Curation extends QueryGroup {
            |      / CAST(avail_tokens AS DOUBLE), 6) + 0.0 AS epochs
            |FROM w CROSS JOIN sw ORDER BY source""".stripMargin))
 
+  /** q134 with the α knob OPEN — UNIMAX α = 3/8, a realistic multilingual
+    * flattening setting that is NOT 1/2, exercised through
+    * [[CurationOps.temperatureMixtureAlpha]]'s dyadic-exponent path:
+    * n^(3/8) = (sqrt∘sqrt∘sqrt)(n) cubed, every step IEEE-exactly-rounded
+    * on both engines, so the general-α plan keeps q134's HARD hash oracle
+    * instead of degrading to a rows check. */
+  private val q135 = QueryDef(
+    "q135_temperature_alpha",
+    (s, dir) => CurationOps.temperatureMixtureAlpha(
+        Tables.documents(s, dir), col("source"),
+        size(split(col("text"), " ")).cast("long"), budgetTokens = 100000L,
+        alphaNum = 3, alphaLog2Den = 3)
+      .orderBy(col("source")),
+    Some("""WITH a AS (SELECT source,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT source, avail_tokens, s * s * s AS w
+           |  FROM (SELECT source, avail_tokens,
+           |      sqrt(sqrt(sqrt(CAST(avail_tokens AS DOUBLE)))) AS s FROM a)),
+           |sw AS (SELECT round(sum(w), 6) + 0.0 AS sw FROM w)
+           |SELECT source, avail_tokens,
+           |  round(w / sw, 6) + 0.0 AS sample_p,
+           |  CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS BIGINT) AS planned_tokens,
+           |  round(CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS DOUBLE)
+           |      / CAST(avail_tokens AS DOUBLE), 6) + 0.0 AS epochs
+           |FROM w CROSS JOIN sw ORDER BY source""".stripMargin))
+
   /** q108's deterministic-sketch sibling (the quantile member of the
     * exact-sketch trilogy with q126 HLL and q129 CMS): per-source
     * p50/p90/p99 from a 64-bin equi-width histogram sketch
@@ -929,7 +956,7 @@ object Curation extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134)
+      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

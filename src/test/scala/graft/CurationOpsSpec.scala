@@ -391,6 +391,22 @@ class CurationOpsSpec extends SparkSpec {
     val a = sharded.select(col("id"), col("shard")).as[(Int, Long)].collect().toSet
     val b = back.select(col("id"), col("shard").cast("long")).as[(Int, Long)].collect().toSet
     assert(a === b)
+    // The ORDER contract: rows inside each shard file are laid out in rank
+    // order, so streaming the files replays the exact global permutation.
+    // Each shard is one task's whole output = one parquet data file; reading
+    // that single small file is one partition, so collect() preserves the
+    // file's physical row order.
+    val rankById = sharded.select(col("id"), col("rank")).as[(Int, Long)].collect().toMap
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 3)
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${sd.getName}: one writer task per shard")
+      val fileOrder = spark.read.parquet(files.head.getAbsolutePath)
+        .select(col("id")).as[Int].collect().toSeq
+      val ranks = fileOrder.map(rankById)
+      assert(ranks === ranks.sorted, s"${sd.getName}: file order must equal rank order")
+    }
   }
 
   test("X7: groupedShuffleRank is a per-group bijection onto 1..|group|") {
@@ -471,6 +487,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs((pBig + pMid + pSmall) - 1.0) < 1e-4)
     // The small source is upsampled (epochs > 1), the big one downsampled.
     assert(r("small")._5 > 1.0 && r("big")._5 < 1.0)
+  }
+
+  test("X7: general-α mixture — α = 1 is proportional, α → 0 flattens toward uniform, " +
+    "and the pinned α = 1/2 entry point is the dyadic path bit-for-bit") {
+    val rows = Seq.fill(90)(("big", 1000L)) ++ Seq.fill(9)(("mid", 1000L)) ++
+      Seq(("small", 1000L))
+    val df = rows.toDF("source", "tok")
+    def probs(num: Int, log2den: Int): Map[String, Double] =
+      CurationOps.temperatureMixtureAlpha(df, col("source"), col("tok"),
+          budgetTokens = 100000L, alphaNum = num, alphaLog2Den = log2den)
+        .select(col("source"), col("sample_p"))
+        .as[(String, Double)].collect().toMap
+    // α = 1 (k=1, m=0): proportional allocation — raw 90/9/1 shares.
+    val p1 = probs(1, 0)
+    assert(math.abs(p1("big") - 0.9) < 1e-4 && math.abs(p1("small") - 0.01) < 1e-4)
+    // α = 3/8: big/mid ratio = 10^(3/8), between uniform and proportional.
+    val p38 = probs(3, 3)
+    assert(math.abs(p38("big") / p38("mid") - math.pow(10.0, 3.0 / 8.0)) < 0.01)
+    // Monotone flattening: dispersion shrinks as α falls toward 0.
+    val spread = Seq(probs(1, 0), probs(1, 1), probs(1, 2), probs(1, 4), probs(1, 6))
+      .map(p => p("big") / p("small"))
+    assert(spread === spread.sorted.reverse, s"spread must fall with α: $spread")
+    assert(spread.last < 1.2, s"α = 1/64 must be near-uniform, ratio ${spread.last}")
+    // The α = 1/2 entry point IS the general path at (1, 1) — bit-identical.
+    val pinned = CurationOps.temperatureMixture(df, col("source"), col("tok"), 100000L)
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    val dyadic = CurationOps.temperatureMixtureAlpha(df, col("source"), col("tok"),
+        100000L, alphaNum = 1, alphaLog2Den = 1)
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    assert(pinned === dyadic)
   }
 
   private def md5String(i: Int): String = {
