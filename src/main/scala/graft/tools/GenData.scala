@@ -26,7 +26,20 @@ import org.apache.spark.sql.SparkSession
   * 0..i−1). A copy doc regenerates its partner's BASE text from the
   * partner's id alone — no shuffle, no cross-row state.
   *
-  * Usage: `sbt "runMain graft.tools.GenData 1 target/sf1"`.
+  * VOCABULARY TIERS: the driver fixture's 31-word vocabulary saturates the
+  * 3-gram universe within a few thousand docs, which makes every df-table
+  * and candidate-volume audit look quadratic for reasons that belong to
+  * the CORPUS, not the plans (BASELINE "broken bounds share one
+  * mechanism"). The `heaps` mode replaces the fixed vocabulary with a
+  * Zipf(≈1)-tail draw over a 10⁶-word universe — rank log-uniform, so
+  * P(rank ≈ r) ∝ 1/r — giving the Heaps'-law V(n) ∝ n^β distinct-word
+  * growth a real web corpus shows: head words stay high-df (the cap's
+  * prey), the tail keeps df discriminative at any corpus size. Everything
+  * else (sources, langs, lengths, the 5% copy mechanism) is identical, so
+  * a fixed-vs-heaps contrast isolates exactly the vocabulary variable.
+  *
+  * Usage: `sbt "runMain graft.tools.GenData 1 target/sf1"`;
+  *        `sbt "runMain graft.tools.GenData 1 target/heaps_sf1 heaps"`.
   */
 object GenData {
 
@@ -37,6 +50,18 @@ object GenData {
     "stream", "table", "the", "value", "vector", "window")
   private val Langs = Array("en", "de", "fr", "es", "zh")
   private val LangCdf = Array(0.40, 0.55, 0.70, 0.85, 1.00)
+
+  /** One word draw. Both modes consume EXACTLY one RNG draw per word, so
+    * the base-text regeneration stream ([[baseWords]]) stays synchronized
+    * with [[docRow]]'s under either mode. */
+  private def drawWord(r: scala.util.Random, heaps: Boolean): String =
+    if (!heaps) Vocab(r.nextInt(Vocab.length))
+    else {
+      // Log-uniform rank in [1, 1e6]: P(rank ∈ [a,b]) ∝ ln(b/a) — the
+      // continuous Zipf(s=1). exp of a uniform over [0, ln 1e6].
+      val u = r.nextDouble()
+      "w" + math.min(1000000L, math.max(1L, math.exp(u * math.log(1e6)).toLong))
+    }
 
   private def rngFor(id: Long): scala.util.Random = {
     // splitmix64 of (42, id): decorrelates adjacent ids far better than
@@ -49,15 +74,15 @@ object GenData {
   }
 
   /** A doc's BASE text (pre copy-mutation) — pure function of its id. */
-  private def baseWords(id: Long): Seq[String] = {
+  private def baseWords(id: Long, heaps: Boolean): Seq[String] = {
     val r = rngFor(id)
     r.nextDouble() // burn the lang draw so base text matches docRow's stream
     r.nextDouble() // burn the copy-decision draw
     val n = 10 + r.nextInt(91)
-    Seq.fill(n)(Vocab(r.nextInt(Vocab.length)))
+    Seq.fill(n)(drawWord(r, heaps))
   }
 
-  private def docRow(id: Long): (Long, String, String, String, Long) = {
+  private def docRow(id: Long, heaps: Boolean): (Long, String, String, String, Long) = {
     val r = rngFor(id)
     // ONE draw, compared against the whole CDF (an indexWhere over a
     // per-element nextDouble() would consume a variable number of draws —
@@ -69,12 +94,12 @@ object GenData {
     val words: Seq[String] =
       if (!isCopy) {
         val n = 10 + r.nextInt(91)
-        Seq.fill(n)(Vocab(r.nextInt(Vocab.length)))
+        Seq.fill(n)(drawWord(r, heaps))
       } else {
         val partner = (rngFor(id ^ 0x5DEECE66DL).nextDouble() * id).toLong.min(id - 1)
-        val base = baseWords(partner)
+        val base = baseWords(partner, heaps)
         rngFor(id + 0x1234567L).nextDouble() match {
-          case d if d < 0.485 => base :+ Vocab(rngFor(id + 7L).nextInt(Vocab.length))
+          case d if d < 0.485 => base :+ drawWord(rngFor(id + 7L), heaps)
           case d if d < 0.97 => base.dropRight(1)
           case _ => base // verbatim ~3% of copies → the measured ~0.16% exact-dup rate
         }
@@ -93,6 +118,7 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val outDir = args.lift(1).getOrElse("target/sf1")
+    val heaps = args.lift(2).contains("heaps")
     val nDocs = (50000 * sf).toLong
     val nVecs = (20000 * sf).toLong
     val spark = SparkSession.builder()
@@ -103,13 +129,14 @@ object GenData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    spark.range(0L, nDocs, 1L, 16).map(r => docRow(r))
+    spark.range(0L, nDocs, 1L, 16).map(r => docRow(r, heaps))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.range(0L, nVecs, 1L, 16).map(r => vecRow(r))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"""{"metric":"gendata","sf":$sf,"docs":$nDocs,"vecs":$nVecs,"dir":"$outDir"}""")
+    println(s"""{"metric":"gendata","sf":$sf,"docs":$nDocs,"vecs":$nVecs,""" +
+      s""""vocab":"${if (heaps) "heaps" else "fixed"}","dir":"$outDir"}""")
     spark.stop()
   }
 }
