@@ -725,11 +725,6 @@ object SimilarityOps {
       iters: Int, k: Int): (Seq[Double], Seq[Seq[Double]]) = {
     require(dim >= 1 && iters >= 1 && k >= 1 && k <= dim,
       s"need dim, iters >= 1 and 1 <= k <= dim; got $dim, $iters, $k")
-    def round6(x: Double): Double = {
-      val r = java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (r == 0.0) 0.0 else r
-    }
     val vecs = emb.select(embCol.cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vecs.count().toDouble
@@ -746,33 +741,97 @@ object SimilarityOps {
     val mu = Array.tabulate(dim)(muRow.getDouble)
     val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     for (c <- 0 until k) {
-      var w = Array.tabulate(dim)(i => if (i == c) 1.0 else 0.0)
-      for (_ <- 1 to iters) {
-        val centered = zip_with(col("v"), typedlit(mu.toSeq), (a, b) => a - b)
-        val uAggs = (0 until dim).map(i =>
-          graft.engine.Semantics.roundz(
-            sum(element_at(col("c"), i + 1) * col("s")) / lit(n), 6).as(s"u$i"))
-        val uRow = vecs
-          .select(centered.as("c"), dot(centered, typedlit(w.toSeq)).as("s"))
-          .agg(uAggs.head, uAggs.tail: _*).head()
-        var u = Array.tabulate(dim)(uRow.getDouble)
-        // Deflate against prior components in extraction order; each dot
-        // accumulates left-to-right (the list_dot_product order), each
-        // element update is one multiply + one subtract — all
-        // exactly-rounded IEEE ops the oracle reproduces literally.
-        for (p <- comps) {
-          val d = u.zip(p).foldLeft(0.0) { case (acc, (ui, pi)) => acc + ui * pi }
-          u = u.zip(p).map { case (ui, pi) => ui - d * pi }
-        }
-        // Left-to-right Σu² — the same accumulation order as the SQL side's
-        // list_dot_product(ul, ul), so the norm (and every loading) is
-        // bit-identical across engines.
-        val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
-        w = if (norm == 0.0) Array.fill(dim)(0.0) else u.map(x => round6(x / norm))
-      }
-      comps += w
+      comps += iterateComponent(vecs, mu, dim, n, comps.toSeq, c, iters, tol = None)._1
     }
     vecs.unpersist(blocking = false)
     (mu.toSeq, comps.map(_.toSeq).toSeq)
+  }
+
+  /** One component's power-iteration loop, shared by the fixed-count
+    * ([[powerIterationComponents]], the oracle-driven form) and the
+    * convergence-gated ([[powerIterationConvergedComponents]], the
+    * production form) trainers — one body, so the two CANNOT drift: a
+    * converged run that stopped after m iterations is BIT-IDENTICAL to a
+    * fixed-count run with iters = m (spec-asserted). Returns (component,
+    * iterations actually run). `tol` = None iterates exactly `maxIters`
+    * times; Some(ε) stops once ‖v_t − v_{t−1}‖ < ε (after at least one
+    * iteration, so the axis seed never leaks out as a "component"). */
+  private def iterateComponent(vecs: DataFrame, mu: Array[Double], dim: Int,
+      n: Double, priorComps: Seq[Array[Double]], c: Int, maxIters: Int,
+      tol: Option[Double]): (Array[Double], Int) = {
+    def round6(x: Double): Double = {
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r == 0.0) 0.0 else r
+    }
+    var w = Array.tabulate(dim)(i => if (i == c) 1.0 else 0.0)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val prev = w
+      val centered = zip_with(col("v"), typedlit(mu.toSeq), (a, b) => a - b)
+      val uAggs = (0 until dim).map(i =>
+        graft.engine.Semantics.roundz(
+          sum(element_at(col("c"), i + 1) * col("s")) / lit(n), 6).as(s"u$i"))
+      val uRow = vecs
+        .select(centered.as("c"), dot(centered, typedlit(w.toSeq)).as("s"))
+        .agg(uAggs.head, uAggs.tail: _*).head()
+      var u = Array.tabulate(dim)(uRow.getDouble)
+      // Deflate against prior components in extraction order; each dot
+      // accumulates left-to-right (the list_dot_product order), each
+      // element update is one multiply + one subtract — all
+      // exactly-rounded IEEE ops the oracle reproduces literally.
+      for (p <- priorComps) {
+        val d = u.zip(p).foldLeft(0.0) { case (acc, (ui, pi)) => acc + ui * pi }
+        u = u.zip(p).map { case (ui, pi) => ui - d * pi }
+      }
+      // Left-to-right Σu² — the same accumulation order as the SQL side's
+      // list_dot_product(ul, ul), so the norm (and every loading) is
+      // bit-identical across engines.
+      val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
+      w = if (norm == 0.0) Array.fill(dim)(0.0) else u.map(x => round6(x / norm))
+      it += 1
+      converged = tol.exists { t =>
+        math.sqrt(w.zip(prev).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a - b) * (a - b)
+        }) < t
+      }
+    }
+    (w, it)
+  }
+
+  /** [[powerIterationComponents]] iterated TO TOLERANCE instead of a fixed
+    * count — the production trainer (q132/q133's fixed-count loops exist
+    * to stay oracle-unrollable, the same relationship q109 has to q125):
+    * each component stops once ‖v_t − v_{t−1}‖ < `tol`, capped at
+    * `maxIters`. Sign flips count as movement (a component oscillating in
+    * sign under a near-degenerate spectrum runs to the cap rather than
+    * "converging" to either sign — the honest outcome). Per-iteration
+    * work is identical to the fixed-count form (shared body); what the
+    * gate buys at 100 TB is not doing corpus passes a well-separated
+    * spectrum doesn't need, and not UNDER-iterating a hard one. Returns
+    * (rounded mean, components, iterations each component actually
+    * ran — an entry equal to `maxIters` flags non-convergence). */
+  def powerIterationConvergedComponents(emb: DataFrame, embCol: Column, dim: Int,
+      tol: Double, maxIters: Int, k: Int): (Seq[Double], Seq[Seq[Double]], Seq[Int]) = {
+    require(dim >= 1 && maxIters >= 1 && k >= 1 && k <= dim && tol > 0,
+      s"need dim, maxIters >= 1, 1 <= k <= dim, tol > 0; got $dim, $maxIters, $k, $tol")
+    val vecs = emb.select(embCol.cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count().toDouble
+    require(n > 0, "cannot fit a principal component on an empty input")
+    val muAggs = (0 until dim).map(i =>
+      graft.engine.Semantics.roundz(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
+    val muRow = vecs.agg(muAggs.head, muAggs.tail: _*).head()
+    val mu = Array.tabulate(dim)(muRow.getDouble)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val iters = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (c <- 0 until k) {
+      val (w, m) = iterateComponent(vecs, mu, dim, n, comps.toSeq, c, maxIters, Some(tol))
+      comps += w
+      iters += m
+    }
+    vecs.unpersist(blocking = false)
+    (mu.toSeq, comps.map(_.toSeq).toSeq, iters.toSeq)
   }
 }

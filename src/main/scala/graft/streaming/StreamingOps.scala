@@ -43,6 +43,66 @@ object StreamingOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
+  /** Where a record stream comes from or goes to. The reference's queue is
+    * Google Pub/Sub (data_subscriber.py:66-98); in a Spark deployment the
+    * message-queue seat is Kafka via the `spark-sql-kafka` connector, and
+    * a file directory is the broker-less stand-in this offline container
+    * runs end-to-end. Making the endpoint a VALUE keeps every streaming
+    * operator transport-agnostic — the same pipeline code deploys against
+    * either by swapping one constructor. */
+  sealed trait StreamEndpoint
+  /** Directory of JSONL (source) / parquet (sink) files. */
+  final case class FileEndpoint(path: String) extends StreamEndpoint
+  /** A Kafka topic. `options` passes through any extra reader/writer
+    * options (e.g. `kafka.security.protocol`, `maxOffsetsPerTrigger`).
+    * NOTE: needs the `spark-sql-kafka-0-10` connector on the classpath —
+    * absent in this container (zero egress, no broker), so here the
+    * wiring is exercised to the DataSource-resolution boundary
+    * (spec-asserted) and no further; on a real cluster the same value
+    * runs. */
+  final case class KafkaEndpoint(bootstrapServers: String, topic: String,
+      options: Map[String, String] = Map.empty) extends StreamEndpoint
+
+  /** S5 behind [[StreamEndpoint]]: records as `schema` rows from either
+    * transport. File = [[jsonlStream]] (corrupt-line tolerant). Kafka =
+    * `format("kafka")` with the JSON payload in `value`, decoded through
+    * the same explicit schema (from_json is PERMISSIVE by default: a
+    * corrupt payload yields a null-field row rather than killing the
+    * query, mirroring the file path's _corrupt_record tolerance). */
+  def recordStream(spark: SparkSession, endpoint: StreamEndpoint, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame = endpoint match {
+    case FileEndpoint(path) => jsonlStream(spark, path, schema, maxFilesPerTrigger)
+    case KafkaEndpoint(bootstrap, topic, opts) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .options(opts)
+        .load()
+        .select(from_json(col("value").cast("string"), schema).as("r"))
+        .select(col("r.*"))
+  }
+
+  /** S6 behind [[StreamEndpoint]]: the event-date-partitioned sink on
+    * files ([[datePartitionedSink]] — the input must carry `date`), or a
+    * Kafka topic with each row re-serialized to a JSON `value` (the
+    * reference's publish payload, data_collector.py:102-108). Both are
+    * checkpointed writers: exactly-once file manifest / the connector's
+    * at-least-once produce respectively — pair the Kafka side with an
+    * idempotent consumer (T1) exactly as the reference's ack semantics
+    * demand. */
+  def recordSink(df: DataFrame, endpoint: StreamEndpoint,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = endpoint match {
+    case FileEndpoint(path) => datePartitionedSink(df, path, checkpoint)
+    case KafkaEndpoint(bootstrap, topic, opts) =>
+      df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .options(opts)
+  }
+
   /** T2: event-date routing column — event time when parseable, else
     * processing time (data_subscriber.py:74-79 exactly: payload `timestamp`
     * field, fallback `datetime.now()`). */

@@ -54,6 +54,42 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(ortho) < 1e-3, s"components not orthogonal: $ortho")
   }
 
+  test("X3: convergence-gated iteration stops early on a well-separated spectrum and " +
+    "equals the fixed-count run at its stopping iteration bit-for-bit") {
+    val df = planted(2000, 8, axis = 3, strength = 2.0).map(Tuple1(_)).toDF("embedding")
+    val (muC, compsC, itersC) = SimilarityOps.powerIterationConvergedComponents(
+      df, col("embedding"), dim = 8, tol = 1e-6, maxIters = 50, k = 1)
+    // A strongly dominant axis converges long before the cap.
+    assert(itersC.head < 50, s"did not converge within the cap: ${itersC.head}")
+    assert(itersC.head >= 2, "convergence needs at least two iterations to compare v_t, v_t-1")
+    // The gate changes WHEN to stop, never the math: a fixed-count run of
+    // exactly that many iterations is bit-identical (shared loop body).
+    val (muF, compF) = SimilarityOps.powerIterationTop(
+      df, col("embedding"), dim = 8, iters = itersC.head)
+    assert(muC === muF)
+    assert(compsC.head === compF)
+    // And it found the planted axis.
+    assert(math.abs(compsC.head(3)) > 0.99)
+  }
+
+  test("X3: the convergence gate reports the cap when the spectrum never settles") {
+    // Two EQUAL planted variances: power iteration oscillates between the
+    // degenerate pair's directions, so the honest outcome is iters == cap.
+    val rnd = new scala.util.Random(13)
+    val data = (1 to 1500).map { _ =>
+      val noise = Seq.fill(4)(rnd.nextGaussian() * 0.01)
+      val t1 = rnd.nextGaussian() * 2.0
+      val t2 = rnd.nextGaussian() * 2.0
+      noise.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + t1 else if (i == 1) x + t2 else x
+      }
+    }
+    val df = data.map(Tuple1(_)).toDF("embedding")
+    val (_, _, iters) = SimilarityOps.powerIterationConvergedComponents(
+      df, col("embedding"), dim = 4, tol = 1e-9, maxIters = 5, k = 1)
+    assert(iters.head === 5, s"degenerate spectrum must run to the cap, ran ${iters.head}")
+  }
+
   test("X3: identical vectors (zero covariance) yield the zero vector, not NaN") {
     val df = Seq.fill(50)(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("embedding")
     val (mu, v) = SimilarityOps.powerIterationTop(df, col("embedding"), dim = 3, iters = 3)

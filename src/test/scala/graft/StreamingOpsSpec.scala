@@ -338,6 +338,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S5/S6 endpoints: the file transport round-trips through the endpoint API, " +
+    "and the kafka wiring reaches DataSource resolution with format kafka") {
+    import StreamingOps.{FileEndpoint, KafkaEndpoint}
+    // File endpoint: same effectively-once round-trip as the direct API.
+    val in = tmp("ep-in"); val out = tmp("ep-out"); val cp = tmp("ep-cp")
+    Files.writeString(java.nio.file.Paths.get(in, "a.jsonl"), s"$goodLine\n$lateLine\n")
+    val s = StreamingOps.withEventDate(
+      StreamingOps.recordStream(spark, FileEndpoint(in), Tables.breadcrumbRawSchema),
+      "timestamp")
+    StreamingOps.runAvailableNow(StreamingOps.recordSink(s, FileEndpoint(out), cp))
+    assert(spark.read.parquet(out).count() === 2)
+    // Kafka endpoint: the connector jar is deliberately absent in this
+    // container (zero egress, no broker), so the contract provable here is
+    // that the wiring carries the kafka format + options all the way to
+    // Spark's DataSource resolution — the error must be "kafka source not
+    // found", never an options/construction failure. On a cluster with
+    // spark-sql-kafka on the classpath the identical value runs.
+    val kafka = KafkaEndpoint("broker-1:9092", "breadcrumbs",
+      Map("maxOffsetsPerTrigger" -> "1000"))
+    val readErr = intercept[Exception] {
+      StreamingOps.recordStream(spark, kafka, Tables.breadcrumbRawSchema)
+    }
+    assert(readErr.getMessage.toLowerCase.contains("kafka"),
+      s"expected kafka DataSource lookup failure, got: ${readErr.getMessage}")
+    // The writer CONSTRUCTS fine (resolution happens at start()).
+    val memIn = MemoryStream[(Long, String)](spark)
+    val w = StreamingOps.recordSink(
+      memIn.toDF().toDF("id", "v"), kafka, tmp("ep-kcp"))
+    val writeErr = intercept[Exception] { w.start() }
+    assert(writeErr.getMessage.toLowerCase.contains("kafka"),
+      s"expected kafka DataSource lookup failure, got: ${writeErr.getMessage}")
+  }
+
   test("StandingStore: readers take only the newest committed level — a crash between " +
     "level commit and cleanup cannot double-count, and compaction replay is idempotent") {
     import graft.streaming.StandingStore
