@@ -110,31 +110,72 @@ object SimilarityOps {
         nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
 
     for (_ <- 1 to iters) {
-      // Centroid means are ROUNDED (1e-6, −0.0 normalized) before they feed
-      // the next assignment: avg() sums floats in shuffle-fetch order, so an
-      // unrounded mean is reproducible only at a fixed partitioning — a
-      // config change could shift it an ulp and flip a near-tie argmin.
-      // The oracle ([[graft.queries.OracleSql.kmeansCtes]]) rounds its CTE
-      // means identically, so the cross-engine match holds by construction,
-      // not by luck of summation order.
-      val next = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
-        .collect()
-      val byCluster = next.groupBy(_.getAs[Int]("cluster"))
-      centroids = centroids.indices.map { i =>
-        byCluster.get(i) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
-          case None => centroids(i) // empty cluster keeps its centroid
-        }
-      }
+      centroids = lloydStep(vecs, centroids)
     }
     val out = assigned.select(col("vec_id"), col("cluster"))
     // Training scans are done; the returned (lazy) assignment recomputes
     // from source in the caller's single pass.
     vecs.unpersist(blocking = false)
     (out, centroids)
+  }
+
+  /** One Lloyd iteration, shared by the fixed-count ([[kmeans]], the
+    * oracle-unrollable form) and convergence-gated ([[kmeansConverged]])
+    * trainers — one body, so a converged run that stopped after m
+    * iterations is bit-identical to a fixed-count run with iters = m.
+    *
+    * Centroid means are ROUNDED (1e-6, −0.0 normalized) before they feed
+    * the next assignment: avg() sums floats in shuffle-fetch order, so an
+    * unrounded mean is reproducible only at a fixed partitioning — a
+    * config change could shift it an ulp and flip a near-tie argmin.
+    * The oracle ([[graft.queries.OracleSql.kmeansCtes]]) rounds its CTE
+    * means identically, so the cross-engine match holds by construction,
+    * not by luck of summation order. An empty cluster keeps its centroid. */
+  private def lloydStep(vecs: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val next = vecs
+      .select(nearestCentroid(col("v"), centroids, "cluster").as("cluster"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
+      .collect()
+    val byCluster = next.groupBy(_.getAs[Int]("cluster"))
+    centroids.indices.map { i =>
+      byCluster.get(i) match {
+        case Some(rows) => rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
+        case None => centroids(i)
+      }
+    }
+  }
+
+  /** [[kmeans]] iterated TO A FIXED POINT instead of a fixed count — the
+    * production stopping rule, same relationship to q41's oracle-driven
+    * loop as [[powerIterationConvergedComponents]] has to q132's. Because
+    * every centroid coordinate is rounded 1e-6 each iteration, "converged"
+    * is an EXACT test (the rounded centroid set repeats — Lloyd's descent
+    * plus a finite rounded lattice means no tolerance knob is needed and
+    * the stop is engine-reproducible), capped at `maxIters`. What the gate
+    * buys at 100 TB: a well-separated clustering stops after the passes it
+    * needs, and iters == maxIters in the result flags one that never
+    * settled. Returns (assignments, centroids, iterations run). */
+  def kmeansConverged(emb: DataFrame, idCol: String, embCol: String, k: Int,
+      maxIters: Int): (DataFrame, Seq[Seq[Double]], Int) = {
+    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
+    val vecs = emb.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
+    var it = 0
+    var fixed = false
+    while (it < maxIters && !fixed) {
+      val next = lloydStep(vecs, centroids)
+      it += 1
+      fixed = next == centroids
+      centroids = next
+    }
+    val out = vecs.select(col("vec_id"),
+      nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
+    vecs.unpersist(blocking = false)
+    (out, centroids, it)
   }
 
   /** Assign each vector to its nearest centroid — the IVF cell-assignment

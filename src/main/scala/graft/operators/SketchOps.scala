@@ -58,6 +58,32 @@ object SketchOps {
       .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
   }
 
+  /** Per-GROUP [[hllRegisters]]: (g, bucket, reg) with all 2^p buckets
+    * present for every group — the sketch a per-partition cardinality
+    * monitor keeps (one 2^p-register table per source/day/tenant, merged
+    * by (g, bucket) max exactly as the global form merges by bucket).
+    * State = |groups|·2^p rows at any corpus size. NULL-group rows keep
+    * their own sketch (null-safe frame join — the silent-loss class a
+    * plain equi-join reintroduces). */
+  def hllRegistersGrouped(df: DataFrame, group: Column, key: Column, p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
+    val spark = df.sparkSession
+    val hexChars = p / 4
+    val h = md5(key.cast("string"))
+    val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("long")
+    val hit = df.select(group.as("g"),
+        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("reg"))
+      .withColumnRenamed("g", "gh").withColumnRenamed("bucket", "bh")
+    val frame = df.select(group.as("g")).distinct()
+      .crossJoin(broadcast(spark.range(1L << p).select(col("id").as("bucket"))))
+    frame
+      .join(hit, col("g") <=> col("gh") && col("bucket") === col("bh"), "left")
+      .select(col("g"), col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
+  }
+
   /** The d salted-md5 counter positions of `key` in a d×w count-min
     * sketch: element i of the array is the column for row i, hashed as
     * md5("i:" || key) — the salt string keeps the d rows independent while
@@ -201,6 +227,25 @@ object SketchOps {
     val m = (1L << p).toDouble
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
     registers.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("nonzero_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("harmonic_fp"))
+      .withColumn("hll_estimate",
+        graft.engine.Semantics.roundz(
+          alpha * lit(m) * lit(m) * lit(9007199254740992.0)
+            / col("harmonic_fp").cast("double"), 6))
+  }
+
+  /** [[hllEstimate]] per group over [[hllRegistersGrouped]] output — one
+    * row per g with the same (m, nonzero_regs, harmonic_fp, estimate)
+    * columns, same p ∈ [7, 9] fixed-point bound (PER GROUP the sum is the
+    * global form's worst case, so the guard transfers unchanged). */
+  def hllEstimateGrouped(registers: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 9,
+      s"hllEstimateGrouped needs 7 <= p <= 9 (alpha approximation / int64 fixed-point sum), got p=$p")
+    val m = (1L << p).toDouble
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
+    registers.groupBy(col("g")).agg(
       count(lit(1)).as("m"),
       sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("nonzero_regs"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("harmonic_fp"))

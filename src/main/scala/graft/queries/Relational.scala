@@ -76,6 +76,59 @@ object Relational extends QueryGroup {
            |FROM est CROSS JOIN (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
            |  AS exact_users FROM events)""".stripMargin))
 
+  /** q126 per GROUP — the sketch a per-partition cardinality monitor
+    * actually keeps (one register table per event type / source / tenant,
+    * |groups|·2^p rows of state at any corpus size), via
+    * [[graft.operators.SketchOps.hllRegistersGrouped]]. The oracle
+    * re-executes the whole grouped sketch (group-keyed registers over a
+    * DISTINCT-groups × range(2^p) frame) so every group's estimate
+    * hash-matches bit-for-bit; `rel_err` per group reports the raw
+    * estimator's small-range bias honestly (the sf0.01 per-type
+    * cardinalities sit below the raw regime — the estimates still match
+    * EXACTLY, which is the point of the exact-oracle discipline). */
+  private val q136 = QueryDef(
+    "q136_hll_grouped",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = graft.operators.SketchOps.hllEstimateGrouped(
+        graft.operators.SketchOps.hllRegistersGrouped(
+          ev, col("event_type"), col("user_id"), p = 8), p = 8)
+        .withColumnRenamed("g", "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, Seq("event_type"))
+        .withColumn("rel_err", roundz(
+          col("hll_estimate") / col("exact_users").cast("double") - lit(1.0), 6))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hx AS (SELECT event_type AS g, md5(user_id::VARCHAR) AS h FROM events),
+           |pr AS (SELECT g, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+           |    ('0x' || substr(h, 3, 13))::BIGINT AS w FROM hx),
+           |rg AS (SELECT g, bucket,
+           |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+           |  FROM pr GROUP BY 1, 2),
+           |frame AS (SELECT t.g, r.range AS bucket
+           |  FROM (SELECT DISTINCT event_type AS g FROM events) t
+           |  CROSS JOIN range(256) r),
+           |regs AS (SELECT frame.g, frame.bucket, coalesce(rg.reg, 0) AS reg
+           |  FROM frame LEFT JOIN rg ON frame.g = rg.g AND frame.bucket = rg.bucket),
+           |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_regs,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - reg AS INTEGER)) AS BIGINT)
+           |      AS harmonic_fp
+           |  FROM regs GROUP BY 1),
+           |est AS (SELECT g, m, nonzero_regs, harmonic_fp,
+           |    round((0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+           |        * 9007199254740992.0 / CAST(harmonic_fp AS DOUBLE), 6) + 0.0
+           |      AS hll_estimate
+           |  FROM agg),
+           |ex AS (SELECT event_type AS g, CAST(count(DISTINCT user_id) AS BIGINT)
+           |    AS exact_users FROM events GROUP BY 1)
+           |SELECT est.g AS event_type, m, nonzero_regs, harmonic_fp, hll_estimate,
+           |  exact_users,
+           |  round(hll_estimate / CAST(exact_users AS DOUBLE) - 1, 6) + 0.0 AS rel_err
+           |FROM est JOIN ex USING (g) ORDER BY event_type""".stripMargin))
+
   private val q01 = QueryDef(
     "q01_count_on_date",
     (s, dir) => Tables.events(s, dir)
@@ -337,5 +390,6 @@ object Relational extends QueryGroup {
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   override val defs: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39, q40, q126)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39, q40,
+    q126, q136)
 }

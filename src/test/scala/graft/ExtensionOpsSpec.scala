@@ -248,6 +248,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(cx.head - 0.0) < 0.1 && math.abs(cx.last - 10.0) < 0.1)
   }
 
+  test("X3: kmeansConverged stops at the rounded fixed point and equals the " +
+    "fixed-count run at its stopping iteration bit-for-bit") {
+    val centers = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+    val emb = (0 until 15).map { id =>
+      val (cx, cy) = centers(id % 3)
+      (id.toLong, Array((cx + (id / 3) * 0.01).toFloat, (cy - (id / 3) * 0.005).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (assignC, centC, iters) = SimilarityOps.kmeansConverged(
+      emb, "vec_id", "embedding", k = 3, maxIters = 20)
+    // Well-separated blobs reach the rounded fixed point long before the cap.
+    assert(iters < 20, s"did not converge: $iters")
+    // The gate changes WHEN to stop, never the math (shared Lloyd step).
+    val (assignF, centF) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 3, iters = iters)
+    assert(centC === centF)
+    assert(assignC.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      assignF.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // And one more fixed-count iteration changes nothing — it IS a fixed point.
+    val (_, centF1) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 3, iters = iters + 1)
+    assert(centF1 === centC)
+  }
+
   test("X3: sign-LSH buckets collide for near-identical vectors and split far ones") {
     val base = Array.fill(16)(0.5f)
     val near = base.clone(); near(0) = 0.51f

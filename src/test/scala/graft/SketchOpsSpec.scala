@@ -153,6 +153,39 @@ class SketchOpsSpec extends SparkSpec {
     assert(r._3 === 31L && r._4 === 63L && r._5 === 1L) // p50, p99, err_bound
   }
 
+  test("X: grouped HLL — each group's estimate equals the global sketch over that " +
+    "group's rows alone, and a NULL group keeps its own sketch") {
+    val df = ((1 to 4000).map(k => (Some("a"), k)) ++
+      (1 to 900).map(k => (Some("b"), k * 7)) ++
+      (1 to 300).map(k => (None: Option[String], k * 13))).toDF("g", "k")
+    val est = SketchOps.hllEstimateGrouped(
+      SketchOps.hllRegistersGrouped(df, col("g"), col("k")))
+      .select(col("g"), col("hll_estimate")).as[(Option[String], Double)]
+      .collect().toMap
+    assert(est.size === 3)
+    def solo(rows: Seq[Int]): Double = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(rows.toDF("k"), col("k")))
+      .select("hll_estimate").as[Double].head()
+    assert(est(Some("a")) === solo((1 to 4000)))
+    assert(est(Some("b")) === solo((1 to 900).map(_ * 7)))
+    assert(est(None) === solo((1 to 300).map(_ * 13)))
+  }
+
+  test("X: grouped registers merge by (g, bucket) max across corpus halves") {
+    val lo = (1 to 3000).map(k => ("g" + (k % 2), k)).toDF("g", "k")
+    val hi = (2000 to 6000).map(k => ("g" + (k % 2), k)).toDF("g", "k")
+    val full = lo.unionByName(hi)
+    val merged = SketchOps.hllRegistersGrouped(lo, col("g"), col("k"))
+      .union(SketchOps.hllRegistersGrouped(hi, col("g"), col("k")))
+      .groupBy("g", "bucket").agg(max("reg").as("reg"))
+    val eM = SketchOps.hllEstimateGrouped(merged)
+      .select(col("g"), col("hll_estimate")).as[(String, Double)].collect().toMap
+    val eF = SketchOps.hllEstimateGrouped(
+      SketchOps.hllRegistersGrouped(full, col("g"), col("k")))
+      .select(col("g"), col("hll_estimate")).as[(String, Double)].collect().toMap
+    assert(eM === eF)
+  }
+
   test("X: raw-regime accuracy — 50k distinct keys estimate within 10% (σ ≈ 1.04/√256 ≈ 6.5%)") {
     val n = 50000
     val est = SketchOps.hllEstimate(SketchOps.hllRegisters((1 to n).toDF("k"), col("k")))
