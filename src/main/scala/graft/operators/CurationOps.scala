@@ -678,6 +678,68 @@ object CurationOps {
       .drop("__g", "__og", "__h", "__bucket", "__obucket", "__rn", "__off")
   }
 
+  /** Inclusive cumulative TOKEN mass per group in (md5(id), id) order —
+    * [[groupedShuffleRank]]'s construction with the running sum carrying
+    * token weight instead of row count: within each group, bucket the key
+    * space by md5 prefix (256 contiguous lexicographic ranges), cumsum
+    * tokens inside each bucket with a window that sees ~|group|/256 rows,
+    * and add the broadcast prefix-sum of whole-bucket token masses. Adds
+    * `cum_tokens` (inclusive: a row's own tokens count). No window ever
+    * spans a whole group — the 100 TB posture a PARTITION BY group ORDER
+    * BY md5 window gives up. NULL ids fail loudly (a dropped row in a
+    * running total is silent corruption); NULL groups keep their own
+    * running total (null-safe offsets join). */
+  def groupedTokenPrefixSum(df: DataFrame, group: Column, id: Column,
+      tokens: Column): DataFrame = {
+    requireFresh(df, "groupedTokenPrefixSum",
+      "cum_tokens", "__g", "__h", "__bucket", "__tok", "__cum_in", "__off", "__bt")
+    val guardedId = when(id.isNull,
+      raise_error(lit("groupedTokenPrefixSum: id must be non-null — a null id row " +
+        "would silently drop from the running total")).cast("string"))
+      .otherwise(id.cast("string"))
+    val withKey = df.withColumn("__g", group)
+      .withColumn("__h", md5(guardedId))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+      .withColumn("__tok", tokens.cast("long"))
+    val offsets = withKey.groupBy(col("__g"), col("__bucket"))
+      .agg(sum(col("__tok")).as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__bucket"))) - col("__bt"))
+      .select(col("__g").as("__og"), col("__bucket").as("__obucket"), col("__off"))
+    withKey
+      .withColumn("__cum_in", sum(col("__tok")).over(
+        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)))
+      .join(broadcast(offsets),
+        col("__g") <=> col("__og") && col("__bucket") === col("__obucket"))
+      .withColumn("cum_tokens", col("__off") + col("__cum_in"))
+      .drop("__g", "__og", "__h", "__bucket", "__obucket", "__tok", "__cum_in", "__off")
+  }
+
+  /** MATERIALIZE a mixture plan — the step after
+    * [[temperatureMixtureAlpha]] decides per-source token budgets: per
+    * source, admit documents in the deterministic (md5(id), id) shuffle
+    * order until the INCLUSIVE running token total reaches the source's
+    * `planned_tokens` (the boundary doc that would cross the budget is
+    * excluded, so selected mass never exceeds plan; a source whose budget
+    * exceeds its corpus simply admits everything — the epochs > 1 case is
+    * upsampling, which replays the same selection). Deterministic at any
+    * partitioning: the order is content-derived, the running total is
+    * [[groupedTokenPrefixSum]]'s bucketed construction. `plan` must carry
+    * (source, planned_tokens). Adds `cum_tokens` to the admitted rows. */
+  def materializeMixture(df: DataFrame, source: Column, id: Column, tokens: Column,
+      plan: DataFrame): DataFrame = {
+    require(plan.columns.contains("source") && plan.columns.contains("planned_tokens"),
+      s"plan must carry (source, planned_tokens); got ${plan.columns.mkString(", ")}")
+    // Null-safe plan join: a NULL source is a legitimate group in both the
+    // plan (groupBy keeps it) and the prefix sum — an equi-join would
+    // silently drop its documents (the histogramQuantiles lesson).
+    val p = plan.select(col("source").as("__ps"), col("planned_tokens"))
+    groupedTokenPrefixSum(df.withColumn("source", source), col("source"), id, tokens)
+      .join(broadcast(p), col("source") <=> col("__ps"))
+      .filter(col("cum_tokens") <= col("planned_tokens"))
+      .drop("__ps", "planned_tokens")
+  }
+
   /** Padding-waste report for length-aware batch construction — the
     * dynamic-batching step of a training run: within each `group` (a
     * length bucket; pass a constant for the unbucketed baseline), docs are

@@ -663,6 +663,51 @@ object Curation extends QueryGroup {
            |      / CAST(avail_tokens AS DOUBLE), 6) + 0.0 AS epochs
            |FROM w CROSS JOIN sw ORDER BY source""".stripMargin))
 
+  /** The mixture plan MADE REAL — q134 decides per-source token budgets,
+    * this query admits documents against them
+    * ([[CurationOps.materializeMixture]]): per source, docs enter in the
+    * deterministic (md5(id), id) shuffle order and the inclusive running
+    * token total ([[CurationOps.groupedTokenPrefixSum]] — range-bucketed
+    * prefix sums, never a whole-source window) cuts off at
+    * planned_tokens. Checked output pins each source's selected doc
+    * count, token mass, and the first/last admitted doc in selection
+    * order — proving the exact per-source prefix, not just its size. */
+  private val q137 = QueryDef(
+    "q137_mixture_materialize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = size(split(col("text"), " ")).cast("long")
+      val plan = CurationOps.temperatureMixture(docs, col("source"), toks,
+        budgetTokens = 100000L)
+      CurationOps.materializeMixture(docs, col("source"), col("doc_id"), toks, plan)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum_tokens")).as("tokens_selected"),
+          min_by(col("doc_id"), col("cum_tokens")).as("first_doc"),
+          max_by(col("doc_id"), col("cum_tokens")).as("last_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH a AS (SELECT source,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT source, avail_tokens,
+           |    sqrt(CAST(avail_tokens AS DOUBLE)) AS w FROM a),
+           |sw AS (SELECT round(sum(w), 6) + 0.0 AS sw FROM w),
+           |plan AS (SELECT source,
+           |    CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS BIGINT) AS planned
+           |  FROM w CROSS JOIN sw),
+           |o AS (SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           |    md5(doc_id::VARCHAR) AS h FROM documents),
+           |c AS (SELECT doc_id, source,
+           |    sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM o),
+           |sel AS (SELECT c.doc_id, c.source, c.cum
+           |  FROM c JOIN plan USING (source) WHERE cum <= planned)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(max(cum) AS BIGINT) AS tokens_selected,
+           |  min_by(doc_id, cum) AS first_doc, max_by(doc_id, cum) AS last_doc
+           |FROM sel GROUP BY source ORDER BY source""".stripMargin))
+
   /** q108's deterministic-sketch sibling (the quantile member of the
     * exact-sketch trilogy with q126 HLL and q129 CMS): per-source
     * p50/p90/p99 from a 64-bin equi-width histogram sketch
@@ -956,7 +1001,8 @@ object Curation extends QueryGroup {
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
-      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135)
+      q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
+      q137)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

@@ -519,6 +519,51 @@ class CurationOpsSpec extends SparkSpec {
     assert(pinned === dyadic)
   }
 
+  test("X7: groupedTokenPrefixSum equals the whole-group window, keeps a NULL group, " +
+    "and raises on a NULL id") {
+    val df = (1 to 400).map(i => (i, if (i % 5 == 0) None else Some(s"s${i % 3}"), (i % 7 + 1).toLong))
+      .toDF("id", "g", "tok")
+    val got = CurationOps.groupedTokenPrefixSum(df, col("g"), col("id"), col("tok"))
+      .select(col("id"), col("g"), col("cum_tokens"))
+      .as[(Int, Option[String], Long)].collect()
+    assert(got.length === 400) // nothing vanished, NULL group included
+    // Brute-force: per group, (md5, id) order, running inclusive sum.
+    val want = (1 to 400).map(i => (i, if (i % 5 == 0) None else Some(s"s${i % 3}"), (i % 7 + 1).toLong))
+      .groupBy(_._2)
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (i, _, _) => (md5String(i), i) }
+          .scanLeft((0, Option.empty[String], 0L)) { case ((_, _, acc), (i, g, t)) => (i, g, acc + t) }
+          .drop(1)
+      }
+      .map { case (i, _, c) => i -> c }.toMap
+    got.foreach { case (i, _, c) => assert(c === want(i), s"id $i") }
+    val err = intercept[Exception] {
+      CurationOps.groupedTokenPrefixSum(
+        Seq((Some(1), "g", 1L), (None, "g", 2L)).toDF("id", "g", "tok"),
+        col("g"), col("id"), col("tok")).collect()
+    }
+    assert(err.getMessage.contains("non-null"))
+  }
+
+  test("X7: materializeMixture admits each source's md5-order prefix up to its budget, " +
+    "never over, and admits everything when the budget covers the corpus") {
+    val df = (1 to 300).map(i => (i, s"s${i % 2}", 10L)).toDF("id", "src", "tok")
+    val plan = Seq(("s0", 420L), ("s1", 100000L)).toDF("source", "planned_tokens")
+    val sel = CurationOps.materializeMixture(df, col("src"), col("id"), col("tok"), plan)
+      .select(col("source"), col("id"), col("cum_tokens"))
+      .as[(String, Int, Long)].collect()
+    val byS = sel.groupBy(_._1)
+    // s0: 10-token docs against a 420 budget -> exactly the 42-doc prefix.
+    assert(byS("s0").length === 42)
+    assert(byS("s0").map(_._3).max === 420L)
+    // ...and it IS the md5-order prefix, not an arbitrary 42 docs.
+    val s0Order = (1 to 300).filter(_ % 2 == 0)
+      .sortBy(i => (md5String(i), i)).take(42).toSet
+    assert(byS("s0").map(_._2).toSet === s0Order)
+    // s1: budget exceeds the corpus -> all 150 docs admitted.
+    assert(byS("s1").length === 150)
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))
