@@ -20,13 +20,31 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (134 queries, 131 oracles)") {
-    assert(SparkEntry.queries.size >= 134,
-      s"query surface shrank: ${SparkEntry.queries.size} < 134")
-    assert(SparkEntry.oracleSql.size >= 131,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 131")
+  test("query ledger matches the documented surface (137 queries, 134 oracles)") {
+    assert(SparkEntry.queries.size >= 137,
+      s"query surface shrank: ${SparkEntry.queries.size} < 137")
+    assert(SparkEntry.oracleSql.size >= 134,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 134")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
+  }
+
+  test("no query plans an UNPARTITIONED window over unbounded input") {
+    // A Window with an empty partitionSpec funnels its whole input through
+    // ONE task — the straggler shuffleRank/groupedTokenPrefixSum exist to
+    // avoid. The surface plans ZERO of them (every ranking/cumsum rides a
+    // bucketed construction or a per-group window), so like the cartesian
+    // audit there is no allowlist to rot.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val plan = build(spark, dir).queryExecution.executedPlan
+        val global = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window planned by: ${offenders.mkString(", ")} — " +
+        "range-bucket the key space (shuffleRank pattern) instead")
   }
 
   test("no query plans a CartesianProduct") {
