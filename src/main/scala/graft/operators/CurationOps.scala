@@ -740,6 +740,44 @@ object CurationOps {
       .drop("__ps", "planned_tokens")
   }
 
+  /** [[materializeMixture]] with UPSAMPLING — the epochs > 1 half of the
+    * UNIMAX knob ([[temperatureMixtureAlpha]]'s `epochs` column made
+    * real): a source whose budget B exceeds its corpus mass A emits
+    * ⌊B/A⌋ FULL copies of every document (epoch 0 .. ⌊B/A⌋−1) plus the
+    * deterministic (md5(id), id)-order prefix of the remainder B mod A as
+    * the final partial epoch — so emitted token mass is exactly
+    * ⌊B/A⌋·A + prefix(B mod A) ≤ B, and a downsampled source (B < A)
+    * degenerates to [[materializeMixture]]'s single partial epoch 0.
+    * Adds (epoch, cum_tokens). The explode by epoch count IS the
+    * upsampling (row volume ∝ the budget, which is the point); sources
+    * with zero token mass are excluded (their budget is unspendable).
+    * The plan join is null-safe; plan rows define the mixture (a source
+    * absent from the plan emits nothing). */
+  def materializeMixtureEpochs(df: DataFrame, source: Column, id: Column,
+      tokens: Column, plan: DataFrame): DataFrame = {
+    require(plan.columns.contains("source") && plan.columns.contains("planned_tokens"),
+      s"plan must carry (source, planned_tokens); got ${plan.columns.mkString(", ")}")
+    requireFresh(df, "materializeMixtureEpochs",
+      "epoch", "cum_tokens", "__ps", "__avail", "__full", "__rem")
+    val withSrc = df.withColumn("source", source)
+    val avail = withSrc.groupBy(col("source"))
+      .agg(sum(tokens.cast("long")).as("__avail"))
+      .withColumnRenamed("source", "__as")
+    val p = plan.select(col("source").as("__ps"), col("planned_tokens"))
+      .join(avail, col("__ps") <=> col("__as"))
+      .filter(col("__avail") > 0L)
+      .withColumn("__full", expr("planned_tokens div __avail"))
+      .withColumn("__rem", col("planned_tokens") % col("__avail"))
+      .select(col("__ps"), col("__full"), col("__rem"))
+    val ranked = groupedTokenPrefixSum(withSrc, col("source"), id, tokens)
+      .join(broadcast(p), col("source") <=> col("__ps"))
+    val fulls = ranked.filter(col("__full") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full") - 1L)))
+    val partial = ranked.filter(col("cum_tokens") <= col("__rem"))
+      .withColumn("epoch", col("__full"))
+    fulls.unionByName(partial).drop("__ps", "__full", "__rem")
+  }
+
   /** Padding-waste report for length-aware batch construction — the
     * dynamic-batching step of a training run: within each `group` (a
     * length bucket; pass a constant for the unbucketed baseline), docs are

@@ -708,6 +708,54 @@ object Curation extends QueryGroup {
            |  min_by(doc_id, cum) AS first_doc, max_by(doc_id, cum) AS last_doc
            |FROM sel GROUP BY source ORDER BY source""".stripMargin))
 
+  /** q137's UPSAMPLING half — the budget is 6× larger, so every source's
+    * planned tokens EXCEED its corpus (epochs ≈ 2.2) and
+    * [[CurationOps.materializeMixtureEpochs]] must emit full corpus
+    * copies (epoch 0..⌊B/A⌋−1) plus the md5-order remainder prefix as
+    * the final partial epoch. Checked per source: emitted row/doc
+    * counts, exact token mass ⌊B/A⌋·A + prefix(B mod A), and the last
+    * epoch index — the complete UNIMAX replay ledger. */
+  private val q138 = QueryDef(
+    "q138_mixture_epochs",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = size(split(col("text"), " ")).cast("long")
+      val plan = CurationOps.temperatureMixture(docs, col("source"), toks,
+        budgetTokens = 600000L)
+      CurationOps.materializeMixtureEpochs(
+          docs.withColumn("tok", toks), col("source"), col("doc_id"), col("tok"), plan)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("tok")).as("tokens_emitted"),
+          max(col("epoch")).as("last_epoch"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH a AS (SELECT source,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+           |  FROM documents GROUP BY 1),
+           |w AS (SELECT source, avail, sqrt(CAST(avail AS DOUBLE)) AS w FROM a),
+           |sw AS (SELECT round(sum(w), 6) + 0.0 AS sw FROM w),
+           |pf AS (SELECT source, avail,
+           |    CAST(floor(600000.0 * (round(w / sw, 6) + 0.0)) AS BIGINT) // avail AS f,
+           |    CAST(floor(600000.0 * (round(w / sw, 6) + 0.0)) AS BIGINT) % avail AS rem
+           |  FROM w CROSS JOIN sw WHERE avail > 0),
+           |o AS (SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           |    md5(doc_id::VARCHAR) AS h FROM documents),
+           |c AS (SELECT doc_id, source, tok,
+           |    sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM o),
+           |fulls AS (SELECT doc_id, source, tok, unnest(range(f)) AS epoch
+           |  FROM c JOIN pf USING (source)),
+           |partial AS (SELECT c.doc_id, c.source, c.tok, pf.f AS epoch
+           |  FROM c JOIN pf USING (source) WHERE c.cum <= pf.rem),
+           |u AS (SELECT * FROM fulls UNION ALL SELECT * FROM partial)
+           |SELECT source, count(*) AS n_rows,
+           |  CAST(sum(tok) AS BIGINT) AS tokens_emitted,
+           |  CAST(max(epoch) AS BIGINT) AS last_epoch,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM u GROUP BY source ORDER BY source""".stripMargin))
+
   /** q108's deterministic-sketch sibling (the quantile member of the
     * exact-sketch trilogy with q126 HLL and q129 CMS): per-source
     * p50/p90/p99 from a 64-bin equi-width histogram sketch
@@ -1002,7 +1050,7 @@ object Curation extends QueryGroup {
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137)
+      q137, q138)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

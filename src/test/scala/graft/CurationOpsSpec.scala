@@ -564,6 +564,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(byS("s1").length === 150)
   }
 
+  test("X7: materializeMixtureEpochs emits full copies plus the remainder prefix, " +
+    "exact mass f*A + prefix(B mod A), and degenerates to the single-epoch form") {
+    // Source a: 3 docs x 10 tokens (A = 30), budget 75 -> f = 2 full epochs
+    // (6 rows) + remainder 15 admits exactly the first md5-order doc as
+    // epoch 2. Source b: budget 20 < A -> single partial epoch 0.
+    val df = Seq((1, "a", 10L), (2, "a", 10L), (3, "a", 10L),
+      (11, "b", 10L), (12, "b", 10L), (13, "b", 10L)).toDF("id", "src", "tok")
+    val plan = Seq(("a", 75L), ("b", 20L)).toDF("source", "planned_tokens")
+    val got = CurationOps.materializeMixtureEpochs(
+        df, col("src"), col("id"), col("tok"), plan)
+      .select(col("source"), col("id"), col("epoch"))
+      .as[(String, Int, Long)].collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.count(_._3 == 0L) === 3 && a.count(_._3 == 1L) === 3) // full epochs
+    val aPartial = a.filter(_._3 == 2L)
+    assert(aPartial.length === 1)
+    assert(aPartial.head._2 === Seq(1, 2, 3).minBy(i => (md5String(i), i))) // md5-order head
+    assert(a.length === 7) // mass 70 = 2*30 + 10 <= 75
+    val b = got.filter(_._1 == "b")
+    assert(b.forall(_._3 == 0L) && b.length === 2) // 20-token prefix, no full copies
+    assert(b.map(_._2).toSet ===
+      Seq(11, 12, 13).sortBy(i => (md5String(i), i)).take(2).toSet)
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))
