@@ -823,6 +823,26 @@ object CurationOps {
         graft.engine.Semantics.intDiv(col("rank") - 1, lit(rowsPerShard.toLong)))
   }
 
+  /** STRATIFIED shard assignment — [[shardAssign]]'s fairness variant: a
+    * global cut gives each shard the corpus-level source mix only in
+    * expectation, but training-shard consumers (curriculum schedulers,
+    * per-shard eval) often need every shard to carry each stratum
+    * near-exactly proportionally. Per stratum, docs take their
+    * deterministic ([[groupedShuffleRank]]) shuffle order and deal
+    * ROUND-ROBIN across `nShards`: shard = (rank − 1) mod n, so shard
+    * counts per stratum differ by at most 1 ALWAYS — not in expectation —
+    * and the assignment stays content-derived (partitioning-invariant,
+    * replayable). Adds (rank — within-stratum, shard). The shard is no
+    * longer a contiguous global-rank range (that is the global form's
+    * contract); within a (stratum, shard) cell the rank order is still
+    * the deterministic shuffle order. */
+  def stratifiedShardAssign(df: DataFrame, stratum: Column, id: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    groupedShuffleRank(df, stratum, id)
+      .withColumn("shard", (col("rank") - 1L) % nShards)
+  }
+
   /** Write path for [[shardAssign]]: one directory per shard, each written
     * by the task that owns the whole shard (`repartition` on the shard id
     * co-locates a shard's rows before the write — no shard straddles

@@ -756,6 +756,33 @@ object Curation extends QueryGroup {
            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
            |FROM u GROUP BY source ORDER BY source""".stripMargin))
 
+  /** q127's FAIRNESS variant — stratified sharding
+    * ([[CurationOps.stratifiedShardAssign]]): per source, docs deal
+    * round-robin across 7 shards in the deterministic shuffle order, so
+    * every shard carries each source's docs within ±1 ALWAYS (not in
+    * expectation) — the per-shard source balance curriculum schedulers
+    * and per-shard eval assume. Checked per (source, shard) cell: count
+    * and the first/last doc in within-stratum order — the exact
+    * assignment, not just the balance. */
+  private val q139 = QueryDef(
+    "q139_stratified_shards",
+    (s, dir) => CurationOps
+      .stratifiedShardAssign(Tables.documents(s, dir), col("source"), col("doc_id"),
+        nShards = 7)
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("rank")).as("first_doc"),
+        max_by(col("doc_id"), col("rank")).as("last_doc"))
+      .orderBy(col("source"), col("shard")),
+    Some("""WITH o AS (SELECT doc_id, source, md5(doc_id::VARCHAR) AS h FROM documents),
+           |rk AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+           |  FROM o),
+           |g AS (SELECT doc_id, source, rank, (rank - 1) % 7 AS shard FROM rk)
+           |SELECT source, shard, count(*) AS n_docs,
+           |  min_by(doc_id, rank) AS first_doc, max_by(doc_id, rank) AS last_doc
+           |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** q108's deterministic-sketch sibling (the quantile member of the
     * exact-sketch trilogy with q126 HLL and q129 CMS): per-source
     * p50/p90/p99 from a 64-bin equi-width histogram sketch
@@ -1050,7 +1077,7 @@ object Curation extends QueryGroup {
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138)
+      q137, q138, q139)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

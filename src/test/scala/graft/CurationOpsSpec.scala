@@ -588,6 +588,26 @@ class CurationOpsSpec extends SparkSpec {
       Seq(11, 12, 13).sortBy(i => (md5String(i), i)).take(2).toSet)
   }
 
+  test("X7: stratifiedShardAssign balances every stratum across shards within 1, " +
+    "and each cell holds the stratum's round-robin ranks") {
+    // 3 sources with counts 100 / 47 / 5 over 7 shards: 100 = 7*14+2 and
+    // 47 = 7*6+5 are NOT divisible — balance must still hold within 1.
+    val df = ((1 to 100).map(i => (i, "big")) ++ (101 to 147).map(i => (i, "mid")) ++
+      (148 to 152).map(i => (i, "small"))).toDF("id", "src")
+    val got = CurationOps.stratifiedShardAssign(df, col("src"), col("id"), nShards = 7)
+      .select(col("src"), col("id"), col("rank"), col("shard"))
+      .as[(String, Int, Long, Long)].collect()
+    assert(got.length === 152)
+    got.groupBy(_._1).foreach { case (srcName, rows) =>
+      val counts = rows.groupBy(_._4).values.map(_.size)
+      assert(counts.max - counts.min <= 1, s"$srcName imbalance: $counts")
+      // the assignment IS round-robin on the within-stratum rank
+      rows.foreach { case (_, _, r, sh) => assert(sh === (r - 1) % 7) }
+    }
+    // small source (5 docs over 7 shards): five distinct shards 0..4
+    assert(got.filter(_._1 == "small").map(_._4).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))
