@@ -45,6 +45,176 @@ object MultimodalOps {
     def decode(payload: Array[Byte], mediaType: String): (Int, Int, Long)
   }
 
+  /** Shared ISO BMFF (ISO/IEC 14496-12) byte-level box walking — used by
+    * the envelope parser (duration/dimensions) and the sample-table
+    * demuxer. Pure arithmetic over the public layout; no codec. */
+  private object Bmff {
+    def u32(p: Array[Byte], o: Int): Long =
+      if (o < 0 || o + 4 > p.length) -1L
+      else ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def u64(p: Array[Byte], o: Int): Long = (u32(p, o) << 32) | u32(p, o + 4)
+    def boxType(p: Array[Byte], o: Int): String =
+      if (o < 0 || o + 8 > p.length) ""
+      else new String(p, o + 4, 4, "ISO-8859-1")
+    /** Walk sibling boxes in [from, until): (offset, bodyStart, bodyEnd);
+      * size 1 = 64-bit largesize, size 0 = to-end. */
+    def boxes(p: Array[Byte], from: Int, until: Int): Iterator[(Int, Int, Int)] =
+      new Iterator[(Int, Int, Int)] {
+        private var o = from
+        def hasNext: Boolean = o + 8 <= until
+        def next(): (Int, Int, Int) = {
+          val sz = u32(p, o)
+          val (bodyStart, end) = sz match {
+            case 0 => (o + 8, until)
+            case 1 => (o + 16, (o + u64(p, o + 8)).min(until.toLong).toInt)
+            case s => (o + 8, (o + s).min(until.toLong).toInt)
+          }
+          val r = (o, bodyStart, end.max(bodyStart))
+          o = r._3
+          r
+        }
+      }
+    def find(p: Array[Byte], from: Int, until: Int, tpe: String): Option[(Int, Int, Int)] =
+      boxes(p, from, until).find(b => boxType(p, b._1) == tpe)
+  }
+
+  /** One demuxed media sample (frame/access unit): its index, decode
+    * timestamp, and exact byte range in the container. */
+  final case class Mp4Sample(sample_no: Int, dts_ms: Long, byte_offset: Long, n_bytes: Long)
+
+  /** REAL sample-table demux of an ISO BMFF payload — the step between
+    * "container envelope" and "pixel decode": walks
+    * `moov/trak/mdia/minf/stbl` and combines the four public sample
+    * tables — `stts` (decode deltas), `stsz` (sizes), `stsc`
+    * (sample→chunk runs), `stco`/`co64` (chunk offsets) — into each
+    * sample's (index, timestamp, byte offset, byte size). This is what a
+    * real frame-sampling pipeline seeks on: with these ranges a reader
+    * fetches exactly the sampled frames' bytes (range reads at 100 TB)
+    * and hands them to a codec; only that last pixel step stays stubbed
+    * (no JDK video codec). Timestamps use the track's own `mdhd`
+    * timescale, floored to ms. Takes the FIRST trak carrying a complete,
+    * self-consistent sample table; None when the payload is not BMFF or
+    * any table is missing/inconsistent (honest refusal beats a wrong
+    * byte range). */
+  def mp4SampleTable(payload: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    import Bmff._
+    if (boxType(payload, 0) != "ftyp") return None
+    val moov = find(payload, 0, payload.length, "moov")
+    moov.flatMap { case (_, ms, me) =>
+      boxes(payload, ms, me).filter(b => boxType(payload, b._1) == "trak").flatMap {
+        case (_, ts, te) =>
+          for {
+            (_, mds, mde) <- find(payload, ts, te, "mdia")
+            (_, hs, _) <- find(payload, mds, mde, "mdhd")
+            timescale = {
+              val v = payload.lift(hs).map(_ & 0xff).getOrElse(-1)
+              if (v == 0) u32(payload, hs + 12)
+              else if (v == 1) u32(payload, hs + 20) else -1L
+            }
+            if timescale > 0
+            (_, mis, mie) <- find(payload, mds, mde, "minf")
+            (_, ss, se) <- find(payload, mis, mie, "stbl")
+            (_, sttsS, _) <- find(payload, ss, se, "stts")
+            (_, stszS, _) <- find(payload, ss, se, "stsz")
+            (_, stscS, _) <- find(payload, ss, se, "stsc")
+            co <- find(payload, ss, se, "stco").map((_, false))
+              .orElse(find(payload, ss, se, "co64").map((_, true)))
+            samples <- assembleSamples(payload, timescale, sttsS, stszS, stscS,
+              co._1._2, co._2)
+          } yield samples
+      }.nextOption()
+    }
+  }
+
+  /** Combine the four sample tables into per-sample rows; None on any
+    * inconsistency (count mismatches, truncated arrays, negative sizes). */
+  private def assembleSamples(p: Array[Byte], timescale: Long, sttsS: Int,
+      stszS: Int, stscS: Int, coBody: Int, co64: Boolean): Option[Seq[Mp4Sample]] = {
+    import Bmff._
+    // stsz: uniform size or per-sample array.
+    val uniform = u32(p, stszS + 4)
+    val nSamples = u32(p, stszS + 8)
+    if (nSamples <= 0 || nSamples > 1000000) return None
+    val n = nSamples.toInt
+    val sizes: IndexedSeq[Long] =
+      if (uniform > 0) IndexedSeq.fill(n)(uniform)
+      else IndexedSeq.tabulate(n)(i => u32(p, stszS + 12 + 4 * i))
+    if (sizes.exists(_ < 0)) return None
+    // stts: (count, delta) runs → cumulative decode time per sample.
+    val nStts = u32(p, sttsS + 4)
+    if (nStts < 0) return None
+    val deltas = (0 until nStts.toInt).flatMap { e =>
+      val cnt = u32(p, sttsS + 8 + 8 * e)
+      val d = u32(p, sttsS + 12 + 8 * e)
+      if (cnt < 0 || d < 0) return None
+      Seq.fill(cnt.toInt)(d)
+    }
+    if (deltas.length != n) return None
+    val dts = deltas.scanLeft(0L)(_ + _).init // decode time BEFORE each sample
+    // stco/co64: chunk offsets.
+    val nChunks = u32(p, coBody + 4)
+    if (nChunks <= 0) return None
+    val chunkOffsets = (0 until nChunks.toInt).map(i =>
+      if (co64) u64(p, coBody + 8 + 8 * i) else u32(p, coBody + 8 + 4 * i))
+    if (chunkOffsets.exists(_ < 0)) return None
+    // stsc: (first_chunk, samples_per_chunk, sdi) runs → per-chunk counts.
+    val nStsc = u32(p, stscS + 4)
+    if (nStsc <= 0) return None
+    val runs = (0 until nStsc.toInt).map(e =>
+      (u32(p, stscS + 8 + 12 * e), u32(p, stscS + 12 + 12 * e)))
+    if (runs.exists { case (fc, spc) => fc <= 0 || spc <= 0 }) return None
+    def samplesInChunk(c1: Int): Long = // c1 is 1-based
+      runs.reverse.find(_._1 <= c1).map(_._2).getOrElse(runs.head._2)
+    // Assign samples to chunks in order; offset = chunk base + prior sizes.
+    val out = Vector.newBuilder[Mp4Sample]
+    var s = 0
+    var c = 0
+    while (s < n && c < chunkOffsets.length) {
+      var within = 0L
+      var off = chunkOffsets(c)
+      val spc = samplesInChunk(c + 1)
+      while (s < n && within < spc) {
+        out += Mp4Sample(s, dts(s) * 1000L / timescale, off, sizes(s))
+        off += sizes(s)
+        within += 1
+        s += 1
+      }
+      c += 1
+    }
+    if (s != n) None else Some(out.result())
+  }
+
+  /** REAL frame sampling over [[mp4SampleTable]]: every `stride`-th
+    * SAMPLE (true access unit, not a byte chunk) of each video payload as
+    * its own row — (media_id, sample_no, dts_ms, byte_offset, n_bytes,
+    * frame = the sample's exact bytes). mapPartitions is justified
+    * (binary parsing); plan shape is a generator with no shuffle.
+    * Unparseable payloads emit NO rows (use [[sampleFrames]]'s byte
+    * chunking as the explicit fallback) — a silent wrong byte range is
+    * worse than an absent one. */
+  def demuxSampledFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        mp4SampleTable(payload).toSeq.flatMap { samples =>
+          samples.zipWithIndex.collect {
+            case (sm, i) if i % stride == 0 =>
+              val from = sm.byte_offset.toInt
+              val until = math.min(payload.length.toLong, sm.byte_offset + sm.n_bytes).toInt
+              val bytes =
+                if (from >= 0 && from <= until) java.util.Arrays.copyOfRange(payload, from, until)
+                else Array.emptyByteArray
+              (id, sm.sample_no, sm.dts_ms, sm.byte_offset, sm.n_bytes, bytes)
+          }
+        }
+      })
+      .toDF("media_id", "sample_no", "dts_ms", "byte_offset", "n_bytes", "frame")
+  }
+
   /** Default decoder. The IMAGE branch is REAL: the JDK's built-in
     * `javax.imageio` readers decode PNG / BMP / GIF / JPEG headers to true
     * pixel dimensions with zero external dependencies (in-memory only —
@@ -93,41 +263,17 @@ object MultimodalOps {
       * what aspect) is real. None when the payload is not a parseable BMFF
       * container. */
     private def mp4Envelope(payload: Array[Byte]): Option[(Int, Int, Long)] = {
-      def u32(o: Int): Long =
-        if (o + 4 > payload.length) -1L
-        else ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
-          ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
-      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-      def boxType(o: Int): String =
-        if (o + 8 > payload.length) ""
-        else new String(payload, o + 4, 4, "ISO-8859-1")
-      // Walk sibling boxes in [from, until), returning (offset, bodyStart,
-      // bodyEnd) for each; size 1 = 64-bit largesize, size 0 = to-end.
-      def boxes(from: Int, until: Int): Iterator[(Int, Int, Int)] =
-        new Iterator[(Int, Int, Int)] {
-          private var o = from
-          def hasNext: Boolean = o + 8 <= until
-          def next(): (Int, Int, Int) = {
-            val sz = u32(o)
-            val (bodyStart, end) = sz match {
-              case 0 => (o + 8, until)
-              case 1 => (o + 16, (o + u64(o + 8)).min(until.toLong).toInt)
-              case s => (o + 8, (o + s).min(until.toLong).toInt)
-            }
-            val r = (o, bodyStart, end.max(bodyStart))
-            o = r._3
-            r
-          }
-        }
-      if (boxType(0) != "ftyp") None
-      else boxes(0, payload.length).find(b => boxType(b._1) == "moov").flatMap {
+      import Bmff._
+      def u32o(o: Int): Long = u32(payload, o)
+      if (boxType(payload, 0) != "ftyp") None
+      else find(payload, 0, payload.length, "moov").flatMap {
         case (_, moovStart, moovEnd) =>
-          val kids = boxes(moovStart, moovEnd).toSeq
-          val dur = kids.find(b => boxType(b._1) == "mvhd").flatMap { case (_, s, _) =>
+          val kids = boxes(payload, moovStart, moovEnd).toSeq
+          val dur = kids.find(b => boxType(payload, b._1) == "mvhd").flatMap { case (_, s, _) =>
             val version = payload.lift(s).map(_ & 0xff).getOrElse(-1)
             val (timescale, duration) = version match {
-              case 0 => (u32(s + 12), u32(s + 16))
-              case 1 => (u32(s + 20), u64(s + 24))
+              case 0 => (u32o(s + 12), u32o(s + 16))
+              case 1 => (u32o(s + 20), u64(payload, s + 24))
               case _ => (-1L, -1L)
             }
             if (timescale > 0 && duration >= 0)
@@ -136,9 +282,9 @@ object MultimodalOps {
           }
           // First trak whose tkhd carries nonzero 16.16 width/height (the
           // video track; audio traks carry zeros).
-          val dims = kids.iterator.filter(b => boxType(b._1) == "trak").flatMap {
+          val dims = kids.iterator.filter(b => boxType(payload, b._1) == "trak").flatMap {
             case (_, ts, te) =>
-              boxes(ts, te).find(b => boxType(b._1) == "tkhd").flatMap { case (_, s, _) =>
+              find(payload, ts, te, "tkhd").flatMap { case (_, s, _) =>
                 val version = payload.lift(s).map(_ & 0xff).getOrElse(-1)
                 // tkhd fixed fields before the matrix: v0 = 4+4+4+4+4+4,
                 // v1 widens the two times and the duration to 64 bits.
@@ -148,8 +294,8 @@ object MultimodalOps {
                 if (fixedEnd < 0) None
                 else {
                   val wOff = fixedEnd + 8 + 2 + 2 + 2 + 2 + 36
-                  val w = (u32(wOff) >> 16).toInt
-                  val hgt = (u32(wOff + 4) >> 16).toInt
+                  val w = (u32o(wOff) >> 16).toInt
+                  val hgt = (u32o(wOff + 4) >> 16).toInt
                   if (w > 0 && hgt > 0) Some((w, hgt)) else None
                 }
               }

@@ -604,6 +604,61 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(feats(2L).duration_ms >= 1000L)
   }
 
+  test("multimodal: MP4 sample-table demux recovers every sample's exact bytes and timestamp") {
+    import MultimodalOps._
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    // 5 samples, sizes 10/20/30/40/50, in 2 chunks (3 + 2 samples),
+    // deltas 100 ticks @ timescale 1000 -> dts 0,100,200,300,400 ms.
+    val sampleBytes: Seq[Array[Byte]] =
+      Seq(10, 20, 30, 40, 50).zipWithIndex.map { case (n, i) =>
+        Array.tabulate[Byte](n)(j => (i * 37 + j + 1).toByte)
+      }
+    val chunk1 = sampleBytes.take(3).reduce(_ ++ _) // 60 bytes
+    val chunk2 = sampleBytes.drop(3).reduce(_ ++ _) // 90 bytes
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(5) ++ u32(100))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(5) ++
+      Seq(10, 20, 30, 40, 50).flatMap(s => u32(s)).toArray)
+    val stsc = box("stsc", u32(0) ++ u32(2) ++
+      (u32(1) ++ u32(3) ++ u32(1)) ++ (u32(2) ++ u32(2) ++ u32(1)))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(500) ++ u32(0))
+    // Assemble with a placeholder stco first to learn where mdat's body
+    // lands, then rebuild with the true chunk offsets (chunk2 follows
+    // chunk1 inside the same mdat).
+    def container(c1Off: Long): Array[Byte] = {
+      val stco = box("stco", u32(0) ++ u32(2) ++ u32(c1Off) ++ u32(c1Off + chunk1.length))
+      val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco)
+      val mdia = box("mdia", mdhd ++ box("minf", stbl))
+      val trak = box("trak", mdia)
+      val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(500) ++
+        Array.fill[Byte](80)(0))
+      box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes) ++
+        box("moov", mvhd ++ trak) ++ box("mdat", chunk1 ++ chunk2)
+    }
+    val probe = container(0L)
+    val mdatBody = probe.length - (chunk1.length + chunk2.length) // mdat body start
+    val mp4 = container(mdatBody.toLong)
+    // Direct parse: 5 samples with the exact table-derived geometry.
+    val table = MultimodalOps.mp4SampleTable(mp4).get
+    assert(table.map(_.dts_ms) === Seq(0L, 100L, 200L, 300L, 400L))
+    assert(table.map(_.n_bytes) === Seq(10L, 20L, 30L, 40L, 50L))
+    assert(table.map(_.byte_offset) === Seq(
+      mdatBody.toLong, mdatBody + 10L, mdatBody + 30L, mdatBody + 60L, mdatBody + 100L))
+    // Distributed demux: stride 2 -> samples 0, 2, 4, each with its TRUE bytes.
+    val media = Seq((7L, mp4), (8L, "not-a-container".getBytes)).toDF("media_id", "payload")
+    val frames = MultimodalOps.demuxSampledFrames(media, stride = 2)
+      .as[(Long, Int, Long, Long, Long, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.forall(_._1 == 7L)) // unparseable payload emits nothing
+    assert(frames.map(_._2).toSeq === Seq(0, 2, 4))
+    assert(frames.map(_._3).toSeq === Seq(0L, 200L, 400L))
+    frames.foreach { case (_, no, _, _, _, bytes) =>
+      assert(bytes.toSeq === sampleBytes(no).toSeq, s"sample $no bytes")
+    }
+  }
+
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {
     import MultimodalOps._
     val media = Seq(
