@@ -642,40 +642,55 @@ object CurationOps {
     * a handful of groups (a plain PARTITION BY group window would funnel a
     * whole group through one partition — exactly the straggler this
     * operator exists to avoid at 100 TB). Adds `rank`. */
-  def groupedShuffleRank(df: DataFrame, group: Column, id: Column): DataFrame = {
-    requireFresh(df, "groupedShuffleRank",
-      "rank", "__g", "__h", "__bucket", "__rn", "__off", "__n")
-    // A NULL id would hash to a NULL bucket and silently VANISH in the
-    // offsets equi-join (null keys never match) — a dropped row in a
-    // permutation operator is corruption, not a convention. Fail loudly,
-    // the prioritySample guard idiom: the raise must drive the column
-    // expression itself, not ride as a dead operand.
+  def groupedShuffleRank(df: DataFrame, group: Column, id: Column): DataFrame =
+    // rank IS the weight-1 running total: an inclusive sum of ones over the
+    // (md5(id), id) order is row_number by another name, so the permutation
+    // and the token prefix sum share one bucketed construction.
+    bucketedRunningTotal(df, group, id, lit(1L), "rank", "shuffleRank")
+
+  /** The ONE bucketed running-total construction behind
+    * [[groupedShuffleRank]] (weight 1 → rank) and
+    * [[groupedTokenPrefixSum]] (weight = tokens → cum_tokens): per group,
+    * bucket the key space by md5 prefix (256 contiguous lexicographic
+    * ranges), accumulate `weight` inside each bucket with a window that
+    * sees ~|group|/256 rows, and add the broadcast prefix-sum of
+    * whole-bucket masses. One implementation so a change (e.g. widening
+    * the prefix to 4096 buckets at 100 TB) cannot drift between the two.
+    *
+    * A NULL id would hash to a NULL bucket and silently VANISH in the
+    * offsets equi-join (null keys never match) — a dropped row in a
+    * permutation/running total is corruption, not a convention. Fail
+    * loudly, the prioritySample guard idiom: the raise must drive the
+    * column expression itself, not ride as a dead operand. NULL groups
+    * keep their own totals (null-safe offsets join): groupBy and the
+    * window both treat a NULL group as its own group, but a plain
+    * equi-join would drop its rows — the same silent-row-loss the id
+    * guard refuses, surfacing whenever the caller's group expression is
+    * nullable (a length bucket over a null token count). */
+  private def bucketedRunningTotal(df: DataFrame, group: Column, id: Column,
+      weight: Column, outCol: String, opName: String): DataFrame = {
+    requireFresh(df, opName,
+      outCol, "__g", "__h", "__bucket", "__w", "__rn", "__off", "__n")
     val guardedId = when(id.isNull,
-      raise_error(lit("shuffleRank: id must be non-null — a null id row " +
-        "would silently drop from the permutation")).cast("string"))
+      raise_error(lit(s"$opName: id must be non-null — a null id row " +
+        "would silently drop from the running total")).cast("string"))
       .otherwise(id.cast("string"))
     val withKey = df.withColumn("__g", group)
       .withColumn("__h", md5(guardedId))
       .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
+      .withColumn("__w", weight)
     val offsets = withKey.groupBy(col("__g"), col("__bucket"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__w")).as("__n"))
       .withColumn("__off", sum(col("__n")).over(
         Window.partitionBy(col("__g")).orderBy(col("__bucket"))) - col("__n"))
-      .select(col("__g"), col("__bucket"), col("__off"))
-    // NULL-SAFE group equality on the offsets join: groupBy and the window
-    // both treat a NULL group as its own group, but a plain equi-join would
-    // drop its rows (null keys never match) — the same silent-row-loss the
-    // id guard above refuses, surfacing here whenever the caller's group
-    // expression is nullable (a length bucket over a null token count).
-    val off = offsets.withColumnRenamed("__g", "__og")
-      .withColumnRenamed("__bucket", "__obucket")
+      .select(col("__g").as("__og"), col("__bucket").as("__obucket"), col("__off"))
     withKey
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)).cast("long"))
-      .join(broadcast(off),
+      .withColumn("__rn", sum(col("__w")).over(
+        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)))
+      .join(broadcast(offsets),
         col("__g") <=> col("__og") && col("__bucket") === col("__obucket"))
-      .withColumn("rank", col("__off") + col("__rn"))
-      .drop("__g", "__og", "__h", "__bucket", "__obucket", "__rn", "__off")
+      .withColumn(outCol, col("__off") + col("__rn"))
+      .drop("__g", "__og", "__h", "__bucket", "__obucket", "__w", "__rn", "__off")
   }
 
   /** Inclusive cumulative TOKEN mass per group in (md5(id), id) order —
@@ -691,28 +706,17 @@ object CurationOps {
     * running total (null-safe offsets join). */
   def groupedTokenPrefixSum(df: DataFrame, group: Column, id: Column,
       tokens: Column): DataFrame = {
-    requireFresh(df, "groupedTokenPrefixSum",
-      "cum_tokens", "__g", "__h", "__bucket", "__tok", "__cum_in", "__off", "__bt")
-    val guardedId = when(id.isNull,
-      raise_error(lit("groupedTokenPrefixSum: id must be non-null — a null id row " +
-        "would silently drop from the running total")).cast("string"))
-      .otherwise(id.cast("string"))
-    val withKey = df.withColumn("__g", group)
-      .withColumn("__h", md5(guardedId))
-      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("long"))
-      .withColumn("__tok", tokens.cast("long"))
-    val offsets = withKey.groupBy(col("__g"), col("__bucket"))
-      .agg(sum(col("__tok")).as("__bt"))
-      .withColumn("__off", sum(col("__bt")).over(
-        Window.partitionBy(col("__g")).orderBy(col("__bucket"))) - col("__bt"))
-      .select(col("__g").as("__og"), col("__bucket").as("__obucket"), col("__off"))
-    withKey
-      .withColumn("__cum_in", sum(col("__tok")).over(
-        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)))
-      .join(broadcast(offsets),
-        col("__g") <=> col("__og") && col("__bucket") === col("__obucket"))
-      .withColumn("cum_tokens", col("__off") + col("__cum_in"))
-      .drop("__g", "__og", "__h", "__bucket", "__obucket", "__tok", "__cum_in", "__off")
+    // A NULL token count would be SKIPPED by the window sum: the row rides
+    // the running total at weight 0 yet is still admitted downstream at
+    // zero budget cost — the same silent-running-total corruption class
+    // as a null id, refused the same way. Callers with legitimately
+    // absent counts coalesce explicitly.
+    val guardedTokens = when(tokens.isNull,
+      raise_error(lit("groupedTokenPrefixSum: tokens must be non-null — a null " +
+        "weight would silently ride the running total at 0")).cast("long"))
+      .otherwise(tokens.cast("long"))
+    bucketedRunningTotal(df, group, id, guardedTokens, "cum_tokens",
+      "groupedTokenPrefixSum")
   }
 
   /** MATERIALIZE a mixture plan — the step after

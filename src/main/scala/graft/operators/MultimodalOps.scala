@@ -142,14 +142,25 @@ object MultimodalOps {
       else IndexedSeq.tabulate(n)(i => u32(p, stszS + 12 + 4 * i))
     if (sizes.exists(_ < 0)) return None
     // stts: (count, delta) runs → cumulative decode time per sample.
+    // The run counts come from UNTRUSTED bytes: materialize AT MOST n
+    // deltas and bail the moment the claimed total exceeds n — a ~100-byte
+    // payload claiming a 2^30-sample run must fail in O(1), not allocate
+    // gigabytes before the length check.
     val nStts = u32(p, sttsS + 4)
     if (nStts < 0) return None
-    val deltas = (0 until nStts.toInt).flatMap { e =>
+    val deltaB = IndexedSeq.newBuilder[Long]
+    var total = 0L
+    var e = 0
+    while (e < nStts.toInt && total <= n) {
       val cnt = u32(p, sttsS + 8 + 8 * e)
       val d = u32(p, sttsS + 12 + 8 * e)
       if (cnt < 0 || d < 0) return None
-      Seq.fill(cnt.toInt)(d)
+      total += cnt
+      if (total > n) return None
+      deltaB ++= Seq.fill(cnt.toInt)(d)
+      e += 1
     }
+    val deltas = deltaB.result()
     if (deltas.length != n) return None
     val dts = deltas.scanLeft(0L)(_ + _).init // decode time BEFORE each sample
     // stco/co64: chunk offsets.
@@ -182,7 +193,18 @@ object MultimodalOps {
       }
       c += 1
     }
-    if (s != n) None else Some(out.result())
+    if (s != n) None
+    else {
+      val samples = out.result()
+      // A table that assembled cleanly can still point outside the payload
+      // (truncated mdat — the partial-download shape). The contract is
+      // "exact bytes or nothing": an out-of-payload range is an
+      // inconsistency, refused as a whole rather than emitted with
+      // silently truncated/empty frame bytes that contradict n_bytes.
+      if (samples.exists(sm =>
+        sm.byte_offset < 0 || sm.byte_offset + sm.n_bytes > p.length)) None
+      else Some(samples)
+    }
   }
 
   /** REAL frame sampling over [[mp4SampleTable]]: every `stride`-th
@@ -203,11 +225,10 @@ object MultimodalOps {
         mp4SampleTable(payload).toSeq.flatMap { samples =>
           samples.zipWithIndex.collect {
             case (sm, i) if i % stride == 0 =>
+              // In-payload by mp4SampleTable's range validation — the copy
+              // is exact, never truncated.
               val from = sm.byte_offset.toInt
-              val until = math.min(payload.length.toLong, sm.byte_offset + sm.n_bytes).toInt
-              val bytes =
-                if (from >= 0 && from <= until) java.util.Arrays.copyOfRange(payload, from, until)
-                else Array.emptyByteArray
+              val bytes = java.util.Arrays.copyOfRange(payload, from, from + sm.n_bytes.toInt)
               (id, sm.sample_no, sm.dts_ms, sm.byte_offset, sm.n_bytes, bytes)
           }
         }

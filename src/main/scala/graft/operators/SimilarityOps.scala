@@ -95,28 +95,39 @@ object SimilarityOps {
     *
     * Returns (assignments: vec_id → cluster, centroids). */
   def kmeans(emb: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
-    import org.apache.spark.sql.Row
-    // Cached for the duration of training: every Lloyd iteration re-scans the
-    // vectors, and without the cache each of the `iters` jobs re-reads (and
-    // re-decodes) the source parquet — at 100 TB that is `iters` extra full
-    // scans. MEMORY_AND_DISK so an overflowing corpus spills instead of OOM.
+    val (out, centroids, _) = kmeansFit(emb, idCol, embCol, k, iters, stopAtFixedPoint = false)
+    (out, centroids)
+  }
+
+  /** The ONE fit body behind [[kmeans]] (run exactly `maxIters` Lloyd
+    * steps — oracle-unrollable) and [[kmeansConverged]] (stop at the
+    * rounded-centroid fixed point) — preamble AND loop shared so the
+    * siblings cannot drift and their spec-asserted bit-identity holds by
+    * construction. Vectors are cached for the duration of training: every
+    * Lloyd iteration re-scans them, and without the cache each job
+    * re-reads (and re-decodes) the source parquet — at 100 TB that is
+    * `iters` extra full scans. MEMORY_AND_DISK so an overflowing corpus
+    * spills instead of OOM. The returned assignment is lazy (recomputes
+    * from source in the caller's single pass — training scans are done). */
+  private def kmeansFit(emb: DataFrame, idCol: String, embCol: String, k: Int,
+      maxIters: Int, stopAtFixedPoint: Boolean): (DataFrame, Seq[Seq[Double]], Int) = {
+    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
     val vecs = emb.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
-
-    def assigned: DataFrame =
-      vecs.select(col("vec_id"), col("v"),
-        nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
-
-    for (_ <- 1 to iters) {
-      centroids = lloydStep(vecs, centroids)
+    var it = 0
+    var fixed = false
+    while (it < maxIters && !fixed) {
+      val next = lloydStep(vecs, centroids)
+      it += 1
+      fixed = stopAtFixedPoint && next == centroids
+      centroids = next
     }
-    val out = assigned.select(col("vec_id"), col("cluster"))
-    // Training scans are done; the returned (lazy) assignment recomputes
-    // from source in the caller's single pass.
+    val out = vecs.select(col("vec_id"),
+      nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
     vecs.unpersist(blocking = false)
-    (out, centroids)
+    (out, centroids, it)
   }
 
   /** One Lloyd iteration, shared by the fixed-count ([[kmeans]], the
@@ -158,25 +169,8 @@ object SimilarityOps {
     * needs, and iters == maxIters in the result flags one that never
     * settled. Returns (assignments, centroids, iterations run). */
   def kmeansConverged(emb: DataFrame, idCol: String, embCol: String, k: Int,
-      maxIters: Int): (DataFrame, Seq[Seq[Double]], Int) = {
-    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
-    val vecs = emb.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
-      .select(col("v")).collect().toSeq.map(_.getSeq[Double](0))
-    var it = 0
-    var fixed = false
-    while (it < maxIters && !fixed) {
-      val next = lloydStep(vecs, centroids)
-      it += 1
-      fixed = next == centroids
-      centroids = next
-    }
-    val out = vecs.select(col("vec_id"),
-      nearestCentroid(col("v"), centroids, "cluster").as("cluster"))
-    vecs.unpersist(blocking = false)
-    (out, centroids, it)
-  }
+      maxIters: Int): (DataFrame, Seq[Seq[Double]], Int) =
+    kmeansFit(emb, idCol, embCol, k, maxIters, stopAtFixedPoint = true)
 
   /** Assign each vector to its nearest centroid — the IVF cell-assignment
     * (k-means INFERENCE) step: argmin over k literal centroids of
@@ -764,28 +758,43 @@ object SimilarityOps {
     * mean, components in extraction order). */
   def powerIterationComponents(emb: DataFrame, embCol: Column, dim: Int,
       iters: Int, k: Int): (Seq[Double], Seq[Seq[Double]]) = {
-    require(dim >= 1 && iters >= 1 && k >= 1 && k <= dim,
-      s"need dim, iters >= 1 and 1 <= k <= dim; got $dim, $iters, $k")
+    val (mu, comps, _) = powerFit(emb, embCol, dim, iters, k, tol = None)
+    (mu, comps)
+  }
+
+  /** The ONE fit body behind [[powerIterationComponents]] (tol = None →
+    * exactly `maxIters` steps per component, the oracle-unrollable form)
+    * and [[powerIterationConvergedComponents]] (Some(ε) → stop on
+    * movement < ε) — preamble AND loop shared, so a storage-level or
+    * rounding change cannot drift between the siblings and break their
+    * spec-asserted bit-identity. Per-dim stats run as ONE wide no-shuffle
+    * aggregate (dim sum columns with map-side partials) instead of
+    * posexplode + groupBy(dim): the values are the same rounded per-dim
+    * sums, but the explode form pays an exchange and an extra stage PER
+    * JOB — and these trainers are scheduler-floor-bound at test scale
+    * (measured: the 2-component 4-iteration fit dropped ~40% wall-clock
+    * from this change alone). */
+  private def powerFit(emb: DataFrame, embCol: Column, dim: Int, maxIters: Int,
+      k: Int, tol: Option[Double]): (Seq[Double], Seq[Seq[Double]], Seq[Int]) = {
+    require(dim >= 1 && maxIters >= 1 && k >= 1 && k <= dim,
+      s"need dim, maxIters >= 1 and 1 <= k <= dim; got $dim, $maxIters, $k")
     val vecs = emb.select(embCol.cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vecs.count().toDouble
     require(n > 0, "cannot fit a principal component on an empty input")
-    // Per-dim stats as ONE wide no-shuffle aggregate (dim sum columns with
-    // map-side partials) instead of posexplode + groupBy(dim): the values
-    // are the same rounded per-dim sums, but the explode form pays an
-    // exchange and an extra stage PER JOB — and these trainers are
-    // scheduler-floor-bound at test scale (measured: the 2-component
-    // 4-iteration fit dropped ~40% wall-clock from this change alone).
     val muAggs = (0 until dim).map(i =>
       graft.engine.Semantics.roundz(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
     val muRow = vecs.agg(muAggs.head, muAggs.tail: _*).head()
     val mu = Array.tabulate(dim)(muRow.getDouble)
     val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val iters = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (c <- 0 until k) {
-      comps += iterateComponent(vecs, mu, dim, n, comps.toSeq, c, iters, tol = None)._1
+      val (w, m) = iterateComponent(vecs, mu, dim, n, comps.toSeq, c, maxIters, tol)
+      comps += w
+      iters += m
     }
     vecs.unpersist(blocking = false)
-    (mu.toSeq, comps.map(_.toSeq).toSeq)
+    (mu.toSeq, comps.map(_.toSeq).toSeq, iters.toSeq)
   }
 
   /** One component's power-iteration loop, shared by the fixed-count
@@ -855,24 +864,7 @@ object SimilarityOps {
     * ran — an entry equal to `maxIters` flags non-convergence). */
   def powerIterationConvergedComponents(emb: DataFrame, embCol: Column, dim: Int,
       tol: Double, maxIters: Int, k: Int): (Seq[Double], Seq[Seq[Double]], Seq[Int]) = {
-    require(dim >= 1 && maxIters >= 1 && k >= 1 && k <= dim && tol > 0,
-      s"need dim, maxIters >= 1, 1 <= k <= dim, tol > 0; got $dim, $maxIters, $k, $tol")
-    val vecs = emb.select(embCol.cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = vecs.count().toDouble
-    require(n > 0, "cannot fit a principal component on an empty input")
-    val muAggs = (0 until dim).map(i =>
-      graft.engine.Semantics.roundz(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
-    val muRow = vecs.agg(muAggs.head, muAggs.tail: _*).head()
-    val mu = Array.tabulate(dim)(muRow.getDouble)
-    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    val iters = scala.collection.mutable.ArrayBuffer.empty[Int]
-    for (c <- 0 until k) {
-      val (w, m) = iterateComponent(vecs, mu, dim, n, comps.toSeq, c, maxIters, Some(tol))
-      comps += w
-      iters += m
-    }
-    vecs.unpersist(blocking = false)
-    (mu.toSeq, comps.map(_.toSeq).toSeq, iters.toSeq)
+    require(tol > 0, s"need tol > 0, got $tol")
+    powerFit(emb, embCol, dim, maxIters, k, Some(tol))
   }
 }

@@ -77,7 +77,12 @@ object SketchOps {
         rho.as("rho"))
       .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("reg"))
       .withColumnRenamed("g", "gh").withColumnRenamed("bucket", "bh")
-    val frame = df.select(group.as("g")).distinct()
+    // The group frame comes from the AGGREGATE, not a second corpus scan:
+    // every group with >= 1 input row emits >= 1 hit row (a NULL key still
+    // lands as a (g, null-bucket) row), so distinct gh IS the group set —
+    // and the distinct rides the same shuffle exchange as the register
+    // aggregate (ReusedExchange) instead of re-reading the table.
+    val frame = hit.select(col("gh").as("g")).distinct()
       .crossJoin(broadcast(spark.range(1L << p).select(col("id").as("bucket"))))
     frame
       .join(hit, col("g") <=> col("gh") && col("bucket") === col("bh"), "left")

@@ -67,8 +67,25 @@ object StandingStore {
   /** Standing state from batches ≤ `through`: the newest committed compact
     * level plus the raw partitions it does not subsume. None when no state
     * exists yet. Rows are UNMERGED (a key may appear in the level and in
-    * several raw partitions); callers merge. */
+    * several raw partitions); callers merge.
+    *
+    * MIGRATION GUARD: before this store existed the streaming operators
+    * kept state directly under `root/batch=<id>`. Treating such a root as
+    * "no state yet" would silently re-admit every previously-registered
+    * document (the dedup index resets with no error), so a legacy layout
+    * fails loudly with the one-move migration instead. */
   def readThrough(spark: SparkSession, root: String, through: Long): Option[DataFrame] = {
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, root)
+    if (fs.exists(rootPath)) {
+      val legacy = fs.listStatus(rootPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      require(legacy.isEmpty,
+        s"StandingStore: legacy pre-compaction layout at $root (found " +
+          s"${legacy.map(_.getPath.getName).take(3).mkString(", ")}…). Migrate by " +
+          s"moving every batch=<id> directory under $root/raw/ — refusing to " +
+          "silently treat existing standing state as empty.")
+    }
     val u = maxUpto(spark, root)
     val compacted =
       if (u < 0) None else Some(spark.read.parquet(s"$root/compact/upto=$u"))
@@ -101,26 +118,42 @@ object StandingStore {
   /** Compact all state from batches < `id` into level `upto = id-1`, then
     * best-effort delete the subsumed raw partitions and stale levels. Call
     * at the START of batch `id`, before the batch registers its own
-    * partition. Safe to re-run at the same `id` (replay): the level
-    * rewrite is idempotent because `merge` is. */
+    * partition.
+    *
+    * Replay safety: a COMMITTED level is NEVER rewritten — when
+    * `upto = id-1` already carries `_SUCCESS` (the first attempt's rewrite
+    * committed before the crash), the replayed compaction skips straight
+    * to cleanup. Without this guard a replay would mode("overwrite") the
+    * only committed level IN PLACE, and a second crash mid-rewrite would
+    * leave no committed level and no raw partitions — silent total state
+    * loss. The only path that writes `upto = id-1` is therefore one where
+    * no committed level at that id exists (a crashed partial write
+    * without `_SUCCESS` is invisible to readers and safely overwritten);
+    * it also never reads the path it writes. Cleanup always runs and is
+    * idempotent, so a crash between the first attempt's commit and its
+    * deletes is healed by the replay. */
   def compact(spark: SparkSession, root: String, id: Long,
-      merge: DataFrame => DataFrame): Unit =
-    readBefore(spark, root, id).foreach { standing =>
-      merge(standing).write.mode("overwrite").parquet(s"$root/compact/upto=${id - 1}")
-      val fs = fsFor(spark, root)
-      val rawDir = new Path(s"$root/raw")
-      if (fs.exists(rawDir)) fs.listStatus(rawDir).foreach { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= id - 1)
-          fs.delete(s.getPath, true)
-      }
-      val compDir = new Path(s"$root/compact")
-      if (fs.exists(compDir)) fs.listStatus(compDir).foreach { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("upto=") && n.stripPrefix("upto=").toLong < id - 1)
-          fs.delete(s.getPath, true)
+      merge: DataFrame => DataFrame): Unit = {
+    if (maxUpto(spark, root) < id - 1) {
+      readBefore(spark, root, id).foreach { standing =>
+        merge(standing).write.mode("overwrite").parquet(s"$root/compact/upto=${id - 1}")
       }
     }
+    val newest = maxUpto(spark, root)
+    val fs = fsFor(spark, root)
+    val rawDir = new Path(s"$root/raw")
+    if (fs.exists(rawDir)) fs.listStatus(rawDir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= newest)
+        fs.delete(s.getPath, true)
+    }
+    val compDir = new Path(s"$root/compact")
+    if (fs.exists(compDir)) fs.listStatus(compDir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("upto=") && n.stripPrefix("upto=").toLong < newest)
+        fs.delete(s.getPath, true)
+    }
+  }
 
   /** Run [[compact]] every `every` batches (0 = never). The cadence test
     * is on the batch id, so a replayed batch re-runs exactly the

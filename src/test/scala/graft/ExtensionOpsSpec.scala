@@ -657,6 +657,24 @@ class ExtensionOpsSpec extends SparkSpec {
     frames.foreach { case (_, no, _, _, _, bytes) =>
       assert(bytes.toSeq === sampleBytes(no).toSeq, s"sample $no bytes")
     }
+    // Truncated mdat (the partial-download shape): the sample table parses
+    // but points past the payload end — the contract is exact bytes or
+    // NOTHING, so the whole table refuses instead of emitting truncated
+    // frames that contradict their own n_bytes.
+    val truncated = mp4.take(mp4.length - 30)
+    assert(MultimodalOps.mp4SampleTable(truncated).isEmpty)
+    // Adversarial stts: one run claiming 2^30 samples in a tiny payload
+    // must be rejected (count mismatch) without allocating gigabytes.
+    val bigStts = box("stts", u32(0) ++ u32(1) ++ u32(0x40000000L) ++ u32(100))
+    val evil = {
+      val stco = box("stco", u32(0) ++ u32(2) ++ u32(0) ++ u32(60))
+      val stbl = box("stbl", bigStts ++ stsc ++ stsz ++ stco)
+      box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes) ++
+        box("moov", box("trak", box("mdia", mdhd ++ box("minf", stbl))))
+    }
+    val t0 = System.nanoTime()
+    assert(MultimodalOps.mp4SampleTable(evil).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "malformed stts must fail fast")
   }
 
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {

@@ -393,13 +393,42 @@ class StreamingOpsSpec extends SparkSpec {
     // A later batch's real compaction cleans up and changes nothing.
     StandingStore.compact(spark, root, 4L, mergeSum)
     assert(standingSum() === truth)
-    // Replay of the same compaction id is idempotent.
+    // Replay of the same compaction id is a NO-OP on the committed level —
+    // it must never be rewritten in place (a crash mid-rewrite would
+    // otherwise destroy the only copy of the standing state). Proven by
+    // file mtimes: the level's data files are untouched by the replay.
+    def levelMtimes(): Map[String, Long] = {
+      val d = new java.io.File(s"$root/compact/upto=3")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = levelMtimes()
     StandingStore.compact(spark, root, 4L, mergeSum)
+    assert(levelMtimes() === before, "replayed compaction rewrote the committed level")
     assert(standingSum() === truth)
     assert(StandingStore.physicalRowCount(spark, root) === 2L) // merged level only
     // New raw state after compaction is read alongside the level.
     StandingStore.writeRaw(Seq(("a", 10L)).toDF("k", "v"), root, 4L)
     assert(standingSum() === Map("a" -> 14L, "b" -> 8L))
+  }
+
+  test("StandingStore: a legacy pre-compaction layout fails loudly instead of " +
+    "silently reading as empty state") {
+    import graft.streaming.StandingStore
+    val root = tmp("legacy-store")
+    // The old layout: state directly under root/batch=<id>.
+    Seq(("a", 1L)).toDF("k", "v").write.parquet(s"$root/batch=0")
+    val e = intercept[IllegalArgumentException] {
+      StandingStore.readThrough(spark, root, 10L)
+    }
+    assert(e.getMessage.contains("legacy") && e.getMessage.contains("raw/"))
+    // After the one-move migration the same state reads fine.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/raw"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$root/raw/batch=0"))
+    val rows = StandingStore.readAll(spark, root).get.as[(String, Long)].collect()
+    assert(rows.toSeq === Seq(("a", 1L)))
   }
 
   test("X2-stream compaction: calibrated suspects with compaction are bit-identical to " +
