@@ -143,9 +143,14 @@ object SimilarityOps {
     * means identically, so the cross-engine match holds by construction,
     * not by luck of summation order. An empty cluster keeps its centroid. */
   private def lloydStep(vecs: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    // TWO selects, deliberately: putting the argmin and the generator in
+    // ONE select lets ExtractGenerator hoist the non-generator expression
+    // ABOVE the Generate, re-evaluating the k·dim-VecDot argmin once per
+    // EXPLODED row (dim× the work — measured 2.1× on q41). The separate
+    // projection pins the argmin below the explode, once per vector.
     val next = vecs
-      .select(nearestCentroid(col("v"), centroids, "cluster").as("cluster"),
-        posexplode(col("v")).as(Seq("dim", "x")))
+      .select(nearestCentroid(col("v"), centroids, "cluster").as("cluster"), col("v"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
       .agg(graft.engine.Semantics.roundz(avg(col("x")), 6).as("m"))
       .collect()
