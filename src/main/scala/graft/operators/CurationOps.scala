@@ -685,8 +685,16 @@ object CurationOps {
         Window.partitionBy(col("__g")).orderBy(col("__bucket"))) - col("__n"))
       .select(col("__g").as("__og"), col("__bucket").as("__obucket"), col("__off"))
     withKey
+      // ROWS frame, explicitly: an aggregate over an ORDER BY window
+      // defaults to RANGE, whose frame includes ORDER-BY PEERS — rows
+      // tying on (md5(id), id), i.e. duplicate ids, would share one
+      // combined total and skip ranks, silently breaking the bijection
+      // onto 1..|group| (row_number semantics) this construction promises.
+      // ROWS gives each physical row its own inclusive prefix, duplicate
+      // ids included.
       .withColumn("__rn", sum(col("__w")).over(
-        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)))
+        Window.partitionBy(col("__g"), col("__bucket")).orderBy(col("__h"), id)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offsets),
         col("__g") <=> col("__og") && col("__bucket") === col("__obucket"))
       .withColumn(outCol, col("__off") + col("__rn"))

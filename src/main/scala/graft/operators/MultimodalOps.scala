@@ -132,10 +132,17 @@ object MultimodalOps {
   private def assembleSamples(p: Array[Byte], timescale: Long, sttsS: Int,
       stszS: Int, stscS: Int, coBody: Int, co64: Boolean): Option[Seq[Mp4Sample]] = {
     import Bmff._
+    // EVERY entry count below comes from untrusted bytes, and every table
+    // entry occupies >= 4 bytes inside the payload — so any claimed count
+    // larger than p.length/4 cannot possibly be backed by real bytes and
+    // is rejected BEFORE sizing a collection by it (a ~100-byte payload
+    // claiming 2^30 entries must fail in O(1), not allocate gigabytes).
+    val entryCap = p.length / 4
     // stsz: uniform size or per-sample array.
     val uniform = u32(p, stszS + 4)
     val nSamples = u32(p, stszS + 8)
-    if (nSamples <= 0 || nSamples > 1000000) return None
+    if (nSamples <= 0 || nSamples > 1000000 ||
+      (uniform == 0 && nSamples > entryCap)) return None
     val n = nSamples.toInt
     val sizes: IndexedSeq[Long] =
       if (uniform > 0) IndexedSeq.fill(n)(uniform)
@@ -165,18 +172,22 @@ object MultimodalOps {
     val dts = deltas.scanLeft(0L)(_ + _).init // decode time BEFORE each sample
     // stco/co64: chunk offsets.
     val nChunks = u32(p, coBody + 4)
-    if (nChunks <= 0) return None
+    if (nChunks <= 0 || nChunks > entryCap) return None
     val chunkOffsets = (0 until nChunks.toInt).map(i =>
       if (co64) u64(p, coBody + 8 + 8 * i) else u32(p, coBody + 8 + 4 * i))
     if (chunkOffsets.exists(_ < 0)) return None
     // stsc: (first_chunk, samples_per_chunk, sdi) runs → per-chunk counts.
     val nStsc = u32(p, stscS + 4)
-    if (nStsc <= 0) return None
+    if (nStsc <= 0 || nStsc > entryCap) return None
     val runs = (0 until nStsc.toInt).map(e =>
       (u32(p, stscS + 8 + 12 * e), u32(p, stscS + 12 + 12 * e)))
     if (runs.exists { case (fc, spc) => fc <= 0 || spc <= 0 }) return None
+    // Hoisted once: runs are sorted by first_chunk, so the newest run whose
+    // first_chunk <= c governs chunk c — a per-chunk runs.reverse would
+    // make assignment O(nChunks · nStsc) with per-call allocation.
+    val runsRev = runs.reverse
     def samplesInChunk(c1: Int): Long = // c1 is 1-based
-      runs.reverse.find(_._1 <= c1).map(_._2).getOrElse(runs.head._2)
+      runsRev.find(_._1 <= c1).map(_._2).getOrElse(runs.head._2)
     // Assign samples to chunks in order; offset = chunk base + prior sizes.
     val out = Vector.newBuilder[Mp4Sample]
     var s = 0

@@ -40,18 +40,24 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
-  /** (bucket, reg) register table for a deterministic HLL over `key`:
-    * all 2^p buckets present (unhit buckets hold 0), reg = max rho. */
-  def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+  /** The (bucket, rho) expression pair every HLL form hashes with — ONE
+    * definition so the global and grouped register builders cannot drift
+    * (a widened w substring or changed rho rule changes both or neither). */
+  private def hllBucketRho(key: Column, p: Int): (Column, Column) = {
     require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
-    val spark = df.sparkSession
     val hexChars = p / 4
     val h = md5(key.cast("string"))
     val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
     val rho = when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("long")
-    val hit = df.select(
-        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
-        rho.as("rho"))
+    (conv(substring(h, 1, hexChars), 16, 10).cast("long"), rho)
+  }
+
+  /** (bucket, reg) register table for a deterministic HLL over `key`:
+    * all 2^p buckets present (unhit buckets hold 0), reg = max rho. */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val (bucket, rho) = hllBucketRho(key, p)
+    val hit = df.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
     spark.range(1L << p).select(col("id").as("bucket"))
       .join(hit, Seq("bucket"), "left")
@@ -66,15 +72,9 @@ object SketchOps {
     * their own sketch (null-safe frame join — the silent-loss class a
     * plain equi-join reintroduces). */
   def hllRegistersGrouped(df: DataFrame, group: Column, key: Column, p: Int = 8): DataFrame = {
-    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
     val spark = df.sparkSession
-    val hexChars = p / 4
-    val h = md5(key.cast("string"))
-    val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
-    val rho = when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).cast("long")
-    val hit = df.select(group.as("g"),
-        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("bucket"),
-        rho.as("rho"))
+    val (bucket, rho) = hllBucketRho(key, p)
+    val hit = df.select(group.as("g"), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("reg"))
       .withColumnRenamed("g", "gh").withColumnRenamed("bucket", "bh")
     // The group frame comes from the AGGREGATE, not a second corpus scan:
@@ -217,46 +217,46 @@ object SketchOps {
     * 1e-6. Literal-arithmetic α and one exactly-rounded division keep the
     * float path bit-identical across engines. */
   def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
-    // The literal-arithmetic α below is the m ≥ 128 approximation
-    // (0.7213/(1 + 1.079/m)); the HLL paper specifies different constants
-    // for m = 16/32/64, so smaller sketches are rejected rather than
-    // silently biased ~1% on top of the documented raw-estimator bias.
-    // The UPPER bound is the fixed point's: with m = 2^p registers and an
-    // empty bucket contributing 2^(53-0), the worst-case harmonic sum is
-    // m·2^53 = 2^(p+53), which overflows int64 for p ≥ 10 — Spark's
-    // non-ANSI sum would wrap to garbage silently and a DuckDB oracle
-    // (hugeint sum) would diverge. p ≤ 9 keeps the sum provably < 2^63;
-    // given hllRegisters' p % 4 == 0 rule the practical setting is p = 8.
+    val (aggs, estimate) = hllEstimateExprs(p)
+    registers.agg(aggs.head, aggs.tail: _*).withColumn("hll_estimate", estimate)
+  }
+
+  /** The (aggregate columns, estimate expression) every HLL estimator
+    * uses — ONE definition shared by the global and grouped forms so the
+    * α/fixed-point arithmetic cannot drift between them.
+    *
+    * The literal-arithmetic α is the m ≥ 128 approximation
+    * (0.7213/(1 + 1.079/m)); the HLL paper specifies different constants
+    * for m = 16/32/64, so smaller sketches are rejected rather than
+    * silently biased ~1% on top of the documented raw-estimator bias.
+    * The UPPER bound is the fixed point's: with m = 2^p registers and an
+    * empty bucket contributing 2^(53-0), the worst-case harmonic sum is
+    * m·2^53 = 2^(p+53), which overflows int64 for p ≥ 10 — Spark's
+    * non-ANSI sum would wrap to garbage silently and a DuckDB oracle
+    * (hugeint sum) would diverge. p ≤ 9 keeps the sum provably < 2^63;
+    * given hllRegisters' p % 4 == 0 rule the practical setting is p = 8.
+    * (Per GROUP the sum is the global form's worst case, so the bound
+    * transfers unchanged.) */
+  private def hllEstimateExprs(p: Int): (Seq[Column], Column) = {
     require(p >= 7 && p <= 9,
-      s"hllEstimate needs 7 <= p <= 9 (alpha approximation below, int64 fixed-point sum above), got p=$p")
+      s"hllEstimate needs 7 <= p <= 9 (alpha approximation / int64 fixed-point sum), got p=$p")
     val m = (1L << p).toDouble
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
-    registers.agg(
+    (Seq(
       count(lit(1)).as("m"),
       sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("nonzero_regs"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("harmonic_fp"))
-      .withColumn("hll_estimate",
-        graft.engine.Semantics.roundz(
-          alpha * lit(m) * lit(m) * lit(9007199254740992.0)
-            / col("harmonic_fp").cast("double"), 6))
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("harmonic_fp")),
+      graft.engine.Semantics.roundz(
+        alpha * lit(m) * lit(m) * lit(9007199254740992.0)
+          / col("harmonic_fp").cast("double"), 6))
   }
 
   /** [[hllEstimate]] per group over [[hllRegistersGrouped]] output — one
     * row per g with the same (m, nonzero_regs, harmonic_fp, estimate)
-    * columns, same p ∈ [7, 9] fixed-point bound (PER GROUP the sum is the
-    * global form's worst case, so the guard transfers unchanged). */
+    * columns, same p ∈ [7, 9] bound ([[hllEstimateExprs]], shared). */
   def hllEstimateGrouped(registers: DataFrame, p: Int = 8): DataFrame = {
-    require(p >= 7 && p <= 9,
-      s"hllEstimateGrouped needs 7 <= p <= 9 (alpha approximation / int64 fixed-point sum), got p=$p")
-    val m = (1L << p).toDouble
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m))
-    registers.groupBy(col("g")).agg(
-      count(lit(1)).as("m"),
-      sum(when(col("reg") > 0L, 1L).otherwise(0L)).as("nonzero_regs"),
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg AS INT))")).as("harmonic_fp"))
-      .withColumn("hll_estimate",
-        graft.engine.Semantics.roundz(
-          alpha * lit(m) * lit(m) * lit(9007199254740992.0)
-            / col("harmonic_fp").cast("double"), 6))
+    val (aggs, estimate) = hllEstimateExprs(p)
+    registers.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("hll_estimate", estimate)
   }
 }

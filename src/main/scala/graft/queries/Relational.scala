@@ -94,9 +94,14 @@ object Relational extends QueryGroup {
         graft.operators.SketchOps.hllRegistersGrouped(
           ev, col("event_type"), col("user_id"), p = 8), p = 8)
         .withColumnRenamed("g", "event_type")
+      // Null-safe exact join: hllRegistersGrouped deliberately preserves a
+      // NULL group's sketch — an equi-join here would silently drop it at
+      // the last step (the fixture has no NULL event_type; the contract
+      // must not depend on that). Oracle mirrors with IS NOT DISTINCT FROM.
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      est.join(exact, Seq("event_type"))
+        .withColumnRenamed("event_type", "__et")
+      est.join(exact, col("event_type") <=> col("__et")).drop("__et")
         .withColumn("rel_err", roundz(
           col("hll_estimate") / col("exact_users").cast("double") - lit(1.0), 6))
         .orderBy(col("event_type"))
@@ -127,7 +132,8 @@ object Relational extends QueryGroup {
            |SELECT est.g AS event_type, m, nonzero_regs, harmonic_fp, hll_estimate,
            |  exact_users,
            |  round(hll_estimate / CAST(exact_users AS DOUBLE) - 1, 6) + 0.0 AS rel_err
-           |FROM est JOIN ex USING (g) ORDER BY event_type""".stripMargin))
+           |FROM est JOIN ex ON est.g IS NOT DISTINCT FROM ex.g
+           |ORDER BY event_type""".stripMargin))
 
   private val q01 = QueryDef(
     "q01_count_on_date",

@@ -89,10 +89,19 @@ object StandingStore {
     val u = maxUpto(spark, root)
     val compacted =
       if (u < 0) None else Some(spark.read.parquet(s"$root/compact/upto=$u"))
+    // "No raw state" is decided by EXPLICIT filesystem checks (dir absent,
+    // or no batch=<id> partitions), never by swallowing AnalysisException:
+    // a raw dir that exists with content but fails to read (files moved in
+    // without partition dirs, corrupt footers) must PROPAGATE — mapping it
+    // to None would silently reset the standing index to empty, the exact
+    // failure the legacy-layout guard above refuses.
+    val rawDir = new Path(s"$root/raw")
+    val hasRaw = fs.exists(rawDir) && fs.listStatus(rawDir)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     val raw =
-      try Some(spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
+      if (!hasRaw) None
+      else Some(spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
         .filter(col("batch") > u && col("batch") <= through).drop("batch"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None } // no raw dir yet
     (compacted, raw) match {
       case (Some(c), Some(r)) => Some(c.unionByName(r))
       case (c, r)             => c.orElse(r)

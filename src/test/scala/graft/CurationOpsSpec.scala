@@ -588,6 +588,22 @@ class CurationOpsSpec extends SparkSpec {
       Seq(11, 12, 13).sortBy(i => (md5String(i), i)).take(2).toSet)
   }
 
+  test("X7: duplicate ids still receive DISTINCT consecutive ranks (ROWS frame, " +
+    "not RANGE peers) — the bijection survives key collisions") {
+    // Three copies of id 7 among 1..50: a RANGE-frame running total would
+    // give all three the same rank (the combined mass) and skip two ranks.
+    val df = ((1 to 50) ++ Seq(7, 7)).toDF("id")
+    val ranks = CurationOps.shuffleRank(df, col("id"))
+      .select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 52L)) // every rank exactly once
+    // And the weighted form: each duplicate carries its own weight step.
+    val cum = CurationOps.groupedTokenPrefixSum(
+        ((1 to 10) ++ Seq(3, 3)).map((_, 5L)).toDF("id", "tok"),
+        lit("g"), col("id"), col("tok"))
+      .select("cum_tokens").as[Long].collect().sorted
+    assert(cum.toSeq === (1L to 12L).map(_ * 5L))
+  }
+
   test("X7: stratifiedShardAssign balances every stratum across shards within 1, " +
     "and each cell holds the stratum's round-robin ranks") {
     // 3 sources with counts 100 / 47 / 5 over 7 shards: 100 = 7*14+2 and

@@ -675,6 +675,17 @@ class ExtensionOpsSpec extends SparkSpec {
     val t0 = System.nanoTime()
     assert(MultimodalOps.mp4SampleTable(evil).isEmpty)
     assert((System.nanoTime() - t0) / 1e9 < 2.0, "malformed stts must fail fast")
+    // Same attack through stco/stsc: claimed entry counts larger than the
+    // payload could physically back must fail before sizing a collection.
+    val evilStco = {
+      val bomb = box("stco", u32(0) ++ u32(0x40000000L) ++ u32(0) ++ u32(60))
+      val stbl = box("stbl", stts ++ stsc ++ stsz ++ bomb)
+      box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes) ++
+        box("moov", box("trak", box("mdia", mdhd ++ box("minf", stbl))))
+    }
+    val t1 = System.nanoTime()
+    assert(MultimodalOps.mp4SampleTable(evilStco).isEmpty)
+    assert((System.nanoTime() - t1) / 1e9 < 2.0, "malformed stco must fail fast")
   }
 
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {

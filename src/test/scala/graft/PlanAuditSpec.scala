@@ -32,19 +32,46 @@ class PlanAuditSpec extends SparkSpec {
   test("no query plans an UNPARTITIONED window over unbounded input") {
     // A Window with an empty partitionSpec funnels its whole input through
     // ONE task — the straggler shuffleRank/groupedTokenPrefixSum exist to
-    // avoid. The surface plans ZERO of them (every ranking/cumsum rides a
-    // bucketed construction or a per-group window), so like the cartesian
-    // audit there is no allowlist to rot.
-    import org.apache.spark.sql.execution.window.WindowExec
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // avoid. It is acceptable ONLY over provably BOUNDED input (a window
+    // over an already-aggregated handful of rows — the window-over-
+    // aggregate pattern); every allowlisted query names its bound, and a
+    // rot guard deletes entries whose query stops planning the window.
+    //
+    // Inspected on the OPTIMIZED LOGICAL plan, not executedPlan: with AQE
+    // on (the default), executedPlan is an AdaptiveSparkPlanExec — a LEAF
+    // node whose collect() sees no WindowExec at all, which made the first
+    // version of this audit silently vacuous. The logical Window node
+    // carries the same partitionSpec and is never AQE-wrapped.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+    // Canary: the detector must FIRE on a deliberately global window —
+    // guards the audit itself against going vacuous under a future plan
+    // representation change (the failure mode the executedPlan version had).
+    val bad = spark.range(10).withColumn("r",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")))
+    assert(globalWindows(bad) === 1, "window audit canary failed to detect a global window")
+    val bounded = Map(
+      "q77_length_histogram" -> "cumulative share over the 4-bin histogram aggregate",
+      "q116_hybrid_rrf" -> "RRF ranks over two top-k candidate lists (≤ 2k rows)",
+      "q117_lsh_autotune" -> "cheapest-config choice over the 6-row sweep summary",
+      "q118_minhash_quantile_cap" -> "df threshold over the distinct-df histogram (|distinct df values| rows)",
+      "q120_banded_minhash" -> "same distinct-df histogram threshold as q118",
+      "q127_shuffle_shards" -> "prefix-sum over shuffleRank's 256-bucket offset aggregate (constant group folds away)",
+      "q128_length_bucket_batches" -> "prefix-sum over the per-bucket offset aggregate + batch-stats windows (|buckets×batches| rows)")
+    val globalWindowed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
-        val plan = build(spark, dir).queryExecution.executedPlan
-        val global = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-        if (global.nonEmpty) Some(name) else None
+        if (globalWindows(build(spark, dir)) > 0) Some(name) else None
     }
+    val offenders = globalWindowed.filterNot(bounded.contains)
     assert(offenders.isEmpty,
-      s"unpartitioned window planned by: ${offenders.mkString(", ")} — " +
-        "range-bucket the key space (shuffleRank pattern) instead")
+      s"unpartitioned window over unbounded input planned by: ${offenders.mkString(", ")} — " +
+        "range-bucket the key space (shuffleRank pattern) or document the bound here")
+    val stale = bounded.keySet -- globalWindowed.toSet
+    assert(stale.isEmpty, s"window allowlist entries no longer needed: ${stale.mkString(", ")}")
   }
 
   test("no query plans a CartesianProduct") {
