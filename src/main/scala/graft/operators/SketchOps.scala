@@ -259,4 +259,39 @@ object SketchOps {
     registers.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
       .withColumn("hll_estimate", estimate)
   }
+
+  /** Pairwise set-operation estimates from GROUPED register tables — the
+    * classic reason sketches exist: |A ∪ B| comes from bucket-wise MAX of
+    * the two groups' registers (union of sketches IS the sketch of the
+    * union — exact, not approximate, at the register level), and
+    * |A ∩ B| ≈ |A| + |B| − |A ∪ B| by inclusion–exclusion, all WITHOUT
+    * rescanning the corpus: at 100 TB the registers are |groups|·2^p rows
+    * and every pairwise audience-overlap query runs on them alone.
+    * One row per unordered group pair (g_a < g_b): both marginal
+    * estimates, the union estimate, and `overlap_est` (can be slightly
+    * negative when the raw-estimator errors collide — reported raw, the
+    * honest sketch answer; clamp downstream if a measure is needed).
+    * All arithmetic rides [[hllEstimateExprs]] plus exactly-rounded
+    * add/subtract, so a DuckDB re-execution hash-matches. NULL groups
+    * are excluded from pairing (NULL never orders under `<`). */
+  def hllOverlapEstimates(registers: DataFrame, p: Int = 8): DataFrame = {
+    val (aggs, estimate) = hllEstimateExprs(p)
+    val a = registers.select(col("g").as("ga"), col("bucket"), col("reg").as("ra"))
+    val b = registers.select(col("g").as("gb"), col("bucket"), col("reg").as("rb"))
+    val unionEst = a.join(b, Seq("bucket"))
+      .filter(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), greatest(col("ra"), col("rb")).as("reg"))
+      .groupBy(col("ga"), col("gb")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("union_est", estimate)
+      .select(col("ga"), col("gb"), col("union_est"))
+    val marginals = hllEstimateGrouped(registers, p)
+      .select(col("g"), col("hll_estimate"))
+    unionEst
+      .join(broadcast(marginals.select(col("g").as("ga"), col("hll_estimate").as("est_a"))), Seq("ga"))
+      .join(broadcast(marginals.select(col("g").as("gb"), col("hll_estimate").as("est_b"))), Seq("gb"))
+      .withColumn("overlap_est", graft.engine.Semantics.roundz(
+        (col("est_a") + col("est_b")) - col("union_est"), 6))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("union_est"), col("overlap_est"))
+  }
 }

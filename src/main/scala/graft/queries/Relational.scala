@@ -135,6 +135,72 @@ object Relational extends QueryGroup {
            |FROM est JOIN ex ON est.g IS NOT DISTINCT FROM ex.g
            |ORDER BY event_type""".stripMargin))
 
+  /** q136's PAIRWISE payoff — the reason the sketches exist: per pair of
+    * event types, estimate the shared-user audience WITHOUT rescanning
+    * events ([[graft.operators.SketchOps.hllOverlapEstimates]]: union =
+    * bucket-wise register max, overlap = inclusion–exclusion over the
+    * rounded estimates). `exact_overlap` (a distinct-pair self-join, the
+    * cost the sketch path avoids at scale) sits beside each estimate so
+    * the error is visible per pair; the whole construction — registers,
+    * maxes, harmonic sums, the add/subtract — re-executes in DuckDB and
+    * hash-matches. */
+  private val q140 = QueryDef(
+    "q140_hll_overlap",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = graft.operators.SketchOps.hllOverlapEstimates(
+        graft.operators.SketchOps.hllRegistersGrouped(
+          ev, col("event_type"), col("user_id"), p = 8), p = 8)
+      val t = ev.select(col("event_type").as("g"), col("user_id")).distinct()
+      val exact = t.as("x").join(t.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      est.join(exact, Seq("ga", "gb"), "left")
+        .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+        .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""WITH hx AS (SELECT event_type AS g, md5(user_id::VARCHAR) AS h FROM events),
+           |pr AS (SELECT g, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+           |    ('0x' || substr(h, 3, 13))::BIGINT AS w FROM hx),
+           |rg AS (SELECT g, bucket,
+           |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+           |  FROM pr GROUP BY 1, 2),
+           |frame AS (SELECT t.g, r.range AS bucket
+           |  FROM (SELECT DISTINCT event_type AS g FROM events) t
+           |  CROSS JOIN range(256) r),
+           |regs AS (SELECT frame.g, frame.bucket, coalesce(rg.reg, 0) AS reg
+           |  FROM frame LEFT JOIN rg ON frame.g = rg.g AND frame.bucket = rg.bucket),
+           |marg AS (SELECT g,
+           |    round((0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+           |        * 9007199254740992.0
+           |        / CAST(sum(CAST(1 AS BIGINT) << CAST(53 - reg AS INTEGER)) AS DOUBLE),
+           |      6) + 0.0 AS est
+           |  FROM regs GROUP BY 1),
+           |un AS (SELECT a.g AS ga, b.g AS gb,
+           |    round((0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+           |        * 9007199254740992.0
+           |        / CAST(sum(CAST(1 AS BIGINT)
+           |            << CAST(53 - greatest(a.reg, b.reg) AS INTEGER)) AS DOUBLE),
+           |      6) + 0.0 AS union_est
+           |  FROM regs a JOIN regs b ON a.bucket = b.bucket AND a.g < b.g
+           |  GROUP BY 1, 2),
+           |ex AS (SELECT ta.g AS ga, tb.g AS gb, CAST(count(*) AS BIGINT) AS exact_overlap
+           |  FROM (SELECT DISTINCT event_type AS g, user_id FROM events) ta
+           |  JOIN (SELECT DISTINCT event_type AS g, user_id FROM events) tb
+           |    ON ta.user_id = tb.user_id AND ta.g < tb.g
+           |  GROUP BY 1, 2)
+           |SELECT un.ga AS type_a, un.gb AS type_b,
+           |  ma.est AS est_a, mb.est AS est_b, union_est,
+           |  round((ma.est + mb.est) - union_est, 6) + 0.0 AS overlap_est,
+           |  coalesce(ex.exact_overlap, 0) AS exact_overlap
+           |FROM un
+           |JOIN marg ma ON ma.g = un.ga
+           |JOIN marg mb ON mb.g = un.gb
+           |LEFT JOIN ex ON ex.ga = un.ga AND ex.gb = un.gb
+           |ORDER BY type_a, type_b""".stripMargin))
+
   private val q01 = QueryDef(
     "q01_count_on_date",
     (s, dir) => Tables.events(s, dir)
@@ -397,5 +463,5 @@ object Relational extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q36, q38, q39, q40,
-    q126, q136)
+    q126, q136, q140)
 }

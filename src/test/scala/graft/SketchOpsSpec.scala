@@ -186,6 +186,30 @@ class SketchOpsSpec extends SparkSpec {
     assert(eM === eF)
   }
 
+  test("X: pairwise overlap — union estimate IS the union's sketch bit-for-bit, " +
+    "and inclusion-exclusion recovers planted overlaps within sketch error") {
+    // A = 1..4000, B = 2000..6000 (overlap 2001), C = 100000..104000 (disjoint).
+    val df = ((1 to 4000).map(k => ("A", k)) ++ (2000 to 6000).map(k => ("B", k)) ++
+      (100000 to 104000).map(k => ("C", k))).toDF("g", "k")
+    val est = SketchOps.hllOverlapEstimates(
+      SketchOps.hllRegistersGrouped(df, col("g"), col("k")))
+      .select(col("ga"), col("gb"), col("union_est"), col("overlap_est"))
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(est.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // Register-level max IS the union sketch: the A∪B estimate equals the
+    // single sketch over the concatenated keys EXACTLY.
+    def solo(keys: Seq[Int]): Double = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(keys.toDF("k"), col("k")))
+      .select("hll_estimate").as[Double].head()
+    assert(est(("A", "B"))._1 === solo(((1 to 4000) ++ (2000 to 6000)).distinct))
+    // Inclusion-exclusion lands near truth: |A∩B| = 2001 within the raw
+    // estimator's compounded error; disjoint pairs sit near 0.
+    assert(math.abs(est(("A", "B"))._2 - 2001) / 2001.0 < 0.25)
+    assert(math.abs(est(("A", "C"))._2) < 4000 * 0.2)
+    assert(math.abs(est(("B", "C"))._2) < 4000 * 0.2)
+  }
+
   test("X: raw-regime accuracy — 50k distinct keys estimate within 10% (σ ≈ 1.04/√256 ≈ 6.5%)") {
     val n = 50000
     val est = SketchOps.hllEstimate(SketchOps.hllRegisters((1 to n).toDF("k"), col("k")))
