@@ -666,7 +666,18 @@ object CurationOps {
     * window both treat a NULL group as its own group, but a plain
     * equi-join would drop its rows — the same silent-row-loss the id
     * guard refuses, surfacing whenever the caller's group expression is
-    * nullable (a length bucket over a null token count). */
+    * nullable (a length bucket over a null token count).
+    *
+    * DUPLICATE ids: each physical row receives its own distinct rank /
+    * inclusive prefix (ROWS frame — the 1..n bijection and total mass are
+    * always exact), but the RELATIVE order among rows sharing one
+    * (md5(id), id) key is whatever order Spark delivers them in — so when
+    * duplicate-id rows differ in OTHER columns (e.g. different weights),
+    * which variant gets the earlier rank is partitioning-dependent. Full
+    * run-to-run determinism therefore requires ids unique per group,
+    * which every permutation/selection consumer of this construction
+    * semantically assumes anyway; callers with legitimate duplicates get
+    * exact totals and must not read meaning into intra-duplicate order. */
   private def bucketedRunningTotal(df: DataFrame, group: Column, id: Column,
       weight: Column, outCol: String, opName: String): DataFrame = {
     requireFresh(df, opName,

@@ -276,15 +276,22 @@ object SketchOps {
     * are excluded from pairing (NULL never orders under `<`). */
   def hllOverlapEstimates(registers: DataFrame, p: Int = 8): DataFrame = {
     val (aggs, estimate) = hllEstimateExprs(p)
-    val a = registers.select(col("g").as("ga"), col("bucket"), col("reg").as("ra"))
-    val b = registers.select(col("g").as("gb"), col("bucket"), col("reg").as("rb"))
+    // Materialize the register table ONCE: it feeds three consumers (both
+    // sides of the pair join + the marginal estimates), and an
+    // unmaterialized lineage would re-run the caller's corpus scan per
+    // consumer — defeating the operator's never-rescan-the-corpus point.
+    // |groups|·2^p rows, so the checkpoint is always small; cleaned by
+    // the session's Hygiene sweep like the other pinned materializations.
+    val regs = registers.localCheckpoint(true)
+    val a = regs.select(col("g").as("ga"), col("bucket"), col("reg").as("ra"))
+    val b = regs.select(col("g").as("gb"), col("bucket"), col("reg").as("rb"))
     val unionEst = a.join(b, Seq("bucket"))
       .filter(col("ga") < col("gb"))
       .select(col("ga"), col("gb"), greatest(col("ra"), col("rb")).as("reg"))
       .groupBy(col("ga"), col("gb")).agg(aggs.head, aggs.tail: _*)
       .withColumn("union_est", estimate)
       .select(col("ga"), col("gb"), col("union_est"))
-    val marginals = hllEstimateGrouped(registers, p)
+    val marginals = hllEstimateGrouped(regs, p)
       .select(col("g"), col("hll_estimate"))
     unionEst
       .join(broadcast(marginals.select(col("g").as("ga"), col("hll_estimate").as("est_a"))), Seq("ga"))

@@ -104,7 +104,10 @@ object Relational extends QueryGroup {
       est.join(exact, col("event_type") <=> col("__et")).drop("__et")
         .withColumn("rel_err", roundz(
           col("hll_estimate") / col("exact_users").cast("double") - lit(1.0), 6))
-        .orderBy(col("event_type"))
+        // nulls LAST to match DuckDB's ascending default — the correctness
+        // gate sorts rows before hashing so this is presentation-only, but
+        // a user diffing raw outputs should see one order.
+        .orderBy(asc_nulls_last("event_type"))
     },
     Some("""WITH hx AS (SELECT event_type AS g, md5(user_id::VARCHAR) AS h FROM events),
            |pr AS (SELECT g, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
@@ -159,7 +162,7 @@ object Relational extends QueryGroup {
       est.join(exact, Seq("ga", "gb"), "left")
         .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
         .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
-        .orderBy(col("type_a"), col("type_b"))
+        .orderBy(asc_nulls_last("type_a"), asc_nulls_last("type_b"))
     },
     Some("""WITH hx AS (SELECT event_type AS g, md5(user_id::VARCHAR) AS h FROM events),
            |pr AS (SELECT g, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,

@@ -89,19 +89,35 @@ object StandingStore {
     val u = maxUpto(spark, root)
     val compacted =
       if (u < 0) None else Some(spark.read.parquet(s"$root/compact/upto=$u"))
-    // "No raw state" is decided by EXPLICIT filesystem checks (dir absent,
-    // or no batch=<id> partitions), never by swallowing AnalysisException:
-    // a raw dir that exists with content but fails to read (files moved in
-    // without partition dirs, corrupt footers) must PROPAGATE — mapping it
-    // to None would silently reset the standing index to empty, the exact
-    // failure the legacy-layout guard above refuses.
+    // "No raw state" is decided by EXPLICIT filesystem checks, never by
+    // swallowing AnalysisException. Three distinct cases:
+    //  - dir absent, or only batch=<id> dirs with NO committed data files
+    //    (a writeRaw that crashed mid-write leaves batch=<id>/_temporary
+    //    and nothing else) → None. The crashed partition belongs to the
+    //    batch about to replay and overwrite it; treating it as a read
+    //    error would crash-loop the replay that exists to heal it.
+    //  - batch=<id> dirs WITH data files → read them (a read failure now
+    //    means corrupt committed state and PROPAGATES — mapping it to
+    //    None would silently reset the standing index to empty).
+    //  - non-partition content under raw/ (files moved in flat) → fail
+    //    loudly, the legacy-guard discipline: silently ignoring content
+    //    IS the silent reset.
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
     val rawDir = new Path(s"$root/raw")
-    val hasRaw = fs.exists(rawDir) && fs.listStatus(rawDir)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    val raw =
-      if (!hasRaw) None
+    val raw = if (!fs.exists(rawDir)) None else {
+      val entries = fs.listStatus(rawDir).filter(s => visible(s.getPath.getName))
+      val (parts, strays) = entries.partition(
+        s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      require(strays.isEmpty,
+        s"StandingStore: unexpected non-partition content under $rawDir " +
+          s"(${strays.map(_.getPath.getName).take(3).mkString(", ")}…) — raw state " +
+          "lives in batch=<id> directories; refusing to silently ignore it")
+      val anyData = parts.exists(d =>
+        fs.listStatus(d.getPath).exists(f => f.isFile && visible(f.getPath.getName)))
+      if (!anyData) None
       else Some(spark.read.option("basePath", s"$root/raw").parquet(s"$root/raw")
         .filter(col("batch") > u && col("batch") <= through).drop("batch"))
+    }
     (compacted, raw) match {
       case (Some(c), Some(r)) => Some(c.unionByName(r))
       case (c, r)             => c.orElse(r)

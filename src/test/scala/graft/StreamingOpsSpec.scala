@@ -411,6 +411,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(standingSum() === Map("a" -> 14L, "b" -> 8L))
   }
 
+  test("StandingStore: a crashed partial raw write reads as no-state (replay heals it), " +
+    "while stray non-partition content under raw/ fails loudly") {
+    import graft.streaming.StandingStore
+    val root = tmp("crash-store")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The crashed-writeRaw shape: the partition dir exists with only a
+    // _temporary marker, no committed data files. The replay that will
+    // overwrite it must see "no raw state", not a schema-inference crash.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/raw/batch=0/_temporary"))
+    assert(StandingStore.readAll(spark, root).isEmpty)
+    // Committed state alongside the crashed dir still reads fine.
+    StandingStore.writeRaw(Seq(("a", 1L)).toDF("k", "v"), root, 1L)
+    assert(StandingStore.readAll(spark, root).get.count() === 1L)
+    // Flat files moved in without batch= dirs are refused, not ignored.
+    val stray = new org.apache.hadoop.fs.Path(s"$root/raw/part-00000.parquet")
+    val out = fs.create(stray); out.write(1); out.close()
+    val e = intercept[IllegalArgumentException](StandingStore.readAll(spark, root))
+    assert(e.getMessage.contains("non-partition content"))
+  }
+
   test("StandingStore: a legacy pre-compaction layout fails loudly instead of " +
     "silently reading as empty state") {
     import graft.streaming.StandingStore
