@@ -727,12 +727,16 @@ object CurationOps {
       tokens: Column): DataFrame = {
     // A NULL token count would be SKIPPED by the window sum: the row rides
     // the running total at weight 0 yet is still admitted downstream at
-    // zero budget cost — the same silent-running-total corruption class
-    // as a null id, refused the same way. Callers with legitimately
-    // absent counts coalesce explicitly.
-    val guardedTokens = when(tokens.isNull,
-      raise_error(lit("groupedTokenPrefixSum: tokens must be non-null — a null " +
-        "weight would silently ride the running total at 0")).cast("long"))
+    // zero budget cost; a NEGATIVE count deflates cum_tokens, which
+    // over-admits mass past planned_tokens in materializeMixture — both
+    // are the same silent-running-total corruption class as a null id,
+    // refused the same way. Callers with legitimately absent counts
+    // coalesce explicitly.
+    val guardedTokens = when(tokens.isNull || tokens < lit(0),
+      raise_error(concat(lit("groupedTokenPrefixSum: tokens must be non-null and " +
+        "non-negative — got "), coalesce(tokens.cast("string"), lit("NULL")),
+        lit("; a null/negative weight silently corrupts the running total")))
+        .cast("long"))
       .otherwise(tokens.cast("long"))
     bucketedRunningTotal(df, group, id, guardedTokens, "cum_tokens",
       "groupedTokenPrefixSum")

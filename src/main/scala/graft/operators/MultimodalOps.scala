@@ -54,9 +54,15 @@ object MultimodalOps {
       else ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
         ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
     def u64(p: Array[Byte], o: Int): Long = (u32(p, o) << 32) | u32(p, o + 4)
+    def u16(p: Array[Byte], o: Int): Int =
+      if (o < 0 || o + 2 > p.length) -1
+      else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    /** Raw 4-char code at `o` (not a box header). */
+    def fourcc(p: Array[Byte], o: Int): String =
+      if (o < 0 || o + 4 > p.length) ""
+      else new String(p, o, 4, "ISO-8859-1")
     def boxType(p: Array[Byte], o: Int): String =
-      if (o < 0 || o + 8 > p.length) ""
-      else new String(p, o + 4, 4, "ISO-8859-1")
+      if (o < 0) "" else fourcc(p, o + 4)
     /** Walk sibling boxes in [from, until): (offset, bodyStart, bodyEnd);
       * size 1 = 64-bit largesize, size 0 = to-end. */
     def boxes(p: Array[Byte], from: Int, until: Int): Iterator[(Int, Int, Int)] =
@@ -83,6 +89,31 @@ object MultimodalOps {
     * timestamp, and exact byte range in the container. */
   final case class Mp4Sample(sample_no: Int, dts_ms: Long, byte_offset: Long, n_bytes: Long)
 
+  /** VIDEO trak candidates as (mdia bodyStart, bodyEnd), in file order.
+    *
+    * Track selection is by declared handler, not position: in a typical
+    * multi-track MP4 the audio trak PRECEDES the video trak, and "first
+    * trak with a complete sample table" would silently demux audio access
+    * units as "sampled frames" — a wrong-modality output with no error.
+    * A trak whose `mdia/hdlr` declares anything other than `vide` is
+    * therefore skipped; a trak with NO hdlr (non-conformant, but
+    * unclassifiable) is admitted so honest minimal containers still
+    * parse. A file carrying only declared-audio traks yields no
+    * candidates → the demux refuses rather than emits audio. */
+  private def videoTraks(p: Array[Byte]): Iterator[(Int, Int)] = {
+    import Bmff._
+    find(p, 0, p.length, "moov").iterator.flatMap { case (_, ms, me) =>
+      boxes(p, ms, me).filter(b => boxType(p, b._1) == "trak").flatMap {
+        case (_, ts, te) =>
+          find(p, ts, te, "mdia").filter { case (_, mds, mde) =>
+            // hdlr body: version/flags(4) pre_defined(4) handler_type(4)
+            find(p, mds, mde, "hdlr")
+              .forall { case (_, hb, _) => fourcc(p, hb + 8) == "vide" }
+          }.map { case (_, mds, mde) => (mds, mde) }
+      }
+    }
+  }
+
   /** REAL sample-table demux of an ISO BMFF payload — the step between
     * "container envelope" and "pixel decode": walks
     * `moov/trak/mdia/minf/stbl` and combines the four public sample
@@ -93,19 +124,18 @@ object MultimodalOps {
     * fetches exactly the sampled frames' bytes (range reads at 100 TB)
     * and hands them to a codec; only that last pixel step stays stubbed
     * (no JDK video codec). Timestamps use the track's own `mdhd`
-    * timescale, floored to ms. Takes the FIRST trak carrying a complete,
-    * self-consistent sample table; None when the payload is not BMFF or
-    * any table is missing/inconsistent (honest refusal beats a wrong
-    * byte range). */
+    * timescale, floored to ms. Takes the FIRST trak that declares a
+    * `vide` handler (or declares none — see [[videoTraks]]) AND carries a
+    * complete, self-consistent sample table; None when the payload is
+    * not BMFF, carries no video trak, or any table is
+    * missing/inconsistent (honest refusal beats a wrong byte range — and
+    * beats silently demuxing a preceding AUDIO trak's access units as
+    * "frames"). */
   def mp4SampleTable(payload: Array[Byte]): Option[Seq[Mp4Sample]] = {
     import Bmff._
     if (boxType(payload, 0) != "ftyp") return None
-    val moov = find(payload, 0, payload.length, "moov")
-    moov.flatMap { case (_, ms, me) =>
-      boxes(payload, ms, me).filter(b => boxType(payload, b._1) == "trak").flatMap {
-        case (_, ts, te) =>
+    videoTraks(payload).flatMap { case (mds, mde) =>
           for {
-            (_, mds, mde) <- find(payload, ts, te, "mdia")
             (_, hs, _) <- find(payload, mds, mde, "mdhd")
             timescale = {
               val v = payload.lift(hs).map(_ & 0xff).getOrElse(-1)
@@ -123,8 +153,61 @@ object MultimodalOps {
             samples <- assembleSamples(payload, timescale, sttsS, stszS, stscS,
               co._1._2, co._2)
           } yield samples
-      }.nextOption()
-    }
+    }.nextOption()
+  }
+
+  /** Codec-level metadata of the video trak's first `stsd` sample entry —
+    * the step that completes the no-codec envelope: WHAT the sampled
+    * frames' bytes are encoded as, so a downstream decode fleet can route
+    * payloads to the right decoder (and skip profiles it cannot handle)
+    * without opening a single frame. `codec` is the sample-entry fourcc
+    * (`avc1`/`avc3` H.264, `hvc1`/`hev1` H.265, `vp09`, `av01`, …);
+    * profile/level come from the matching decoder-configuration child box
+    * when present — `avcC` (AVCProfileIndication / AVCLevelIndication,
+    * ISO/IEC 14496-15 §5.3.3) or `hvcC` (general_profile_idc /
+    * general_level_idc, §8.3.3) — and are -1 for codecs whose config box
+    * this parser doesn't read (fourcc + coded size still reported).
+    * coded_width/height are the VisualSampleEntry's own 16-bit fields
+    * (the CODED size; `tkhd` carries the display size). */
+  final case class Mp4CodecInfo(
+      codec: String, profile: Int, level: Int, coded_width: Int, coded_height: Int)
+
+  def mp4CodecInfo(payload: Array[Byte]): Option[Mp4CodecInfo] = {
+    import Bmff._
+    if (boxType(payload, 0) != "ftyp") return None
+    videoTraks(payload).flatMap { case (mds, mde) =>
+      for {
+        (_, mis, mie) <- find(payload, mds, mde, "minf")
+        (_, ss, se) <- find(payload, mis, mie, "stbl")
+        (_, sds, sde) <- find(payload, ss, se, "stsd")
+        if u32(payload, sds + 4) >= 1 // entry_count (after version/flags)
+        // First sample entry: a box whose type is the codec fourcc.
+        (eOff, eBody, eEnd) <- boxes(payload, sds + 8, sde).nextOption()
+        codec = boxType(payload, eOff)
+        if codec.nonEmpty
+      } yield {
+        // VisualSampleEntry: SampleEntry header (6 reserved + 2 dri),
+        // then pre_defined/reserved (16), width(2), height(2),
+        // resolutions/frame_count/compressorname/depth (46) → child
+        // config boxes at body offset 78.
+        val w = u16(payload, eBody + 8 + 16)
+        val h = u16(payload, eBody + 8 + 18)
+        val children = eBody + 78
+        val (profile, level) =
+          find(payload, children, eEnd, "avcC").map { case (_, cb, _) =>
+            // avcC: configurationVersion(1), AVCProfileIndication(1),
+            // profile_compatibility(1), AVCLevelIndication(1)
+            ((payload.lift(cb + 1).map(_ & 0xff).getOrElse(-1)),
+              (payload.lift(cb + 3).map(_ & 0xff).getOrElse(-1)))
+          }.orElse(find(payload, children, eEnd, "hvcC").map { case (_, cb, _) =>
+            // hvcC: configurationVersion(1), then profile_space(2b)/
+            // tier(1b)/general_profile_idc(5b); general_level_idc @ 12
+            ((payload.lift(cb + 1).map(_ & 0x1f).getOrElse(-1)),
+              (payload.lift(cb + 12).map(_ & 0xff).getOrElse(-1)))
+          }).getOrElse((-1, -1))
+        Mp4CodecInfo(codec, profile, level, w, h)
+      }
+    }.nextOption()
   }
 
   /** Combine the four sample tables into per-sample rows; None on any
@@ -221,11 +304,14 @@ object MultimodalOps {
   /** REAL frame sampling over [[mp4SampleTable]]: every `stride`-th
     * SAMPLE (true access unit, not a byte chunk) of each video payload as
     * its own row — (media_id, sample_no, dts_ms, byte_offset, n_bytes,
-    * frame = the sample's exact bytes). mapPartitions is justified
-    * (binary parsing); plan shape is a generator with no shuffle.
-    * Unparseable payloads emit NO rows (use [[sampleFrames]]'s byte
-    * chunking as the explicit fallback) — a silent wrong byte range is
-    * worse than an absent one. */
+    * frame = the sample's exact bytes) plus the trak's [[mp4CodecInfo]]
+    * metadata (codec fourcc / profile / level, null when the container
+    * carries no stsd) so a decode fleet can route each frame row without
+    * re-opening the container. mapPartitions is justified (binary
+    * parsing); plan shape is a generator with no shuffle. Unparseable
+    * payloads emit NO rows (use [[sampleFrames]]'s byte chunking as the
+    * explicit fallback) — a silent wrong byte range is worse than an
+    * absent one. */
   def demuxSampledFrames(media: DataFrame, stride: Int): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
@@ -234,17 +320,20 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
         mp4SampleTable(payload).toSeq.flatMap { samples =>
+          val info = mp4CodecInfo(payload) // once per payload, not per row
           samples.zipWithIndex.collect {
             case (sm, i) if i % stride == 0 =>
               // In-payload by mp4SampleTable's range validation — the copy
               // is exact, never truncated.
               val from = sm.byte_offset.toInt
               val bytes = java.util.Arrays.copyOfRange(payload, from, from + sm.n_bytes.toInt)
-              (id, sm.sample_no, sm.dts_ms, sm.byte_offset, sm.n_bytes, bytes)
+              (id, sm.sample_no, sm.dts_ms, sm.byte_offset, sm.n_bytes, bytes,
+                info.map(_.codec), info.map(_.profile), info.map(_.level))
           }
         }
       })
-      .toDF("media_id", "sample_no", "dts_ms", "byte_offset", "n_bytes", "frame")
+      .toDF("media_id", "sample_no", "dts_ms", "byte_offset", "n_bytes", "frame",
+        "codec", "codec_profile", "codec_level")
   }
 
   /** Default decoder. The IMAGE branch is REAL: the JDK's built-in

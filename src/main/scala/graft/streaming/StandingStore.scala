@@ -47,9 +47,37 @@ object StandingStore {
   private def fsFor(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Register a batch's own state partition (overwrite = replay-safe). */
-  def writeRaw(df: DataFrame, root: String, id: Long): Unit =
+  /** `batch=<id>` directory name → id, or None when the suffix is not a
+    * number. A `batch=garbage` directory is STRAY CONTENT, not a partition:
+    * parquet partition discovery would choke on it and `compact`'s cleanup
+    * would throw a bare NumberFormatException — both readers and the
+    * compactor classify it through this one predicate so it hits the loud
+    * stray-content refusal instead. */
+  private def batchIdOf(name: String): Option[Long] =
+    if (!name.startsWith("batch=")) None
+    else scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+
+  /** Register a batch's own state partition (overwrite = replay-safe).
+    *
+    * CHECKPOINT-RESET GUARD: a stream restarted with a FRESH checkpoint
+    * resets batch ids to 0; pointed at an existing store it would register
+    * `batch=0`, and the next compaction's cleanup (every id ≤ committed
+    * level) would silently delete it while `readBefore` filters it out —
+    * silent standing-state corruption. A legitimate replay always has
+    * id > the newest committed level (compaction at batch `id` commits
+    * `upto = id-1` at most), so ids at-or-below the level can only mean a
+    * reset checkpoint: fail loudly with the migration story. */
+  def writeRaw(df: DataFrame, root: String, id: Long): Unit = {
+    val committed = maxUpto(df.sparkSession, root)
+    require(id > committed,
+      s"StandingStore: batch id $id is not newer than the committed compact " +
+        s"level upto=$committed at $root — this store has already merged state " +
+        "from that batch id, so the stream driving it was restarted with a " +
+        "reset checkpoint. Re-point the stream at its original checkpoint, or " +
+        "start a fresh store root for the new checkpoint lineage; refusing to " +
+        "silently corrupt standing state.")
     df.write.mode("overwrite").parquet(s"$root/raw/batch=$id")
+  }
 
   /** Newest COMMITTED compact level (highest `upto=U` dir holding a
     * `_SUCCESS` marker), or -1 when none exists. */
@@ -107,7 +135,7 @@ object StandingStore {
     val raw = if (!fs.exists(rawDir)) None else {
       val entries = fs.listStatus(rawDir).filter(s => visible(s.getPath.getName))
       val (parts, strays) = entries.partition(
-        s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        s => s.isDirectory && batchIdOf(s.getPath.getName).isDefined)
       require(strays.isEmpty,
         s"StandingStore: unexpected non-partition content under $rawDir " +
           s"(${strays.map(_.getPath.getName).take(3).mkString(", ")}…) — raw state " +
@@ -167,16 +195,20 @@ object StandingStore {
     val newest = maxUpto(spark, root)
     val fs = fsFor(spark, root)
     val rawDir = new Path(s"$root/raw")
+    // Cleanup deletes ONLY directories it can positively classify: a
+    // batch=<non-numeric> dir is stray content (readThrough refuses it
+    // loudly before this point on any read path) — never something to
+    // delete on a best-effort pass.
     if (fs.exists(rawDir)) fs.listStatus(rawDir).foreach { s =>
-      val n = s.getPath.getName
-      if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= newest)
+      if (batchIdOf(s.getPath.getName).exists(_ <= newest))
         fs.delete(s.getPath, true)
     }
     val compDir = new Path(s"$root/compact")
     if (fs.exists(compDir)) fs.listStatus(compDir).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith("upto=") && n.stripPrefix("upto=").toLong < newest)
-        fs.delete(s.getPath, true)
+      val upto = if (!n.startsWith("upto=")) None
+        else scala.util.Try(n.stripPrefix("upto=").toLong).toOption
+      if (upto.exists(_ < newest)) fs.delete(s.getPath, true)
     }
   }
 

@@ -543,6 +543,18 @@ class CurationOpsSpec extends SparkSpec {
         col("g"), col("id"), col("tok")).collect()
     }
     assert(err.getMessage.contains("non-null"))
+    // A NULL weight is refused (silently rides at 0) — and so is a
+    // NEGATIVE one, which would deflate cum_tokens and over-admit mass
+    // past planned_tokens downstream in materializeMixture.
+    Seq(("null weight", Seq((1, "g", Some(1L)), (2, "g", Option.empty[Long]))),
+      ("negative weight", Seq((1, "g", Some(1L)), (2, "g", Some(-5L))))).foreach {
+      case (label, rows) =>
+        val bad = intercept[Exception] {
+          CurationOps.groupedTokenPrefixSum(rows.toDF("id", "g", "tok"),
+            col("g"), col("id"), col("tok")).collect()
+        }
+        assert(bad.getMessage.contains("non-negative"), label)
+    }
   }
 
   test("X7: materializeMixture admits each source's md5-order prefix up to its budget, " +

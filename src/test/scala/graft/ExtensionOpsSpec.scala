@@ -649,7 +649,13 @@ class ExtensionOpsSpec extends SparkSpec {
       mdatBody.toLong, mdatBody + 10L, mdatBody + 30L, mdatBody + 60L, mdatBody + 100L))
     // Distributed demux: stride 2 -> samples 0, 2, 4, each with its TRUE bytes.
     val media = Seq((7L, mp4), (8L, "not-a-container".getBytes)).toDF("media_id", "payload")
-    val frames = MultimodalOps.demuxSampledFrames(media, stride = 2)
+    val demuxed = MultimodalOps.demuxSampledFrames(media, stride = 2)
+    // This fixture carries no stsd: codec metadata columns exist but are null.
+    assert(demuxed.columns.toSeq.takeRight(3) === Seq("codec", "codec_profile", "codec_level"))
+    assert(demuxed.filter(col("codec").isNotNull || col("codec_profile").isNotNull)
+      .count() === 0L)
+    val frames = demuxed
+      .select("media_id", "sample_no", "dts_ms", "byte_offset", "n_bytes", "frame")
       .as[(Long, Int, Long, Long, Long, Array[Byte])].collect().sortBy(_._2)
     assert(frames.forall(_._1 == 7L)) // unparseable payload emits nothing
     assert(frames.map(_._2).toSeq === Seq(0, 2, 4))
@@ -686,6 +692,92 @@ class ExtensionOpsSpec extends SparkSpec {
     val t1 = System.nanoTime()
     assert(MultimodalOps.mp4SampleTable(evilStco).isEmpty)
     assert((System.nanoTime() - t1) / 1e9 < 2.0, "malformed stco must fail fast")
+  }
+
+  test("multimodal: demux selects the declared-video trak, never a preceding audio trak") {
+    import MultimodalOps._
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    // hdlr body: version/flags(4), pre_defined(4), handler_type(4), reserved(12), name(1)
+    def hdlr(handler: String): Array[Byte] =
+      box("hdlr", u32(0) ++ u32(0) ++ handler.getBytes("ISO-8859-1") ++
+        Array.fill[Byte](12)(0) ++ Array[Byte](0))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(500) ++ u32(0))
+    // One-chunk sample table: n samples of the given sizes at chunk offset off.
+    def stbl(sizes: Seq[Int], off: Long, extra: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val stts = box("stts", u32(0) ++ u32(1) ++ u32(sizes.length) ++ u32(100))
+      val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(sizes.length) ++
+        sizes.flatMap(s => u32(s)).toArray)
+      val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(sizes.length) ++ u32(1))
+      val stco = box("stco", u32(0) ++ u32(1) ++ u32(off))
+      box("stbl", extra ++ stts ++ stsc ++ stsz ++ stco)
+    }
+    def trak(handler: String, sizes: Seq[Int], off: Long,
+        stsd: Array[Byte] = Array.emptyByteArray): Array[Byte] =
+      box("trak", box("mdia", mdhd ++ hdlr(handler) ++ box("minf", stbl(sizes, off, stsd))))
+    // avc1 VisualSampleEntry: SampleEntry(6 reserved + 2 dri) +
+    // pre_defined/reserved(16) + width(2) height(2) + resolutions/
+    // frame_count/compressorname/depth/pre_defined(50) + avcC child.
+    val avcC = box("avcC", Array[Byte](1, 100.toByte, 0, 42)) // High profile, level 4.2
+    val avc1 = box("avc1", Array.fill[Byte](6)(0) ++ u16(1) ++ Array.fill[Byte](16)(0) ++
+      u16(640) ++ u16(360) ++ Array.fill[Byte](50)(0) ++ avcC)
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ avc1)
+    val audioBytes = Array.tabulate[Byte](10)(i => (i + 1).toByte)      // 2 samples of 5
+    val videoBytes = Array.tabulate[Byte](60)(i => (100 + i).toByte)    // 3 samples 10/20/30
+    def container(traks: Array[Byte], mdatOff: Long): Array[Byte] =
+      box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes) ++
+        box("moov", traks) ++ box("mdat", audioBytes ++ videoBytes)
+    // Two passes: probe with offset 0 to learn where mdat's body starts.
+    def build(): Array[Byte] = {
+      def traksAt(aOff: Long, vOff: Long) =
+        trak("soun", Seq(5, 5), aOff) ++ trak("vide", Seq(10, 20, 30), vOff, stsd)
+      val probe = container(traksAt(0L, 0L), 0L)
+      val mdatBody = probe.length - (audioBytes.length + videoBytes.length)
+      container(traksAt(mdatBody.toLong, mdatBody.toLong + audioBytes.length), mdatBody.toLong)
+    }
+    val mp4 = build()
+    // The AUDIO trak comes first and has a complete sample table — the
+    // demux must still pick the declared-video trak's geometry.
+    val table = MultimodalOps.mp4SampleTable(mp4).get
+    assert(table.map(_.n_bytes) === Seq(10L, 20L, 30L))
+    val media = Seq((1L, mp4)).toDF("media_id", "payload")
+    val rows = MultimodalOps.demuxSampledFrames(media, stride = 1)
+      .select("sample_no", "frame", "codec", "codec_profile", "codec_level")
+      .as[(Int, Array[Byte], Option[String], Option[Int], Option[Int])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(rows(0)._2.toSeq === videoBytes.take(10).toSeq, "frame 0 must be VIDEO bytes")
+    assert(rows(2)._2.toSeq === videoBytes.slice(30, 60).toSeq)
+    // stsd-derived codec metadata rides every frame row.
+    assert(rows.forall(r => r._3 === Some("avc1") && r._4 === Some(100) && r._5 === Some(42)))
+    assert(MultimodalOps.mp4CodecInfo(mp4) ===
+      Some(Mp4CodecInfo("avc1", 100, 42, 640, 360)))
+    // A container with ONLY declared-audio traks refuses — no wrong-modality
+    // "frames" ever come out of the demux.
+    val audioOnly = {
+      val probe = container(trak("soun", Seq(5, 5), 0L), 0L)
+      val mdatBody = probe.length - (audioBytes.length + videoBytes.length)
+      container(trak("soun", Seq(5, 5), mdatBody.toLong), mdatBody.toLong)
+    }
+    assert(MultimodalOps.mp4SampleTable(audioOnly).isEmpty)
+    assert(MultimodalOps.mp4CodecInfo(audioOnly).isEmpty)
+    // hvcC branch: an hvc1 entry's profile/level come from the hvcC box.
+    val hvcC = box("hvcC", Array[Byte](1, 1) ++ Array.fill[Byte](10)(0) ++ Array[Byte](93.toByte))
+    val hvc1 = box("hvc1", Array.fill[Byte](6)(0) ++ u16(1) ++ Array.fill[Byte](16)(0) ++
+      u16(1920) ++ u16(1080) ++ Array.fill[Byte](50)(0) ++ hvcC)
+    val stsdHvc = box("stsd", u32(0) ++ u32(1) ++ hvc1)
+    val mp4Hvc = {
+      def t(vOff: Long) = trak("vide", Seq(10, 20, 30), vOff, stsdHvc)
+      val probe = container(t(0L), 0L)
+      val mdatBody = probe.length - (audioBytes.length + videoBytes.length)
+      container(t(mdatBody.toLong + audioBytes.length), mdatBody.toLong)
+    }
+    assert(MultimodalOps.mp4CodecInfo(mp4Hvc) ===
+      Some(Mp4CodecInfo("hvc1", 1, 93, 1920, 1080)))
   }
 
   test("multimodal: resize stub preserves rows, sets target dims, deterministic payload") {

@@ -452,6 +452,64 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("a", 1L)))
   }
 
+  test("StandingStore: a checkpoint-reset restart (batch ids at-or-below the committed " +
+    "level) fails loudly instead of silently corrupting standing state") {
+    import graft.streaming.StandingStore
+    val root = tmp("reset-store")
+    val mergeSum = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+    (0L to 3L).foreach { id =>
+      StandingStore.writeRaw(Seq(("a", 1L)).toDF("k", "v"), root, id)
+    }
+    StandingStore.compact(spark, root, 4L, mergeSum) // commits upto=3
+    assert(StandingStore.maxUpto(spark, root) === 3L)
+    // A stream restarted with a FRESH checkpoint restarts batch ids at 0;
+    // registering batch=0 here would be silently deleted by the next
+    // compaction while readBefore filters it out — refuse instead.
+    val e = intercept[IllegalArgumentException] {
+      StandingStore.writeRaw(Seq(("a", 99L)).toDF("k", "v"), root, 0L)
+    }
+    assert(e.getMessage.contains("reset checkpoint"))
+    // ... including the boundary id equal to the committed level.
+    intercept[IllegalArgumentException] {
+      StandingStore.writeRaw(Seq(("a", 99L)).toDF("k", "v"), root, 3L)
+    }
+    // The legitimate continuation (id > level) still writes fine, and the
+    // refused writes changed nothing.
+    StandingStore.writeRaw(Seq(("a", 10L)).toDF("k", "v"), root, 4L)
+    assert(mergeSum(StandingStore.readAll(spark, root).get)
+      .as[(String, Long)].collect().toMap === Map("a" -> 14L))
+  }
+
+  test("StandingStore: a batch=<non-numeric> directory is stray content — refused by " +
+    "readers, never deleted by compaction cleanup") {
+    import graft.streaming.StandingStore
+    val root = tmp("garbage-store")
+    val mergeSum = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+    StandingStore.writeRaw(Seq(("a", 1L)).toDF("k", "v"), root, 0L)
+    StandingStore.writeRaw(Seq(("a", 2L)).toDF("k", "v"), root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val garbage = new org.apache.hadoop.fs.Path(s"$root/raw/batch=garbage")
+    fs.mkdirs(garbage)
+    // Readers classify it as stray content (parquet partition discovery
+    // would choke on it) — the loud refusal, not a NumberFormatException.
+    val e = intercept[IllegalArgumentException](StandingStore.readAll(spark, root))
+    assert(e.getMessage.contains("non-partition content"))
+    // Compaction must not crash on it and must NOT delete what it cannot
+    // classify... but its own readBefore hits the same loud refusal, which
+    // is the correct behavior: no state-changing pass proceeds over a
+    // store with unclassifiable content.
+    intercept[IllegalArgumentException](StandingStore.compact(spark, root, 2L, mergeSum))
+    assert(fs.exists(garbage), "cleanup deleted a directory it could not classify")
+    // Operator removes the garbage -> everything works again.
+    fs.delete(garbage, true)
+    StandingStore.compact(spark, root, 2L, mergeSum)
+    assert(mergeSum(StandingStore.readAll(spark, root).get)
+      .as[(String, Long)].collect().toMap === Map("a" -> 3L))
+  }
+
   test("X2-stream compaction: calibrated suspects with compaction are bit-identical to " +
     "the uncompacted run, and the stats scan stays vocabulary-bounded") {
     import graft.streaming.StandingStore
