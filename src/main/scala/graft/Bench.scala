@@ -115,18 +115,29 @@ object Bench {
       // and lands in `failed`.
       val okSteadies = steadies.flatten
       val steady = if (okSteadies.nonEmpty) Some(median(okSteadies)) else None
-      (name, cold, steady)
+      (name, cold, steady, okSteadies)
     }
     val loadAfter = loadavgStamp()
     // Millisecond precision: sub-ms digits are machine noise and only
     // bloat the JSON line past log-tail windows.
     def fmt(v: Option[Double]): String = v.fold("null")(d => (math.rint(d * 1000) / 1000).toString)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val qsSteady = results.map { case (k, _, v) => s"\"" + k + "\":" + fmt(v) }
+    val qsSteady = results.map { case (k, _, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Per-query spread of the SUCCESSFUL steady runs as [min, median, max]:
+    // the integrity signal a single median hides — a wide spread (or a
+    // median above the cold run) flags contention/leak on THAT query
+    // without re-running the whole bench. Empty array when every steady
+    // run failed (the query is also in `failed`).
+    val qsSpread = results.map { case (k, _, _, runs) =>
+      val arr =
+        if (runs.isEmpty) "[]"
+        else s"[${fmt(Some(runs.min))},${fmt(Some(median(runs)))},${fmt(Some(runs.max))}]"
+      s"\"" + k + "\":" + arr
+    }.mkString("{", ",", "}")
     val failed = (shared.collect { case (k, None) => "\"" + k + "\"" } ++
-        results.collect { case (k, c, s) if c.isEmpty || s.isEmpty => "\"" + k + "\"" })
+        results.collect { case (k, c, s, _) if c.isEmpty || s.isEmpty => "\"" + k + "\"" })
       .mkString("[", ",", "]")
     val sharedTotal = shared.flatMap(_._2).sum
     // Headline cold value INCLUDES the shared-prefix builds: a session pays
@@ -139,7 +150,8 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""steady_total":$steadyTotal,"steady_runs":$steadyRuns,"steady_stat":"median",""" +
-      s""""queries_steady":$qsSteady,"shared":$sharedJson,"shared_total":${fmt(Some(sharedTotal))},""" +
+      s""""queries_steady":$qsSteady,"queries_spread":$qsSpread,""" +
+      s""""shared":$sharedJson,"shared_total":${fmt(Some(sharedTotal))},""" +
       s""""failed":$failed,"sf":"$sfDir",""" +
       s""""load_before":$loadBefore,"load_after":$loadAfter}"""
     // Full line first (humans, files), COMPACT line last: a log-tail window
