@@ -59,7 +59,19 @@ object DedupOps {
     * hardening. Recall loss is negligible: a shingle shared by thousands of
     * documents carries no near-dup signal, only join fan-out. The window's
     * (bucket, sh) hash partitioning is exactly the distribution the
-    * downstream self-join requires, so the join itself adds no exchange. */
+    * downstream self-join requires, so the join itself adds no exchange.
+    *
+    * '''Measured-superlinear at scale — baseline use only.''' A FIXED
+    * absolute cap changes meaning as the corpus grows: the SURVEY §6.1
+    * Heaps'-law audit measured fixed-cap candidate pools growing 22–92×
+    * on a 10× corpus (q22 91.5×, q73 48.6×, q23 22.4×) because global df
+    * eventually crosses any fixed cut for nearly every shingle, while the
+    * quantile form stayed linear (9.8×) with flat recall. New code should
+    * go through [[nearDupCandidates]] (default
+    * [[CandidateGen.QuantileCapped]]) or [[capShingleDfQuantile]]; this
+    * form is retained as the measured baseline behind the explicit
+    * [[CandidateGen.FixedCap]] opt-in and the q22/q23/q73/q78 ledger
+    * rows. */
   def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     shingles
@@ -218,6 +230,74 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** Candidate-generation POLICY for near-dup dedup — the API-level guard
+    * that makes the measured-linear calibrated pipeline the path of least
+    * resistance, after two rounds of scale audits proved the fixed-df-cap
+    * forms intrinsically superlinear on realistic vocabulary
+    * (SURVEY §6.1 Heaps'-law tier: on a 10× corpus the fixed-cap pools
+    * grew 91.5× [q22], 48.6× [q73], 22.4× [q23], while the quantile-cap +
+    * banded pipeline grew 9.8× with flat 0.85–0.88 recall at both steps).
+    * Code that does not explicitly choose a policy gets
+    * [[CandidateGen.QuantileCapped]]; reaching a fixed cap requires
+    * constructing [[CandidateGen.FixedCap]] by name. */
+  sealed trait CandidateGen
+  object CandidateGen {
+
+    /** THE DEFAULT — quantile-calibrated df cap + r-rows-per-band LSH, the
+      * production pipeline (q118→q120→q124): drop the hottest 1−`q` SHARE
+      * of (bucket, shingle) groups (a cut that keeps meaning the same
+      * thing as the corpus grows — [[capShingleDfQuantile]]), then band
+      * `numHashes` minhashes into groups of `rowsPerBand` so a candidate
+      * needs ALL r minwise values of some band to agree
+      * (P = 1 − (1 − j^r)^b). Measured LINEAR at both 10× fixture steps
+      * on both the uniform and the Heaps'-law vocabulary tiers
+      * (SURVEY §6.1; BASELINE.md round-8/9 audits). `floor` ≥ 2 keeps
+      * shared evidence alive on sparse wide-shingle corpora. */
+    final case class QuantileCapped(q: Double = 0.95, floor: Int = 2,
+        numHashes: Int = 8, rowsPerBand: Int = 2) extends CandidateGen
+
+    /** MEASURED-SUPERLINEAR baseline — explicit opt-in only. A fixed
+      * absolute df cap silently changes meaning as the corpus grows
+      * (round-7 sf1 audit: q78's df ≤ 50 kept ~99% of shingles at sf0.1,
+      * dropped ~96% at sf1), and on realistic Heaps'-law vocabulary its
+      * candidate pool grows superlinearly (§6.1: 22–92× on a 10× corpus)
+      * because every shingle's df eventually crosses any fixed cut.
+      * Retained ONLY as the measured baseline the q22/q23/q73/q78 ledger
+      * rows document; do not deploy it on a growing corpus. */
+    final case class FixedCap(maxDf: Int, numHashes: Int = 8,
+        rowsPerBand: Int = 1) extends CandidateGen {
+      require(maxDf > 0, s"FixedCap.maxDf must be positive, got $maxDf")
+    }
+  }
+
+  /** Near-dup candidate pairs under a [[CandidateGen]] policy — the
+    * front-door generator: callers that don't choose get the calibrated
+    * linear path ([[CandidateGen.QuantileCapped]]), bit-identical to
+    * composing [[capShingleDfQuantile]] + [[minhashLshCandidatesBanded]]
+    * by hand (the q120/q124 construction). Output (a_id, b_id,
+    * n_shared_bands), a < b. Feed the result to [[jaccardVerifyPairs]]
+    * (or use [[nearDupVerifiedPairs]]) before any clustering — LSH
+    * candidates never feed connected components unverified. */
+  def nearDupCandidates(shingles: DataFrame,
+      gen: CandidateGen = CandidateGen.QuantileCapped()): DataFrame = gen match {
+    case CandidateGen.QuantileCapped(q, floor, numHashes, rowsPerBand) =>
+      minhashLshCandidatesBanded(
+        capShingleDfQuantile(shingles, q, floor), numHashes, rowsPerBand)
+    case CandidateGen.FixedCap(maxDf, numHashes, rowsPerBand) =>
+      minhashLshCandidatesBanded(shingles, numHashes, rowsPerBand, maxDf)
+  }
+
+  /** [[nearDupCandidates]] + [[jaccardVerifyPairs]] in one call — the
+    * generate→verify contract as a single default-safe entry point
+    * (candidate cost bounded by the calibrated generator, verify cost
+    * bounded by |candidates| × avg set size, Jaccard computed on FULL
+    * sets). Output: (a_id, b_id, n_common, a_size, b_size, jaccard) at or
+    * above `minJaccard`. */
+  def nearDupVerifiedPairs(shingles: DataFrame,
+      gen: CandidateGen = CandidateGen.QuantileCapped(),
+      minJaccard: Double = 0.5): DataFrame =
+    jaccardVerifyPairs(nearDupCandidates(shingles, gen), shingles, minJaccard)
 
   /** Incremental NEAR-dup crawl dedup — the MinHash twin of the exact
     * incremental form (q60): fresh documents probe a STANDING LSH band

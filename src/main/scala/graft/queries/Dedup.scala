@@ -504,12 +504,11 @@ object Dedup extends QueryGroup {
     * side's distinct-df histogram cumulative — same integer threshold). */
   private val q118 = QueryDef(
     "q118_minhash_quantile_cap",
-    (s, dir) => DedupOps.minhashLshCandidatesFromRows(
-        DedupOps.capShingleDfQuantile(
-          TextOps.shingleRows(Tables.documents(s, dir),
-            col("doc_id"), lit("all"), col("text")),
-          q = 0.95),
-        8)
+    (s, dir) => DedupOps.nearDupCandidates(
+        TextOps.shingleRows(Tables.documents(s, dir),
+          col("doc_id"), lit("all"), col("text")),
+        DedupOps.CandidateGen.QuantileCapped(q = 0.95, floor = 1,
+          numHashes = 8, rowsPerBand = 1))
       .orderBy(col("a_id"), col("b_id")),
     Some("""WITH sets AS (
            |  SELECT doc_id,
@@ -607,12 +606,11 @@ object Dedup extends QueryGroup {
     * oracle. */
   private val q120 = QueryDef(
     "q120_banded_minhash",
-    (s, dir) => DedupOps.minhashLshCandidatesBanded(
-        DedupOps.capShingleDfQuantile(
-          TextOps.shingleRows(Tables.documents(s, dir),
-            col("doc_id"), lit("all"), col("text")),
-          q = 0.95),
-        numHashes = 8, rowsPerBand = 2)
+    (s, dir) => DedupOps.nearDupCandidates(
+        TextOps.shingleRows(Tables.documents(s, dir),
+          col("doc_id"), lit("all"), col("text")),
+        DedupOps.CandidateGen.QuantileCapped(q = 0.95, floor = 1,
+          numHashes = 8, rowsPerBand = 2))
       .orderBy(col("a_id"), col("b_id")),
     Some("""WITH sets AS (
            |  SELECT doc_id,
@@ -706,10 +704,10 @@ object Dedup extends QueryGroup {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val sh5 = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
-      val cand = DedupOps.minhashLshCandidatesBanded(
-        DedupOps.capShingleDfQuantile(sh5, q = 0.95, floor = 2),
-        numHashes = 8, rowsPerBand = 2)
-      val verified = DedupOps.jaccardVerifyPairs(cand, sh5, threshold = 0.5)
+      // The pure-DEFAULT path: CandidateGen.QuantileCapped() IS
+      // (q=0.95, floor=2, 8 hashes, r=2) — the flagship scrub runs on
+      // exactly what a caller gets without choosing anything.
+      val verified = DedupOps.nearDupVerifiedPairs(sh5, minJaccard = 0.5)
       val comps = graft.operators.GraphOps.connectedComponents(verified, "a_id", "b_id")
       val dropped = comps.filter(col("node") =!= col("comp"))
         .select(col("node").as("doc_id"), lit(true).as("is_dup"))

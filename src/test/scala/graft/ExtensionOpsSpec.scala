@@ -104,6 +104,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(mh === Set((0L, 1L)))
   }
 
+  test("X2: nearDupCandidates default policy == hand-composed calibrated pipeline " +
+    "bit-for-bit; FixedCap reproduces the legacy fixed-cap pairs; verify composes") {
+    val docs = (0 until 40).map { i =>
+      val body = if (i <= 1) "dup dup dup dup dup dup" else s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      (i.toLong, s"hot hot hot hot $body", "s")
+    }.toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "n_shared_bands")
+        .as[(Long, Long, Long)].collect().toSet
+    // Default policy (no choice made) IS the calibrated q124 construction.
+    val viaDefault = tuples(DedupOps.nearDupCandidates(rows))
+    val byHand = tuples(DedupOps.minhashLshCandidatesBanded(
+      DedupOps.capShingleDfQuantile(rows, q = 0.95, floor = 2),
+      numHashes = 8, rowsPerBand = 2))
+    assert(viaDefault === byHand)
+    assert(viaDefault.exists { case (a, b, _) => a == 0L && b == 1L }, "true dup survives")
+    // FixedCap opt-in reproduces the legacy r=1 fixed-cap candidate pairs
+    // (band keys differ in type — string vs long — but collision sets don't).
+    val viaFixed = tuples(DedupOps.nearDupCandidates(rows,
+      DedupOps.CandidateGen.FixedCap(maxDf = 10, numHashes = 8)))
+    val legacy = tuples(DedupOps.minhashLshCandidatesFromRows(rows, 8, maxDf = 10))
+    assert(viaFixed === legacy)
+    // The one-call verified form == generate + verify composed by hand.
+    val v1 = DedupOps.nearDupVerifiedPairs(rows, minJaccard = 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val v2 = DedupOps.jaccardVerifyPairs(DedupOps.nearDupCandidates(rows), rows, 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(v1 === v2 && v1.exists { case (a, b, _) => a == 0L && b == 1L })
+    // The gate itself: a nonsensical fixed cap refuses at construction.
+    intercept[IllegalArgumentException](DedupOps.CandidateGen.FixedCap(0))
+  }
+
   test("X2: simhash of identical token sets is identical; disjoint sets differ") {
     val docs = Seq((1L, Seq("alpha", "beta", "gamma")), (2L, Seq("alpha", "beta", "gamma")),
       (3L, Seq("zeta", "eta", "theta"))).toDF("doc_id", "tokset")
