@@ -261,6 +261,25 @@ object ScaleAudit {
     val tunedRecall = tuned.map(_.getAs[Double]("mean_recall")).getOrElse(-1d)
     val tunedCand = tuned.map(_.getAs[Long]("candidate_pairs")).getOrElse(-1L)
 
+    // q141 serving geometry: mean corpus rows per (cell, table-bucket)
+    // under the TUNED config vs the pinned 1-table/2-plane baseline, plus
+    // the tuned candidate bill per query. The fixed config's occupancy
+    // grows linearly with the corpus by construction (same divisor, 10×
+    // the rows — BASELINE's n²/(cells·2^p) row is its pair-volume shadow);
+    // the tuner re-chooses geometry per corpus under a FIXED recall
+    // contract, so its per-query candidate bill must grow sublinearly —
+    // that contrast is the scale story these two rows record.
+    def meanBucketOccupancy(tables: Seq[Seq[Seq[Double]]]): Double =
+      SimilarityOps.lshCandidateRows(embs, "vec_id", col("embedding"),
+          col("label"), tables, "n_")
+        .groupBy(col("cell"), col("tb")).count()
+        .agg(avg(col("count"))).head.getDouble(0)
+    val tunedOcc = if (tunedTables > 0)
+      meanBucketOccupancy(SimilarityOps.lshTables(tunedTables, tunedPlanes, 64))
+      else -1d
+    val fixedOcc = meanBucketOccupancy(SimilarityOps.lshTables(1, 2, 64))
+    val tunedCandPerQuery = if (tunedCand >= 0) tunedCand / 10.0 else -1d
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -284,7 +303,10 @@ object ScaleAudit {
       s""""q112_recall_single_table":${math.rint(recall1 * 1000) / 1000},""" +
       s""""q112_recall_two_table":${math.rint(recall2 * 1000) / 1000},""" +
       s""""q117_tuned_tables":$tunedTables,"q117_tuned_planes":$tunedPlanes,""" +
-      s""""q117_tuned_recall":$tunedRecall,"q117_tuned_candidate_pairs":$tunedCand}""")
+      s""""q117_tuned_recall":$tunedRecall,"q117_tuned_candidate_pairs":$tunedCand,""" +
+      s""""q141_tuned_bucket_occupancy":${math.rint(tunedOcc * 100) / 100},""" +
+      s""""q141_fixed_1x2_bucket_occupancy":${math.rint(fixedOcc * 100) / 100},""" +
+      s""""q141_tuned_candidates_per_query":$tunedCandPerQuery}""")
     spark.stop()
   }
 }

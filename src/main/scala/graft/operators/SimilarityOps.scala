@@ -631,6 +631,38 @@ object SimilarityOps {
       .withColumn("chosen", col("meets_target") && row_number().over(w) === 1)
   }
 
+  /** Driver-side distillation of [[lshAutoTune]] into a deployable
+    * configuration: run the sweep on a (sampled) query batch and return
+    * the CHOSEN (tables, planes) — the cheapest operating point whose
+    * measured mean recall@k meets `recallTarget`. This is the AUTO-SCALING
+    * instrument for sign-LSH defaults: a fixed plane count silently
+    * changes meaning as the corpus grows (BASELINE's n²/(cells·2^p) row:
+    * fixed 2-plane buckets grew candidates ~100× on a 10× corpus), while
+    * a tuner re-run on each corpus keeps the candidate bill pinned to the
+    * recall contract — the round-9 sweep certified (8,2) on the sparse
+    * corpus and HALF that index cost, (4,2), on the denser one.
+    *
+    * The collect is bounded by construction: ≤ 1 row (the chosen config)
+    * of two ints — the same driver-state class as k-means centroids.
+    * Refuses loudly when NO swept config meets the target: silently
+    * shipping a below-target index is the one thing a recall-targeting
+    * tuner must never do (widen `configs` or lower the target instead). */
+  def tunedLshConfig(corpus: DataFrame, queries: DataFrame, cellCol: String,
+      k: Int, configs: Seq[(Int, Int)], dim: Int, recallTarget: Double,
+      seed: Long = 42L): (Int, Int) = {
+    val chosen = lshAutoTune(corpus, queries, cellCol, k, configs, dim,
+        recallTarget, seed)
+      .filter(col("chosen"))
+      .select(col("n_tables"), col("n_planes"))
+      .collect()
+    require(chosen.nonEmpty,
+      s"tunedLshConfig: no swept config $configs reached mean recall@$k >= " +
+        s"$recallTarget on this corpus — widen the sweep (more tables / fewer " +
+        "planes) or lower the target; refusing to silently ship a " +
+        "below-target index configuration")
+    (chosen.head.getInt(0), chosen.head.getInt(1))
+  }
+
   /** Hard-negative mining for retriever/embedding training: from scored
     * k-NN candidates ([[knnJoin]]/[[knnJoinTables]] output), drop every
     * neighbor that shares a duplicate CLUSTER with its query

@@ -128,6 +128,30 @@ class MultiTableLshSpec extends SparkSpec {
     assert(rows.forall(r => !r.getAs[Boolean]("chosen")))
   }
 
+  test("tunedLshConfig: returns the sweep's chosen config; refuses when no config " +
+    "meets the target") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val configs = Seq((1, 2), (2, 2), (4, 2), (2, 4))
+    val (t, p) = SimilarityOps.tunedLshConfig(emb, queries, "label", 5, configs,
+      64, recallTarget = 0.0)
+    // target 0: every config meets, so the chosen one is the cheapest
+    // candidate pool — which the sweep itself reports as chosen.
+    val chosen = SimilarityOps.lshAutoTune(emb, queries, "label", 5, configs,
+        64, recallTarget = 0.0)
+      .filter(col("chosen")).collect()
+    assert(chosen.length === 1)
+    assert((t, p) === (chosen.head.getAs[Int]("n_tables"),
+      chosen.head.getAs[Int]("n_planes")))
+    assert(configs.contains((t, p)))
+    // Below-target silently shipping is the one forbidden outcome: an
+    // unreachable target refuses loudly instead of returning anything.
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.tunedLshConfig(emb, queries, "label", 5, configs, 64,
+        recallTarget = 1.1)
+    }
+    assert(e.getMessage.contains("below-target"))
+  }
+
   test("cosineTopKLsh: numTables widens the reachable candidate set") {
     val q = emb.filter(col("vec_id") === 0)
     def ids(nt: Int): Set[Long] =
