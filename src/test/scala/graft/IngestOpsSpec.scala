@@ -59,6 +59,36 @@ class IngestOpsSpec extends SparkSpec {
     assert(inferred.count() === 3)
     assert(inferred.columns.toSeq === Seq("k", "name", "grp"))
   }
+
+  test("S10: the reference's own OR.csv census fixture reads with the documented " +
+    "shape (reference OR.csv:1)") {
+    // The one reference artifact no test had ever touched: the 37-column
+    // census-tract CSV the reference repo ships. Parity check = shape and
+    // types under schema inference, plus value-level sanity aggregates.
+    val path = new java.io.File("/root/reference/OR.csv")
+    assume(path.isFile, "reference OR.csv not present in this environment")
+    import org.apache.spark.sql.types._
+    val df = graft.sources.CsvSource.readHeaderCsv(spark, path.toString)
+    assert(df.columns.length === 37, "census fixture is 37 columns")
+    assert(df.columns.take(6).toSeq ===
+      Seq("TractId", "State", "County", "TotalPop", "Men", "Women"))
+    assert(df.count() === 837L, "834 Oregon + 3 Missouri tracts")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("TractId") === LongType)        // 11-digit FIPS ids overflow Int
+    assert(types("State") === StringType)
+    assert(types("County") === StringType)
+    assert(types("TotalPop") === IntegerType)
+    assert(types("Hispanic") === DoubleType)     // percentage columns
+    assert(types("Income") === DoubleType)       // has blanks -> nullable double
+    // Value-level sanity: the inferred read really parsed rows, not headers.
+    val byState = df.groupBy("State").count()
+      .as[(String, Long)].collect().toMap
+    assert(byState === Map("Oregon" -> 834L, "Missouri" -> 3L))
+    assert(df.agg(sum(col("TotalPop"))).as[Long].head() > 1000000L,
+      "state population must aggregate to millions")
+    // Blank numeric cells must read as NULL, never as 0 (Income has gaps).
+    assert(df.filter(col("Income").isNull).count() > 0L)
+  }
 }
 
 /** Local-mode capture: executors share the JVM, so a static sink records

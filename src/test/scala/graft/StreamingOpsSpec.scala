@@ -371,6 +371,37 @@ class StreamingOpsSpec extends SparkSpec {
       s"expected kafka DataSource lookup failure, got: ${writeErr.getMessage}")
   }
 
+  test("S5/S6 kafka smoke (env-gated): publish -> subscribe -> sink round-trip " +
+    "against a real broker") {
+    // This container has no broker and no spark-sql-kafka jar, so the test
+    // SKIPS here; the day the repo lands on real infrastructure, setting
+    // GRAFT_KAFKA_BOOTSTRAP=host:port (with the connector on the
+    // classpath) makes this the first smoke to run — the FileEndpoint
+    // round-trip above, re-run through KafkaEndpoint on both legs.
+    val broker = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+    assume(broker.isDefined,
+      "set GRAFT_KAFKA_BOOTSTRAP=host:port and put spark-sql-kafka-0-10 on " +
+        "the classpath to run the real-broker smoke")
+    import StreamingOps.{FileEndpoint, KafkaEndpoint}
+    val topic = s"graft-smoke-${java.util.UUID.randomUUID().toString.take(8)}"
+    val kafka = KafkaEndpoint(broker.get, topic)
+    // Publish leg: the file fixture streamed INTO the topic.
+    val in = tmp("ksmoke-in"); val out = tmp("ksmoke-out")
+    Files.writeString(java.nio.file.Paths.get(in, "a.jsonl"), s"$goodLine\n$lateLine\n")
+    val pub = StreamingOps.recordStream(spark, FileEndpoint(in), Tables.breadcrumbRawSchema)
+    StreamingOps.runAvailableNow(
+      StreamingOps.recordSink(pub, kafka, tmp("ksmoke-pubcp")))
+    // Subscribe leg: the topic streamed through event-date routing into the
+    // partitioned parquet sink — data_subscriber.py's whole loop.
+    val sub = StreamingOps.withEventDate(
+      StreamingOps.recordStream(spark, kafka, Tables.breadcrumbRawSchema), "timestamp")
+    StreamingOps.runAvailableNow(
+      StreamingOps.recordSink(sub, FileEndpoint(out), tmp("ksmoke-subcp")))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2, "both published records must come back")
+    assert(back.columns.contains("date"), "event-date routing column present")
+  }
+
   test("StandingStore: readers take only the newest committed level — a crash between " +
     "level commit and cleanup cannot double-count, and compaction replay is idempotent") {
     import graft.streaming.StandingStore
