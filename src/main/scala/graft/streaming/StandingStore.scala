@@ -80,7 +80,11 @@ object StandingStore {
   }
 
   /** Newest COMMITTED compact level (highest `upto=U` dir holding a
-    * `_SUCCESS` marker), or -1 when none exists. */
+    * `_SUCCESS` marker), or -1 when none exists. A committed
+    * `upto=<non-numeric>` directory REFUSES loudly: skipping it would
+    * silently fall back to an older level while the raws it subsumed are
+    * already deleted — the same silent-state-regression class the legacy
+    * guard exists for (and a bare toLong would be an unhelpful crash). */
   def maxUpto(spark: SparkSession, root: String): Long = {
     val dir = new Path(s"$root/compact")
     val fs = fsFor(spark, root)
@@ -88,7 +92,15 @@ object StandingStore {
     else fs.listStatus(dir).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("upto="))
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("upto=").toLong)
+      .map { s =>
+        val n = s.getPath.getName
+        scala.util.Try(n.stripPrefix("upto=").toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"StandingStore: committed compact level with unparseable id '$n' " +
+              s"under $dir — refusing to guess which level is newest; rename " +
+              "or remove it (state from a level this store did not write is " +
+              "not trusted)"))
+      }
       .foldLeft(-1L)(math.max)
   }
 

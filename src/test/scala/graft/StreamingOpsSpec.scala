@@ -539,6 +539,15 @@ class StreamingOpsSpec extends SparkSpec {
     StandingStore.compact(spark, root, 2L, mergeSum)
     assert(mergeSum(StandingStore.readAll(spark, root).get)
       .as[(String, Long)].collect().toMap === Map("a" -> 3L))
+    // Same discipline on the compact side: a COMMITTED upto=<non-numeric>
+    // level refuses loudly — silently skipping it would fall back to an
+    // older level while its subsumed raws are already gone.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/compact/upto=junk"))
+    assert(StandingStore.maxUpto(spark, root) === 1L) // uncommitted: ignored
+    val ok = fs.create(new org.apache.hadoop.fs.Path(s"$root/compact/upto=junk/_SUCCESS"))
+    ok.close()
+    val e2 = intercept[IllegalArgumentException](StandingStore.maxUpto(spark, root))
+    assert(e2.getMessage.contains("unparseable"))
   }
 
   test("X2-stream compaction: calibrated suspects with compaction are bit-identical to " +
