@@ -255,7 +255,14 @@ object DedupOps {
       * (SURVEY §6.1; BASELINE.md round-8/9 audits). `floor` ≥ 2 keeps
       * shared evidence alive on sparse wide-shingle corpora. */
     final case class QuantileCapped(q: Double = 0.95, floor: Int = 2,
-        numHashes: Int = 8, rowsPerBand: Int = 2) extends CandidateGen
+        numHashes: Int = 8, rowsPerBand: Int = 2) extends CandidateGen {
+      // Fail at construction, not mid-plan: the same contracts
+      // capShingleDfQuantile / minhashBandedRows enforce downstream.
+      require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+      require(floor >= 1, s"df floor must be >= 1, got $floor")
+      require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+        s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
+    }
 
     /** MEASURED-SUPERLINEAR baseline — explicit opt-in only. A fixed
       * absolute df cap silently changes meaning as the corpus grows

@@ -141,6 +141,35 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("X2: default-policy nearDupCandidates never fabricates a pair (candidates " +
+    "share a surviving shingle) and the verified form never exceeds the candidates") =
+    Prop.secure {
+      // On ANY corpus, a banded minhash collision implies both docs contain
+      // the shingle achieving the band's minima, so default-policy
+      // candidates must be a subset of the corpus-wide shared-shingle pair
+      // set — the generator can MISS (that's the S-curve trade) but never
+      // invent. And the one-call verified form must be a subset of its own
+      // candidate pool with Jaccard from the FULL sets. Fixed-seed batch:
+      // each case pays three distributed joins.
+      val rng = new scala.util.Random(101L)
+      import graft.operators.TextOps
+      (1 to 6).forall { _ =>
+        val n = rng.nextInt(8) + 3
+        val docs = (1L to n.toLong).map { i =>
+          (i, List.fill(rng.nextInt(10) + 3)("abcde".charAt(rng.nextInt(5)).toString)
+            .mkString(" "))
+        }
+        val sh = TextOps.shingleRows(docs.toDF("doc_id", "text"),
+          col("doc_id"), lit("all"), col("text"))
+        def pairSet(df: org.apache.spark.sql.DataFrame) =
+          df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        val shared = pairSet(DedupOps.jaccardPairsFromRows(sh))
+        val cand = pairSet(DedupOps.nearDupCandidates(sh))
+        val verified = pairSet(DedupOps.nearDupVerifiedPairs(sh, minJaccard = 0.0))
+        cand.subsetOf(shared) && verified.subsetOf(cand)
+      }
+    }
+
   property("X2: pair-list verify equals the corpus-wide jaccard join restricted to those pairs") =
     Prop.secure {
       // jaccardVerifyPairs must report, for every OFFERED pair, exactly the
