@@ -383,6 +383,60 @@ object BoundedLevenshtein {
   }
 }
 
+/** Unicode NFC normalization of a string column — the canonicalization
+  * pass a dedup pipeline must run BEFORE fingerprinting: the same visible
+  * text can arrive precomposed (U+00E1 "á") from one crawl source and
+  * decomposed (U+0061 U+0301 "a"+combining acute) from another, and a
+  * byte-level hash treats them as distinct documents. Normalizing to NFC
+  * makes the fingerprint canonical-equivalence-invariant (Unicode UAX #15;
+  * DuckDB exposes the identical transform as `nfc_normalize`, which the
+  * oracle uses).
+  *
+  * Spark ships no normalization builtin, and a Scala UDF would box every
+  * row and break WholeStageCodegen on the fingerprint hot path — so this is
+  * preference order (b): a native unary `Expression` whose codegen emits
+  * one static call. The kernel fast-paths the dominant case:
+  * `Normalizer.isNormalized` is a scan with no allocation, and ASCII (the
+  * overwhelming majority of crawl text) is always NFC-normalized, so
+  * already-normal strings return the INPUT UTF8String untouched — zero
+  * copies, zero garbage. Only strings containing a composition candidate
+  * pay the JDK normalize + re-encode.
+  *
+  * Stateless narrow map — a 100 TB normalization pass shuffles nothing. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = GraftFunctions.NfcNormalizeName
+
+  override protected def nullSafeEval(s: Any): Any =
+    NfcNormalize.normalize(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+
+  /** Static kernel shared by interpreted eval and generated code. Returns
+    * the input object unchanged when already NFC (no allocation). */
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
 /** Session-level registration + Column-API surface for graft's native
   * expressions. Registration goes through the public FunctionRegistry so the
   * expressions resolve in any session (including driver-owned ones we don't
@@ -394,6 +448,7 @@ object GraftFunctions {
   val BloomContainsName = "graft_bloom_contains"
   val SubwordEncodeName = "graft_subword_encode"
   val BoundedLevenshteinName = "graft_levenshtein_bounded"
+  val NfcNormalizeName = "graft_nfc_normalize"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -411,6 +466,7 @@ object GraftFunctions {
     ensure(SubwordEncodeName)(exprs => SubwordEncode(exprs.head, exprs(1)))
     ensure(BoundedLevenshteinName)(exprs =>
       BoundedLevenshtein(exprs.head, exprs(1), exprs(2)))
+    ensure(NfcNormalizeName)(exprs => NfcNormalize(exprs.head))
   }
 
   /** Codegen'd dot product of two array<double> columns. Registers against
@@ -442,6 +498,15 @@ object GraftFunctions {
     SparkSession.getActiveSession.foreach(register)
     call_function(BoundedLevenshteinName, a, b,
       org.apache.spark.sql.functions.lit(threshold))
+  }
+
+  /** Codegen'd Unicode NFC normalization of a string column (see
+    * [[NfcNormalize]]) — run before fingerprinting so canonically-equivalent
+    * byte encodings hash identically. Oracle equivalent: DuckDB
+    * `nfc_normalize`. */
+  def nfcNormalize(s: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(NfcNormalizeName, s)
   }
 
   /** Codegen'd Bloom membership probe of a string column against a collected

@@ -708,7 +708,43 @@ object Text extends QueryGroup {
            |SELECT source, n_docs, total_tokens, sum_quality, p50_chars, n_langs, lang_entropy
            |FROM prof JOIN lg USING (source) ORDER BY source""".stripMargin))
 
+  /** X1+F-class: canonical-equivalence-invariant fingerprinting — the
+    * Unicode normalization pass that must precede content hashing when a
+    * corpus mixes crawl sources. Each document is materialized in BOTH
+    * canonical encodings of the same visible text (precomposed U+00E1 vs
+    * decomposed U+0061+U+0301 — byte-distinct, md5-distinct), then
+    * fingerprinted through the codegen'd [[graft.functions.NfcNormalize]]:
+    * every group unifies exactly the two byte variants under one
+    * normalized hash, which is the property that makes exact dedup robust
+    * to encoding provenance. Oracle replays the identical transform with
+    * DuckDB's `nfc_normalize` (same UAX #15 NFC). Stateless narrow map +
+    * one hash aggregate — a linear scan at 100 TB. */
+  private val q142 = QueryDef(
+    "q142_nfc_fingerprint",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pre = d.select(col("doc_id"),
+        replace(col("text"), lit("a"), lit("\u00e1")).as("vtext"))
+      val dec = d.select(col("doc_id"),
+        replace(col("text"), lit("a"), lit("a\u0301")).as("vtext"))
+      pre.unionAll(dec)
+        .groupBy(md5(graft.functions.GraftFunctions.nfcNormalize(col("vtext"))
+          .cast("binary")).as("norm_hash"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(md5(col("vtext").cast("binary"))).as("n_byte_variants"),
+          min(col("doc_id")).as("keeper_id"))
+        .orderBy(col("norm_hash"))
+    },
+    Some("""WITH v AS (
+           |  SELECT doc_id, replace(text, 'a', chr(225)) AS vtext FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS vtext FROM documents)
+           |SELECT md5(nfc_normalize(vtext)) AS norm_hash, count(*) AS n_rows,
+           |  CAST(count(DISTINCT md5(vtext)) AS BIGINT) AS n_byte_variants,
+           |  min(doc_id) AS keeper_id
+           |FROM v GROUP BY 1 ORDER BY norm_hash""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115, q129, q131)
+      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142)
 }
