@@ -1007,4 +1007,94 @@ object DedupOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** A persisted Bloom index over a standing corpus's fingerprint set — the
+    * cross-RUN dedup artifact: built once when the corpus snapshot is laid
+    * down, stored beside it, and reloaded by every subsequent ingest batch
+    * (the same artifact class as the layout stats manifest). `sketch` is
+    * the [[graft.functions.BloomUtil]] bitset (FNV-1a 64 +
+    * Kirsch–Mitzenmacher, `mBits` bits, `k` probes); `nKeys` records the
+    * build-time cardinality so a reader can audit the design load (fp rate
+    * ≈ (1−e^(−k·nKeys/mBits))^k) before trusting the prefilter to be
+    * selective. */
+  final case class BloomIndex(mBits: Int, k: Int, nKeys: Long, sketch: Array[Byte]) {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    require(k > 0, s"k must be positive, got $k")
+    require(nKeys >= 0, s"nKeys must be >= 0, got $nKeys")
+    require(sketch.length.toLong * 8L == mBits.toLong,
+      s"sketch length ${sketch.length} bytes does not match mBits=$mBits")
+  }
+
+  /** Build a [[BloomIndex]] over a corpus fingerprint column, DISTRIBUTED:
+    * the typed [[graft.functions.BloomBuild]] Aggregator carries a
+    * fixed-size bitset per partition and OR-merges, so driver state is the
+    * KB..MB sketch regardless of corpus size. `mBits = 0` auto-sizes from
+    * the measured distinct-key count ([[graft.functions.BloomUtil.sizeFor]]:
+    * m = n·k/ln2 → fp ≈ 2^−k at design load). The distinct pass is the
+    * build's one shuffle — at 100 TB it runs against the corpus's already-
+    * deduped fingerprint INDEX (q60's standing state), not the text. */
+  def buildFingerprintBloom(corpus: DataFrame, fp: Column, k: Int = 5,
+      mBits: Int = 0): BloomIndex = {
+    import graft.functions.{BloomBuild, BloomUtil}
+    require(mBits >= 0, s"mBits must be >= 0 (0 = auto-size), got $mBits")
+    val keys = corpus.select(fp.cast("string").as("__fp")).distinct()
+      .localCheckpoint(true)
+    val n = keys.count()
+    val m = if (mBits > 0) mBits else BloomUtil.sizeFor(n, k)
+    val agg = udaf(new BloomBuild(m, k), org.apache.spark.sql.Encoders.STRING)
+    val sketch = keys.agg(agg(col("__fp"))).head.getAs[Array[Byte]](0)
+    BloomIndex(m, k, n, sketch)
+  }
+
+  /** Persist a [[BloomIndex]] as a single-row parquet artifact (metadata +
+    * sketch bytes) so later ingest runs [[readBloomIndex]] instead of
+    * rebuilding over the corpus. */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idx: BloomIndex): Unit = {
+    import spark.implicits._
+    Seq((idx.mBits, idx.k, idx.nKeys, idx.sketch))
+      .toDF("m_bits", "k", "n_keys", "sketch")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted [[BloomIndex]]; refuses loudly on a malformed
+    * artifact (wrong schema / row count) rather than prefiltering with
+    * garbage. */
+  def readBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String): BloomIndex = {
+    val rows = spark.read.parquet(path)
+      .select(col("m_bits"), col("k"), col("n_keys"), col("sketch")).collect()
+    require(rows.length == 1,
+      s"bloom index at $path must hold exactly 1 row, found ${rows.length}")
+    val r = rows(0)
+    BloomIndex(r.getInt(0), r.getInt(1), r.getLong(2), r.getAs[Array[Byte]](3))
+  }
+
+  /** X1 incremental dedup, Bloom-pruned — q60's anti-join with the standing
+    * corpus made batch-cheap: fresh rows probe the corpus's [[BloomIndex]]
+    * with the codegen'd `graft_bloom_contains` (sketch rides the plan as a
+    * literal — no join, no shuffle); bloom-NEGATIVE rows are provably novel
+    * (no false negatives) and are admitted without touching the corpus,
+    * and only the bloom-positive sliver (true dupes + ε false positives)
+    * pays the exact anti-join rescan. Result is EXACTLY the plain
+    * anti-join — the filter only moves work.
+    *
+    * At 100 TB: a typical crawl batch is overwhelmingly novel, so the
+    * anti-join's probe side shrinks from the whole batch to its duplicate
+    * sliver; the corpus side joins against that sliver instead of the
+    * batch. The index must be the one built over THIS `corpusFps` snapshot
+    * (or a superset-keyed rebuild) — an index missing corpus keys would
+    * admit duplicates as "provably novel", which is why [[readBloomIndex]]
+    * carries `nKeys` for snapshot auditing.
+    *
+    * `fpName` must name a string column present in `fresh`; `corpusFps`
+    * needs the same column (deduplicated internally). */
+  def bloomPrunedNovel(fresh: DataFrame, fpName: String, corpusFps: DataFrame,
+      idx: BloomIndex): DataFrame = {
+    import graft.functions.GraftFunctions
+    val might = GraftFunctions.bloomContains(col(fpName), idx.sketch, idx.k)
+    val novelFast = fresh.filter(!might)
+    val rescan = fresh.filter(might)
+      .join(corpusFps.select(col(fpName)).distinct(), Seq(fpName), "left_anti")
+    novelFast.unionByName(rescan)
+  }
 }

@@ -771,7 +771,44 @@ object Dedup extends QueryGroup {
            |FROM documents d LEFT JOIN dropped dr USING (doc_id)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X1 incremental dedup, Bloom-pruned (q60's recurring-ingest shape with
+    * the standing-corpus probe made batch-cheap): the corpus partition's
+    * full-text md5 set is distilled into a [[graft.operators.DedupOps.BloomIndex]]
+    * (distributed OR-merge build, KB-sized driver sketch — the persisted
+    * cross-run artifact `writeBloomIndex`/`readBloomIndex` round-trips),
+    * and fresh docs bloom-negative on the codegen'd plan-literal probe are
+    * admitted WITHOUT the corpus join; only the bloom-positive sliver pays
+    * the exact anti-join rescan. No false negatives + rescan ⇒ the result
+    * is EXACTLY the plain anti-join, which is what the oracle replays —
+    * the prefilter moves work, never answers. Split is by doc_id so it is
+    * orthogonal to q60's source-based split. */
+  private val q143 = QueryDef(
+    "q143_bloom_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("fp", md5(col("text").cast("binary")))
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      val fresh = docs.filter(col("doc_id") % 10 >= 8)
+      val idx = graft.operators.DedupOps.buildFingerprintBloom(corpus, col("fp"))
+      val kept = graft.operators.DedupOps
+        .bloomPrunedNovel(fresh, "fp", corpus, idx)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      fresh.groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_new"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH fps AS (
+           |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+           |corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+           |fresh AS (SELECT source, fp FROM fps WHERE doc_id % 10 >= 8)
+           |SELECT f.source, count(*) AS n_new,
+           |  CAST(sum(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124)
+      q118, q119, q120, q121, q124, q143)
 }

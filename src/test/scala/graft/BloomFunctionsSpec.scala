@@ -92,4 +92,54 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(canon(CurationOps.contaminationBloom(ev, tr, mBits, k))
       === canon(CurationOps.contamination(ev, tr)))
   }
+
+  test("BloomIndex round-trips through parquet and validates on read") {
+    import graft.operators.DedupOps
+    val corpus = (1L to 300L).map(i => (i, s"fp_${i % 120}")).toDF("id", "fp")
+    val idx = DedupOps.buildFingerprintBloom(corpus, col("fp"), k = 5)
+    assert(idx.nKeys === 120)
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    DedupOps.writeBloomIndex(spark, s"$dir/idx", idx)
+    val back = DedupOps.readBloomIndex(spark, s"$dir/idx")
+    assert(back === idx.copy(sketch = back.sketch)) // metadata equal
+    assert(back.sketch.toSeq === idx.sketch.toSeq)  // sketch bit-identical
+    // malformed artifact (2 rows) refuses loudly
+    spark.range(2).selectExpr("1 AS m_bits", "1 AS k", "0L AS n_keys",
+      "CAST(NULL AS BINARY) AS sketch").write.mode("overwrite").parquet(s"$dir/bad")
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.readBloomIndex(spark, s"$dir/bad")
+    }
+    assert(err.getMessage.contains("exactly 1 row"))
+  }
+
+  test("bloomPrunedNovel equals the plain anti-join on random overlapping batches") {
+    import graft.operators.DedupOps
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val corpus = (1 to 200).map(_ => s"key_${rnd.nextInt(150)}")
+        .zipWithIndex.map { case (fp, i) => (i.toLong, fp) }.toDF("id", "fp")
+      val fresh = (1 to 120).map(_ => s"key_${rnd.nextInt(300)}")
+        .zipWithIndex.map { case (fp, i) => (i.toLong, fp) }.toDF("id", "fp")
+      val idx = DedupOps.buildFingerprintBloom(corpus, col("fp"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "fp").as[(Long, String)].collect().sortBy(identity).toSeq
+      val pruned = canon(DedupOps.bloomPrunedNovel(fresh, "fp", corpus, idx))
+      val plain = canon(fresh.join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+        .select("id", "fp"))
+      assert(pruned === plain, s"trial $trial diverged")
+    }
+  }
+
+  test("bloom prune admits disjoint fresh keys without consulting the corpus join") {
+    import graft.operators.DedupOps
+    val corpus = (1L to 400L).map(i => (i, s"old_$i")).toDF("id", "fp")
+    val fresh = (1L to 400L).map(i => (i, s"new_$i")).toDF("id", "fp")
+    val idx = DedupOps.buildFingerprintBloom(corpus, col("fp"))
+    // All fresh keys are novel; with an auto-sized filter nearly all must be
+    // admitted on the bloom-negative fast path (fp rate ≈ 2^-k ≈ 3%).
+    val fastPath = fresh.filter(
+      !GraftFunctions.bloomContains(col("fp"), idx.sketch, idx.k)).count()
+    assert(fastPath > 360, s"only $fastPath of 400 novel keys skipped the rescan join")
+    assert(DedupOps.bloomPrunedNovel(fresh, "fp", corpus, idx).count() === 400)
+  }
 }
