@@ -495,4 +495,47 @@ object TextOps {
       .groupBy(col("doc_id"), col("dl"))
       .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms_matched"))
   }
+
+  /** URL canonicalization — the normalization pass crawl dedup runs on the
+    * url key BEFORE grouping, so the same resource fetched as
+    * `HTTPS://Host:443/p/?utm_source=x` and `https://host/p` counts once.
+    * Transform (each step a pure built-in regex/array function, mirrored
+    * verbatim by the DuckDB oracle — no parse_url, which DuckDB lacks):
+    * drop the fragment; lowercase scheme and host; strip the scheme's
+    * default port (:443 for https, :80 for http); strip trailing slashes
+    * from the path; drop tracking params (utm_*, fbclid, gclid) and empty
+    * params, then SORT the rest so param order is canonical. Stateless
+    * narrow map — a 100 TB URL pass shuffles nothing, and every downstream
+    * dedup/rollup groups on the canonical key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1),
+      "/+$", "")
+    val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val sortedQ = array_join(array_sort(filter(split(qs, "&"),
+      x => x =!= "" && !x.rlike("^(utm_|fbclid|gclid)"))), "&")
+    concat(scheme, lit("://"), urlHost(url), path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** Canonical host of a URL: lowercased, with the scheme's default port
+    * stripped. The per-site partition key of crawl-corpus rollups. */
+  def urlHost(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1))
+    when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+  }
+
+  /** Registered domain approximation: the last two dot-labels of a host
+    * (`a.b.example.com` → `example.com`). The blocklist/quota key of
+    * domain-level curation. (A public-suffix-list lookup is the production
+    * refinement; the two-label rule is the deterministic, oracle-mirrored
+    * core.) */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }

@@ -744,7 +744,73 @@ object Text extends QueryGroup {
            |  min(doc_id) AS keeper_id
            |FROM v GROUP BY 1 ORDER BY norm_hash""".stripMargin))
 
+  /** X7 URL canonicalization + per-site rollup ([[TextOps.canonicalizeUrl]]):
+    * crawl records carry the same resource under casing/port/tracking-param/
+    * trailing-slash/param-order variants; the canonical key collapses them
+    * before dedup and the host rollup is the per-site quota/blocklist view.
+    * Four raw variants are derived per doc (canonical, cased+default-port,
+    * tracking-params+slash+fragment, reordered real params); per host the
+    * canonical distinct count collapses the first three. Every step is a
+    * mirrored regex/array built-in — no UDF, no parse_url — and a stateless
+    * narrow map before one hash aggregate. */
+  private val q144 = QueryDef(
+    "q144_url_canonical",
+    (s, dir) => {
+      val pathPart = (col("doc_id") % 7).cast("string")
+      val u = Tables.documents(s, dir).withColumn("url",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"), pathPart))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM:443/docs/"), pathPart))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"), pathPart,
+            lit("/?utm_source=feed&gclid=xyz#frag")))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"), pathPart,
+            lit("?b=2&a=1"))))
+      u.withColumn("curl", TextOps.canonicalizeUrl(col("url")))
+        .withColumn("host", TextOps.urlHost(col("url")))
+        .withColumn("domain", TextOps.registeredDomain(col("host")))
+        .groupBy(col("host"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("curl")).as("n_canon"))
+        .orderBy(col("host"))
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id, source,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN 'https://' || source || '.example.com/docs/' || CAST(doc_id % 7 AS VARCHAR)
+           |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM:443/docs/' || CAST(doc_id % 7 AS VARCHAR)
+           |      WHEN 2 THEN 'https://' || source || '.example.com/docs/' || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&gclid=xyz#frag'
+           |      ELSE 'https://' || source || '.example.com/docs/' || CAST(doc_id % 7 AS VARCHAR) || '?b=2&a=1'
+           |    END AS url
+           |  FROM documents),
+           |c AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+           |p AS (
+           |  SELECT url,
+           |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostport,
+           |    regexp_replace(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), '/+$', '') AS path,
+           |    regexp_extract(nofrag, '\?(.*)$', 1) AS qs
+           |  FROM c),
+           |f AS (
+           |  SELECT url, scheme,
+           |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           |         ELSE hostport END AS host,
+           |    path,
+           |    coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&'), '') AS sq
+           |  FROM p)
+           |SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           |  count(*) AS n_docs,
+           |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+           |  CAST(count(DISTINCT scheme || '://' || host || path ||
+           |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS BIGINT) AS n_canon
+           |FROM f GROUP BY 1, 2 ORDER BY host""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142)
+      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144)
 }
