@@ -886,4 +886,59 @@ object CurationOps {
     sharded.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("rank"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** EXACT per-group median without per-group collection — the order
+    * statistic computed the way it survives 100 TB: aggregate to
+    * (group, value) COUNTS first, then one prefix-sum window over each
+    * group's DISTINCT values (bounded by the value domain, not the row
+    * count — `exact percentile`'s per-group array materialization is
+    * precisely the scale anti-pattern this replaces), and read the two
+    * middle positions off the cumulative counts. Even-count groups average
+    * the two middle values (quantile_cont(0.5) semantics — DuckDB's
+    * `median`, so the oracle replays it exactly).
+    *
+    * Returns one row per group: (groupName, med). `value` may be any
+    * numeric column; it is cast to double. */
+  def groupedExactMedian(df: DataFrame, groupName: String, value: Column): DataFrame = {
+    val counts = df.select(col(groupName), value.cast("double").as("__v"))
+      .groupBy(col(groupName), col("__v")).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupName)).orderBy(col("__v"))
+    counts.withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col(groupName))))
+      .groupBy(col(groupName))
+      .agg(((min(when(col("__cum") >= floor((col("__n") + 1) / 2), col("__v"))) +
+        min(when(col("__cum") >= floor((col("__n") + 2) / 2), col("__v")))) / 2d).as("med"))
+  }
+
+  /** Robust per-group outlier QA — the metadata sanity gate a pipeline runs
+    * over doc-level scalars (lengths, token counts, quality scores) before
+    * they feed quotas and mixtures: median/MAD instead of mean/stddev, so
+    * the screen itself is not dragged by the outliers it hunts. Two
+    * [[groupedExactMedian]] passes (values, then absolute deviations from
+    * the group median — the MAD) and one broadcast join of the ≤|groups|-row
+    * stats back onto the scan; a row is flagged when
+    * |x − med| > z·MAD (z·1.4826·MAD is the σ-consistent form; `z` here
+    * multiplies raw MAD to stay integer-exact for the oracle). MAD = 0
+    * (over half the group identical) degrades to flagging any x ≠ med,
+    * explicitly — same CASE in the oracle.
+    *
+    * Returns one row per group: (groupName, n_rows, med, mad, n_outliers). */
+  def robustOutliers(df: DataFrame, groupName: String, value: Column,
+      z: Double = 3.5): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val base = df.select(col(groupName), value.cast("double").as("__x"))
+    val med = groupedExactMedian(base, groupName, col("__x"))
+    val withMed = base.join(broadcast(med), Seq(groupName))
+    val mad = groupedExactMedian(
+      withMed.select(col(groupName), abs(col("__x") - col("med")).as("__d")),
+      groupName, col("__d"))
+      .withColumnRenamed("med", "mad")
+    withMed.join(broadcast(mad), Seq(groupName))
+      .groupBy(col(groupName))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col("__x") - col("med")) > lit(z) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

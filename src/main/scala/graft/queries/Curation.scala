@@ -1074,10 +1074,35 @@ object Curation extends QueryGroup {
            |SELECT source_lo, source_hi, count(*) AS n_pairs
            |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** X7 robust per-source QA gate ([[CurationOps.robustOutliers]]): flag
+    * docs whose length sits > 3.5 MADs from their source's median — the
+    * metadata screen that runs BEFORE lengths feed quotas/mixtures, on
+    * median/MAD so the screen is not dragged by the tail it hunts. EXACT
+    * order statistics at scale: two value-count prefix-sum medians (window
+    * rides each source's DISTINCT value domain, never its row count — the
+    * per-group-collect of `percentile` is the anti-pattern this replaces)
+    * + broadcast of the ≤|sources|-row stats. Oracle: DuckDB's native
+    * `median`/`mad` (quantile_cont(0.5) semantics both sides). */
+  private val q145 = QueryDef(
+    "q145_robust_outliers",
+    (s, dir) => CurationOps.robustOutliers(
+        Tables.documents(s, dir), "source", col("n_chars"), z = 3.5)
+      .select(col("source"), col("n_rows"), col("med"), col("mad"), col("n_outliers"))
+      .orderBy(col("source")),
+    Some("""WITH s AS (
+           |  SELECT source, CAST(median(n_chars) AS DOUBLE) AS med,
+           |    CAST(mad(n_chars) AS DOUBLE) AS mad
+           |  FROM documents GROUP BY 1)
+           |SELECT d.source, count(*) AS n_rows, any_value(s.med) AS med,
+           |  any_value(s.mad) AS mad,
+           |  CAST(sum(CASE WHEN abs(d.n_chars - s.med) > 3.5 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           |FROM documents d JOIN s USING (source)
+           |GROUP BY 1 ORDER BY d.source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138, q139)
+      q137, q138, q139, q145)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

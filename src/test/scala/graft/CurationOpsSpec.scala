@@ -636,6 +636,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == "small").map(_._4).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("robustOutliers: hand case, MAD=0 degenerate, and z gate") {
+    import spark.implicits._
+    // g1: values 1..9 plus a 1000 tail -> med 5.5, deviations {0.5..4.5, 994.5}
+    //     sorted devs: .5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5 -> mad 2.5
+    //     outliers: |x-5.5| > 3.5*2.5 = 8.75 -> only 1000.
+    // g2: nine 7s and one 9 -> med 7, mad 0 -> degenerate: any x != med flags.
+    val rows = ((1 to 9).map(v => ("g1", v.toDouble)) :+ ("g1", 1000d)) ++
+      ((1 to 9).map(_ => ("g2", 7d)) :+ ("g2", 9d))
+    val got = graft.operators.CurationOps
+      .robustOutliers(rows.toDF("g", "v"), "g", col("v"), z = 3.5)
+      .as[(String, Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("g1", 10L, 5.5, 2.5, 1L), ("g2", 10L, 7.0, 0.0, 1L)))
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))

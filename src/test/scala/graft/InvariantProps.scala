@@ -170,6 +170,29 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("X7: groupedExactMedian equals the sorted-sequence median (quantile_cont 0.5) per group") =
+    Prop.secure {
+      // The counts+prefix-sum median must agree with the naive definition
+      // (avg of the two middle order statistics) on ANY multiset, odd or
+      // even counts, ties included. Fixed-seed batch: one distributed pass
+      // per case.
+      val rng = new scala.util.Random(202L)
+      import graft.operators.CurationOps
+      (1 to 6).forall { _ =>
+        val rows = (1 to rng.nextInt(40) + 1).map { _ =>
+          (s"g${rng.nextInt(3)}", rng.nextInt(8).toDouble)
+        }
+        val got = CurationOps.groupedExactMedian(rows.toDF("g", "v"), "g", col("v"))
+          .as[(String, Double)].collect().toMap
+        val want = rows.groupBy(_._1).map { case (g, vs) =>
+          val s = vs.map(_._2).sorted
+          val n = s.size
+          g -> (s((n - 1) / 2) + s(n / 2)) / 2d
+        }
+        got == want
+      }
+    }
+
   property("X2: pair-list verify equals the corpus-wide jaccard join restricted to those pairs") =
     Prop.secure {
       // jaccardVerifyPairs must report, for every OFFERED pair, exactly the
