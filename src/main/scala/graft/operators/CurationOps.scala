@@ -910,6 +910,37 @@ object CurationOps {
         min(when(col("__cum") >= floor((col("__n") + 2) / 2), col("__v")))) / 2d).as("med"))
   }
 
+  /** EXACT per-group quantile_cont(p) for several p at once, by the same
+    * value-count prefix-sum machinery as [[groupedExactMedian]] (whose 0.5
+    * case this generalizes): per group, position pos = p·(n−1) over the
+    * sorted multiset, linearly interpolated between the order statistics at
+    * ranks ⌊pos⌋+1 and ⌈pos⌉+1 — DuckDB `quantile_cont` semantics, so the
+    * oracle replays it natively. One counts aggregate + one
+    * distinct-value-bounded window + one final aggregate computes EVERY
+    * requested p — adding quantiles is free.
+    *
+    * Returns one row per group: (groupName, <name> per requested (name, p)). */
+  def groupedExactQuantiles(df: DataFrame, groupName: String, value: Column,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile required")
+    ps.foreach { case (n, p) =>
+      require(p >= 0 && p <= 1, s"quantile $n=$p outside [0, 1]") }
+    val counts = df.select(col(groupName), value.cast("double").as("__v"))
+      .groupBy(col(groupName), col("__v")).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupName)).orderBy(col("__v"))
+    val cum = counts.withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col(groupName))))
+    val aggs = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val v1 = min(when(col("__cum") >= floor(pos) + 1, col("__v")))
+      val v2 = min(when(col("__cum") >= ceil(pos) + 1, col("__v")))
+      // min() ignores rows where the when() is null, so v1/v2 are the order
+      // statistics at ranks ⌊pos⌋+1 / ⌈pos⌉+1; frac is constant per group.
+      (v1 + (min(pos) - floor(min(pos))) * (v2 - v1)).as(name)
+    }
+    cum.groupBy(col(groupName)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Robust per-group outlier QA — the metadata sanity gate a pipeline runs
     * over doc-level scalars (lengths, token counts, quality scores) before
     * they feed quotas and mixtures: median/MAD instead of mean/stddev, so

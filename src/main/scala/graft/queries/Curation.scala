@@ -1099,10 +1099,56 @@ object Curation extends QueryGroup {
            |FROM documents d JOIN s USING (source)
            |GROUP BY 1 ORDER BY d.source""".stripMargin))
 
+  /** X7 exact quantile profile + Tukey fences ([[CurationOps.groupedExactQuantiles]]):
+    * per-source p25/p50/p75/p90 of doc length computed EXACTLY at scale
+    * (one counts aggregate + one distinct-value-bounded prefix-sum window
+    * serves every p — q130's 64-bin sketch is the approximate rung, this is
+    * the exact one), plus the classic 1.5·IQR outlier gate beside q145's
+    * MAD gate. Quarter-fraction interpolation positions make the fence
+    * comparisons FP-exact; displayed quantiles round to 6. Oracle: native
+    * `quantile_cont` + the same fence CASE. */
+  private val q146 = QueryDef(
+    "q146_quantile_profile",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = CurationOps.groupedExactQuantiles(docs, "source", col("n_chars"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+      docs.join(broadcast(qs), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(first(col("p25")), 6).as("p25"),
+          round(first(col("p50")), 6).as("p50"),
+          round(first(col("p75")), 6).as("p75"),
+          round(first(col("p90")), 6).as("p90"),
+          round(first(col("p75")) - first(col("p25")), 6).as("iqr"),
+          sum(when(col("n_chars") < col("p25") - lit(1.5) * (col("p75") - col("p25")), 1L)
+            .when(col("n_chars") > col("p75") + lit(1.5) * (col("p75") - col("p25")), 1L)
+            .otherwise(0L)).as("n_tukey"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH q AS (
+           |  SELECT source,
+           |    CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
+           |    CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50,
+           |    CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75,
+           |    CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90
+           |  FROM documents GROUP BY 1)
+           |SELECT d.source, count(*) AS n_rows,
+           |  round(any_value(q.p25), 6) AS p25,
+           |  round(any_value(q.p50), 6) AS p50,
+           |  round(any_value(q.p75), 6) AS p75,
+           |  round(any_value(q.p90), 6) AS p90,
+           |  round(any_value(q.p75) - any_value(q.p25), 6) AS iqr,
+           |  CAST(sum(CASE WHEN d.n_chars < q.p25 - 1.5 * (q.p75 - q.p25)
+           |                  OR d.n_chars > q.p75 + 1.5 * (q.p75 - q.p25)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_tukey
+           |FROM documents d JOIN q USING (source)
+           |GROUP BY 1 ORDER BY d.source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138, q139, q145)
+      q137, q138, q139, q145, q146)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

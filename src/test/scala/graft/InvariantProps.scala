@@ -193,6 +193,33 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("X7: groupedExactQuantiles equals naive quantile_cont interpolation for every p") =
+    Prop.secure {
+      // pos = p·(n−1), linear interpolation between adjacent order
+      // statistics — must hold on ANY multiset for p at, between, and on
+      // the boundaries of rank positions.
+      val rng = new scala.util.Random(303L)
+      import graft.operators.CurationOps
+      val ps = Seq("q0" -> 0.0, "q25" -> 0.25, "q33" -> 1.0 / 3, "q75" -> 0.75, "q1" -> 1.0)
+      (1 to 5).forall { _ =>
+        val rows = (1 to rng.nextInt(30) + 1).map { _ =>
+          (s"g${rng.nextInt(3)}", rng.nextInt(9).toDouble)
+        }
+        val got = CurationOps.groupedExactQuantiles(rows.toDF("g", "v"), "g", col("v"), ps)
+          .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+        val want = rows.groupBy(_._1).map { case (g, vs) =>
+          val s = vs.map(_._2).sorted
+          g -> ps.map { case (_, p) =>
+            val pos = p * (s.size - 1)
+            val lo = s(math.floor(pos).toInt)
+            val hi = s(math.ceil(pos).toInt)
+            lo + (pos - math.floor(pos)) * (hi - lo)
+          }
+        }
+        got == want
+      }
+    }
+
   property("X2: pair-list verify equals the corpus-wide jaccard join restricted to those pairs") =
     Prop.secure {
       // jaccardVerifyPairs must report, for every OFFERED pair, exactly the
