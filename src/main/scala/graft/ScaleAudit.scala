@@ -280,6 +280,21 @@ object ScaleAudit {
     val fixedOcc = meanBucketOccupancy(SimilarityOps.lshTables(1, 2, 64))
     val tunedCandPerQuery = if (tunedCand >= 0) tunedCand / 10.0 else -1d
 
+    // q143 bloom-pruned incremental dedup: the prefilter's job is to keep
+    // the exact anti-join's probe side at (true dupes + ε·fresh). Across
+    // SFs the positive row count must track the TRUE dupe count, with the
+    // auto-sized filter holding ε near 2^-k — not drift toward the fresh
+    // total (a saturating filter would).
+    val docsFp = docs.withColumn("fp", md5(col("text").cast("binary")))
+    val corpus143 = docsFp.filter(col("doc_id") % 10 < 8)
+    val fresh143 = docsFp.filter(col("doc_id") % 10 >= 8).localCheckpoint(true)
+    val idx143 = DedupOps.buildFingerprintBloom(corpus143, col("fp"))
+    val fresh143N = fresh143.count()
+    val bloomPos143 = fresh143.filter(
+      graft.functions.GraftFunctions.bloomContains(col("fp"), idx143.sketch, idx143.k)).count()
+    val trueDup143 = fresh143.join(
+      corpus143.select("fp").distinct(), Seq("fp"), "left_semi").count()
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -306,7 +321,9 @@ object ScaleAudit {
       s""""q117_tuned_recall":$tunedRecall,"q117_tuned_candidate_pairs":$tunedCand,""" +
       s""""q141_tuned_bucket_occupancy":${math.rint(tunedOcc * 100) / 100},""" +
       s""""q141_fixed_1x2_bucket_occupancy":${math.rint(fixedOcc * 100) / 100},""" +
-      s""""q141_tuned_candidates_per_query":$tunedCandPerQuery}""")
+      s""""q141_tuned_candidates_per_query":$tunedCandPerQuery,""" +
+      s""""q143_bloom_mbits":${idx143.mBits},"q143_fresh_rows":$fresh143N,""" +
+      s""""q143_bloom_positive_rows":$bloomPos143,"q143_true_dup_rows":$trueDup143}""")
     spark.stop()
   }
 }

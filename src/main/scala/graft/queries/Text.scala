@@ -810,7 +810,50 @@ object Text extends QueryGroup {
            |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS BIGINT) AS n_canon
            |FROM f GROUP BY 1, 2 ORDER BY host""".stripMargin))
 
+  /** X4 character-entropy quality signal: per-doc Shannon entropy of the
+    * character distribution — the classic gibberish/boilerplate detector
+    * (random bytes score high, repeated filler scores low) that complements
+    * q19's token-ratio score. Shape is exactly word-count: explode to
+    * (doc, char), hash-aggregate counts (partial aggregation absorbs the
+    * ~n_chars× fan-out map-side), one doc-partitioned window for totals,
+    * then the per-source rollup. Linear scan at 100 TB, no global window. */
+  private val q147 = QueryDef(
+    "q147_char_entropy",
+    (s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy(col("doc_id"), col("source"), col("c"))
+        .agg(count(lit(1)).as("n"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val ent = cnt
+        .withColumn("tot", sum(col("n")).over(tot).cast("double"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(-sum((col("n").cast("double") / col("tot")) *
+          log(2.0, col("n").cast("double") / col("tot"))), 6).as("h"))
+      ent.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("h")), 6).as("avg_entropy"),
+          round(min(col("h")), 6).as("min_entropy"),
+          round(max(col("h")), 6).as("max_entropy"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ch AS (
+           |  SELECT doc_id, source, unnest(string_split_regex(text, '')) AS c
+           |  FROM documents),
+           |cnt AS (
+           |  SELECT doc_id, source, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2, 3),
+           |ent AS (
+           |  SELECT doc_id, source,
+           |    round(-sum((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot)), 6) AS h
+           |  FROM (SELECT doc_id, source, c, n,
+           |          CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS tot FROM cnt)
+           |  GROUP BY 1, 2)
+           |SELECT source, count(*) AS n_docs, round(avg(h), 6) AS avg_entropy,
+           |  round(min(h), 6) AS min_entropy, round(max(h), 6) AS max_entropy
+           |FROM ent GROUP BY 1 ORDER BY source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144)
+      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144, q147)
 }
