@@ -1069,6 +1069,31 @@ object DedupOps {
     BloomIndex(r.getInt(0), r.getInt(1), r.getLong(2), r.getAs[Array[Byte]](3))
   }
 
+  /** OR-merge of two same-geometry [[BloomIndex]]es — the sketch algebra
+    * that makes the artifact maintainable without corpus rescans: the
+    * bitset of a union of key sets IS the OR of the bitsets (position
+    * functions depend only on geometry), so `merge(build(A), build(B)) ≡
+    * build(A ∪ B)` bit-for-bit. An ingest pipeline ORs each admitted
+    * batch's sketch into the standing artifact (same discipline as the HLL
+    * replay-by-algebra streaming sink); `nKeys` becomes an UPPER bound
+    * after merging (shared keys double-count), which only over-provisions
+    * the next auto-sizing, never corrupts membership. Refuses loudly on
+    * mismatched geometry — ORing different (m, k) would silently produce
+    * false negatives, the one failure mode a Bloom prefilter must never
+    * have. */
+  def mergeBloomIndexes(a: BloomIndex, b: BloomIndex): BloomIndex = {
+    require(a.mBits == b.mBits && a.k == b.k,
+      s"cannot merge bloom indexes of different geometry: " +
+        s"(m=${a.mBits}, k=${a.k}) vs (m=${b.mBits}, k=${b.k})")
+    val out = new Array[Byte](a.sketch.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (a.sketch(i) | b.sketch(i)).toByte
+      i += 1
+    }
+    BloomIndex(a.mBits, a.k, a.nKeys + b.nKeys, out)
+  }
+
   /** X1 incremental dedup, Bloom-pruned — q60's anti-join with the standing
     * corpus made batch-cheap: fresh rows probe the corpus's [[BloomIndex]]
     * with the codegen'd `graft_bloom_contains` (sketch rides the plan as a

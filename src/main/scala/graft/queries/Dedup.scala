@@ -808,7 +808,54 @@ object Dedup extends QueryGroup {
            |FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X1 dup-rate ESTIMATION by fingerprint-space sampling — the planning
+    * instrument that sizes a 100 TB dedup run before paying for it: sample
+    * 3/16 of FINGERPRINT space (the bucket is a hash OF the fp, so every
+    * copy of a key lands in or out TOGETHER — doc-level sampling would
+    * split dup groups and bias the estimate low) and read the dup rate off
+    * the sample. The full-corpus rate sits beside it as ground truth; at
+    * scale only the sampled branch runs, at 3/16 the scan+shuffle cost.
+    * Near-exact key = 3-hex-char md5 prefix (12-bit space) so collision
+    * mass exists at every SF. */
+  private val q148 = QueryDef(
+    "q148_sampled_dup_rate",
+    (s, dir) => {
+      val g = Tables.documents(s, dir)
+        .withColumn("fp", substring(md5(col("text").cast("binary")), 1, 3))
+        .withColumn("sb", substring(md5(col("fp").cast("binary")), 1, 1))
+      val actual = g.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"))
+      val est = g.filter(col("sb").isin("0", "1", "2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)), 6)
+            .as("est_dup_rate"))
+      actual.join(est, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("dup_rate"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("est_dup_rate"), lit(0.0)).as("est_dup_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH g AS (
+           |  SELECT source, substr(md5(text), 1, 3) AS fp,
+           |    substr(md5(substr(md5(text), 1, 3)), 1, 1) AS sb
+           |  FROM documents),
+           |a AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate
+           |  FROM g GROUP BY 1),
+           |s AS (
+           |  SELECT source, count(*) AS n_sampled,
+           |    round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS est_dup_rate
+           |  FROM g WHERE sb IN ('0', '1', '2') GROUP BY 1)
+           |SELECT a.source, a.n_docs, a.dup_rate,
+           |  coalesce(s.n_sampled, 0) AS n_sampled,
+           |  coalesce(s.est_dup_rate, 0.0) AS est_dup_rate
+           |FROM a LEFT JOIN s USING (source) ORDER BY a.source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124, q143)
+      q118, q119, q120, q121, q124, q143, q148)
 }

@@ -130,6 +130,28 @@ class BloomFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("mergeBloomIndexes: OR of per-batch sketches equals the union build, bit for bit") {
+    import graft.operators.DedupOps
+    // Overlapping batches, FIXED geometry (auto-sizing would pick different
+    // m per batch — a real pipeline pins geometry when it plans to merge).
+    val m = 1 << 14
+    val batchA = (1L to 200L).map(i => (i, s"key_${i % 160}")).toDF("id", "fp")
+    val batchB = (1L to 200L).map(i => (i, s"key_${100 + i % 160}")).toDF("id", "fp")
+    val union = batchA.unionByName(batchB)
+    val merged = DedupOps.mergeBloomIndexes(
+      DedupOps.buildFingerprintBloom(batchA, col("fp"), k = k, mBits = m),
+      DedupOps.buildFingerprintBloom(batchB, col("fp"), k = k, mBits = m))
+    val direct = DedupOps.buildFingerprintBloom(union, col("fp"), k = k, mBits = m)
+    assert(merged.sketch.toSeq === direct.sketch.toSeq)
+    assert(merged.nKeys >= direct.nKeys) // upper bound after overlap
+    // geometry mismatch refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.mergeBloomIndexes(merged,
+        DedupOps.buildFingerprintBloom(batchB, col("fp"), k = k, mBits = m * 2))
+    }
+    assert(err.getMessage.contains("different geometry"))
+  }
+
   test("bloom prune admits disjoint fresh keys without consulting the corpus join") {
     import graft.operators.DedupOps
     val corpus = (1L to 400L).map(i => (i, s"old_$i")).toDF("id", "fp")
