@@ -428,8 +428,15 @@ object NfcNormalize {
   import java.text.Normalizer
 
   /** Static kernel shared by interpreted eval and generated code. Returns
-    * the input object unchanged when already NFC (no allocation). */
+    * the input object unchanged when already NFC. All-ASCII input (the
+    * dominant crawl case) is detected with a raw byte scan and returns
+    * with NO allocation at all; only strings containing a non-ASCII byte
+    * pay the String decode, and only non-NFC ones pay the normalize. */
   def normalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII is always NFC
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -202,31 +202,21 @@ object CurationOps {
     * for curation filters (doc-length, per-domain score drift), where
     * mean/stddev would let the outliers move their own threshold.
     *
-    * Two grouped EXACT percentile aggregates (median, then MAD over the
-    * deviations) with a broadcast-sized (one row per group) join between
-    * them — group cardinality is the only driver-independent state. Exact
-    * group-sorted percentiles are the oracle-matching choice; at 100 TB
-    * swap in `approx_percentile` per group (t-digest, mergeable, bounded
-    * state) and keep the identical downstream rule. */
+    * Column-keyed adapter over the String-keyed `robustOutliers` below
+    * (round-10: previously two EXACT `percentile` aggregates, whose
+    * per-group array collect is the scale anti-pattern the prefix-sum
+    * machinery replaces — one implementation now serves both
+    * signatures). Output contract unchanged: (grp, median, mad,
+    * n_rows, n_outliers) with median/mad displayed at 6 decimals and the
+    * gate computed on unrounded values. */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
-      k: Double): DataFrame = {
-    require(k > 0, "k must be positive")
-    val g = df.select(group.as("grp"), value.cast("double").as("__v"))
-    val med = g.groupBy(col("grp"))
-      .agg(percentile(col("__v"), lit(0.5)).as("__med"))
-    val dev = g.join(med, "grp")
-    val mad = dev.groupBy(col("grp"), col("__med"))
-      .agg(percentile(abs(col("__v") - col("__med")), lit(0.5)).as("__mad"))
-    dev.join(mad.select(col("grp"), col("__mad")), "grp")
-      .groupBy(col("grp"), col("__med"), col("__mad"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(abs(col("__v") - col("__med")) > lit(k) * col("__mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+      k: Double): DataFrame =
+    robustOutliers(df.select(group.as("grp"), value.cast("double").as("__rv")),
+        "grp", col("__rv"), k)
       .select(col("grp"),
-        graft.engine.Semantics.roundz(col("__med"), 6).as("median"),
-        graft.engine.Semantics.roundz(col("__mad"), 6).as("mad"),
+        graft.engine.Semantics.roundz(col("med"), 6).as("median"),
+        graft.engine.Semantics.roundz(col("mad"), 6).as("mad"),
         col("n_rows"), col("n_outliers"))
-  }
 
   /** Power-of-two length histogram — the doc/sequence-length distribution
     * report packing and truncation decisions read: rows bucketed by binary
@@ -900,7 +890,11 @@ object CurationOps {
     * Returns one row per group: (groupName, med). `value` may be any
     * numeric column; it is cast to double. */
   def groupedExactMedian(df: DataFrame, groupName: String, value: Column): DataFrame = {
+    // NULL values are ignored (median/quantile_cont semantics); counting
+    // them would rank them below every value and shift every position.
+    // A group with no non-null values is absent from the output.
     val counts = df.select(col(groupName), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(col(groupName), col("__v")).agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col(groupName)).orderBy(col("__v"))
     counts.withColumn("__cum", sum(col("__cnt")).over(w))
@@ -925,7 +919,9 @@ object CurationOps {
     require(ps.nonEmpty, "at least one quantile required")
     ps.foreach { case (n, p) =>
       require(p >= 0 && p <= 1, s"quantile $n=$p outside [0, 1]") }
+    // NULL values are ignored, as in groupedExactMedian.
     val counts = df.select(col(groupName), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(col(groupName), col("__v")).agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col(groupName)).orderBy(col("__v"))
     val cum = counts.withColumn("__cum", sum(col("__cnt")).over(w))

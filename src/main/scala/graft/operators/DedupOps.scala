@@ -1116,7 +1116,12 @@ object DedupOps {
   def bloomPrunedNovel(fresh: DataFrame, fpName: String, corpusFps: DataFrame,
       idx: BloomIndex): DataFrame = {
     import graft.functions.GraftFunctions
-    val might = GraftFunctions.bloomContains(col(fpName), idx.sketch, idx.k)
+    // NULL fingerprints take the fast path: a null key never equi-matches
+    // the corpus, so the plain left_anti KEEPS such rows — three-valued
+    // logic must not drop them from both branches (the probe returns null
+    // on null input).
+    val might = coalesce(
+      GraftFunctions.bloomContains(col(fpName), idx.sketch, idx.k), lit(false))
     val novelFast = fresh.filter(!might)
     val rescan = fresh.filter(might)
       .join(corpusFps.select(col(fpName)).distinct(), Seq(fpName), "left_anti")

@@ -532,10 +532,13 @@ object TextOps {
   }
 
   /** Registered domain approximation: the last two dot-labels of a host
-    * (`a.b.example.com` → `example.com`). The blocklist/quota key of
-    * domain-level curation. (A public-suffix-list lookup is the production
-    * refinement; the two-label rule is the deterministic, oracle-mirrored
-    * core.) */
+    * (`a.b.example.com` → `example.com`), with any `:port` suffix stripped
+    * first — [[urlHost]] deliberately preserves non-default ports, and a
+    * port inside the domain key would fragment the blocklist/quota rollup
+    * (`example.com` vs `example.com:8080`). Single-label hosts
+    * (`localhost`) yield `''`. (A public-suffix-list lookup is the
+    * production refinement; the two-label rule is the deterministic,
+    * oracle-mirrored core.) */
   def registeredDomain(host: Column): Column =
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    regexp_extract(regexp_replace(host, ":[0-9]+$", ""), "([^.]+\\.[^.]+)$", 1)
 }

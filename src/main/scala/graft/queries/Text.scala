@@ -803,7 +803,7 @@ object Text extends QueryGroup {
            |    coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
            |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&'), '') AS sq
            |  FROM p)
-           |SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           |SELECT host, regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain,
            |  count(*) AS n_docs,
            |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
            |  CAST(count(DISTINCT scheme || '://' || host || path ||
@@ -830,7 +830,7 @@ object Text extends QueryGroup {
         .withColumn("tot", sum(col("n")).over(tot).cast("double"))
         .groupBy(col("doc_id"), col("source"))
         .agg(round(-sum((col("n").cast("double") / col("tot")) *
-          log(2.0, col("n").cast("double") / col("tot"))), 6).as("h"))
+          log2(col("n").cast("double") / col("tot"))), 6).as("h"))
       ent.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("h")), 6).as("avg_entropy"),

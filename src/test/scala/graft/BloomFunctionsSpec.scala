@@ -130,6 +130,18 @@ class BloomFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrunedNovel keeps NULL-fingerprint rows, exactly like the plain anti-join") {
+    import graft.operators.DedupOps
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("id", "fp")
+    val fresh = Seq((10L, "a"), (11L, "c"), (12L, null.asInstanceOf[String]))
+      .toDF("id", "fp")
+    val idx = DedupOps.buildFingerprintBloom(corpus, col("fp"))
+    val got = DedupOps.bloomPrunedNovel(fresh, "fp", corpus, idx)
+      .select("id").as[Long].collect().sorted.toSeq
+    // null fp never equi-matches the corpus -> kept, same as left_anti
+    assert(got === Seq(11L, 12L))
+  }
+
   test("mergeBloomIndexes: OR of per-batch sketches equals the union build, bit for bit") {
     import graft.operators.DedupOps
     // Overlapping batches, FIXED geometry (auto-sizing would pick different

@@ -650,6 +650,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === Seq(("g1", 10L, 5.5, 2.5, 1L), ("g2", 10L, 7.0, 0.0, 1L)))
   }
 
+  test("groupedExactMedian ignores NULL values (median semantics), all-null group absent") {
+    import spark.implicits._
+    val df = Seq(("g1", Some(1.0)), ("g1", Some(2.0)), ("g1", None),
+      ("g2", None)).toDF("g", "v")
+    val got = graft.operators.CurationOps.groupedExactMedian(df, "g", col("v"))
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("g1" -> 1.5))
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))

@@ -47,5 +47,13 @@ class UrlCanonicalSpec extends SparkSpec {
     val d = Seq("deep.sub.example.com").toDF("h")
       .select(TextOps.registeredDomain(col("h"))).head.getString(0)
     assert(d === "example.com")
+    // a preserved non-default port must not fragment the domain key
+    val dp = Seq("h.example.com:8080").toDF("h")
+      .select(TextOps.registeredDomain(col("h"))).head.getString(0)
+    assert(dp === "example.com")
+    // single-label hosts have no registered domain
+    val dl = Seq("localhost").toDF("h")
+      .select(TextOps.registeredDomain(col("h"))).head.getString(0)
+    assert(dl === "")
   }
 }
