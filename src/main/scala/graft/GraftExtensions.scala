@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, StringPolyHash, VecDot}
+import graft.functions.{BloomMightContain, BoundedLevenshtein, GraftFunctions, NfcNormalize, StringPolyHash, SubwordEncode, VecDot}
 import graft.plans.SargableTimestampRules
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,5 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.PolyHashName),
       new ExpressionInfo(classOf[StringPolyHash].getName, GraftFunctions.PolyHashName),
       (exprs: Seq[Expression]) => StringPolyHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SubwordEncodeName),
+      new ExpressionInfo(classOf[SubwordEncode].getName, GraftFunctions.SubwordEncodeName),
+      (exprs: Seq[Expression]) => SubwordEncode(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BoundedLevenshteinName),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, GraftFunctions.BoundedLevenshteinName),
+      (exprs: Seq[Expression]) => BoundedLevenshtein(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomContainsName),
+      new ExpressionInfo(classOf[BloomMightContain].getName, GraftFunctions.BloomContainsName),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NfcNormalizeName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, GraftFunctions.NfcNormalizeName),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }
