@@ -242,6 +242,65 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X1-stream: canonical-URL dedup — raw crawl variants of one resource dedupe across batches") {
+    import graft.operators.TextOps
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "url")
+      .withColumn("curl", TextOps.canonicalizeUrl(col("url")))
+    val out = StreamingOps.streamingDedup(df, "ts", Seq("curl"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("urldedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:00"),
+          "https://h.example.com/p?a=1&b=2"),
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:01"),
+          "HTTPS://H.Example.COM:443/p/?b=2&a=1&utm_source=x#f"), // same resource
+        (java.sql.Timestamp.valueOf("2022-12-25 10:00:02"),
+          "https://h.example.com/q"))
+      q.processAllAvailable()
+      input.addData( // cross-batch revisit, yet another raw spelling
+        (java.sql.Timestamp.valueOf("2022-12-25 10:05:00"),
+          "https://h.example.com/p?b=2&a=1"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT curl FROM urldedup").as[String].collect().sorted
+      assert(got.toSeq === Seq(
+        "https://h.example.com/p?a=1&b=2", "https://h.example.com/q"))
+    } finally q.stop()
+  }
+
+  test("X1-stream: standing BloomIndex maintained by per-batch OR-merge equals the batch build") {
+    import graft.operators.DedupOps
+    val input = MemoryStream[(Long, String)](spark)
+    val dir = java.nio.file.Files.createTempDirectory("bloomstream").toString
+    val idxPath = s"$dir/bloom_idx"
+    val m = 1 << 14
+    // The ingest-side maintenance loop: each admitted micro-batch's sketch
+    // ORs into the standing artifact — no corpus rescan, ever.
+    val q = input.toDF().toDF("id", "fp").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = DedupOps.buildFingerprintBloom(batch, col("fp"), k = 5, mBits = m)
+        val merged =
+          if (new java.io.File(idxPath).exists())
+            DedupOps.mergeBloomIndexes(DedupOps.readBloomIndex(spark, idxPath), b)
+          else b
+        DedupOps.writeBloomIndex(spark, idxPath, merged)
+      }.start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((4L, "b"), (5L, "d")) // overlap with batch 0
+      q.processAllAvailable()
+      val standing = DedupOps.readBloomIndex(spark, idxPath)
+      val direct = DedupOps.buildFingerprintBloom(
+        Seq("a", "b", "c", "b", "d").zipWithIndex
+          .map { case (fp, i) => (i.toLong, fp) }.toDF("id", "fp"),
+        col("fp"), k = 5, mBits = m)
+      assert(standing.sketch.toSeq === direct.sketch.toSeq,
+        "stream-maintained sketch must equal the batch build over the union")
+    } finally q.stop()
+  }
+
   test("X6-stream: session_window splits a user's events at the gap") {
     val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
     input.addData(
