@@ -531,6 +531,20 @@ object TextOps {
       .otherwise(hostport)
   }
 
+  /** Per-script character counts — the script-mix signal beside [[langIdScores]]'
+    * stopword vote: language-ID by stopwords is blind to text whose words
+    * it has no markers for, while script ranges classify every CJK/Cyrillic/
+    * Greek character unconditionally (the CommonCrawl-style first-pass
+    * router). Codepoint-RANGE classes (`[\x{4e00}-\x{9fff}]`), not named
+    * `\p{Script=...}` classes — Java regex and RE2 spell script names
+    * differently, ranges behave identically in both, which keeps the DuckDB
+    * oracle bit-exact. Stateless narrow map. */
+  def scriptCharCounts(text: Column): Seq[(String, Column)] = Seq(
+    "latin" -> regexp_count(text, lit("[A-Za-z]")),
+    "cjk" -> regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")),
+    "cyrillic" -> regexp_count(text, lit("[\\x{0400}-\\x{04ff}]")),
+    "greek" -> regexp_count(text, lit("[\\x{0370}-\\x{03ff}]")))
+
   /** Registered domain approximation: the last two dot-labels of a host
     * (`a.b.example.com` → `example.com`), with any `:port` suffix stripped
     * first — [[urlHost]] deliberately preserves non-default ports, and a

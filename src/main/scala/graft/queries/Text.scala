@@ -853,7 +853,63 @@ object Text extends QueryGroup {
            |  round(min(h), 6) AS min_entropy, round(max(h), 6) AS max_entropy
            |FROM ent GROUP BY 1 ORDER BY source""".stripMargin))
 
+  /** X4 script-mix profile ([[TextOps.scriptCharCounts]]): per-source
+    * counts of Latin/CJK/Cyrillic/Greek characters plus how many docs mix
+    * scripts — the router signal stopword langid can't see (it has no
+    * markers for unknown languages; script ranges classify every char).
+    * Script content is derived per doc (three non-Latin tails by doc_id
+    * residue) since the fixture corpus is pure ASCII; all outputs are
+    * integer-exact. Stateless narrow map + one hash aggregate. */
+  private val q149 = QueryDef(
+    "q149_script_profile",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("mtext",
+        when(col("doc_id") % 4 === 1, concat(col("text"), lit(" \u4f60\u597d\u4e16\u754c")))
+          .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" \u0432\u043e\u0434\u0430 \u043c\u0438\u0440")))
+          .when(col("doc_id") % 4 === 3, concat(col("text"), lit(" \u03b3\u03b5\u03b9\u03ac \u03c3\u03bf\u03c5")))
+          .otherwise(col("text")))
+      val counted = TextOps.scriptCharCounts(col("mtext")).foldLeft(d) {
+        case (df, (name, c)) => df.withColumn(s"__$name", c.cast("long"))
+      }
+      counted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__latin")).as("latin_chars"),
+          sum(col("__cjk")).as("cjk_chars"),
+          sum(col("__cyrillic")).as("cyrillic_chars"),
+          sum(col("__greek")).as("greek_chars"),
+          sum(when((when(col("__latin") > 0, 1).otherwise(0) +
+            when(col("__cjk") > 0, 1).otherwise(0) +
+            when(col("__cyrillic") > 0, 1).otherwise(0) +
+            when(col("__greek") > 0, 1).otherwise(0)) >= 2, 1L).otherwise(0L))
+            .as("n_multiscript"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH m AS (
+           |  SELECT source,
+           |    CASE doc_id % 4
+           |      WHEN 1 THEN text || ' 你好世界'
+           |      WHEN 2 THEN text || ' вода мир'
+           |      WHEN 3 THEN text || ' γειά σου'
+           |      ELSE text END AS mtext
+           |  FROM documents),
+           |c AS (
+           |  SELECT source,
+           |    CAST(len(regexp_extract_all(mtext, '[A-Za-z]')) AS BIGINT) AS lat,
+           |    CAST(len(regexp_extract_all(mtext, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS cjk,
+           |    CAST(len(regexp_extract_all(mtext, '[\x{0400}-\x{04ff}]')) AS BIGINT) AS cyr,
+           |    CAST(len(regexp_extract_all(mtext, '[\x{0370}-\x{03ff}]')) AS BIGINT) AS grk
+           |  FROM m)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(lat) AS BIGINT) AS latin_chars, CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+           |  CAST(sum(cyr) AS BIGINT) AS cyrillic_chars, CAST(sum(grk) AS BIGINT) AS greek_chars,
+           |  CAST(sum(CASE WHEN (CASE WHEN lat > 0 THEN 1 ELSE 0 END +
+           |    CASE WHEN cjk > 0 THEN 1 ELSE 0 END +
+           |    CASE WHEN cyr > 0 THEN 1 ELSE 0 END +
+           |    CASE WHEN grk > 0 THEN 1 ELSE 0 END) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_multiscript
+           |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144, q147)
+      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144, q147, q149)
 }
