@@ -855,7 +855,135 @@ object Dedup extends QueryGroup {
            |  coalesce(s.est_dup_rate, 0.0) AS est_dup_rate
            |FROM a LEFT JOIN s USING (source) ORDER BY a.source""".stripMargin))
 
+  /** X1×X4×X7 ingest-admission funnel — the round-10 family composed end to
+    * end the way a crawl batch actually flows (q124's end-to-end discipline
+    * applied to ingest): (1) canonical-URL dedup collapses crawl revisits
+    * ([[graft.operators.TextOps.canonicalizeUrl]], min-doc_id keeper per
+    * canonical key); (2) surviving docs probe the standing corpus's Bloom
+    * artifact on their NFC-canonical content fingerprint
+    * ([[graft.operators.DedupOps.bloomPrunedNovel]] — encoding-provenance-
+    * robust novelty, exact by construction); (3) admitted docs must pass
+    * the char-entropy gate (h ≥ 4.0, gibberish screen) AND sit inside the
+    * batch's robust length fence (|len − med| ≤ 3.5·MAD per source). The
+    * output is the per-source funnel (fetched → URL-unique → novel →
+    * admitted); every stage's SQL replay is exact, so the whole chain is
+    * in the hash. Each stage is a narrow map, a bounded window, or a
+    * prefilter-shrunk join — the funnel is linear at 100 TB. */
+  private val q150 = QueryDef(
+    "q150_ingest_admission",
+    (s, dir) => {
+      import graft.operators.{CurationOps, DedupOps, TextOps}
+      val w = org.apache.spark.sql.expressions.Window
+      val v = Tables.documents(s, dir)
+        .withColumn("vtext",
+          when(col("doc_id") % 2 === 0, replace(col("text"), lit("a"), lit("\u00e1")))
+            .otherwise(replace(col("text"), lit("a"), lit("a\u0301"))))
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 3 === 1, lit("/?utm_source=f"))
+            .when(col("doc_id") % 3 === 2, lit("#frag")).otherwise(lit(""))))
+      val f = v
+        .withColumn("fp", md5(graft.functions.GraftFunctions.nfcNormalize(col("vtext"))
+          .cast("binary")))
+        .withColumn("curl", TextOps.canonicalizeUrl(col("url")))
+      val fresh = f.filter(col("doc_id") % 10 >= 8)
+      val corpus = f.filter(col("doc_id") % 10 < 8)
+      val idx = DedupOps.buildFingerprintBloom(corpus, col("fp"))
+      val u = fresh
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("curl")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val nov = DedupOps.bloomPrunedNovel(u, "fp", corpus, idx)
+      val ent = nov
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(w.partitionBy(col("doc_id"))).cast("double"))
+        .groupBy(col("doc_id"))
+        .agg(round(-sum((col("n").cast("double") / col("tot")) *
+          log2(col("n").cast("double") / col("tot"))), 6).as("h"))
+      val st = CurationOps.robustOutliers(fresh, "source", col("n_chars"), 3.5)
+        .select(col("source"), col("med"), col("mad"))
+      val adm = nov.join(ent, Seq("doc_id")).join(broadcast(st), Seq("source"))
+        .filter(col("h") >= 4.0 &&
+          abs(col("n_chars") - col("med")) <= lit(3.5) * col("mad"))
+      fresh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fetched"),
+          countDistinct(col("curl")).as("n_url_unique"))
+        .join(nov.groupBy(col("source")).agg(count(lit(1)).as("n_novel")),
+          Seq("source"), "left")
+        .join(adm.groupBy(col("source")).agg(count(lit(1)).as("n_admitted")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_fetched"), col("n_url_unique"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH v AS (
+           |  SELECT doc_id, source, text, n_chars,
+           |    CASE WHEN doc_id % 2 = 0 THEN replace(text, 'a', chr(225))
+           |         ELSE replace(text, 'a', 'a' || chr(769)) END AS vtext,
+           |    'https://' || source || '.example.com/docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+           |      CASE doc_id % 3 WHEN 1 THEN '/?utm_source=f' WHEN 2 THEN '#frag' ELSE '' END AS url
+           |  FROM documents),
+           |cu AS (
+           |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM v),
+           |cp AS (
+           |  SELECT doc_id,
+           |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) AS hostport,
+           |    regexp_replace(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), '/+$', '') AS path,
+           |    regexp_extract(nofrag, '\?(.*)$', 1) AS qs
+           |  FROM cu),
+           |cc AS (
+           |  SELECT doc_id,
+           |    scheme || '://' ||
+           |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           |         ELSE hostport END || path ||
+           |    CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&'), '') = ''
+           |         THEN ''
+           |         ELSE '?' || array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&') END AS curl
+           |  FROM cp),
+           |f AS (
+           |  SELECT v.doc_id, v.source, v.text, v.n_chars,
+           |    md5(nfc_normalize(v.vtext)) AS fp, cc.curl
+           |  FROM v JOIN cc USING (doc_id)),
+           |fresh AS (SELECT * FROM f WHERE doc_id % 10 >= 8),
+           |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8),
+           |u AS (
+           |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+           |                 FROM fresh) WHERE rn = 1),
+           |nov AS (SELECT u.doc_id, u.source, u.text, u.n_chars
+           |        FROM u LEFT JOIN corpus c USING (fp) WHERE c.fp IS NULL),
+           |ent AS (
+           |  SELECT doc_id,
+           |    round(-sum((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot)), 6) AS h
+           |  FROM (SELECT doc_id, c, count(*) AS n,
+           |          CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE) AS tot
+           |        FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM nov)
+           |        WHERE c <> '' GROUP BY doc_id, c)
+           |  GROUP BY 1),
+           |st AS (SELECT source, CAST(median(n_chars) AS DOUBLE) AS med,
+           |         CAST(mad(n_chars) AS DOUBLE) AS mad
+           |       FROM fresh GROUP BY 1),
+           |adm AS (
+           |  SELECT n.source, count(*) AS n_admitted
+           |  FROM nov n JOIN ent e USING (doc_id) JOIN st USING (source)
+           |  WHERE e.h >= 4.0 AND abs(n.n_chars - st.med) <= 3.5 * st.mad
+           |  GROUP BY 1),
+           |nv AS (SELECT source, count(*) AS n_novel FROM nov GROUP BY 1)
+           |SELECT fr.source, count(*) AS n_fetched,
+           |  CAST(count(DISTINCT fr.curl) AS BIGINT) AS n_url_unique,
+           |  coalesce(any_value(nv.n_novel), 0) AS n_novel,
+           |  coalesce(any_value(adm.n_admitted), 0) AS n_admitted
+           |FROM fresh fr LEFT JOIN nv USING (source) LEFT JOIN adm USING (source)
+           |GROUP BY 1 ORDER BY fr.source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124, q143, q148)
+      q118, q119, q120, q121, q124, q143, q148, q150)
 }
