@@ -531,6 +531,30 @@ object TextOps {
       .otherwise(hostport)
   }
 
+  /** Per-document Shannon entropy of the character distribution — the
+    * gibberish/boilerplate detector (random bytes score high, repeated
+    * filler low). One implementation serves both the profiling rollup
+    * (q147) and the ingest admission gate (q150). Word-count-shaped plan:
+    * explode to (doc, char), hash-aggregate counts (partial aggregation
+    * absorbs the fan-out map-side), one doc-partitioned window for the
+    * totals. `carry` columns (functionally dependent on `id`) ride through
+    * both aggregates. Returns (doc_id, carry..., h) with h rounded to 6. */
+  def docCharEntropy(df: DataFrame, id: Column, text: Column,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val carryNames = carry.map(_._1)
+    val base = df.select(
+      (id.as("doc_id") +: carry.map { case (n, c) => c.as(n) }) :+
+        explode(split(text, "")).as("c"): _*)
+    val cnt = base.filter(col("c") =!= "")
+      .groupBy((col("doc_id") +: carryNames.map(col)) :+ col("c"): _*)
+      .agg(count(lit(1)).as("n"))
+    cnt.withColumn("tot", sum(col("n")).over(w.partitionBy(col("doc_id"))).cast("double"))
+      .groupBy(col("doc_id") +: carryNames.map(col): _*)
+      .agg(round(-sum((col("n").cast("double") / col("tot")) *
+        log2(col("n").cast("double") / col("tot"))), 6).as("h"))
+  }
+
   /** Per-script character counts — the script-mix signal beside [[langIdScores]]'
     * stopword vote: language-ID by stopwords is blind to text whose words
     * it has no markers for, while script ranges classify every CJK/Cyrillic/

@@ -895,14 +895,7 @@ object Dedup extends QueryGroup {
           w.partitionBy(col("curl")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
       val nov = DedupOps.bloomPrunedNovel(u, "fp", corpus, idx)
-      val ent = nov
-        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
-        .filter(col("c") =!= "")
-        .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
-        .withColumn("tot", sum(col("n")).over(w.partitionBy(col("doc_id"))).cast("double"))
-        .groupBy(col("doc_id"))
-        .agg(round(-sum((col("n").cast("double") / col("tot")) *
-          log2(col("n").cast("double") / col("tot"))), 6).as("h"))
+      val ent = TextOps.docCharEntropy(nov, col("doc_id"), col("text"))
       val st = CurationOps.robustOutliers(fresh, "source", col("n_chars"), 3.5)
         .select(col("source"), col("med"), col("mad"))
       val adm = nov.join(ent, Seq("doc_id")).join(broadcast(st), Seq("source"))

@@ -820,17 +820,8 @@ object Text extends QueryGroup {
   private val q147 = QueryDef(
     "q147_char_entropy",
     (s, dir) => {
-      val cnt = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), explode(split(col("text"), "")).as("c"))
-        .filter(col("c") =!= "")
-        .groupBy(col("doc_id"), col("source"), col("c"))
-        .agg(count(lit(1)).as("n"))
-      val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val ent = cnt
-        .withColumn("tot", sum(col("n")).over(tot).cast("double"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(round(-sum((col("n").cast("double") / col("tot")) *
-          log2(col("n").cast("double") / col("tot"))), 6).as("h"))
+      val ent = TextOps.docCharEntropy(Tables.documents(s, dir),
+        col("doc_id"), col("text"), carry = Seq("source" -> col("source")))
       ent.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("h")), 6).as("avg_entropy"),

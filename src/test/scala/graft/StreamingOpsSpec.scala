@@ -272,8 +272,7 @@ class StreamingOpsSpec extends SparkSpec {
   test("X1-stream: standing BloomIndex maintained by per-batch OR-merge equals the batch build") {
     import graft.operators.DedupOps
     val input = MemoryStream[(Long, String)](spark)
-    val dir = java.nio.file.Files.createTempDirectory("bloomstream").toString
-    val idxPath = s"$dir/bloom_idx"
+    val idxPath = s"${tmp("bloomstream")}/bloom_idx"
     val m = 1 << 14
     // The ingest-side maintenance loop: each admitted micro-batch's sketch
     // ORs into the standing artifact — no corpus rescan, ever.
