@@ -170,6 +170,51 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("X7: canonicalizeUrl is a fixpoint and leaves no tracking params on ANY structured URL") =
+    Prop.secure {
+      // Random URLs assembled from the grammar the canonicalizer handles:
+      // mixed-case scheme/host, optional default/non-default port, path
+      // segments with optional trailing slashes, shuffled params (real +
+      // tracking + empty), optional fragment. Canonicalization must be
+      // idempotent, lowercase scheme+host, keep non-default ports, and
+      // emit params sorted with tracking/empties gone.
+      val rng = new scala.util.Random(404L)
+      import graft.operators.TextOps
+      val urls = (1 to 40).map { _ =>
+        val scheme = Seq("http", "HTTP", "https", "HTTPS")(rng.nextInt(4))
+        val host = Seq("Host.Example.COM", "a.b.org", "X.Y")(rng.nextInt(3))
+        val port = Seq("", ":443", ":80", ":8080")(rng.nextInt(4))
+        val path = (0 until rng.nextInt(3)).map(i => s"/P$i").mkString +
+          (if (rng.nextBoolean()) "/" else "")
+        val params = rng.shuffle(Seq("a=1", "z=9", "utm_source=t", "gclid=g", "")
+          .take(rng.nextInt(5) + 1)).mkString("&")
+        val frag = if (rng.nextBoolean()) "#Frag" else ""
+        s"$scheme://$host$port$path" + (if (params.nonEmpty) s"?$params" else "") + frag
+      }
+      val out = urls.toDF("u")
+        .select(col("u"), TextOps.canonicalizeUrl(col("u")).as("c1"))
+        .withColumn("c2", TextOps.canonicalizeUrl(col("c1")))
+        .as[(String, String, String)].collect()
+      out.forall { case (u, c1, c2) =>
+        val fixpoint = c1 == c2
+        val noTracking = !c1.contains("utm_") && !c1.contains("gclid")
+        val noFragment = !c1.contains("#")
+        val schemeHostLower = {
+          val prefix = c1.takeWhile(_ != '?')
+          prefix.takeWhile(_ != '/') == prefix.takeWhile(_ != '/').toLowerCase &&
+            c1.matches("^[a-z][a-z0-9+.-]*://[^/?]+.*")
+        }
+        val sortedParams = {
+          val qi = c1.indexOf('?')
+          qi < 0 || { val ps = c1.substring(qi + 1).split("&").toSeq
+            ps == ps.sorted && ps.forall(_.nonEmpty) }
+        }
+        val r = fixpoint && noTracking && noFragment && schemeHostLower && sortedParams
+        if (!r) println(s"URL property failed: '$u' -> '$c1' -> '$c2'")
+        r
+      }
+    }
+
   property("X7: groupedExactMedian equals the sorted-sequence median (quantile_cont 0.5) per group") =
     Prop.secure {
       // The counts+prefix-sum median must agree with the naive definition
