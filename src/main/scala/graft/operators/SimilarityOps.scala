@@ -904,4 +904,68 @@ object SimilarityOps {
     require(tol > 0, s"need tol > 0, got $tol")
     powerFit(emb, embCol, dim, maxIters, k, Some(tol))
   }
+
+  /** Persisted ANN serving index — the cross-run artifact that closes the
+    * train/serve split (the [[graft.operators.DedupOps.BloomIndex]]
+    * discipline applied to similarity): the IVF coarse centroids (trained
+    * once by [[kmeans]]/[[kmeansConverged]] over the corpus) plus the
+    * sign-LSH geometry as (tables, planesPerTable, seed) — the plane
+    * MATRICES are derived, not stored, because [[lshPlanes]] is a
+    * deterministic function of (count, dim, seed); the artifact is
+    * k·dim doubles + four ints no matter the corpus size. A serving job
+    * [[readAnnIndex]]s it and runs [[serveAnn]] with zero training work. */
+  final case class AnnIndex(dim: Int, tables: Int, planesPerTable: Int,
+      seed: Long, centroids: Seq[Seq[Double]]) {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(tables > 0 && planesPerTable > 0,
+      s"LSH geometry must be positive, got ($tables, $planesPerTable)")
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(centroids.forall(_.size == dim),
+      s"every centroid must have dim=$dim")
+    /** The derived per-table plane matrices the serving join keys on. */
+    def planes: Seq[Seq[Seq[Double]]] = lshTables(tables, planesPerTable, dim, seed)
+  }
+
+  /** Persist an [[AnnIndex]]: a 1-row meta parquet + a (cid, vec) centroid
+    * parquet under `path`. */
+  def writeAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idx: AnnIndex): Unit = {
+    import spark.implicits._
+    Seq((idx.dim, idx.tables, idx.planesPerTable, idx.seed))
+      .toDF("dim", "tables", "planes_per_table", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted [[AnnIndex]]; refuses loudly on malformed artifacts
+    * (wrong meta row count, gapped/duplicated centroid ids) rather than
+    * serving nearest-neighbor results from a corrupt index. */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("dim"), col("tables"), col("planes_per_table"), col("seed")).collect()
+    require(m.length == 1,
+      s"ann index meta at $path must hold exactly 1 row, found ${m.length}")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("vec")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      s"ann index centroids at $path must be ids 0..${cents.length - 1} with no gaps")
+    AnnIndex(m(0).getInt(0), m(0).getInt(1), m(0).getInt(2), m(0).getLong(3),
+      cents.map(_._2).toSeq)
+  }
+
+  /** Serve a k-NN join under a persisted [[AnnIndex]]: assign both sides
+    * to the index's IVF cells (broadcast centroids, narrow map) and run
+    * the OR-ed multi-table join under its derived LSH geometry. The
+    * serving job carries NO training state — exactly what a 1000-executor
+    * query fleet loads at startup. `corpus`/`queries` need (idCol, emb). */
+  def serveAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      emb: Column, idx: AnnIndex, k: Int): DataFrame = {
+    def withCell(df: DataFrame) =
+      df.select(col(idCol).as("vec_id"), emb.cast("array<double>").as("embedding"))
+        .join(broadcast(assignCells(df, idCol, emb, idx.centroids)), "vec_id")
+    knnJoinTables(withCell(corpus), withCell(queries), "cell", k, idx.planes)
+  }
 }

@@ -162,4 +162,32 @@ class MultiTableLshSpec extends SparkSpec {
     assert(one.subsetOf(three))
     assert(three.size > one.size, s"expected candidate lift, got ${one.size} -> ${three.size}")
   }
+
+  test("AnnIndex: train once, persist, reload, serve — identical results; malformed artifacts refuse") {
+    import graft.operators.SimilarityOps.{AnnIndex, readAnnIndex, serveAnn, writeAnnIndex}
+    val (_, cents) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val idx = AnnIndex(dim = 64, tables = 2, planesPerTable = 2, seed = 42L,
+      centroids = cents)
+    val queries = emb.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank").as[(Long, Long, Long)]
+        .collect().sortBy(identity).toSeq
+    val before = canon(serveAnn(emb, queries, "vec_id", col("embedding"), idx, k = 3))
+    assert(before.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    writeAnnIndex(spark, s"$dir/idx", idx)
+    val back = readAnnIndex(spark, s"$dir/idx")
+    assert(back === idx.copy(centroids = back.centroids))
+    assert(back.centroids === idx.centroids) // bit-identical doubles
+    assert(canon(serveAnn(emb, queries, "vec_id", col("embedding"), back, k = 3)) === before)
+    // malformed: gapped centroid ids refuse loudly
+    spark.range(2).selectExpr("CAST(id * 2 AS INT) AS cid",
+      "array(CAST(0.0 AS DOUBLE)) AS vec")
+      .write.mode("overwrite").parquet(s"$dir/bad/centroids")
+    spark.createDataFrame(Seq((1, 2, 2, 42L)))
+      .toDF("dim", "tables", "planes_per_table", "seed")
+      .write.mode("overwrite").parquet(s"$dir/bad/meta")
+    val e = intercept[IllegalArgumentException](readAnnIndex(spark, s"$dir/bad"))
+    assert(e.getMessage.contains("no gaps"))
+  }
 }
