@@ -937,6 +937,49 @@ object CurationOps {
     cum.groupBy(col(groupName)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** PSI (population stability index) drift monitor between two corpus
+    * snapshots — the standard feature-drift gate a pipeline runs per
+    * refresh: PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur) over a BOUNDED
+    * bin domain (callers bin by integer-exact power-of-two magnitude,
+    * `length(bin(v))`, so binning never disagrees across engines), with
+    * Laplace-0.5 smoothing over the union bin grid so a bin empty on one
+    * side contributes finite mass instead of ±∞. Industry reading: < 0.1
+    * stable, > `threshold` (default 0.2) drifted — the flag compares the
+    * ROUNDED psi so the gate is FP-order-robust cross-engine.
+    *
+    * Scale shape: ONE corpus-scale hash aggregate (group, snap, bin) →
+    * everything after runs on |groups|·2·|bins| rows (bins ≤ 64 by
+    * construction). `df` must carry `snapCol` ∈ {'ref', 'cur'}.
+    * Returns (groupName, psi, drifted); groups missing a snapshot are
+    * absent (no pairing exists to compare). */
+  def psiDrift(df: DataFrame, groupName: String, snapCol: Column, bin: Column,
+      threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val b = df.select(col(groupName), snapCol.as("__snap"), bin.as("__bin"))
+    val bins = b.select(col("__bin")).distinct()
+    val grid = b.select(col(groupName), col("__snap")).distinct()
+      .crossJoin(broadcast(bins))
+    val cnt = grid.join(b.groupBy(col(groupName), col("__snap"), col("__bin"))
+        .agg(count(lit(1)).as("__n")),
+        Seq(groupName, "__snap", "__bin"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val wp = Window.partitionBy(col(groupName), col("__snap"))
+    val sh = cnt.withColumn("__p",
+      (col("__n").cast("double") + 0.5) /
+        (sum(col("__n")).over(wp).cast("double") +
+          lit(0.5) * count(lit(1)).over(wp).cast("double")))
+    val ref = sh.filter(col("__snap") === "ref")
+      .select(col(groupName), col("__bin"), col("__p").as("__pr"))
+    val cur = sh.filter(col("__snap") === "cur")
+      .select(col(groupName), col("__bin"), col("__p").as("__pc"))
+    ref.join(cur, Seq(groupName, "__bin"))
+      .groupBy(col(groupName))
+      .agg(round(sum((col("__pr") - col("__pc")) * log(col("__pr") / col("__pc"))), 6)
+        .as("psi"))
+      .withColumn("drifted",
+        when(col("psi") > threshold, 1L).otherwise(0L))
+  }
+
   /** Robust per-group outlier QA — the metadata sanity gate a pipeline runs
     * over doc-level scalars (lengths, token counts, quality scores) before
     * they feed quotas and mixtures: median/MAD instead of mean/stddev, so

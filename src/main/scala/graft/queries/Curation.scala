@@ -1145,10 +1145,58 @@ object Curation extends QueryGroup {
            |FROM documents d JOIN q USING (source)
            |GROUP BY 1 ORDER BY d.source""".stripMargin))
 
+  /** X7 PSI drift monitor ([[CurationOps.psiDrift]]): per-source
+    * population-stability index of the doc-length distribution between a
+    * hash-split 'ref' and 'cur' snapshot (hash split, NOT doc_id residue —
+    * source = doc_id % 20, so a residue split would correlate with the
+    * group and leave no pairing). Bins are integer-exact power-of-two
+    * magnitudes; smoothing/flag per the operator contract. One corpus
+    * aggregate, then |sources|·2·|bins| rows. */
+  private val q151 = QueryDef(
+    "q151_psi_drift",
+    (s, dir) => {
+      val refChars = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      val d = Tables.documents(s, dir)
+        .withColumn("snap",
+          when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+            .isin(refChars: _*), "ref").otherwise("cur"))
+        .withColumn("bin", length(bin(col("n_chars"))))
+      CurationOps.psiDrift(d, "source", col("snap"), col("bin"), threshold = 0.2)
+        .orderBy(col("source"))
+    },
+    Some("""WITH b AS (
+           |  SELECT source,
+           |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           |           IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+           |         THEN 'ref' ELSE 'cur' END AS snap,
+           |    length(to_base(n_chars, 2)) AS bin
+           |  FROM documents),
+           |bins AS (SELECT DISTINCT bin FROM b),
+           |grid AS (
+           |  SELECT s.source, s.snap, bins.bin
+           |  FROM (SELECT DISTINCT source, snap FROM b) s CROSS JOIN bins),
+           |cnt AS (
+           |  SELECT g.source, g.snap, g.bin, count(b.bin) AS n
+           |  FROM grid g LEFT JOIN b ON b.source = g.source AND b.snap = g.snap AND b.bin = g.bin
+           |  GROUP BY 1, 2, 3),
+           |sh AS (
+           |  SELECT source, snap, bin,
+           |    (CAST(n AS DOUBLE) + 0.5) / (CAST(sum(n) OVER (PARTITION BY source, snap) AS DOUBLE)
+           |      + 0.5 * CAST(count(*) OVER (PARTITION BY source, snap) AS DOUBLE)) AS p
+           |  FROM cnt),
+           |w AS (
+           |  SELECT r.source, r.bin, r.p AS pr, c.p AS pc
+           |  FROM (SELECT * FROM sh WHERE snap = 'ref') r
+           |  JOIN (SELECT * FROM sh WHERE snap = 'cur') c USING (source, bin))
+           |SELECT source, round(sum((pr - pc) * ln(pr / pc)), 6) AS psi,
+           |  CAST(CASE WHEN round(sum((pr - pc) * ln(pr / pc)), 6) > 0.2
+           |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
+           |FROM w GROUP BY 1 ORDER BY source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138, q139, q145, q146)
+      q137, q138, q139, q145, q146, q151)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

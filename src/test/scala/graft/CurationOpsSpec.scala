@@ -650,6 +650,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === Seq(("g1", 10L, 5.5, 2.5, 1L), ("g2", 10L, 7.0, 0.0, 1L)))
   }
 
+  test("psiDrift: identical snapshots ~0, disjoint mass drifts, unpaired group absent") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    // g1: ref and cur identical bin histograms -> psi == 0 exactly (every
+    //     smoothed term pr == pc). g2: fully disjoint bins -> large psi.
+    // g3: only a ref snapshot -> no pairing, absent from output.
+    val rows =
+      (1 to 10).flatMap(i => Seq(("g1", "ref", i % 3), ("g1", "cur", i % 3))) ++
+      (1 to 10).map(i => ("g2", "ref", 1)) ++ (1 to 10).map(i => ("g2", "cur", 2)) ++
+      (1 to 5).map(i => ("g3", "ref", 1))
+    val got = CurationOps.psiDrift(rows.toDF("g", "snap", "bin"),
+      "g", col("snap"), col("bin"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set("g1", "g2"))
+    assert(got("g1") === ((0.0, 0L)))
+    assert(got("g2")._1 > 2.0 && got("g2")._2 === 1L)
+  }
+
   test("groupedExactMedian ignores NULL values (median semantics), all-null group absent") {
     import spark.implicits._
     val df = Seq(("g1", Some(1.0)), ("g1", Some(2.0)), ("g1", None),
