@@ -947,21 +947,29 @@ object CurationOps {
     * stable, > `threshold` (default 0.2) drifted — the flag compares the
     * ROUNDED psi so the gate is FP-order-robust cross-engine.
     *
-    * Scale shape: ONE corpus-scale hash aggregate (group, snap, bin) →
-    * everything after runs on |groups|·2·|bins| rows (bins ≤ 64 by
-    * construction). `df` must carry `snapCol` ∈ {'ref', 'cur'}.
-    * Returns (groupName, psi, drifted); groups missing a snapshot are
-    * absent (no pairing exists to compare). */
+    * The smoothing grid is PER GROUP — the union of the group's OWN
+    * ref+cur bins. A global bin union would make a group's psi depend on
+    * bins that exist only in other groups: with unequal snapshot sizes
+    * every foreign empty-empty bin contributes a strictly positive
+    * smoothed term, so adding an unrelated group's data could flip a
+    * stable group past the threshold.
+    *
+    * Scale shape: ONE corpus-scale hash aggregate (group, snap, bin);
+    * the grid, shares, and psi all derive from that tiny aggregated
+    * result (|groups|·2·|bins| rows, bins ≤ 64 by construction).
+    * `df` must carry `snapCol` ∈ {'ref', 'cur'}. Returns
+    * (groupName, psi, drifted); groups missing a snapshot are absent
+    * (no pairing exists to compare). */
   def psiDrift(df: DataFrame, groupName: String, snapCol: Column, bin: Column,
       threshold: Double = 0.2): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val b = df.select(col(groupName), snapCol.as("__snap"), bin.as("__bin"))
-    val bins = b.select(col("__bin")).distinct()
-    val grid = b.select(col(groupName), col("__snap")).distinct()
-      .crossJoin(broadcast(bins))
-    val cnt = grid.join(b.groupBy(col(groupName), col("__snap"), col("__bin"))
-        .agg(count(lit(1)).as("__n")),
-        Seq(groupName, "__snap", "__bin"), "left")
+    // The single corpus-scale pass; everything below runs on its output.
+    val counts = df.select(col(groupName), snapCol.as("__snap"), bin.as("__bin"))
+      .groupBy(col(groupName), col("__snap"), col("__bin"))
+      .agg(count(lit(1)).as("__n"))
+    val grid = counts.select(col(groupName), col("__bin")).distinct()
+      .join(counts.select(col(groupName), col("__snap")).distinct(), groupName)
+    val cnt = grid.join(counts, Seq(groupName, "__snap", "__bin"), "left")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
     val wp = Window.partitionBy(col(groupName), col("__snap"))
     val sh = cnt.withColumn("__p",

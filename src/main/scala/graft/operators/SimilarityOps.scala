@@ -565,13 +565,16 @@ object SimilarityOps {
     * volume is ≤ T × the single-table join — density-bounded, never
     * corpus×corpus. */
   def knnJoinTables(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int,
-      tables: Seq[Seq[Seq[Double]]]): DataFrame = {
+      tables: Seq[Seq[Seq[Double]]], excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = lshCandidateRows(corpus, "vec_id", col("embedding"), col(cellCol), tables, "n_")
     val qs = lshCandidateRows(queries, "vec_id", col("embedding"), col(cellCol), tables, "q_")
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("n_id"))
     qs.join(c, Seq("cell", "tb"))
-      .filter(col("n_id") =!= col("q_id"))
+      // excludeSelf treats an equal id on both sides as the same vector
+      // (queries ⊆ corpus); pass false when query ids live in their OWN id
+      // space — there, corpus row q_id is a legitimate neighbor.
+      .filter(if (excludeSelf) col("n_id") =!= col("q_id") else lit(true))
       .withColumn("cosine",
         pairCosine(col("n_v"), col("n_nrm"), col("q_v"), col("q_nrm")))
       .select(col("q_id"), col("n_id"), col("cosine"))
@@ -957,15 +960,27 @@ object SimilarityOps {
   }
 
   /** Serve a k-NN join under a persisted [[AnnIndex]]: assign both sides
-    * to the index's IVF cells (broadcast centroids, narrow map) and run
-    * the OR-ed multi-table join under its derived LSH geometry. The
-    * serving job carries NO training state — exactly what a 1000-executor
-    * query fleet loads at startup. `corpus`/`queries` need (idCol, emb). */
+    * to the index's IVF cells (the centroids are plan literals inside
+    * [[nearestCentroid]] — a narrow map in the same scan, no join, nothing
+    * corpus-sized ever moves) and run the OR-ed multi-table join under
+    * the index's derived LSH geometry. The serving job carries NO
+    * training state — exactly what a 1000-executor query fleet loads at
+    * startup. `corpus`/`queries` need (idCol, emb).
+    *
+    * `queriesShareCorpusIds` (default true) states the id contract: when
+    * queries are drawn from the corpus, an equal id on both sides is the
+    * same vector and is excluded as a self-pair; pass false for an
+    * EXTERNAL query batch with its own id space, where corpus row q_id is
+    * a legitimate neighbor. */
   def serveAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-      emb: Column, idx: AnnIndex, k: Int): DataFrame = {
-    def withCell(df: DataFrame) =
-      df.select(col(idCol).as("vec_id"), emb.cast("array<double>").as("embedding"))
-        .join(broadcast(assignCells(df, idCol, emb, idx.centroids)), "vec_id")
-    knnJoinTables(withCell(corpus), withCell(queries), "cell", k, idx.planes)
+      emb: Column, idx: AnnIndex, k: Int,
+      queriesShareCorpusIds: Boolean = true): DataFrame = {
+    def withCell(df: DataFrame) = {
+      val v = emb.cast("array<double>")
+      df.select(col(idCol).as("vec_id"), v.as("embedding"),
+        nearestCentroid(v, idx.centroids, "cell").as("cell"))
+    }
+    knnJoinTables(withCell(corpus), withCell(queries), "cell", k, idx.planes,
+      excludeSelf = queriesShareCorpusIds)
   }
 }

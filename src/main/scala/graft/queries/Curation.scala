@@ -1150,8 +1150,9 @@ object Curation extends QueryGroup {
     * hash-split 'ref' and 'cur' snapshot (hash split, NOT doc_id residue —
     * source = doc_id % 20, so a residue split would correlate with the
     * group and leave no pairing). Bins are integer-exact power-of-two
-    * magnitudes; smoothing/flag per the operator contract. One corpus
-    * aggregate, then |sources|·2·|bins| rows. */
+    * magnitudes; smoothing over each source's OWN bin union and the
+    * rounded-psi flag per the operator contract. One corpus aggregate,
+    * then |sources|·2·|bins| rows. */
   private val q151 = QueryDef(
     "q151_psi_drift",
     (s, dir) => {
@@ -1171,10 +1172,10 @@ object Curation extends QueryGroup {
            |         THEN 'ref' ELSE 'cur' END AS snap,
            |    length(to_base(n_chars, 2)) AS bin
            |  FROM documents),
-           |bins AS (SELECT DISTINCT bin FROM b),
            |grid AS (
-           |  SELECT s.source, s.snap, bins.bin
-           |  FROM (SELECT DISTINCT source, snap FROM b) s CROSS JOIN bins),
+           |  SELECT gb.source, s.snap, gb.bin
+           |  FROM (SELECT DISTINCT source, bin FROM b) gb
+           |  JOIN (SELECT DISTINCT source, snap FROM b) s USING (source)),
            |cnt AS (
            |  SELECT g.source, g.snap, g.bin, count(b.bin) AS n
            |  FROM grid g LEFT JOIN b ON b.source = g.source AND b.snap = g.snap AND b.bin = g.bin

@@ -186,8 +186,10 @@ object InvariantProps extends Properties("graft") {
         val port = Seq("", ":443", ":80", ":8080")(rng.nextInt(4))
         val path = (0 until rng.nextInt(3)).map(i => s"/P$i").mkString +
           (if (rng.nextBoolean()) "/" else "")
-        val params = rng.shuffle(Seq("a=1", "z=9", "utm_source=t", "gclid=g", "")
-          .take(rng.nextInt(5) + 1)).mkString("&")
+        // shuffle BEFORE take: subsets must cover tracking-only and
+        // empty-only combinations, not just prefixes of the fixed Seq
+        val params = rng.shuffle(Seq("a=1", "z=9", "utm_source=t", "gclid=g", ""))
+          .take(rng.nextInt(5) + 1).mkString("&")
         val frag = if (rng.nextBoolean()) "#Frag" else ""
         s"$scheme://$host$port$path" + (if (params.nonEmpty) s"?$params" else "") + frag
       }
