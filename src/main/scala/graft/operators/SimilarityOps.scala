@@ -35,14 +35,20 @@ object SimilarityOps {
     * idiom of [[kmeans]], [[assignCells]], [[pqTrain]] and [[pqEncode]]:
     * per centroid one codegen'd VecDot scores −2·v·c + |c|² (|v|² is
     * constant inside the argmin and drops), ties break to the LOWER index
-    * via the (d, idx) struct ordering. Returns the winning index column. */
-  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]], idxName: String): Column = {
+    * via the (d, idx) struct ordering. Returns the winning (d, idx) struct;
+    * callers project the index ([[nearestCentroid]]) or add |v|² back to
+    * `d` for the true squared distance ([[cellDistortion]]). */
+  private def nearestCentroidScored(v: Column, centroids: Seq[Seq[Double]],
+      idxName: String): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct((lit(-2d) * dot(v, typedlit(c)) + lit(c.map(x => x * x).sum)).as("d"),
         lit(i).as(idxName))
     }
-    array_min(array(scored: _*)).getField(idxName)
+    array_min(array(scored: _*))
   }
+
+  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]], idxName: String): Column =
+    nearestCentroidScored(v, centroids, idxName).getField(idxName)
 
   /** Exact brute-force top-k by cosine against one query vector.
     * `queryRow` must be a single row (vec_id, embedding); it is broadcast —
@@ -983,4 +989,69 @@ object SimilarityOps {
     knnJoinTables(withCell(corpus), withCell(queries), "cell", k, idx.planes,
       excludeSelf = queriesShareCorpusIds)
   }
+
+  /** Per-cell assignment-distortion profile of `df` under plan-literal
+    * `centroids`: (cell, n, md) where `md` is the 1e-6-rounded mean
+    * SQUARED euclidean distance of the cell's vectors to their assigned
+    * centroid — d² = |v|² + min(−2·v·c + |c|²), the argmin's score with
+    * the dropped |v|² added back, so assignment and distance come from ONE
+    * [[nearestCentroidScored]] evaluation per row. Scale shape: one
+    * linear scan (narrow map — centroids are plan literals, nothing
+    * joins), one hash aggregate to ≤ k rows. The rounding is the trainer
+    * convention ([[lloydStep]]): avg() sums floats in shuffle-fetch order,
+    * so only the rounded mean is engine- and partitioning-reproducible. */
+  def cellDistortion(df: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import graft.engine.Semantics.roundz
+    val v = emb.cast("array<double>")
+    val m = nearestCentroidScored(v, centroids, "cell")
+    df.select(m.getField("cell").as("cell"),
+        (dot(v, v) + m.getField("d")).as("d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), roundz(avg(col("d2")), 6).as("md"))
+  }
+
+  /** ANN index staleness monitor — the serving-lifecycle gate beside
+    * [[AnnIndex]]: compare the per-cell distortion of the TRAINING
+    * snapshot `ref` against a fresh batch `cur` under the same (persisted)
+    * centroids, and flag cells whose fresh mean squared distance exceeds
+    * `threshold` × the training-time distortion — the signal that the
+    * coarse quantizer no longer fits the data it is indexing and a
+    * retrain is due (q151's PSI discipline applied to embedding space).
+    *
+    * Output: (cell, n_ref, n_cur, md_ref, md_cur, drift_ratio, drifted)
+    * — one row per cell present in EITHER snapshot (a cell that lost all
+    * fresh mass is itself drift signal, so absent-on-one-side cells stay,
+    * with the missing md NULL and counts 0). `drift_ratio` is the rounded
+    * md_cur/md_ref (NULL when md_ref = 0 or either side is absent);
+    * `drifted` (0/1) compares md_cur > threshold·md_ref directly — one
+    * exactly-rounded multiply, no division edge — and is 0 whenever
+    * either side is absent. Degenerate md_ref = 0 (a collapsed cell)
+    * flags any positive fresh distortion.
+    *
+    * Scale shape: each snapshot is one [[cellDistortion]] scan; the join
+    * runs on two ≤ k-row aggregates. Driver state: the k·dim centroid
+    * literals — nothing else. */
+  def annIndexDrift(ref: DataFrame, cur: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]], threshold: Double = 1.5): DataFrame = {
+    import graft.engine.Semantics.roundz
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val r = cellDistortion(ref, idCol, emb, centroids)
+      .select(col("cell"), col("n").as("n_ref"), col("md").as("md_ref"))
+    val c = cellDistortion(cur, idCol, emb, centroids)
+      .select(col("cell"), col("n").as("n_cur"), col("md").as("md_cur"))
+    r.join(c, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("drift_ratio",
+        when(col("md_ref") > 0, roundz(col("md_cur") / col("md_ref"), 6)))
+      .withColumn("drifted",
+        coalesce((col("n_ref") > 0 && col("n_cur") > 0 &&
+          col("md_cur") > lit(threshold) * col("md_ref")).cast("long"), lit(0L)))
+  }
+
+  /** [[annIndexDrift]] against a persisted [[AnnIndex]] — the monitoring
+    * job loads the same artifact the serving fleet does. */
+  def annIndexDrift(ref: DataFrame, cur: DataFrame, idCol: String, emb: Column,
+      idx: AnnIndex, threshold: Double): DataFrame =
+    annIndexDrift(ref, cur, idCol, emb, idx.centroids, threshold)
 }

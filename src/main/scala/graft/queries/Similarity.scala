@@ -869,7 +869,69 @@ object Similarity extends QueryGroup {
          |ORDER BY q_id, rank""".stripMargin
     })
 
+  /** X3 ANN index staleness monitor ([[SimilarityOps.annIndexDrift]]):
+    * train the coarse quantizer on a hash-split 'ref' snapshot (q151's
+    * md5 split — vec_id residue would correlate with nothing here, but
+    * the split idiom stays uniform), then compare per-cell assignment
+    * distortion against a 'cur' batch whose label ≡ 0 (mod 3) vectors are
+    * scaled ×1.5 — an exact float-double transform both engines replay
+    * bit-for-bit — so the drift concentrates in the cells those inflated
+    * vectors land in while the rest certify stable. The retrain flag
+    * compares md_cur > 1.5·md_ref directly (one exactly-rounded multiply,
+    * no division edge); the ratio column rides beside it for operators.
+    * Oracle: the unrolled-Lloyd CTE chain trains the SAME centroids, and
+    * d² = |v|² + min(−2·v·c + |c|²) reuses the assignment's score list,
+    * so distance and argmin come from one evaluation in both engines. */
+  private val q152 = QueryDef(
+    "q152_ann_drift",
+    (s, dir) => {
+      val refChars = Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      val e = Tables.embeddings(s, dir)
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("is_ref",
+          substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1)
+            .isin(refChars: _*))
+      val ref = e.filter(col("is_ref")).select(col("vec_id"), col("v"))
+      val cur = e.filter(!col("is_ref")).select(col("vec_id"),
+        when(col("label") % 3 === 0, transform(col("v"), x => x * lit(1.5)))
+          .otherwise(col("v")).as("v"))
+      val (_, cents) = SimilarityOps.kmeans(ref, "vec_id", "v", k = 8, iters = 2)
+      SimilarityOps.annIndexDrift(ref, cur, "vec_id", col("v"), cents, threshold = 1.5)
+        .orderBy(col("cell"))
+    },
+    Some {
+      def distort(src: String) =
+        s"""SELECT list_position(ds, list_min(ds)) - 1 AS cell,
+           |    list_dot_product(v, v) + list_min(ds) AS d2
+           |  FROM (SELECT v, list_transform(cs, c -> -2 * list_dot_product(v, c)
+           |      + list_dot_product(c, c)) AS ds
+           |    FROM $src CROSS JOIN k_c2)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7','8','9','a','b') AS is_ref
+         |  FROM embeddings),
+         |ref AS (SELECT vec_id, v FROM e WHERE is_ref),
+         |cur AS (SELECT vec_id,
+         |    CASE WHEN label % 3 = 0 THEN list_transform(v, x -> x * 1.5)
+         |         ELSE v END AS v
+         |  FROM e WHERE NOT is_ref),
+         |${OracleSql.kmeansCtes("k_", "ref", k = 8, iters = 2, dim = 64)},
+         |gr AS (SELECT cell, count(*) AS n_ref, round(avg(d2), 6) + 0.0 AS md_ref
+         |  FROM (${distort("ref")}) GROUP BY 1),
+         |gc AS (SELECT cell, count(*) AS n_cur, round(avg(d2), 6) + 0.0 AS md_cur
+         |  FROM (${distort("cur")}) GROUP BY 1)
+         |SELECT CAST(coalesce(gr.cell, gc.cell) AS INT) AS cell,
+         |  coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+         |  md_ref, md_cur,
+         |  CASE WHEN md_ref > 0 THEN round(md_cur / md_ref, 6) + 0.0 END AS drift_ratio,
+         |  CAST(coalesce(n_ref > 0 AND n_cur > 0 AND md_cur > 1.5 * md_ref,
+         |    FALSE) AS BIGINT) AS drifted
+         |FROM gr FULL OUTER JOIN gc ON gr.cell = gc.cell
+         |ORDER BY cell""".stripMargin
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
-      q102, q110, q112, q116, q117, q123, q132, q133, q141)
+      q102, q110, q112, q116, q117, q123, q132, q133, q141, q152)
 }

@@ -190,4 +190,55 @@ class MultiTableLshSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](readAnnIndex(spark, s"$dir/bad"))
     assert(e.getMessage.contains("no gaps"))
   }
+
+  test("cellDistortion: hand case — exact per-cell mean squared distance") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    // (1,0) -> cell 0 at d2=1; (0,2) -> cell 0 at d2=4; (11,0) -> cell 1 at d2=1
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(11.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.cellDistortion(df, "vec_id", col("embedding"), cents)
+      .orderBy("cell").as[(Int, Long, Double)].collect().toSeq
+    assert(out === Seq((0, 2L, 2.5), (1, 1L, 1.0)))
+  }
+
+  test("annIndexDrift: identical snapshots stable, inflated fresh batch drifts, " +
+      "one-sided cells kept with zero counts and no flag") {
+    val idx = {
+      val (_, cents) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      SimilarityOps.AnnIndex(64, 2, 2, 42L, cents)
+    }
+    val same = SimilarityOps.annIndexDrift(emb, emb, "vec_id", col("embedding"),
+      idx, threshold = 1.5).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getAs[Long]("drifted") === 0L)
+      assert(r.getAs[Double]("drift_ratio") === 1.0) // md_cur == md_ref bit-for-bit
+      assert(r.getAs[Long]("n_ref") === r.getAs[Long]("n_cur"))
+    }
+    // inflate every fresh vector well past the threshold: every populated
+    // cell must flag (scaling by 3 grows d2 at least 9x toward its own
+    // centroid's cell; whatever cell the scaled vector lands in, its
+    // distortion far exceeds 1.5x the training profile here)
+    val blown = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x * lit(3.0)).as("embedding"))
+    val drift = SimilarityOps.annIndexDrift(emb, blown, "vec_id", col("embedding"),
+      idx, threshold = 1.5).collect()
+    assert(drift.filter(_.getAs[Long]("n_cur") > 0).forall(_.getAs[Long]("drifted") === 1L))
+    assert(drift.exists(_.getAs[Long]("drifted") === 1L))
+    // one-sided: a fresh batch confined to a single vector leaves the other
+    // cells ref-only — present, zero n_cur, NULL md_cur, not flagged
+    val one = SimilarityOps.annIndexDrift(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", col("embedding"), idx, threshold = 1.5).collect()
+    assert(one.length === same.length) // every ref cell still present
+    val refOnly = one.filter(_.getAs[Long]("n_cur") === 0L)
+    assert(refOnly.nonEmpty)
+    refOnly.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("md_cur")))
+      assert(r.getAs[Long]("drifted") === 0L)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.annIndexDrift(emb, emb, "vec_id", col("embedding"),
+        idx.centroids, threshold = 0.0)
+    }
+  }
 }
