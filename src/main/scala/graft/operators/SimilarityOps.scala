@@ -1054,4 +1054,72 @@ object SimilarityOps {
   def annIndexDrift(ref: DataFrame, cur: DataFrame, idCol: String, emb: Column,
       idx: AnnIndex, threshold: Double): DataFrame =
     annIndexDrift(ref, cur, idCol, emb, idx.centroids, threshold)
+
+  /** Cluster skeleton — the corpus "map" a curation operator reads before
+    * deciding what to keep: one row per populated coarse cell with its
+    * mass, mean squared distortion, and the REPRESENTATIVE member (the
+    * vector closest to the centroid, ties to the lower id). The
+    * representative is a real corpus member, so the k-row skeleton is a
+    * browsable digest of a 100 TB embedding table — inspect k documents,
+    * not n.
+    *
+    * Output: (cell, n, md, rep_id, rep_d2). The argmin runs as
+    * min(struct(d2, id)) inside the same hash aggregate as the mass/mean —
+    * ONE scan, ONE aggregate to ≤ k rows, no window and no second pass.
+    * Raw d² doubles order identically cross-engine (both engines compute
+    * the same two dot products in the same left-to-right order — the
+    * [[kmeans]] assignment argument), so the struct-min tie-break is
+    * deterministic without pre-rounding; only the OUTPUT statistics are
+    * rounded (avg is partition-order-sensitive; the rep's single d² is
+    * exact but rounded for a uniform surface). */
+  def clusterSkeleton(df: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import graft.engine.Semantics.roundz
+    val v = emb.cast("array<double>")
+    val m = nearestCentroidScored(v, centroids, "cell")
+    df.select(m.getField("cell").as("cell"),
+        (dot(v, v) + m.getField("d")).as("d2"), col(idCol).as("id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), roundz(avg(col("d2")), 6).as("md"),
+        min(struct(col("d2"), col("id"))).as("rep"))
+      .select(col("cell"), col("n"), col("md"),
+        col("rep.id").as("rep_id"), roundz(col("rep.d2"), 6).as("rep_d2"))
+  }
+
+  /** Cluster-balanced selection — diversity-preserving corpus pruning:
+    * every coarse cell contributes at most `quota` members, so dense
+    * regions stop dominating the kept set (the failure mode of global
+    * score cuts). `keepFarthest = false` keeps each cell's PROTOTYPES
+    * (closest to centroid — the SemDeDup-flavored "one canonical doc per
+    * semantic region" policy); `keepFarthest = true` keeps the cell's
+    * HARDEST members (farthest from centroid — the keep-hard-examples
+    * policy for abundant data, per the data-pruning scaling literature).
+    * Ties break to the lower id under both policies.
+    *
+    * Output: (cell, rank, id, d2) with rank 1..quota per cell (fewer if
+    * the cell is smaller). Scale shape: one narrow scan, then a window
+    * partitioned by cell. The partition count is k — NOT a skew trap,
+    * because IVF k is scaled with the corpus (that is the
+    * [[lshAutoTune]]/[[kmeansConverged]] contract: per-cell mass n/k is
+    * held roughly constant), so each cell's sort is a bounded task; the
+    * quota filter then rides the same stage. No collect, no global sort. */
+  def clusterBalancedSelect(df: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]], quota: Int,
+      keepFarthest: Boolean = false): DataFrame = {
+    import graft.engine.Semantics.roundz
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, s"quota must be positive, got $quota")
+    val v = emb.cast("array<double>")
+    val m = nearestCentroidScored(v, centroids, "cell")
+    val order =
+      if (keepFarthest) Seq(col("d2").desc, col("id").asc)
+      else Seq(col("d2").asc, col("id").asc)
+    df.select(m.getField("cell").as("cell"),
+        (dot(v, v) + m.getField("d")).as("d2"), col(idCol).as("id"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("cell")).orderBy(order: _*))
+          .cast("long"))
+      .filter(col("rank") <= quota)
+      .select(col("cell"), col("rank"), col("id"), roundz(col("d2"), 6).as("d2"))
+  }
 }

@@ -146,6 +146,19 @@ object OracleSql {
        |        + list_dot_product(c, c)) AS ds
        |    FROM $src CROSS JOIN $csCte)""".stripMargin
 
+  /** [[kmeansAssignSelect]] plus the squared assignment distance —
+    * d² = |v|² + list_min(ds), the argmin's own score with the dropped
+    * |v|² added back (the [[graft.operators.SimilarityOps.cellDistortion]]
+    * identity), so distance and cell come from ONE score list. Emits
+    * (vec_id, cell, d2). */
+  def kmeansAssignD2Select(csCte: String, src: String): String =
+    s"""SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell,
+       |    list_dot_product(v, v) + list_min(ds) AS d2
+       |  FROM (SELECT vec_id, v,
+       |      list_transform(cs, c -> -2 * list_dot_product(v, c)
+       |        + list_dot_product(c, c)) AS ds
+       |    FROM $src CROSS JOIN $csCte)""".stripMargin
+
   /** The rational-sigmoid expression over a margin expression `t` —
     * [[graft.operators.ClassifierOps.rationalSigmoid]]'s exact SQL twin
     * (÷2, abs, +, ÷, × are all IEEE-exactly-rounded, so both engines

@@ -900,12 +900,7 @@ object Similarity extends QueryGroup {
         .orderBy(col("cell"))
     },
     Some {
-      def distort(src: String) =
-        s"""SELECT list_position(ds, list_min(ds)) - 1 AS cell,
-           |    list_dot_product(v, v) + list_min(ds) AS d2
-           |  FROM (SELECT v, list_transform(cs, c -> -2 * list_dot_product(v, c)
-           |      + list_dot_product(c, c)) AS ds
-           |    FROM $src CROSS JOIN k_c2)""".stripMargin
+      def distort(src: String) = OracleSql.kmeansAssignD2Select("k_c2", src)
       s"""WITH e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
@@ -931,7 +926,82 @@ object Similarity extends QueryGroup {
          |ORDER BY cell""".stripMargin
     })
 
+  /** X3×X7 cluster skeleton ([[SimilarityOps.clusterSkeleton]]): the
+    * k-row browsable digest of the embedding corpus — per coarse cell its
+    * mass, mean squared distortion, and the representative member (argmin
+    * distance, ties to the lower id). The argmin rides INSIDE the same
+    * hash aggregate as the mass/mean (min of a (d2, id) struct) — one
+    * scan, one aggregate, no window. Raw d² doubles order identically
+    * cross-engine (same left-to-right dot-product sums), so the oracle's
+    * row_number-rank-1 row is the same member the struct-min picks. */
+  private val q153 = QueryDef(
+    "q153_cluster_skeleton",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (_, cents) = SimilarityOps.kmeans(e, "vec_id", "v", k = 8, iters = 2)
+      SimilarityOps.clusterSkeleton(e, "vec_id", col("v"), cents)
+        .orderBy(col("cell"))
+    },
+    Some {
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${OracleSql.kmeansCtes("k_", "e", k = 8, iters = 2, dim = 64)},
+         |a AS (${OracleSql.kmeansAssignD2Select("k_c2", "e")}),
+         |r AS (SELECT cell, vec_id, d2,
+         |    row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rn
+         |  FROM a),
+         |g AS (SELECT cell, count(*) AS n, round(avg(d2), 6) + 0.0 AS md
+         |  FROM a GROUP BY 1)
+         |SELECT CAST(g.cell AS INT) AS cell, n, md,
+         |  r.vec_id AS rep_id, round(r.d2, 6) + 0.0 AS rep_d2
+         |FROM g JOIN r ON g.cell = r.cell AND r.rn = 1
+         |ORDER BY cell""".stripMargin
+    })
+
+  /** X7 cluster-balanced selection ([[SimilarityOps.clusterBalancedSelect]]):
+    * diversity-preserving pruning where every coarse cell contributes at
+    * most `quota` members — both policies side by side, 'proto' keeping
+    * each cell's most-central members (the SemDeDup-flavored canonical
+    * pick) and 'hard' keeping its farthest (the keep-hard-examples policy
+    * for abundant data). Rank order runs on the RAW d² doubles (bit-
+    * identical cross-engine), ties to the lower id; only the output
+    * distance is rounded. The per-cell window is the scale shape IVF
+    * licenses: k grows with the corpus, so per-cell mass stays bounded. */
+  private val q154 = QueryDef(
+    "q154_cluster_balanced",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (_, cents) = SimilarityOps.kmeans(e, "vec_id", "v", k = 8, iters = 2)
+      val proto = SimilarityOps
+        .clusterBalancedSelect(e, "vec_id", col("v"), cents, quota = 3)
+        .withColumn("policy", lit("proto"))
+      val hard = SimilarityOps
+        .clusterBalancedSelect(e, "vec_id", col("v"), cents, quota = 3,
+          keepFarthest = true)
+        .withColumn("policy", lit("hard"))
+      proto.unionByName(hard).orderBy(col("policy"), col("cell"), col("rank"))
+    },
+    Some {
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${OracleSql.kmeansCtes("k_", "e", k = 8, iters = 2, dim = 64)},
+         |a AS (${OracleSql.kmeansAssignD2Select("k_c2", "e")}),
+         |p AS (SELECT cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rank,
+         |    vec_id AS id, d2, 'proto' AS policy
+         |  FROM a),
+         |h AS (SELECT cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rank,
+         |    vec_id AS id, d2, 'hard' AS policy
+         |  FROM a)
+         |SELECT CAST(cell AS INT) AS cell, CAST(rank AS BIGINT) AS rank, id,
+         |  round(d2, 6) + 0.0 AS d2, policy
+         |FROM (SELECT * FROM p UNION ALL SELECT * FROM h)
+         |WHERE rank <= 3
+         |ORDER BY policy, cell, rank""".stripMargin
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
-      q102, q110, q112, q116, q117, q123, q132, q133, q141, q152)
+      q102, q110, q112, q116, q117, q123, q132, q133, q141, q152, q153, q154)
 }

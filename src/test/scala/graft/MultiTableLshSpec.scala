@@ -241,4 +241,53 @@ class MultiTableLshSpec extends SparkSpec {
         idx.centroids, threshold = 0.0)
     }
   }
+
+  test("clusterSkeleton: hand case — mass, mean, representative with id tie-break") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    // cell 0: (1,0)@d2=1, (0,2)@d2=4, (-1,0)@d2=1 (ties id1 at d2=1 -> rep id1)
+    // cell 1: (11,0)@d2=1
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(11.0f, 0.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.clusterSkeleton(df, "vec_id", col("embedding"), cents)
+      .orderBy("cell").as[(Int, Long, Double, Long, Double)].collect().toSeq
+    assert(out === Seq((0, 3L, 2.0, 1L, 1.0), (1, 1L, 1.0, 3L, 1.0)))
+  }
+
+  test("clusterBalancedSelect: quota bound, policy order, tie-break, skeleton consistency") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(11.0f, 0.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val proto = SimilarityOps
+      .clusterBalancedSelect(df, "vec_id", col("embedding"), cents, quota = 2)
+      .orderBy("cell", "rank").as[(Int, Long, Long, Double)].collect().toSeq
+    // cell 0 protos: d2=1 ties -> id 1 then id 4; (0,2)@4 cut by quota
+    assert(proto === Seq((0, 1L, 1L, 1.0), (0, 2L, 4L, 1.0), (1, 1L, 3L, 1.0)))
+    val hard = SimilarityOps
+      .clusterBalancedSelect(df, "vec_id", col("embedding"), cents, quota = 2,
+        keepFarthest = true)
+      .orderBy("cell", "rank").as[(Int, Long, Long, Double)].collect().toSeq
+    // cell 0 hard: (0,2)@4 first, then the d2=1 tie resolves to id 1
+    assert(hard === Seq((0, 1L, 2L, 4.0), (0, 2L, 1L, 1.0), (1, 1L, 3L, 1.0)))
+    // quota >= cell size keeps everything, ranks dense per cell
+    val all = SimilarityOps
+      .clusterBalancedSelect(df, "vec_id", col("embedding"), cents, quota = 10)
+      .collect()
+    assert(all.length === 4)
+    // a cell's rank-1 prototype IS the skeleton's representative
+    val (_, cs) = SimilarityOps.kmeans(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "v", k = 4, iters = 2)
+    val reps = SimilarityOps.clusterSkeleton(emb, "vec_id", col("embedding"), cs)
+      .select("cell", "rep_id").as[(Int, Long)].collect().toMap
+    val r1 = SimilarityOps
+      .clusterBalancedSelect(emb, "vec_id", col("embedding"), cs, quota = 1)
+      .select("cell", "id").as[(Int, Long)].collect().toMap
+    assert(r1 === reps)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.clusterBalancedSelect(df, "vec_id", col("embedding"), cents,
+        quota = 0)
+    }
+  }
 }
