@@ -1000,7 +1000,7 @@ object SimilarityOps {
     * joins), one hash aggregate to ≤ k rows. The rounding is the trainer
     * convention ([[lloydStep]]): avg() sums floats in shuffle-fetch order,
     * so only the rounded mean is engine- and partitioning-reproducible. */
-  def cellDistortion(df: DataFrame, idCol: String, emb: Column,
+  def cellDistortion(df: DataFrame, emb: Column,
       centroids: Seq[Seq[Double]]): DataFrame = {
     import graft.engine.Semantics.roundz
     val v = emb.cast("array<double>")
@@ -1019,7 +1019,7 @@ object SimilarityOps {
     * coarse quantizer no longer fits the data it is indexing and a
     * retrain is due (q151's PSI discipline applied to embedding space).
     *
-    * Output: (cell, n_ref, n_cur, md_ref, md_cur, drift_ratio, drifted)
+    * Output: (cell, n_ref, md_ref, n_cur, md_cur, drift_ratio, drifted)
     * — one row per cell present in EITHER snapshot (a cell that lost all
     * fresh mass is itself drift signal, so absent-on-one-side cells stay,
     * with the missing md NULL and counts 0). `drift_ratio` is the rounded
@@ -1032,13 +1032,13 @@ object SimilarityOps {
     * Scale shape: each snapshot is one [[cellDistortion]] scan; the join
     * runs on two ≤ k-row aggregates. Driver state: the k·dim centroid
     * literals — nothing else. */
-  def annIndexDrift(ref: DataFrame, cur: DataFrame, idCol: String, emb: Column,
+  def annIndexDrift(ref: DataFrame, cur: DataFrame, emb: Column,
       centroids: Seq[Seq[Double]], threshold: Double = 1.5): DataFrame = {
     import graft.engine.Semantics.roundz
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val r = cellDistortion(ref, idCol, emb, centroids)
+    val r = cellDistortion(ref, emb, centroids)
       .select(col("cell"), col("n").as("n_ref"), col("md").as("md_ref"))
-    val c = cellDistortion(cur, idCol, emb, centroids)
+    val c = cellDistortion(cur, emb, centroids)
       .select(col("cell"), col("n").as("n_cur"), col("md").as("md_cur"))
     r.join(c, Seq("cell"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
@@ -1051,9 +1051,9 @@ object SimilarityOps {
 
   /** [[annIndexDrift]] against a persisted [[AnnIndex]] — the monitoring
     * job loads the same artifact the serving fleet does. */
-  def annIndexDrift(ref: DataFrame, cur: DataFrame, idCol: String, emb: Column,
+  def annIndexDrift(ref: DataFrame, cur: DataFrame, emb: Column,
       idx: AnnIndex, threshold: Double): DataFrame =
-    annIndexDrift(ref, cur, idCol, emb, idx.centroids, threshold)
+    annIndexDrift(ref, cur, emb, idx.centroids, threshold)
 
   /** Cluster skeleton — the corpus "map" a curation operator reads before
     * deciding what to keep: one row per populated coarse cell with its
@@ -1072,13 +1072,21 @@ object SimilarityOps {
     * deterministic without pre-rounding; only the OUTPUT statistics are
     * rounded (avg is partition-order-sensitive; the rep's single d² is
     * exact but rounded for a uniform surface). */
-  def clusterSkeleton(df: DataFrame, idCol: String, emb: Column,
+  /** The (cell, d2, id) scored projection [[clusterSkeleton]] and
+    * [[clusterBalancedSelect]] both rank over — one narrow map, cell and
+    * d² from a single [[nearestCentroidScored]] evaluation per row. */
+  private def assignScored(df: DataFrame, idCol: String, emb: Column,
       centroids: Seq[Seq[Double]]): DataFrame = {
-    import graft.engine.Semantics.roundz
     val v = emb.cast("array<double>")
     val m = nearestCentroidScored(v, centroids, "cell")
     df.select(m.getField("cell").as("cell"),
-        (dot(v, v) + m.getField("d")).as("d2"), col(idCol).as("id"))
+      (dot(v, v) + m.getField("d")).as("d2"), col(idCol).as("id"))
+  }
+
+  def clusterSkeleton(df: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import graft.engine.Semantics.roundz
+    assignScored(df, idCol, emb, centroids)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), roundz(avg(col("d2")), 6).as("md"),
         min(struct(col("d2"), col("id"))).as("rep"))
@@ -1103,23 +1111,58 @@ object SimilarityOps {
     * [[lshAutoTune]]/[[kmeansConverged]] contract: per-cell mass n/k is
     * held roughly constant), so each cell's sort is a bounded task; the
     * quota filter then rides the same stage. No collect, no global sort. */
-  def clusterBalancedSelect(df: DataFrame, idCol: String, emb: Column,
-      centroids: Seq[Seq[Double]], quota: Int,
-      keepFarthest: Boolean = false): DataFrame = {
+  /** The rank-and-cut a scored projection feeds — split out so
+    * [[clusterBalancedSelectBoth]] can apply both policies to ONE scan. */
+  private def rankQuota(scored: DataFrame, quota: Int,
+      keepFarthest: Boolean): DataFrame = {
     import graft.engine.Semantics.roundz
     import org.apache.spark.sql.expressions.Window
     require(quota > 0, s"quota must be positive, got $quota")
-    val v = emb.cast("array<double>")
-    val m = nearestCentroidScored(v, centroids, "cell")
     val order =
       if (keepFarthest) Seq(col("d2").desc, col("id").asc)
       else Seq(col("d2").asc, col("id").asc)
-    df.select(m.getField("cell").as("cell"),
-        (dot(v, v) + m.getField("d")).as("d2"), col(idCol).as("id"))
+    scored
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("cell")).orderBy(order: _*))
           .cast("long"))
       .filter(col("rank") <= quota)
       .select(col("cell"), col("rank"), col("id"), roundz(col("d2"), 6).as("d2"))
+  }
+
+  def clusterBalancedSelect(df: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]], quota: Int,
+      keepFarthest: Boolean = false): DataFrame =
+    rankQuota(assignScored(df, idCol, emb, centroids), quota, keepFarthest)
+
+  /** Both policies from ONE pass — a union of two single-policy calls
+    * would scan and k·dim-score the corpus twice (and Spark 4's
+    * WindowGroupLimit pushes a per-policy partial sort below the
+    * exchange, so not even the shuffle is reusable). Instead: one scan,
+    * one hash exchange on cell, two CHAINED windows (same partition key,
+    * opposite orders — Catalyst plans them back-to-back after the single
+    * exchange), then each row explodes into the (policy, rank) pairs
+    * that survive the quota. Output adds `policy` ('proto' | 'hard');
+    * per-policy rows are identical to [[clusterBalancedSelect]]'s
+    * (spec-asserted), ties to the lower id under BOTH orders. */
+  def clusterBalancedSelectBoth(df: DataFrame, idCol: String, emb: Column,
+      centroids: Seq[Seq[Double]], quota: Int): DataFrame = {
+    import graft.engine.Semantics.roundz
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0, s"quota must be positive, got $quota")
+    val byCell = Window.partitionBy(col("cell"))
+    val rnP = row_number()
+      .over(byCell.orderBy(col("d2").asc, col("id").asc)).cast("long")
+    val rnH = row_number()
+      .over(byCell.orderBy(col("d2").desc, col("id").asc)).cast("long")
+    assignScored(df, idCol, emb, centroids)
+      .withColumn("rn_p", rnP)
+      .withColumn("rn_h", rnH)
+      .select(col("cell"), col("id"), col("d2"),
+        explode(filter(
+          array(struct(lit("proto").as("policy"), col("rn_p").as("rank")),
+            struct(lit("hard").as("policy"), col("rn_h").as("rank"))),
+          s => s.getField("rank") <= quota)).as("pr"))
+      .select(col("cell"), col("pr.rank").as("rank"), col("id"),
+        roundz(col("d2"), 6).as("d2"), col("pr.policy").as("policy"))
   }
 }

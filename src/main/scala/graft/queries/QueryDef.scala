@@ -139,12 +139,18 @@ object OracleSql {
     * single-row centroid CTE `csCte` — one SELECT, usable as a CTE body or
     * subquery. Ties to the lower cluster id (first occurrence of the list
     * minimum), exactly the Spark side's (d, idx) struct-min rule. */
-  def kmeansAssignSelect(csCte: String, src: String): String =
-    s"""SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cluster
-       |  FROM (SELECT vec_id, v,
+  /** The shared scored-list inner SELECT both assignment builders rank
+    * over — ONE place owns the −2·v·c + |c|² expression so the
+    * assignment oracle and the distance oracle cannot desynchronize. */
+  private def kmeansScoredFrom(csCte: String, src: String): String =
+    s"""(SELECT vec_id, v,
        |      list_transform(cs, c -> -2 * list_dot_product(v, c)
        |        + list_dot_product(c, c)) AS ds
        |    FROM $src CROSS JOIN $csCte)""".stripMargin
+
+  def kmeansAssignSelect(csCte: String, src: String): String =
+    s"""SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cluster
+       |  FROM ${kmeansScoredFrom(csCte, src)}""".stripMargin
 
   /** [[kmeansAssignSelect]] plus the squared assignment distance —
     * d² = |v|² + list_min(ds), the argmin's own score with the dropped
@@ -154,10 +160,7 @@ object OracleSql {
   def kmeansAssignD2Select(csCte: String, src: String): String =
     s"""SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell,
        |    list_dot_product(v, v) + list_min(ds) AS d2
-       |  FROM (SELECT vec_id, v,
-       |      list_transform(cs, c -> -2 * list_dot_product(v, c)
-       |        + list_dot_product(c, c)) AS ds
-       |    FROM $src CROSS JOIN $csCte)""".stripMargin
+       |  FROM ${kmeansScoredFrom(csCte, src)}""".stripMargin
 
   /** The rational-sigmoid expression over a margin expression `t` —
     * [[graft.operators.ClassifierOps.rationalSigmoid]]'s exact SQL twin

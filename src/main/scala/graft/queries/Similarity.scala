@@ -896,7 +896,7 @@ object Similarity extends QueryGroup {
         when(col("label") % 3 === 0, transform(col("v"), x => x * lit(1.5)))
           .otherwise(col("v")).as("v"))
       val (_, cents) = SimilarityOps.kmeans(ref, "vec_id", "v", k = 8, iters = 2)
-      SimilarityOps.annIndexDrift(ref, cur, "vec_id", col("v"), cents, threshold = 1.5)
+      SimilarityOps.annIndexDrift(ref, cur, col("v"), cents, threshold = 1.5)
         .orderBy(col("cell"))
     },
     Some {
@@ -973,14 +973,8 @@ object Similarity extends QueryGroup {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (_, cents) = SimilarityOps.kmeans(e, "vec_id", "v", k = 8, iters = 2)
-      val proto = SimilarityOps
-        .clusterBalancedSelect(e, "vec_id", col("v"), cents, quota = 3)
-        .withColumn("policy", lit("proto"))
-      val hard = SimilarityOps
-        .clusterBalancedSelect(e, "vec_id", col("v"), cents, quota = 3,
-          keepFarthest = true)
-        .withColumn("policy", lit("hard"))
-      proto.unionByName(hard).orderBy(col("policy"), col("cell"), col("rank"))
+      SimilarityOps.clusterBalancedSelectBoth(e, "vec_id", col("v"), cents, quota = 3)
+        .orderBy(col("policy"), col("cell"), col("rank"))
     },
     Some {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -196,7 +196,7 @@ class MultiTableLshSpec extends SparkSpec {
     // (1,0) -> cell 0 at d2=1; (0,2) -> cell 0 at d2=4; (11,0) -> cell 1 at d2=1
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
       (3L, Array(11.0f, 0.0f))).toDF("vec_id", "embedding")
-    val out = SimilarityOps.cellDistortion(df, "vec_id", col("embedding"), cents)
+    val out = SimilarityOps.cellDistortion(df, col("embedding"), cents)
       .orderBy("cell").as[(Int, Long, Double)].collect().toSeq
     assert(out === Seq((0, 2L, 2.5), (1, 1L, 1.0)))
   }
@@ -207,7 +207,7 @@ class MultiTableLshSpec extends SparkSpec {
       val (_, cents) = SimilarityOps.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
       SimilarityOps.AnnIndex(64, 2, 2, 42L, cents)
     }
-    val same = SimilarityOps.annIndexDrift(emb, emb, "vec_id", col("embedding"),
+    val same = SimilarityOps.annIndexDrift(emb, emb, col("embedding"),
       idx, threshold = 1.5).collect()
     assert(same.nonEmpty)
     same.foreach { r =>
@@ -221,14 +221,14 @@ class MultiTableLshSpec extends SparkSpec {
     // distortion far exceeds 1.5x the training profile here)
     val blown = emb.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"), x => x * lit(3.0)).as("embedding"))
-    val drift = SimilarityOps.annIndexDrift(emb, blown, "vec_id", col("embedding"),
+    val drift = SimilarityOps.annIndexDrift(emb, blown, col("embedding"),
       idx, threshold = 1.5).collect()
     assert(drift.filter(_.getAs[Long]("n_cur") > 0).forall(_.getAs[Long]("drifted") === 1L))
     assert(drift.exists(_.getAs[Long]("drifted") === 1L))
     // one-sided: a fresh batch confined to a single vector leaves the other
     // cells ref-only — present, zero n_cur, NULL md_cur, not flagged
     val one = SimilarityOps.annIndexDrift(emb, emb.filter(col("vec_id") === 0L),
-      "vec_id", col("embedding"), idx, threshold = 1.5).collect()
+      col("embedding"), idx, threshold = 1.5).collect()
     assert(one.length === same.length) // every ref cell still present
     val refOnly = one.filter(_.getAs[Long]("n_cur") === 0L)
     assert(refOnly.nonEmpty)
@@ -237,7 +237,7 @@ class MultiTableLshSpec extends SparkSpec {
       assert(r.getAs[Long]("drifted") === 0L)
     }
     intercept[IllegalArgumentException] {
-      SimilarityOps.annIndexDrift(emb, emb, "vec_id", col("embedding"),
+      SimilarityOps.annIndexDrift(emb, emb, col("embedding"),
         idx.centroids, threshold = 0.0)
     }
   }
@@ -289,5 +289,30 @@ class MultiTableLshSpec extends SparkSpec {
       SimilarityOps.clusterBalancedSelect(df, "vec_id", col("embedding"), cents,
         quota = 0)
     }
+  }
+
+  test("clusterBalancedSelectBoth: both policies from ONE scan — per-policy " +
+      "results identical to the single-policy calls") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(11.0f, 0.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val both = SimilarityOps
+      .clusterBalancedSelectBoth(df, "vec_id", col("embedding"), cents, quota = 2)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("cell", "rank", "id", "d2").orderBy("cell", "rank")
+        .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(rows(both.filter(col("policy") === "proto")) === rows(SimilarityOps
+      .clusterBalancedSelect(df, "vec_id", col("embedding"), cents, quota = 2)))
+    assert(rows(both.filter(col("policy") === "hard")) === rows(SimilarityOps
+      .clusterBalancedSelect(df, "vec_id", col("embedding"), cents, quota = 2,
+        keepFarthest = true)))
+    // the point of the combined form: ONE scan feeds both policies (two
+    // chained windows after a single exchange, then the explode) — a
+    // union of single-policy calls would scan the input twice
+    val plan = both.queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans === 1, s"expected exactly one scan of the input, got $scans:\n$plan")
+    assert(plan.contains("Generate"), s"expected the explode form:\n$plan")
   }
 }
