@@ -1019,4 +1019,94 @@ object CurationOps {
         sum(when(abs(col("__x") - col("med")) > lit(z) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Rule-gate funnel with per-rule rejection ATTRIBUTION — the
+    * observability layer of a filtering pipeline. At 100 TB nobody debugs
+    * a quality gate doc-by-doc; the question is always "which rule is
+    * killing how much of which source, and what would relaxing it buy".
+    * Gross fail counts alone can't answer that: rules overlap, so a doc
+    * failing three rules inflates three counters and relaxing any one
+    * rule recovers nothing. This emits BOTH measures per (group, rule):
+    *
+    *   - `n_fail`      — docs failing the rule at all (gross mass)
+    *   - `n_sole_fail` — docs for which this is the ONLY failing rule,
+    *                     i.e. exactly the docs relaxing JUST this rule
+    *                     would admit (marginal mass)
+    *
+    * alongside the shared funnel frame (`n_docs`, `n_admitted` — repeated
+    * on each of the group's rule rows so every row reads standalone).
+    * `rules` are PASS predicates; a rule evaluating to NULL (e.g. a
+    * predicate over a NULL text) counts as FAILED — a doc the gate cannot
+    * evaluate must not be admitted silently.
+    *
+    * Plan shape: one scan computes all rule flags (narrow map), each row
+    * explodes into |rules| (rule, failed) pairs carrying the row's
+    * admitted/sole-fail context, then ONE hash aggregate to
+    * |groups|·|rules| rows. The fan-out is the fixed rule-set arity, not
+    * data-dependent; partial aggregation absorbs it map-side. No window,
+    * no second scan, no driver state. */
+  def ruleFunnel(df: DataFrame, group: Column,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleFunnel needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1).mkString(", ")}")
+    val flagCols = rules.map { case (n, c) =>
+      coalesce(c.cast("boolean"), lit(false)).as(s"__rule_$n")
+    }
+    val flagged = df.select(group.as("grp") +: flagCols: _*)
+    val nFail = rules.map { case (n, _) =>
+      when(col(s"__rule_$n"), 0).otherwise(1)
+    }.reduce(_ + _)
+    val pairs = array(rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), (!col(s"__rule_$n")).as("failed"))
+    }: _*)
+    flagged
+      .withColumn("__nf", nFail)
+      .select(col("grp"), col("__nf"), explode(pairs).as("p"))
+      .groupBy(col("grp"), col("p.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__nf") === 0, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("p.failed"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("p.failed") && col("__nf") === 1, 1L).otherwise(0L))
+          .as("n_sole_fail"))
+  }
+
+  /** Two-level (doc × domain) admission gate — the RefinedWeb/UT1-style
+    * stage where an aggregate verdict on a DOMAIN overrides per-document
+    * verdicts: a domain whose pass rate is below `minRatePct`% (or with
+    * fewer than `minDocs` docs — too thin to judge, and thin long-tail
+    * domains are where spam farms live) is dropped WHOLE, including its
+    * individually-passing docs. Emits every input row with its verdict
+    * trail (`doc_pass`, `domain_admitted`, `admitted` = both), so the
+    * rejected mass stays auditable rather than vanishing.
+    *
+    * The rate comparison is integer-exact (`n_pass·100 ≥ minRatePct·n`),
+    * never a float division — a domain sitting exactly ON the threshold
+    * must get the same verdict from every engine.
+    *
+    * Plan shape: one hash aggregate to ≤|domains| rows, broadcast back
+    * onto the scan (domain cardinality is web-scale-small relative to
+    * docs — millions vs billions), zero additional shuffle on the doc
+    * side. Driver state: none. */
+  def domainGate(df: DataFrame, domain: Column, docPass: Column,
+      minRatePct: Int, minDocs: Long = 1L): DataFrame = {
+    require(minRatePct >= 0 && minRatePct <= 100,
+      s"minRatePct must be in [0,100], got $minRatePct")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    requireFresh(df, "domainGate",
+      "__domain", "doc_pass", "domain_admitted", "admitted")
+    val flagged = df
+      .withColumn("__domain", domain)
+      .withColumn("doc_pass",
+        when(coalesce(docPass.cast("boolean"), lit(false)), 1L).otherwise(0L))
+    val stats = flagged.groupBy(col("__domain"))
+      .agg(count(lit(1)).as("__n"), sum(col("doc_pass")).as("__np"))
+      .withColumn("domain_admitted",
+        when(col("__np") * 100L >= lit(minRatePct.toLong) * col("__n") &&
+          col("__n") >= minDocs, 1L).otherwise(0L))
+      .select(col("__domain"), col("domain_admitted"))
+    flagged.join(broadcast(stats), Seq("__domain"))
+      .withColumn("admitted", col("doc_pass") * col("domain_admitted"))
+      .drop("__domain")
+  }
 }

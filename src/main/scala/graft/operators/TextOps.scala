@@ -531,6 +531,48 @@ object TextOps {
       .otherwise(hostport)
   }
 
+  /** Mojibake (UTF-8-read-as-Latin-1) sequences this engine detects and
+    * repairs: 'Ã' followed by a char in U+00A0–U+00BF is the Latin-1
+    * rendering of the 2-byte UTF-8 encoding of an accented Latin letter
+    * (é → C3 A9 → "Ã©"). Deliberately restricted to the ISO-8859-1 range —
+    * Windows-1252-only artifacts ("â€™") involve C1 control bytes whose
+    * Latin-1 text form is unprintable and whose round-trip is
+    * charset-ambiguous; an engine should refuse to guess there. The
+    * class is spelled \x{..} — the one codepoint-escape syntax Java
+    * regex and RE2 (the oracle's engine) share. */
+  val mojibakePattern: String = "Ã[\\x{00a0}-\\x{00bf}]"
+
+  /** Count of detected mojibake sequences — the encoding-damage signal a
+    * crawl-ingest gate scores on (damage concentrates by source/crawl, so
+    * the per-source rollup localizes a bad fetcher or a mislabeled
+    * charset). Stateless narrow map over a codegen'd regex. */
+  def mojibakeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(mojibakePattern), lit(0))).cast("long")
+
+  /** Every codepoint is ASCII or part of a well-formed damaged pair —
+    * the precondition that makes [[fixMojibake]]'s re-decode PROVABLY
+    * lossless: re-encoding such a string as Latin-1 yields valid UTF-8
+    * by construction, so the repair can never hit a malformed-input
+    * path or a replacement char. A MIXED row (clean "é" beside damaged
+    * "Ã©" — a stray E9 byte is not valid UTF-8) fails this and is left
+    * untouched: un-invertible damage is surfaced by [[mojibakeCount]],
+    * not guessed at. */
+  val mojibakeInvertiblePattern: String =
+    "^(?:[\\x{0000}-\\x{007f}]|Ã[\\x{00a0}-\\x{00bf}])*$"
+
+  /** Repair detected double-encoding damage by INVERTING the real
+    * transform — re-encode the text's codepoints as Latin-1 bytes and
+    * re-decode them as UTF-8 — rather than a lookup table of damaged
+    * pairs, so every 2-byte sequence the detector matches is repaired in
+    * one pass. Guarded on detection AND [[mojibakeInvertiblePattern]]:
+    * only rows whose repair is provably exact are touched; everything
+    * else passes through byte-identical. A clean-but-accented text
+    * ("café") never matches the damage half, so repair is idempotent:
+    * applying it to already-repaired output is the identity. */
+  def fixMojibake(text: Column): Column =
+    when(text.rlike(mojibakePattern) && text.rlike(mojibakeInvertiblePattern),
+      decode(encode(text, "ISO-8859-1"), "UTF-8")).otherwise(text)
+
   /** Per-document Shannon entropy of the character distribution — the
     * gibberish/boilerplate detector (random bytes score high, repeated
     * filler low). One implementation serves both the profiling rollup
@@ -579,4 +621,111 @@ object TextOps {
     * oracle-mirrored core.) */
   def registeredDomain(host: Column): Column =
     regexp_extract(regexp_replace(host, ":[0-9]+$", ""), "([^.]+\\.[^.]+)$", 1)
+
+  /** Persisted inverted-index artifact for BM25 retrieval serving — the
+    * text-side completion of the artifact family ([[graft.operators
+    * .DedupOps.BloomIndex]]: membership; [[graft.operators.SimilarityOps
+    * .AnnIndex]]: vectors). Unlike those, the index body is CORPUS-sized,
+    * so it stays a distributed table — `postings` (term, doc_id, tf, dl)
+    * — and only two longs ever live on the driver: (n_docs, sum_dl).
+    * `sum_dl`, not avgdl, is stored because the SUM is what merges
+    * exactly under [[appendTextIndex]]; avgdl is derived. Doc lengths are
+    * integers, so sum-of-longs ≡ Spark's avg() over doubles bit-for-bit
+    * — [[bm25Serve]] and the scan-everything [[bm25Scores]] agree to the
+    * last ulp (spec-checked). */
+  final case class TextIndex(nDocs: Long, sumDl: Long, postings: DataFrame) {
+    require(nDocs > 0, s"index must cover at least one doc, got $nDocs")
+    require(sumDl >= 0, s"sum of doc lengths cannot be negative, got $sumDl")
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+  }
+
+  /** Build a [[TextIndex]] over (id, text): one tokenize scan feeds a
+    * single (term, doc) hash aggregate — the one full-corpus shuffle an
+    * index pays ONCE so that every query after it touches only its own
+    * terms' postings. Driver state: two longs from a 1-row aggregate. */
+  def buildTextIndex(df: DataFrame, id: Column, text: Column): TextIndex = {
+    val toks = df.select(id.as("doc_id"), tokenize(text).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    val m = toks.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0)
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    TextIndex(m.getLong(0), m.getLong(1), postings)
+  }
+
+  /** Persist a [[TextIndex]]: 1-row meta parquet + postings parquet,
+    * postings repartitioned BY TERM and sorted within partitions — each
+    * parquet row group then covers a narrow term range, so a serving
+    * query's `term IN (...)` prunes to the row groups its terms live in
+    * (min/max stats) instead of scanning the corpus-sized index. */
+  def writeTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idx: TextIndex): Unit = {
+    import spark.implicits._
+    Seq((idx.nDocs, idx.sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    idx.postings.repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Reload a persisted [[TextIndex]]; refuses loudly on malformed
+    * artifacts (meta row count, missing columns, inconsistent counts)
+    * rather than serving retrieval scores from a corrupt index. */
+  def readTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): TextIndex = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("n_docs"), col("sum_dl")).collect()
+    require(m.length == 1,
+      s"text index meta at $path must hold exactly 1 row, found ${m.length}")
+    val p = spark.read.parquet(s"$path/postings")
+    val need = Set("term", "doc_id", "tf", "dl")
+    require(need.subsetOf(p.columns.toSet),
+      s"text index postings at $path missing ${(need -- p.columns.toSet).mkString(", ")}")
+    TextIndex(m(0).getLong(0), m(0).getLong(1),
+      p.select(col("term"), col("doc_id"), col("tf"), col("dl")))
+  }
+
+  /** Merge a fresh batch into an index WITHOUT rescanning the standing
+    * corpus — the no-rescan maintenance path ([[graft.operators.DedupOps
+    * .mergeBloomIndexes]]'s discipline for postings): the fresh docs are
+    * indexed alone, postings union, and the meta longs ADD. Spec-checked
+    * ≡ rebuilding over the union. Contract: fresh doc ids must be
+    * disjoint from the indexed corpus (run the dedup/anti-join stage
+    * first — this is the same append-only id discipline the standing
+    * stores document); a re-appended doc would double-count its tf. */
+  def appendTextIndex(idx: TextIndex, fresh: DataFrame, id: Column,
+      text: Column): TextIndex = {
+    val f = buildTextIndex(fresh, id, text)
+    TextIndex(idx.nDocs + f.nDocs, idx.sumDl + f.sumDl,
+      idx.postings.unionByName(f.postings))
+  }
+
+  /** BM25 top-docs for `queryTerms` served FROM the index — per-query
+    * cost rides |postings of the query's terms| (pruned at the parquet
+    * scan for a persisted index), never the corpus. Identical scoring
+    * pipeline to [[bm25Scores]] (df of a term = its posting count among
+    * query terms; idf = ln(1 + (N − df + ½)/(df + ½)); same
+    * double-precision evaluation order), so serving from the artifact
+    * and scanning the corpus give bit-identical scores — the parity a
+    * retrieval fleet must be able to certify after every index rebuild. */
+  def bm25Serve(idx: TextIndex, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tf = idx.postings.filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"),
+        col("dl").cast("double").as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = broadcast(dfreq.select(col("term"),
+      log(lit(1d) + (lit(idx.nDocs.toDouble) - col("df") + 0.5d)
+        / (col("df") + 0.5d)).as("idf")))
+    tf.join(idf, "term")
+      .withColumn("__s", col("idf") * col("tf") * (lit(k1) + 1d) /
+        (col("tf") + lit(k1) * (lit(1d - b) + lit(b) * col("dl") / lit(idx.avgdl))))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms_matched"))
+  }
 }

@@ -1194,10 +1194,104 @@ object Curation extends QueryGroup {
            |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
            |FROM w GROUP BY 1 ORDER BY source""".stripMargin))
 
+  /** X7 rule-gate funnel with per-rule rejection attribution
+    * ([[CurationOps.ruleFunnel]]): four Gopher-style pass predicates
+    * (min token count, stopword presence, mean-word-length band,
+    * max single-token repetition) evaluated in ONE scan, exploded into
+    * per-(source, rule) gross (`n_fail`) AND marginal (`n_sole_fail`)
+    * rejection mass — the table a 100 TB filter run is actually debugged
+    * from: sole-fail is exactly what relaxing one rule would admit. The
+    * FP-hazardous ratio rules are phrased integer-exact on both sides
+    * (n_chars vs 3·nt/10·nt; top-token·8 vs nt) so the hash cannot drift
+    * on division. `word_len` never fires on this fixture — a 0-count row
+    * proving never-firing rules still report. */
+  private val q155 = QueryDef(
+    "q155_rule_funnel",
+    (s, dir) => {
+      import graft.operators.TextOps
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokenize(col("text")))
+        .withColumn("nt", size(col("toks")).cast("long"))
+      val topCount = array_max(transform(array_distinct(col("toks")),
+        w => size(filter(col("toks"), t => t === w)))).cast("long")
+      CurationOps.ruleFunnel(d, col("source"), Seq(
+          "min_tokens" -> (col("nt") >= 20L),
+          "stopwords" -> (TextOps.stopwordCount(col("toks")).cast("long") >= 2L),
+          "word_len" -> (col("n_chars") >= lit(3L) * col("nt") &&
+            col("n_chars") <= lit(10L) * col("nt")),
+          "repetition" -> (topCount * lit(8L) <= col("nt"))))
+        .orderBy(col("grp"), col("rule"))
+    },
+    Some("""WITH t AS (
+           |  SELECT source, n_chars, string_split(text, ' ') AS toks,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           |  FROM documents),
+           |f AS (
+           |  SELECT source AS grp,
+           |    nt >= 20 AS r_min_tokens,
+           |    len(list_filter(toks, x -> x IN ('the','a','an','of','and','to','in','is','it','on','for'))) >= 2 AS r_stopwords,
+           |    n_chars >= 3 * nt AND n_chars <= 10 * nt AS r_word_len,
+           |    CAST(list_max(list_transform(list_distinct(toks),
+           |      w -> len(list_filter(toks, u -> u = w)))) AS BIGINT) * 8 <= nt AS r_repetition
+           |  FROM t),
+           |n AS (
+           |  SELECT grp, r_min_tokens, r_stopwords, r_word_len, r_repetition,
+           |    (CASE WHEN r_min_tokens THEN 0 ELSE 1 END
+           |     + CASE WHEN r_stopwords THEN 0 ELSE 1 END
+           |     + CASE WHEN r_word_len THEN 0 ELSE 1 END
+           |     + CASE WHEN r_repetition THEN 0 ELSE 1 END) AS nf
+           |  FROM f),
+           |e AS (
+           |  SELECT grp, 'min_tokens' AS rule, NOT r_min_tokens AS failed, nf FROM n
+           |  UNION ALL SELECT grp, 'stopwords', NOT r_stopwords, nf FROM n
+           |  UNION ALL SELECT grp, 'word_len', NOT r_word_len, nf FROM n
+           |  UNION ALL SELECT grp, 'repetition', NOT r_repetition, nf FROM n)
+           |SELECT grp, rule, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           |  CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           |  CAST(sum(CASE WHEN failed AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail
+           |FROM e GROUP BY 1, 2 ORDER BY grp, rule""".stripMargin))
+
+  /** X7 two-level doc×domain admission ([[CurationOps.domainGate]]):
+    * aggregate domain verdicts override per-doc verdicts — a domain whose
+    * doc pass rate is under 80% (or too thin to judge) is dropped WHOLE,
+    * individually-passing docs included. The checked output is the
+    * doc-LEVEL verdict trail (doc_pass, domain_admitted, admitted), so
+    * the oracle pins the broadcast join-back row by row, not just the
+    * domain aggregate. Thresholds compare integer-exactly (n·100 vs
+    * pct·n) on both engines; 12–13 of the 23 synthesized domains admit at
+    * every SF, so the gate demonstrably cuts both ways. */
+  private val q157 = QueryDef(
+    "q157_domain_gate",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("domain",
+          concat(lit("site"), (col("doc_id") % 23).cast("string"), lit(".com")))
+      CurationOps.domainGate(d, col("domain"), col("n_chars") >= 150,
+          minRatePct = 80, minDocs = 3)
+        .select(col("doc_id"), col("domain"), col("doc_pass"),
+          col("domain_admitted"), col("admitted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    'site' || CAST(doc_id % 23 AS VARCHAR) || '.com' AS domain,
+           |    CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS doc_pass
+           |  FROM documents),
+           |s AS (
+           |  SELECT domain,
+           |    CASE WHEN sum(doc_pass) * 100 >= 80 * count(*) AND count(*) >= 3
+           |      THEN 1 ELSE 0 END AS domain_admitted
+           |  FROM d GROUP BY 1)
+           |SELECT d.doc_id, d.domain, CAST(d.doc_pass AS BIGINT) AS doc_pass,
+           |  CAST(s.domain_admitted AS BIGINT) AS domain_admitted,
+           |  CAST(d.doc_pass * s.domain_admitted AS BIGINT) AS admitted
+           |FROM d JOIN s USING (domain) ORDER BY doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138, q139, q145, q146, q151)
+      q137, q138, q139, q145, q146, q151, q155, q157)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

@@ -900,7 +900,136 @@ object Text extends QueryGroup {
            |    AS n_multiscript
            |FROM c GROUP BY 1 ORDER BY source""".stripMargin))
 
+  /** X4 encoding-damage (mojibake) detection + repair
+    * ([[TextOps.mojibakeCount]]/[[TextOps.fixMojibake]]): the q142
+    * synthesis discipline applied to CHARSET rot — accents are injected
+    * into the fixture text, half the docs (by id parity) are then damaged
+    * by the REAL transform (their UTF-8 bytes re-read as Latin-1, Spark's
+    * own encode/decode — not a hand-faked replace), and the repair
+    * re-encodes as Latin-1 and re-decodes as UTF-8, gated on the
+    * provably-invertible pattern. The oracle replays damage and repair as
+    * literal replace chains — equal on exactly these rows, which is the
+    * point: the generic inversion and the lookup table must agree
+    * wherever both apply. `n_roundtrip_ok = n_docs` in every source row
+    * is the checked proof that repair is exact and untouched rows pass
+    * through byte-identical. Stateless narrow map + one aggregate. */
+  private val q156 = QueryDef(
+    "q156_mojibake_repair",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("clean",
+          replace(replace(col("text"), lit("merge"), lit("mérge")),
+            lit("data"), lit("dätá")))
+        .withColumn("observed",
+          when(col("doc_id") % 2 === 0,
+            decode(encode(col("clean"), "UTF-8"), "ISO-8859-1"))
+            .otherwise(col("clean")))
+        .withColumn("n_moji", TextOps.mojibakeCount(col("observed")))
+        .withColumn("repaired", TextOps.fixMojibake(col("observed")))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_moji") > 0, 1L).otherwise(0L)).as("n_damaged"),
+          sum(col("n_moji")).as("n_sequences"),
+          sum(when(col("repaired") =!= col("observed"), 1L).otherwise(0L))
+            .as("n_repaired"),
+          sum(when(col("repaired") === col("clean"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+        .orderBy(col("source"))
+    },
+    Some(("""WITH c AS (
+           |  SELECT doc_id, source,
+           |    replace(replace(text, 'merge', 'm__E9__rge'),
+           |      'data', 'd__E4__t__E1__') AS clean
+           |  FROM documents),
+           |o AS (
+           |  SELECT doc_id, source, clean,
+           |    CASE WHEN doc_id % 2 = 0
+           |      THEN replace(replace(replace(clean, '__E9__', '__C3____A9__'),
+           |        '__E4__', '__C3____A4__'), '__E1__', '__C3____A1__')
+           |      ELSE clean END AS observed
+           |  FROM c),
+           |r AS (
+           |  SELECT source, clean, observed,
+           |    CAST(len(regexp_extract_all(observed,
+           |      '__C3__[\x{00a0}-\x{00bf}]')) AS BIGINT) AS n_moji,
+           |    CASE WHEN regexp_matches(observed, '__C3__[\x{00a0}-\x{00bf}]')
+           |           AND regexp_matches(observed,
+           |             '^(?:[\x{0000}-\x{007f}]|__C3__[\x{00a0}-\x{00bf}])*$')
+           |      THEN replace(replace(replace(observed, '__C3____A9__', '__E9__'),
+           |        '__C3____A4__', '__E4__'), '__C3____A1__', '__E1__')
+           |      ELSE observed END AS repaired
+           |  FROM o)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+           |  CAST(sum(n_moji) AS BIGINT) AS n_sequences,
+           |  CAST(sum(CASE WHEN repaired <> observed THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+           |  CAST(sum(CASE WHEN repaired = clean THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+           |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+        .replace("__E9__", "é").replace("__E4__", "ä")
+        .replace("__E1__", "á").replace("__C3__", "Ã")
+        .replace("__A9__", "©").replace("__A4__", "¤")
+        .replace("__A1__", "¡"))))
+
+  /** X4 BM25 served from the persisted-index path ([[TextOps
+    * .buildTextIndex]]/[[TextOps.bm25Serve]]): ONE index build amortizes
+    * across queries — two distinct term queries are served from the same
+    * postings, where q106 re-scans the corpus per query. The scoring
+    * pipeline is bit-identical to q106's (spec-certified parity), so the
+    * oracle replays each query as the direct BM25 chain; what this adds
+    * to the hash is the multi-query serving shape (per-query top-10 off
+    * one artifact). At 100 TB the served path reads only the query
+    * terms' postings (term-range row-group pruning under
+    * [[TextOps.writeTextIndex]]'s term-sorted layout), never the corpus. */
+  private val q158 = QueryDef(
+    "q158_bm25_served_index",
+    (s, dir) => {
+      val idx = TextOps.buildTextIndex(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+      def serveTop(label: String, terms: Seq[String]) =
+        TextOps.bm25Serve(idx, terms)
+          .select(lit(label).as("query"), col("doc_id"),
+            col("dl").cast("long").as("dl"), col("n_terms_matched"),
+            Semantics.roundz(col("bm25"), 6).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id")).limit(10)
+      serveTop("qa", Seq("vector", "stream", "hash"))
+        .unionByName(serveTop("qb", Seq("merge", "window", "filter", "sort")))
+        .orderBy(col("query"), desc("bm25"), col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+           |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM d),
+           |tm AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |tfa AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tm
+           |  WHERE term IN ('vector', 'stream', 'hash') GROUP BY 1, 2),
+           |dfa AS (SELECT term, count(*)::DOUBLE AS df FROM tfa GROUP BY 1),
+           |ia AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           |  FROM dfa, st),
+           |sa AS (SELECT tfa.doc_id,
+           |    sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (0.25 + 0.75 * (d.dl::DOUBLE) / avgdl))) AS s,
+           |    count(*) AS n_terms_matched
+           |  FROM tfa JOIN ia USING (term) JOIN d ON d.doc_id = tfa.doc_id GROUP BY 1),
+           |tfb AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tm
+           |  WHERE term IN ('merge', 'window', 'filter', 'sort') GROUP BY 1, 2),
+           |dfb AS (SELECT term, count(*)::DOUBLE AS df FROM tfb GROUP BY 1),
+           |ib AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+           |  FROM dfb, st),
+           |sb AS (SELECT tfb.doc_id,
+           |    sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (0.25 + 0.75 * (d.dl::DOUBLE) / avgdl))) AS s,
+           |    count(*) AS n_terms_matched
+           |  FROM tfb JOIN ib USING (term) JOIN d ON d.doc_id = tfb.doc_id GROUP BY 1)
+           |SELECT * FROM (
+           |  SELECT 'qa' AS query, sa.doc_id, d.dl::BIGINT AS dl, n_terms_matched,
+           |    round(s, 6) + 0.0 AS bm25
+           |  FROM sa JOIN d ON d.doc_id = sa.doc_id
+           |  ORDER BY round(s, 6) DESC, sa.doc_id LIMIT 10)
+           |UNION ALL
+           |SELECT * FROM (
+           |  SELECT 'qb' AS query, sb.doc_id, d.dl::BIGINT AS dl, n_terms_matched,
+           |    round(s, 6) + 0.0 AS bm25
+           |  FROM sb JOIN d ON d.doc_id = sb.doc_id
+           |  ORDER BY round(s, 6) DESC, sb.doc_id LIMIT 10)
+           |ORDER BY query, bm25 DESC, doc_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q27, q33, q34, q37, q55, q57, q64, q68, q69, q76, q79, q91,
-      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144, q147, q149)
+      q93, q96, q97, q98, q104, q106, q115, q129, q131, q142, q144, q147, q149, q156, q158)
 }

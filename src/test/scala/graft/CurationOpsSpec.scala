@@ -677,6 +677,73 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === Map("g1" -> 1.5))
   }
 
+  test("ruleFunnel: gross vs sole-fail attribution, NULL rule fails, refusals") {
+    // doc layout per (grp, a, b):
+    //   g1: (T,T) admitted; (F,T) sole-fails a; (F,F) fails both, sole neither
+    //   g2: (T,F) sole-fails b; (T, NULL) NULL counts as failed -> sole-fails b
+    val df = Seq(
+      ("g1", true, Some(true)), ("g1", false, Some(true)), ("g1", false, Some(false)),
+      ("g2", true, Some(false)), ("g2", true, None)).toDF("g", "a", "b")
+    val got = CurationOps.ruleFunnel(df, col("g"),
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .orderBy("grp", "rule")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("g1", "a", 3L, 1L, 2L, 1L),
+      ("g1", "b", 3L, 1L, 1L, 0L),
+      ("g2", "a", 2L, 0L, 0L, 0L),
+      ("g2", "b", 2L, 0L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      CurationOps.ruleFunnel(df, col("g"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.ruleFunnel(df, col("g"),
+        Seq("a" -> col("a"), "a" -> col("b")))
+    }
+  }
+
+  test("domainGate: rate boundary is integer-exact, thin domains drop whole, NULL fails") {
+    // d1: 3 docs, 2 pass = 66% < 70 -> domain rejected (passing docs too)
+    // d2: 3 docs, 2 pass + 1 NULL-pass treated as fail -> still 66%... use:
+    // d2: 10 docs, 7 pass = 70% = threshold -> admitted (>= is inclusive)
+    // d3: 2 docs, 2 pass -> under minDocs=3, dropped whole
+    val rows =
+      Seq(("d1", 1L, true), ("d1", 2L, true), ("d1", 3L, false)) ++
+        (1L to 7L).map(i => ("d2", 10L + i, true)) ++
+        Seq(("d2", 18L, false), ("d2", 19L, false), ("d2", 20L, false)) ++
+        Seq(("d3", 30L, true), ("d3", 31L, true))
+    val got = CurationOps.domainGate(rows.toDF("dom", "doc_id", "p"),
+        col("dom"), col("p"), minRatePct = 70, minDocs = 3)
+      .select(col("dom"), col("doc_id"), col("doc_pass"),
+        col("domain_admitted"), col("admitted"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byDom = got.groupBy(_._1)
+    // d1 rejected: 66.7% < 70 even though docs 1,2 pass individually
+    assert(byDom("d1").forall(r => r._4 === 0L && r._5 === 0L))
+    assert(byDom("d1").count(_._3 === 1L) === 2)
+    // d2 admitted at exactly 70%: passing docs admitted, failing ones not
+    assert(byDom("d2").forall(_._4 === 1L))
+    assert(byDom("d2").count(_._5 === 1L) === 7)
+    // d3 dropped whole on minDocs despite 100% pass rate
+    assert(byDom("d3").forall(r => r._4 === 0L && r._5 === 0L))
+    // NULL docPass counts as fail, never NULL-poisons the aggregate
+    val withNull = Seq(("dn", 1L, Some(true)), ("dn", 2L, Option.empty[Boolean]),
+      ("dn", 3L, Some(true))).toDF("dom", "doc_id", "p")
+    val gotN = CurationOps.domainGate(withNull, col("dom"), col("p"),
+        minRatePct = 60, minDocs = 1)
+      .select(col("doc_id"), col("doc_pass"), col("admitted"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(gotN.map(_._2).toSeq === Seq(1L, 0L, 1L)) // 2/3 = 66% >= 60 -> admitted
+    assert(gotN.map(_._3).toSeq === Seq(1L, 0L, 1L))
+    intercept[IllegalArgumentException] {
+      CurationOps.domainGate(rows.toDF("dom", "doc_id", "admitted"),
+        col("dom"), col("doc_id") > 0, 50)
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.domainGate(rows.toDF("dom", "doc_id", "p"), col("dom"), col("p"), 101)
+    }
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))
