@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (154 queries, 151 oracles)") {
-    assert(SparkEntry.queries.size >= 154,
-      s"query surface shrank: ${SparkEntry.queries.size} < 154")
-    assert(SparkEntry.oracleSql.size >= 151,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 151")
+  test("query ledger matches the documented surface (158 queries, 155 oracles)") {
+    assert(SparkEntry.queries.size >= 158,
+      s"query surface shrank: ${SparkEntry.queries.size} < 158")
+    assert(SparkEntry.oracleSql.size >= 155,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 155")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
