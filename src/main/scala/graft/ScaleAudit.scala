@@ -295,6 +295,15 @@ object ScaleAudit {
     val trueDup143 = fresh143.join(
       corpus143.select("fp").distinct(), Seq("fp"), "left_semi").count()
 
+    // q158 served BM25: per-query cost is the QUERY's postings, not the
+    // corpus — the ratio total/query is the serving leverage the persisted
+    // index buys, and query postings grow with term df (linear in corpus),
+    // never with vocabulary or doc count directly.
+    val idx158 = TextOps.buildTextIndex(docs, col("doc_id"), col("text"))
+    val q158Total = idx158.postings.count()
+    val q158Query = idx158.postings
+      .filter(col("term").isin("vector", "stream", "hash")).count()
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -323,7 +332,8 @@ object ScaleAudit {
       s""""q141_fixed_1x2_bucket_occupancy":${math.rint(fixedOcc * 100) / 100},""" +
       s""""q141_tuned_candidates_per_query":$tunedCandPerQuery,""" +
       s""""q143_bloom_mbits":${idx143.mBits},"q143_fresh_rows":$fresh143N,""" +
-      s""""q143_bloom_positive_rows":$bloomPos143,"q143_true_dup_rows":$trueDup143}""")
+      s""""q143_bloom_positive_rows":$bloomPos143,"q143_true_dup_rows":$trueDup143,""" +
+      s""""q158_postings_total":$q158Total,"q158_postings_query":$q158Query}""")
     spark.stop()
   }
 }
