@@ -367,4 +367,64 @@ object GraphOps {
       .select(col("comp").as("cluster_id"), col("node").as("best_id"),
         col(qualityCol).as("best_quality"), col("n_members"))
   }
+
+  /** Fixed-point PageRank over a directed edge list — the crawl-frontier /
+    * domain-authority prioritization signal an ingest scheduler ranks
+    * by (OPIC-style: fetch high-rank hosts first). Ranks are carried as
+    * integer MICRO-units (mean-1 scaling × 10⁶, damping as an integer
+    * percentage), so every iteration is exact long arithmetic: shuffle
+    * order, partitioning, and engine cannot change a single bit — the
+    * determinism the float trainers buy with per-iteration rounding
+    * ([[graft.operators.SimilarityOps.lloydStep]]), bought exactly here
+    * because an iterative sum-over-in-edges reassociates floats far more
+    * aggressively than a centroid mean. Floor division leaks at most
+    * od−1 micro-units per ranked node per iteration (and the engine-wide
+    * DIV-by-100 at most 1) — bounded, deterministic, and three orders of
+    * magnitude under any ranking decision.
+    *
+    * Semantics per iteration (R in micro-units, N nodes, damping p%):
+    * R'(v) = (100−p)·10⁶ DIV 100 + p·(Σ_{u→v} R(u) DIV od(u) + D DIV N)
+    * DIV 100, with D = Σ R(u) over DANGLING nodes (no out-edges) — their
+    * mass redistributes uniformly, the standard correction.
+    *
+    * Plan shape per iteration: one join of ranks onto the out-degree
+    * table, one edge join, one hash aggregate — the CC round shape. The
+    * dangling mass is a 1-value aggregate collected per iteration
+    * (driver state: one long, like a trainer's centroids), and each
+    * round's ranks are localCheckpoint'd so iteration k never replays
+    * rounds 1..k−1 (the lineage-growth trap of iterative DataFrames).
+    * Nodes = every id incident to an edge, as in [[connectedComponents]]. */
+  def pageRankFixedPoint(edges: DataFrame, src: String, dst: String,
+      iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val outd = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("od")).persist()
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val withOd = r.join(outd, Seq("id"), "left")
+      val dang = withOd.filter(col("od").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
+      val dangShare = dang / n
+      val share = withOd.filter(col("od").isNotNull)
+        .select(col("id").as("src"), expr("r DIV od").as("sh"))
+      val contrib = e.join(share, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("sh")).as("c"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), expr(
+          s"$base + ($dampingPct * (coalesce(c, CAST(0 AS BIGINT)) + $dangShare)) DIV 100")
+          .as("r"))
+        .localCheckpoint()
+    }
+    nodes.unpersist()
+    outd.unpersist()
+    r.select(col("id"), col("r").as("rank_micro"))
+  }
 }

@@ -454,6 +454,42 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Persist a trained BPE merge table ([[bpeTrain]]'s output) as a
+    * rank-ordered parquet artifact — the tokenizer-side member of the
+    * artifact family (Bloom: membership, ANN: vectors, TextIndex:
+    * postings, this: merges). Merges are driver-small (one row per merge)
+    * but they are the single most reproduction-critical state a data
+    * pipeline owns: every token count, packing boundary, and context
+    * budget downstream depends on re-encoding with EXACTLY the training
+    * merges, in rank order. */
+  def writeBpeVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+      merges: Seq[(String, String, Long)]): Unit = {
+    require(merges.nonEmpty, "refusing to persist an empty merge table")
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b, n), r) => (r, a, b, n) }
+      .toDF("rank", "a", "b", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted BPE merge table in training order; refuses loudly
+    * on malformed artifacts (gapped/duplicated ranks, empty halves)
+    * rather than silently re-tokenizing the corpus with a different
+    * vocabulary — the failure mode that quietly shifts every downstream
+    * token count. */
+  def readBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String, Long)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank"), col("a"), col("b"), col("freq")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"bpe vocab at $path is empty")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"bpe vocab at $path must carry dense ranks 0..${rows.length - 1}")
+    require(rows.forall(r => r._2.nonEmpty && r._3.nonEmpty),
+      s"bpe vocab at $path carries an empty merge half")
+    rows.map(r => (r._2, r._3, r._4)).toSeq
+  }
+
   /** BM25 keyword retrieval scoring (Robertson/Spärck Jones; the Lucene
     * `k1`/`b` parameterization with the +1 idf floor): rank documents
     * against a literal bag of query terms by

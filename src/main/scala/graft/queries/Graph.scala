@@ -159,5 +159,64 @@ object Graph extends QueryGroup {
            |QUALIFY row_number() OVER (PARTITION BY comp ORDER BY quality DESC, node) = 1
            |ORDER BY cluster_id""").stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111)
+  /** X8 fixed-point PageRank ([[GraphOps.pageRankFixedPoint]]): the
+    * crawl-frontier authority signal over a synthesized link graph
+    * (chain edge i→i+1 mod N plus a mixing edge i→7i+3 mod N, self-loops
+    * dropped, every 10th node's out-edges removed so dangling-mass
+    * redistribution is exercised, not just implemented). Three iterations
+    * in integer micro-units — every iteration bit-exact long arithmetic,
+    * so the oracle replays the WHOLE trajectory, not a rounded shadow:
+    * the first exact-to-the-last-bit iterative graph trainer in the
+    * surface. Full rank table checked (no top-k truncation). */
+  private val q159 = QueryDef(
+    "q159_pagerank",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val ids = docs.select(col("doc_id").as("i"))
+      val e = ids.select(col("i").as("src"), ((col("i") + 1) % n).as("dst"))
+        .union(ids.select(col("i").as("src"), ((col("i") * 7 + 3) % n).as("dst")))
+        .filter(col("src") =!= col("dst") && col("src") % 10 =!= 0)
+        .distinct()
+      GraphOps.pageRankFixedPoint(e, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    },
+    Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |e0 AS (
+           |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, nn
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 7 + 3) % n FROM documents, nn),
+           |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst AND src % 10 <> 0),
+           |nodes AS (SELECT DISTINCT id FROM
+           |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+           |cnt AS (SELECT count(*) AS c FROM nodes),
+           |outd AS (SELECT src AS id, count(*) AS od FROM e GROUP BY 1),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |d1 AS (SELECT coalesce(sum(r), 0) AS dg FROM r0 LEFT JOIN outd USING (id)
+           |       WHERE od IS NULL),
+           |c1 AS (SELECT e.dst AS id, sum(r0.r // outd.od) AS c
+           |       FROM e JOIN r0 ON r0.id = e.src JOIN outd ON outd.id = e.src GROUP BY 1),
+           |r1 AS (SELECT nodes.id,
+           |         150000 + (85 * (coalesce(c1.c, 0) + d1.dg // cnt.c)) // 100 AS r
+           |       FROM nodes CROSS JOIN d1 CROSS JOIN cnt
+           |       LEFT JOIN c1 ON c1.id = nodes.id),
+           |d2 AS (SELECT coalesce(sum(r), 0) AS dg FROM r1 LEFT JOIN outd USING (id)
+           |       WHERE od IS NULL),
+           |c2 AS (SELECT e.dst AS id, sum(r1.r // outd.od) AS c
+           |       FROM e JOIN r1 ON r1.id = e.src JOIN outd ON outd.id = e.src GROUP BY 1),
+           |r2 AS (SELECT nodes.id,
+           |         150000 + (85 * (coalesce(c2.c, 0) + d2.dg // cnt.c)) // 100 AS r
+           |       FROM nodes CROSS JOIN d2 CROSS JOIN cnt
+           |       LEFT JOIN c2 ON c2.id = nodes.id),
+           |d3 AS (SELECT coalesce(sum(r), 0) AS dg FROM r2 LEFT JOIN outd USING (id)
+           |       WHERE od IS NULL),
+           |c3 AS (SELECT e.dst AS id, sum(r2.r // outd.od) AS c
+           |       FROM e JOIN r2 ON r2.id = e.src JOIN outd ON outd.id = e.src GROUP BY 1),
+           |r3 AS (SELECT nodes.id,
+           |         150000 + (85 * (coalesce(c3.c, 0) + d3.dg // cnt.c)) // 100 AS r
+           |       FROM nodes CROSS JOIN d3 CROSS JOIN cnt
+           |       LEFT JOIN c3 ON c3.id = nodes.id)
+           |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111, q159)
 }

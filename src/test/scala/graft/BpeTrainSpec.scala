@@ -92,4 +92,29 @@ class BpeTrainSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(lowToks.length < 3, s"expected trained compression, got $lowToks")
   }
+
+  test("vocab artifact: train -> persist -> reload in rank order; encode parity; refusals") {
+    val docs = docsOf("low low lower lowest", "low lower", "slow slower")
+    val merges = TextOps.bpeTrain(docs, col("text"), numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("bpevocab").toString + "/v"
+    TextOps.writeBpeVocab(spark, path, merges)
+    val back = TextOps.readBpeVocab(spark, path)
+    assert(back === merges) // rank order and frequencies survive exactly
+    // re-encoding with the reloaded vocab is identical to the live one
+    def enc(v: Seq[String]) = docs
+      .select(TextOps.subwordTokenize(col("text"), v).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(enc(back.map { case (a, b, _) => a + b })
+      === enc(merges.map { case (a, b, _) => a + b }))
+    intercept[IllegalArgumentException] {
+      TextOps.writeBpeVocab(spark, path, Seq.empty)
+    }
+    // gapped ranks refuse
+    import spark.implicits._
+    Seq((0, "a", "b", 3L), (2, "c", "d", 2L)).toDF("rank", "a", "b", "freq")
+      .write.mode("overwrite").parquet(path + "_bad")
+    intercept[IllegalArgumentException] {
+      TextOps.readBpeVocab(spark, path + "_bad")
+    }
+  }
 }

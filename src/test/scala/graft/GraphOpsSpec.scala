@@ -170,4 +170,41 @@ class GraphOpsSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before < 25, s"persistent RDDs grew $before -> $after over 5 calls")
   }
+
+  test("pageRankFixedPoint: hand case — sink accumulates, dangling mass redistributes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 0 -> 1, 0 -> 2, 1 -> 2; node 2 is DANGLING (no out-edges).
+    // Micro-units, damping 85%. Iteration 1 from R = (1e6, 1e6, 1e6):
+    //   dang = 1e6 (node 2), dangShare = 1e6 DIV 3 = 333333
+    //   shares: node0 od=2 -> 500000 to each of 1,2; node1 od=1 -> 1e6 to 2
+    //   R'(0) = 150000 + 85*(0       + 333333) DIV 100 = 433333
+    //   R'(1) = 150000 + 85*(500000  + 333333) DIV 100 = 858333
+    //   R'(2) = 150000 + 85*(1500000 + 333333) DIV 100 = 1708333
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("s", "d")
+    val r1 = GraphOps.pageRankFixedPoint(e, "s", "d", iters = 1)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(r1 === Seq((0L, 433333L), (1L, 858333L), (2L, 1708333L)))
+    // Iteration 2 by the same hand arithmetic:
+    //   dang = 1708333, dangShare = 569444
+    //   shares: node0 -> 216666 each; node1 -> 858333 to 2
+    //   R'(0) = 150000 + 85*(0 + 569444) DIV 100            = 634027
+    //   R'(1) = 150000 + 85*(216666 + 569444) DIV 100       = 818193
+    //   R'(2) = 150000 + 85*(216666+858333+569444) DIV 100  = 1547776
+    val r2 = GraphOps.pageRankFixedPoint(e, "s", "d", iters = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(r2 === Seq((0L, 634027L), (1L, 818193L), (2L, 1547776L)))
+    // determinism under partitioning: 1-partition and 7-partition inputs agree
+    val r2rep = GraphOps.pageRankFixedPoint(e.repartition(7), "s", "d", iters = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(r2rep === r2)
+    // total mass stays near N * 1e6 (floor-division leak strictly bounded)
+    assert(math.abs(r2.map(_._2).sum - 3000000L) < 100L)
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankFixedPoint(e, "s", "d", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankFixedPoint(e, "s", "d", iters = 1, dampingPct = 101)
+    }
+  }
 }
