@@ -1127,4 +1127,69 @@ object DedupOps {
       .join(corpusFps.select(col(fpName)).distinct(), Seq(fpName), "left_anti")
     novelFast.unionByName(rescan)
   }
+
+  /** X2 sorted-neighborhood (SNM) candidate generation — the classic
+    * entity-resolution BLOCKING family beside the hash families (LSH:
+    * probabilistic buckets; length bands: [[editDistancePairs]]): sort
+    * the corpus by a semantic key, pair each row with its next
+    * `window − 1` neighbors in that order. Deterministic and complete
+    * within the window; what it catches that bucket blocking can miss is
+    * near-dups that STRADDLE a bucket boundary — in sorted order they
+    * are adjacent regardless of where any boundary falls.
+    *
+    * The global sorted RANK is the scale problem (a corpus-wide
+    * ORDER-BY window is the straggler the shuffleRank construction
+    * exists to kill), so the rank is built the same way: the caller
+    * supplies a coarse MONOTONE `bucket` of the key (e.g. `n_chars DIV
+    * 8` for a length key — at 100 TB, a sampled-quantile range
+    * partitioner); within-bucket ranks ride a per-bucket window, bucket
+    * offsets are a broadcast prefix-sum over the ≤|buckets|-row
+    * aggregate. Monotonicity is NOT taken on faith: the offsets pass
+    * carries per-bucket key min/max and RAISES if any bucket's max
+    * reaches the next bucket's min — a violated contract would silently
+    * produce a rank that is not the key order, i.e. wrong candidates
+    * with no error. Neighbor pairing is an offset-EXPLODE equi-join
+    * (each row joins its rank + 1..window−1 — fixed fan-out, no range
+    * join). NULL keys/ids raise: a row silently dropped from a
+    * permutation is corruption.
+    *
+    * Output: (a_id, b_id, gap) with a the earlier row in key order —
+    * feed [[editDistanceVerify]] for the verify stage. */
+  def sortedNeighborhoodCandidates(docs: DataFrame, id: String,
+      bucket: Column, key: Column, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    def guarded(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"sortedNeighborhood: $what must be non-null — a null row would " +
+          "silently drop from the sorted permutation")))
+        .otherwise(c)
+    val base = docs.select(col(id).as("doc_id"),
+      guarded(bucket, "bucket").as("__bkt"), guarded(key, "key").as("__key"))
+    val offsets = base.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__n"), min(col("__key")).as("__mink"),
+        max(col("__key")).as("__maxk"))
+      .withColumn("__prevmax",
+        lag(col("__maxk"), 1).over(Window.orderBy(col("__bkt"))))
+      .withColumn("__off",
+        sum(col("__n")).over(Window.orderBy(col("__bkt"))) - col("__n"))
+      .withColumn("__mono",
+        when(col("__prevmax").isNotNull && col("__prevmax") >= col("__mink"),
+          raise_error(lit("sortedNeighborhood: bucket is not a monotone " +
+            "coarsening of key — a bucket's max key reaches the next " +
+            "bucket's min; ranks would not be key order")).cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("__bkt").as("__obkt"), (col("__off") + col("__mono")).as("__off"))
+    val ranked = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__bkt")).orderBy(col("__key"), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(offsets), col("__bkt") === col("__obkt"))
+      .select(col("doc_id"), (col("__off") + col("__rn")).as("__rank"))
+    val probe = ranked.select(col("doc_id").as("a_id"), col("__rank"),
+        explode(sequence(lit(1), lit(window - 1))).as("gap"))
+      .withColumn("__rank", col("__rank") + col("gap"))
+    probe.join(ranked.select(col("doc_id").as("b_id"), col("__rank")), "__rank")
+      .select(col("a_id"), col("b_id"), col("gap").cast("long").as("gap"))
+  }
 }

@@ -976,7 +976,41 @@ object Dedup extends QueryGroup {
            |FROM fresh fr LEFT JOIN nv USING (source) LEFT JOIN adm USING (source)
            |GROUP BY 1 ORDER BY fr.source""".stripMargin))
 
+  /** X2 sorted-neighborhood blocking
+    * ([[DedupOps.sortedNeighborhoodCandidates]]): the classic
+    * entity-resolution generator beside the hash families — docs sorted
+    * by length, each paired with its 9 successors in that order, then the
+    * usual bounded-Levenshtein verify ([[DedupOps.editDistanceVerify]],
+    * q65's stage). What the sort order buys over q65's length BANDS is
+    * boundary-blindness: a near-dup pair straddling a band edge is still
+    * adjacent in sorted order. Candidate volume is exactly (window−1)·N —
+    * corpus-linear BY CONSTRUCTION, the only generator in the surface
+    * with a closed-form pair count. The global rank is the shuffleRank
+    * range-bucket construction (coarse monotone bucket n_chars DIV 8 +
+    * broadcast offsets; monotonicity raise-checked in-plan), never a
+    * corpus-wide window. */
+  private val q160 = QueryDef(
+    "q160_sorted_neighborhood",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
+        expr("n_chars DIV 8"), col("n_chars"), window = 10)
+      DedupOps.editDistanceVerify(docs, "doc_id", col("text"), cands, maxDist = 320)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH r AS (
+           |  SELECT doc_id, text,
+           |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+           |  FROM documents),
+           |p AS (
+           |  SELECT a.doc_id AS a_id, a.text AS a_txt, b.doc_id AS b_id, b.text AS b_txt
+           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 9)
+           |SELECT a_id, b_id,
+           |  CAST(levenshtein(a_txt, b_txt) AS BIGINT) AS edit_distance
+           |FROM p WHERE levenshtein(a_txt, b_txt) <= 320
+           |ORDER BY a_id, b_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124, q143, q148, q150)
+      q118, q119, q120, q121, q124, q143, q148, q150, q160)
 }

@@ -447,6 +447,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(self === Map(1L -> true))
   }
 
+  test("X2: sorted-neighborhood pairs each row with its next window-1 in key order") {
+    import graft.operators.DedupOps
+    // keys 3,5,9,11,17 with bucket = key DIV 8 → buckets {0: 3,5}, {1: 9,11}, {2: 17}.
+    // The (5,9) and (11,17) pairs STRADDLE bucket boundaries — the property
+    // that distinguishes this generator from bucket blocking.
+    val docs = Seq((10L, 3L), (20L, 5L), (30L, 9L), (40L, 11L), (50L, 17L))
+      .toDF("doc_id", "k")
+    val got = DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
+        expr("k DIV 8"), col("k"), window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exhaustive expectation: (rank i, rank i+g) for g in 1..2
+    assert(got === Set((10L, 20L, 1L), (10L, 30L, 2L), (20L, 30L, 1L),
+      (20L, 40L, 2L), (30L, 40L, 1L), (30L, 50L, 2L), (40L, 50L, 1L)))
+    // closed-form pair count: (window-1)·N − tail shortfall = 2·5 − 3
+    assert(got.size === 7)
+    // key ties break by doc_id, so the permutation (and pairs) stay deterministic
+    val tied = Seq((2L, 7L), (1L, 7L)).toDF("doc_id", "k")
+    val t = DedupOps.sortedNeighborhoodCandidates(tied, "doc_id",
+        expr("k DIV 8"), col("k"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t === Set((1L, 2L)))
+  }
+
+  test("X2: sorted-neighborhood refuses non-monotone buckets and null keys") {
+    import graft.operators.DedupOps
+    // bucket 0 holds key 9, bucket 1 holds key 5 → bucket max(0)=9 ≥ min(1)=5:
+    // ranks would NOT be key order; the offsets pass must raise, not mis-rank.
+    val bad = Seq((1L, 9L, 0L), (2L, 5L, 1L)).toDF("doc_id", "k", "b")
+    val e = intercept[Exception] {
+      DedupOps.sortedNeighborhoodCandidates(bad, "doc_id", col("b"), col("k"), 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("monotone"))
+    val nullKey = Seq((1L, Some(3L)), (2L, None)).toDF("doc_id", "k")
+    val e2 = intercept[Exception] {
+      DedupOps.sortedNeighborhoodCandidates(nullKey, "doc_id",
+        coalesce(expr("k DIV 8"), lit(0L)), col("k"), 2).collect()
+    }
+    assert(e2.getMessage.contains("non-null"))
+  }
+
   test("X4: Misra-Gries sketch retains every item above n/(k+1), any partitioning") {
     import graft.functions.MisraGries
     // 1000 items: "hot" 300×, "warm" 150×, 550 singletons. k=9 → bound

@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (159 queries, 156 oracles)") {
-    assert(SparkEntry.queries.size >= 159,
-      s"query surface shrank: ${SparkEntry.queries.size} < 159")
-    assert(SparkEntry.oracleSql.size >= 156,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 156")
+  test("query ledger matches the documented surface (160 queries, 157 oracles)") {
+    assert(SparkEntry.queries.size >= 160,
+      s"query surface shrank: ${SparkEntry.queries.size} < 160")
+    assert(SparkEntry.oracleSql.size >= 157,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 157")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
       "q118_minhash_quantile_cap" -> "df threshold over the distinct-df histogram (|distinct df values| rows)",
       "q120_banded_minhash" -> "same distinct-df histogram threshold as q118",
       "q127_shuffle_shards" -> "prefix-sum over shuffleRank's 256-bucket offset aggregate (constant group folds away)",
-      "q128_length_bucket_batches" -> "prefix-sum over the per-bucket offset aggregate + batch-stats windows (|buckets×batches| rows)")
+      "q128_length_bucket_batches" -> "prefix-sum over the per-bucket offset aggregate + batch-stats windows (|buckets×batches| rows)",
+      "q160_sorted_neighborhood" -> "prefix-sum + lag over the per-bucket offset aggregate (≤|n_chars DIV 8 buckets| rows)")
     val globalWindowed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         if (globalWindows(build(spark, dir)) > 0) Some(name) else None
