@@ -72,4 +72,50 @@ object JoinOps {
       .filter(col(rightTime) >= col(leftTime) + lo && col(rightTime) <= col(leftTime) + hi)
       .drop("__bucket")
   }
+
+  /** Bloom-REDUCED inner equi-join: semi-join reduction for the join shape
+    * where the dim side is too big to broadcast-hash-join (its ROWS don't
+    * fit an executor's build table) but its KEY SET still compresses into a
+    * few-MB Bloom sketch (~k/ln2 ≈ 7 bits per distinct key at fp ≈ 2^−k).
+    * Both sides of a plain sort-merge join pay a full shuffle; here the
+    * dim's distinct keys fold into a [[graft.functions.BloomBuild]] sketch
+    * (fixed-size bitset buffer, OR-merge — partial aggregation ships
+    * constant state), the sketch rides the probe scan as a codegen'd
+    * literal predicate (`graft_bloom_contains` — no join, no shuffle), and
+    * only bloom-POSITIVE fact rows enter the exact join's exchange. Blooms
+    * have no false negatives, so the result is EXACTLY the inner join —
+    * the filter only shrinks the shuffle to (true matches + ε false
+    * positives), which at 100 TB is the difference between shuffling the
+    * fact table and shuffling its matching sliver.
+    *
+    * This is the explicit, deterministically-SIZED form of Spark's own
+    * runtime bloom-filter rewrite (`InjectRuntimeFilter`, which declines
+    * when it cannot prove selectivity): sizing comes from the measured
+    * distinct-key count ([[graft.functions.BloomUtil.sizeFor]], clamped
+    * 2 KiB..16 MiB), not from a planner estimate, and the reduction is
+    * guaranteed present in the plan rather than cost-model-dependent.
+    *
+    * Join semantics: INNER USING(`bigKey`) — the output carries big's
+    * columns plus small's non-key columns; NULL keys never match in either
+    * engine (the probe's null propagates to a null predicate, which
+    * filters), matching inner-join semantics exactly. `mBits = 0`
+    * auto-sizes from the distinct-key count; an explicit positive `mBits`
+    * pins the sketch size (a mis-sized sketch still returns exact results
+    * — it only loses prefilter selectivity). */
+  def bloomReducedJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, mBits: Int = 0, k: Int = 5): DataFrame = {
+    import graft.functions.{BloomBuild, BloomUtil, GraftFunctions}
+    // The distinct key set is needed twice (count for sizing, fold into the
+    // sketch) across two jobs where exchange reuse cannot fire — checkpoint
+    // it once. Key strings, not raw keys: one canonical byte encoding for
+    // any key type on both the build and probe sides.
+    val keys = small.select(col(smallKey).cast("string").as("__key"))
+      .filter(col("__key").isNotNull).distinct().localCheckpoint(true)
+    val m = if (mBits > 0) mBits else BloomUtil.sizeFor(keys.count(), k)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new BloomBuild(m, k), org.apache.spark.sql.Encoders.STRING)
+    val bloom: Array[Byte] = keys.agg(bloomAgg(col("__key"))).head.getAs[Array[Byte]](0)
+    big.filter(GraftFunctions.bloomContains(col(bigKey).cast("string"), bloom, k))
+      .join(small.withColumnRenamed(smallKey, bigKey), Seq(bigKey))
+  }
 }

@@ -153,6 +153,34 @@ object Etl extends QueryGroup {
            |  AND e.err_us >= c.ts_us + 1 AND e.err_us <= c.ts_us + 3600::BIGINT * 1000000
            |GROUP BY 1 ORDER BY event_id""".stripMargin))
 
+  /** J1 at the size tier ABOVE broadcast ([[JoinOps.bloomReducedJoin]]):
+    * fact⋈dim where the dim's rows wouldn't fit a broadcast build table
+    * but its key SET compresses into a literal Bloom sketch — the dim's
+    * distinct keys fold distributed into the sketch, the fact scan keeps
+    * only bloom-positive rows, and the exact join runs on the reduced
+    * slice. No false negatives, so the result is bit-equal to the plain
+    * inner join the oracle runs; what changes is the exchange: at 100 TB
+    * only (true matches + ε·2^−k) of the fact table enters the join
+    * shuffle instead of all of it. The explicit, measured-sizing form of
+    * Spark's own `InjectRuntimeFilter` rewrite. */
+  private val q161 = QueryDef(
+    "q161_bloom_reduced_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val dim = Tables.part(s, dir).filter(col("p_size") <= 2)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.operators.JoinOps.bloomReducedJoin(li, "l_partkey", dim, "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_lines,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_size <= 2
+           |GROUP BY 1 ORDER BY p_brand""".stripMargin))
+
   /** J2 versioned: SCD Type-2 dimension merge ([[EtlOps.scd2Apply]]) — one
     * update batch against a standing `customer` dimension that already has
     * history (every key≡0 mod 4 carries a closed 2018→2020 version). The
@@ -162,6 +190,11 @@ object Etl extends QueryGroup {
     * identical values (no-op), keys +1,000,000 are first-seen inserts.
     * `bal` arithmetic is a single IEEE double addition — deterministic
     * cross-engine with no rounding step. */
+  // (q161's sum casts l_quantity long per-row BEFORE summing: integer-exact
+  // and order-independent, where a double sum's low bits depend on shuffle
+  // order. Fixture l_quantity is integral 1..50, so Spark's truncate-cast
+  // and DuckDB's round-cast agree.)
+
   private val q122 = QueryDef(
     "q122_scd2_merge",
     (s, dir) => {
@@ -227,5 +260,5 @@ object Etl extends QueryGroup {
            |SELECT k AS c_custkey, segment, bal, valid_from, valid_to
            |FROM sel ORDER BY c_custkey, valid_from""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q14, q15, q16, q42, q43, q122)
+  override val defs: Seq[QueryDef] = Seq(q14, q15, q16, q42, q43, q122, q161)
 }

@@ -47,4 +47,44 @@ class JoinOpsSpec extends SparkSpec {
     assert(bucketed === naive)
     assert(naive.nonEmpty)
   }
+
+  test("bloomReducedJoin equals the plain inner join; nulls never match") {
+    val big = (0L until 200L).map(i => (i % 40, i)).toDF("k", "v")
+      .unionByName(Seq((Option.empty[Long], 999L)).toDF("k", "v"))
+    val small = Seq((3L, "a"), (7L, "b"), (7L, "b2"), (1000L, "c"))
+      .toDF("sk", "label")
+      .unionByName(Seq((Option.empty[Long], "nul")).toDF("sk", "label"))
+    val got = JoinOps.bloomReducedJoin(big, "k", small, "sk")
+      .select(col("v"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = big.join(small, big("k") === small("sk"))
+      .select(col("v"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === plain)
+    assert(plain.exists(_._2 == "b2"), "duplicate dim keys must fan out")
+    assert(!plain.exists(_._1 == 999L), "null big key must not match")
+    // the key set's sliver is what survives the prefilter: exact selectivity
+    // plus a bounded false-positive tail (fp ~ 2^-k at design load; assert a
+    // loose 10x margin so the test stays deterministic, not distributional)
+    import graft.functions.{BloomBuild, BloomUtil, GraftFunctions}
+    val keys = small.select(col("sk").cast("string").as("__key"))
+      .filter(col("__key").isNotNull).distinct()
+    val m = BloomUtil.sizeFor(keys.count(), 5)
+    val agg = org.apache.spark.sql.functions.udaf(
+      new BloomBuild(m, 5), org.apache.spark.sql.Encoders.STRING)
+    val bloom = keys.agg(agg(col("__key"))).head.getAs[Array[Byte]](0)
+    val survivors = big.filter(
+      GraftFunctions.bloomContains(col("k").cast("string"), bloom, 5)).count()
+    val trueMatches = big.join(keys, big("k").cast("string") === keys("__key"),
+      "left_semi").count()
+    assert(survivors >= trueMatches, "blooms must have no false negatives")
+    assert(survivors <= trueMatches + (200 - trueMatches) / 10 + 1,
+      s"prefilter admitted $survivors rows for $trueMatches true matches")
+  }
+
+  test("bloomReducedJoin with an empty dim returns an empty frame") {
+    val big = (0L until 10L).map(i => (i, i)).toDF("k", "v")
+    val small = Seq.empty[(Long, String)].toDF("sk", "label")
+    assert(JoinOps.bloomReducedJoin(big, "k", small, "sk").count() === 0L)
+  }
 }
