@@ -304,6 +304,42 @@ object ScaleAudit {
     val q158Query = idx158.postings
       .filter(col("term").isin("vector", "stream", "hash")).count()
 
+    // q162 weighted (multiset) near-dup: the expansion is bounded by
+    // Σ min(tf, cap) ≤ positional row count (reported to prove the multiset
+    // pipeline never exceeds the set pipeline's input volume), and the
+    // calibrated generator + verify must track dup density across SFs just
+    // like the set family's q120/q124 rows.
+    val tf162 = DedupOps.featureTfRows(
+      TextOps.shinglePosRows(docs, col("doc_id"), lit("all"), col("text"), n = 5))
+      .localCheckpoint(true)
+    val ex162 = DedupOps.weightedExpandRows(tf162, tfCap = 4).localCheckpoint(true)
+    val ex162Rows = ex162.count()
+    val cand162 = DedupOps.nearDupCandidates(ex162,
+      DedupOps.CandidateGen.QuantileCapped(q = 0.95, floor = 2,
+        numHashes = 8, rowsPerBand = 2)).localCheckpoint(true)
+    val cand162N = cand162.count()
+    val ver162 = DedupOps.weightedJaccardVerifyPairs(cand162,
+      tf162.drop("bucket"), 0.2).count()
+    ex162.unpersist(false); cand162.unpersist(false); tf162.unpersist(false)
+
+    // q161 bloom-reduced join: the prefilter must shrink the fact side's
+    // exchange to (true matching rows + ε·2^-k of the rest) — reported as
+    // fact rows, bloom-positive rows, and true matching rows, same contract
+    // as the q143 row but on the JOIN probe side.
+    val li161 = Tables.lineitem(spark, sfDir)
+    val dim161 = Tables.part(spark, sfDir).filter(col("p_size") <= 2)
+      .select(col("p_partkey")).distinct().localCheckpoint(true)
+    val fact161 = li161.count()
+    val keys161s = dim161.select(col("p_partkey").cast("string").as("__key"))
+    val m161 = graft.functions.BloomUtil.sizeFor(dim161.count(), 5)
+    val agg161 = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBuild(m161, 5), org.apache.spark.sql.Encoders.STRING)
+    val bloom161 = keys161s.agg(agg161(col("__key"))).head.getAs[Array[Byte]](0)
+    val pos161 = li161.filter(graft.functions.GraftFunctions
+      .bloomContains(col("l_partkey").cast("string"), bloom161, 5)).count()
+    val true161 = li161.join(dim161,
+      li161("l_partkey") === dim161("p_partkey"), "left_semi").count()
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -333,7 +369,11 @@ object ScaleAudit {
       s""""q141_tuned_candidates_per_query":$tunedCandPerQuery,""" +
       s""""q143_bloom_mbits":${idx143.mBits},"q143_fresh_rows":$fresh143N,""" +
       s""""q143_bloom_positive_rows":$bloomPos143,"q143_true_dup_rows":$trueDup143,""" +
-      s""""q158_postings_total":$q158Total,"q158_postings_query":$q158Query}""")
+      s""""q158_postings_total":$q158Total,"q158_postings_query":$q158Query,""" +
+      s""""q162_expanded_rows":$ex162Rows,"q162_weighted_candidates":$cand162N,""" +
+      s""""q162_verified_pairs":$ver162,""" +
+      s""""q161_fact_rows":$fact161,"q161_bloom_positive_rows":$pos161,""" +
+      s""""q161_true_match_rows":$true161}""")
     spark.stop()
   }
 }

@@ -1192,4 +1192,87 @@ object DedupOps {
     probe.join(ranked.select(col("doc_id").as("b_id"), col("__rank")), "__rank")
       .select(col("a_id"), col("b_id"), col("gap").cast("long").as("gap"))
   }
+
+  /** Per-document feature FREQUENCIES from POSITIONAL (doc_id, bucket, sh)
+    * rows ([[graft.operators.TextOps.shinglePosRows]] — one row per
+    * OCCURRENCE; the set-collapsed [[graft.operators.TextOps.shingleRows]]
+    * would make every tf 1): the multiset view of a corpus that the
+    * weighted-Jaccard family consumes where the set family consumes
+    * `distinct` shingles. One hash aggregate; tf is exact long
+    * arithmetic. */
+  def featureTfRows(shinglePosRows: DataFrame): DataFrame =
+    shinglePosRows.groupBy(col("doc_id"), col("bucket"), col("sh"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Integer-weight EXPANSION: (doc_id, bucket, sh, tf) → shingle-row-
+    * shaped (doc_id, bucket, sh + "#" + i) for i ∈ 1..min(tf, tfCap).
+    * The classic reduction of weighted Jaccard to set Jaccard for integer
+    * weights: plain set Jaccard over the expanded universe IS the
+    * (capped-)weighted Jaccard Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b), so
+    * the ENTIRE calibrated set machinery — [[capShingleDfQuantile]],
+    * banded minhash, [[nearDupCandidates]] — works on multisets
+    * unchanged: minhash hashing, df calibration, and band joins see only
+    * opaque strings. `tfCap` bounds the fan-out a single hot feature can
+    * contribute (a document that repeats one shingle a million times must
+    * not explode to a million rows); the cap biases only candidate
+    * GENERATION — route candidates to [[weightedJaccardVerifyPairs]],
+    * which scores the uncapped frequencies. Expansion is at most
+    * Σ min(tf, tfCap) rows ≤ the corpus's positional row count — the
+    * multiset pipeline never exceeds the set pipeline's input volume. */
+  def weightedExpandRows(featureTfs: DataFrame, tfCap: Int): DataFrame = {
+    require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
+    featureTfs.select(col("doc_id"), col("bucket"), col("sh").as("__sh"),
+        explode(sequence(lit(1L), least(col("tf"), lit(tfCap.toLong)))).as("__i"))
+      .select(col("doc_id"), col("bucket"),
+        concat(col("__sh"), lit("#"), col("__i")).as("sh"))
+  }
+
+  /** Exact WEIGHTED-Jaccard verify over an explicit candidate-pair list —
+    * [[jaccardVerifyPairs]]' multiset twin: w_jaccard =
+    * Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b), with the denominator as
+    * a_mass + b_mass − w_common (exact long arithmetic until the one
+    * final rounded division). Scored on the FULL frequencies — the tfCap
+    * that bounded generation fan-out does not bias the verdict, the same
+    * cap-for-generation / full-for-verify discipline as the set family.
+    * Same bounded shape too: the feature stream routes THROUGH the pair
+    * list, so cost is |candidates| × avg distinct features per doc.
+    *
+    * `featureTfs` must carry ONE row per (doc_id, sh) —
+    * [[featureTfRows]]' output for a single bucket. Output:
+    * (a_id, b_id, w_common, a_mass, b_mass, w_jaccard) at or above
+    * `threshold`. */
+  def weightedJaccardVerifyPairs(cand: DataFrame, featureTfs: DataFrame,
+      threshold: Double): DataFrame = {
+    // Same pair normalization as jaccardVerifyPairs: duplicates or a
+    // reversed (b, a) would double every mass and silently corrupt the
+    // score; least/greatest + distinct makes the op total over any list.
+    val pairs = cand.select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    val members = pairs
+      .select(col("a_id"), col("b_id"), col("a_id").as("doc_id"), lit(0).as("side"))
+      .union(pairs
+        .select(col("a_id"), col("b_id"), col("b_id").as("doc_id"), lit(1).as("side")))
+    val rows = featureTfs.select(col("doc_id"), col("sh"), col("tf"))
+    // Per (pair, sh): at most one row per side, so max() reads the side's
+    // tf; per pair the join on doc_id carried EVERY feature of each member,
+    // so the side-sums are the full masses — no second sizes aggregate.
+    members.join(rows, "doc_id")
+      .groupBy(col("a_id"), col("b_id"), col("sh"))
+      .agg(max(when(col("side") === 0, col("tf"))).as("__tfa"),
+        max(when(col("side") === 1, col("tf"))).as("__tfb"))
+      .groupBy(col("a_id"), col("b_id"))
+      // least() skips nulls in BOTH engines (a one-sided token would wrongly
+      // contribute its own tf) — the shared-token guard must be explicit.
+      .agg(coalesce(sum(when(col("__tfa").isNotNull && col("__tfb").isNotNull,
+          least(col("__tfa"), col("__tfb")))), lit(0L)).as("w_common"),
+        sum(coalesce(col("__tfa"), lit(0L))).as("a_mass"),
+        sum(coalesce(col("__tfb"), lit(0L))).as("b_mass"))
+      .withColumn("w_jaccard",
+        round(col("w_common").cast("double") /
+          (col("a_mass") + col("b_mass") - col("w_common")).cast("double"), 6))
+      .filter(col("w_jaccard") >= threshold)
+  }
 }

@@ -87,6 +87,21 @@ object TextOps {
     // volume knobs (df caps, banding) manage join cost but cannot restore
     // selectivity — widening the shingle grows the universe geometrically
     // and drops per-shingle df back to discriminative levels.
+    shinglePosRows(df, id, bucket, text, n)
+      .select(col("doc_id"), col("bucket"), col("sh"))
+      .distinct()
+  }
+
+  /** POSITIONAL shingle rows — [[shingleRows]] without the set collapse:
+    * one row per n-gram OCCURRENCE, (doc_id, bucket, pos, sh). The
+    * multiset view the weighted-Jaccard family counts frequencies over
+    * ([[graft.operators.DedupOps.featureTfRows]]), where the set family
+    * takes the `distinct` form. Same codegen-safe posexplode +
+    * window-`lead` construction. */
+  def shinglePosRows(df: DataFrame, id: Column, bucket: Column, text: Column,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val w = Window.partitionBy("doc_id", "bucket").orderBy("pos")
     val toks = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
     df.select(id.as("doc_id"), bucket.as("bucket"),
@@ -95,8 +110,7 @@ object TextOps {
         when(if (n == 1) lit(true) else lead("tok", n - 1).over(w).isNotNull,
           concat_ws(" ", toks: _*)))
       .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("bucket"), col("sh"))
-      .distinct()
+      .select(col("doc_id"), col("bucket"), col("pos"), col("sh"))
   }
 
   /** Pointwise mutual information of adjacent word pairs (collocations) —

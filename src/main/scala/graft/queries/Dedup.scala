@@ -1010,7 +1010,95 @@ object Dedup extends QueryGroup {
            |FROM p WHERE levenshtein(a_txt, b_txt) <= 320
            |ORDER BY a_id, b_id""".stripMargin))
 
+  /** X2 WEIGHTED-Jaccard near-dup ([[DedupOps.featureTfRows]] →
+    * [[DedupOps.weightedExpandRows]] → [[DedupOps.nearDupCandidates]] →
+    * [[DedupOps.weightedJaccardVerifyPairs]]): the multiset metric —
+    * Σ min(tf) / Σ max(tf) over 5-gram FREQUENCIES — for corpora where
+    * REPETITION is the signal set Jaccard discards (template spam, log
+    * dumps, boilerplate with counters: a doc that repeats a passage 10×
+    * and one that has it once are set-identical but multiset-distant).
+    * Integer-weight expansion (sh → sh#1..sh#min(tf, 4)) reduces it to
+    * set Jaccard, so the CALIBRATED generation path (quantile df cap
+    * q=0.95 floor=2, 8 minhashes banded r=2) runs on multisets unchanged;
+    * the verify stage scores the UNCAPPED frequencies —
+    * cap-for-generation / full-for-verify, as everywhere in the family.
+    * 5-gram, q124's REPRESENTATION posture, not 3: the §6.1 audit
+    * measured the 3-gram universe saturating on this fixture (q120's
+    * candidates ~112× at 10× docs) while the 5-gram pipeline tracks dup
+    * density (~11×); the multiset variant measured the same contrast
+    * (ScaleAudit q162 rows: 100× on 3-gram multisets, density-tracking on
+    * 5). */
+  private val q162 = QueryDef(
+    "q162_weighted_jaccard",
+    (s, dir) => {
+      val tfs = DedupOps.featureTfRows(TextOps.shinglePosRows(
+        Tables.documents(s, dir), col("doc_id"), lit("all"), col("text"), n = 5))
+      val cands = DedupOps.nearDupCandidates(
+        DedupOps.weightedExpandRows(tfs, tfCap = 4),
+        DedupOps.CandidateGen.QuantileCapped(q = 0.95, floor = 2,
+          numHashes = 8, rowsPerBand = 2))
+      DedupOps.weightedJaccardVerifyPairs(cands, tfs.drop("bucket"),
+          threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH shl AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(string_split(text,' ')) >= 5
+           |      THEN list_transform(range(len(string_split(text,' ')) - 4),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           |          || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]
+           |          || ' ' || string_split(text,' ')[i+5])
+           |      ELSE [] END AS shs
+           |  FROM documents),
+           |toks AS (
+           |  SELECT doc_id, u.sh AS tok, count(*) AS tf
+           |  FROM shl, unnest(shs) AS u(sh)
+           |  GROUP BY 1, 2),
+           |ex AS (
+           |  SELECT doc_id, tok || '#' || i.i AS sh
+           |  FROM toks, unnest(range(1, least(tf, 4) + 1)) AS i(i)),
+           |dfs AS (SELECT sh, count(*) AS df FROM ex GROUP BY 1),
+           |thr AS (SELECT greatest(min(df), 2) AS t FROM (
+           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
+           |exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN dfs USING (sh), thr
+           |  WHERE dfs.df <= thr.t),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM exc),
+           |mh AS (
+           |  SELECT doc_id, j.j AS j, min(h1 + j.j * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(j)
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, j // 2 AS band, string_agg(h::VARCHAR, ':' ORDER BY j) AS bk
+           |  FROM mh GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+           |shared AS (
+           |  SELECT p.a_id, p.b_id, CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS w_common
+           |  FROM pairs p
+           |  JOIN toks ta ON ta.doc_id = p.a_id
+           |  JOIN toks tb ON tb.doc_id = p.b_id AND tb.tok = ta.tok
+           |  GROUP BY 1, 2),
+           |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS mass FROM toks GROUP BY 1)
+           |SELECT p.a_id, p.b_id,
+           |  COALESCE(s.w_common, 0) AS w_common,
+           |  la.mass AS a_mass, lb.mass AS b_mass,
+           |  round(CAST(COALESCE(s.w_common, 0) AS DOUBLE)
+           |    / CAST(la.mass + lb.mass - COALESCE(s.w_common, 0) AS DOUBLE), 6) AS w_jaccard
+           |FROM pairs p
+           |LEFT JOIN shared s ON s.a_id = p.a_id AND s.b_id = p.b_id
+           |JOIN lens la ON la.doc_id = p.a_id
+           |JOIN lens lb ON lb.doc_id = p.b_id
+           |WHERE round(CAST(COALESCE(s.w_common, 0) AS DOUBLE)
+           |    / CAST(la.mass + lb.mass - COALESCE(s.w_common, 0) AS DOUBLE), 6) >= 0.2
+           |ORDER BY p.a_id, p.b_id""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124, q143, q148, q150, q160)
+      q118, q119, q120, q121, q124, q143, q148, q150, q160, q162)
 }

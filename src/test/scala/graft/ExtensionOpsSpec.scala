@@ -447,6 +447,53 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(self === Map(1L -> true))
   }
 
+  test("X2: weighted Jaccard scores repetition that set Jaccard is blind to") {
+    import graft.operators.{DedupOps, TextOps}
+    // d1 repeats the shingle "a b c" twice ("a b c a b c" has positional
+    // 3-grams: [a b c][b c a][c a b][a b c]); d2 has each once. Set Jaccard
+    // of the distinct universes is 1.0; weighted Jaccard must be < 1.
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b c a")).toDF("doc_id", "text")
+    val pos = TextOps.shinglePosRows(docs, col("doc_id"), lit("all"), col("text"))
+    // positional form keeps occurrences: d1 has 4 shingle slots, d2 has 2
+    assert(pos.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 4L, 2L -> 2L))
+    val tfs = DedupOps.featureTfRows(pos)
+    // d1: {a b c: 2, b c a: 1, c a b: 1}; d2: {a b c: 1, b c a: 1}
+    // w_common = min(2,1) + min(1,1) = 2; masses 4 and 2 -> wj = 2/(4+2-2) = 0.5
+    val got = DedupOps.weightedJaccardVerifyPairs(
+        Seq((1L, 2L)).toDF("a_id", "b_id"), tfs.drop("bucket"), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 4L, 2L, 0.5)))
+    // set Jaccard over the same docs: |{abc,bca,cab} ∩ {abc,bca}| / |∪| = 2/3
+    // (not 1.0 only because d1's wraparound adds "c a b") — the REPETITION
+    // itself is invisible to the set metric; the multiset metric prices it.
+    // Pair normalization: reversed and duplicated lists give the same row.
+    val dup = DedupOps.weightedJaccardVerifyPairs(
+      Seq((2L, 1L), (1L, 2L), (1L, 1L)).toDF("a_id", "b_id"),
+      tfs.drop("bucket"), threshold = 0.0).collect()
+    assert(dup.length === 1 && dup.head.getLong(2) === 2L)
+  }
+
+  test("X2: integer-weight expansion reduces capped weighted Jaccard to set Jaccard") {
+    import graft.operators.DedupOps
+    // tf vector d1 = {x: 5, y: 1}, d2 = {x: 2}; cap 3.
+    // expansion: d1 -> {x#1,x#2,x#3,y#1}, d2 -> {x#1,x#2}
+    // set J of expansions = 2 / 4 = capped weighted J = min(3,2)/(min(5,3)+1 +2 -2)
+    val tfs = Seq((1L, "all", "x", 5L), (1L, "all", "y", 1L), (2L, "all", "x", 2L))
+      .toDF("doc_id", "bucket", "sh", "tf")
+    val ex = DedupOps.weightedExpandRows(tfs, tfCap = 3)
+    val sets = ex.collect().map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sets(1L) === Set("x#1", "x#2", "x#3", "y#1"))
+    assert(sets(2L) === Set("x#1", "x#2"))
+    val inter = (sets(1L) & sets(2L)).size.toDouble
+    assert(inter / (sets(1L) | sets(2L)).size === 0.5)
+    // the expanded rows feed the standard generator unchanged (schema check)
+    assert(ex.columns.toSeq === Seq("doc_id", "bucket", "sh"))
+    intercept[IllegalArgumentException] { DedupOps.weightedExpandRows(tfs, 0) }
+  }
+
   test("X2: sorted-neighborhood pairs each row with its next window-1 in key order") {
     import graft.operators.DedupOps
     // keys 3,5,9,11,17 with bucket = key DIV 8 → buckets {0: 3,5}, {1: 9,11}, {2: 17}.
