@@ -330,13 +330,9 @@ object ScaleAudit {
     val dim161 = Tables.part(spark, sfDir).filter(col("p_size") <= 2)
       .select(col("p_partkey")).distinct().localCheckpoint(true)
     val fact161 = li161.count()
-    val keys161s = dim161.select(col("p_partkey").cast("string").as("__key"))
-    val m161 = graft.functions.BloomUtil.sizeFor(dim161.count(), 5)
-    val agg161 = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BloomBuild(m161, 5), org.apache.spark.sql.Encoders.STRING)
-    val bloom161 = keys161s.agg(agg161(col("__key"))).head.getAs[Array[Byte]](0)
+    val idx161 = DedupOps.buildFingerprintBloom(dim161, col("p_partkey"))
     val pos161 = li161.filter(graft.functions.GraftFunctions
-      .bloomContains(col("l_partkey").cast("string"), bloom161, 5)).count()
+      .bloomContains(col("l_partkey").cast("string"), idx161.sketch, idx161.k)).count()
     val true161 = li161.join(dim161,
       li161("l_partkey") === dim161("p_partkey"), "left_semi").count()
 

@@ -1164,7 +1164,7 @@ object DedupOps {
         s"sortedNeighborhood: $what must be non-null — a null row would " +
           "silently drop from the sorted permutation")))
         .otherwise(c)
-    val base = docs.select(col(id).as("doc_id"),
+    val base = docs.select(guarded(col(id), "doc_id").as("doc_id"),
       guarded(bucket, "bucket").as("__bkt"), guarded(key, "key").as("__key"))
     val offsets = base.groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__n"), min(col("__key")).as("__mink"),

@@ -98,24 +98,33 @@ object JoinOps {
     * Join semantics: INNER USING(`bigKey`) — the output carries big's
     * columns plus small's non-key columns; NULL keys never match in either
     * engine (the probe's null propagates to a null predicate, which
-    * filters), matching inner-join semantics exactly. `mBits = 0`
-    * auto-sizes from the distinct-key count; an explicit positive `mBits`
-    * pins the sketch size (a mis-sized sketch still returns exact results
-    * — it only loses prefilter selectivity). */
+    * filters), matching inner-join semantics exactly. Key TYPES must match
+    * exactly and are refused otherwise: the sketch compares canonical
+    * STRING renderings, so a coercion the exact join would apply (INT 3 vs
+    * DECIMAL 3.00 → "3" vs "3.00") renders differently and the prefilter
+    * would silently drop TRUE matches — a false negative, the one failure
+    * mode the operator's contract rules out. Cast one side explicitly
+    * instead. `mBits = 0` auto-sizes from the distinct-key count; an
+    * explicit positive `mBits` pins the sketch size (a mis-sized sketch
+    * still returns exact results — it only loses prefilter selectivity). */
   def bloomReducedJoin(big: DataFrame, bigKey: String, small: DataFrame,
       smallKey: String, mBits: Int = 0, k: Int = 5): DataFrame = {
-    import graft.functions.{BloomBuild, BloomUtil, GraftFunctions}
-    // The distinct key set is needed twice (count for sizing, fold into the
-    // sketch) across two jobs where exchange reuse cannot fire — checkpoint
-    // it once. Key strings, not raw keys: one canonical byte encoding for
-    // any key type on both the build and probe sides.
-    val keys = small.select(col(smallKey).cast("string").as("__key"))
-      .filter(col("__key").isNotNull).distinct().localCheckpoint(true)
-    val m = if (mBits > 0) mBits else BloomUtil.sizeFor(keys.count(), k)
-    val bloomAgg = org.apache.spark.sql.functions.udaf(
-      new BloomBuild(m, k), org.apache.spark.sql.Encoders.STRING)
-    val bloom: Array[Byte] = keys.agg(bloomAgg(col("__key"))).head.getAs[Array[Byte]](0)
-    big.filter(GraftFunctions.bloomContains(col(bigKey).cast("string"), bloom, k))
+    import graft.functions.GraftFunctions
+    val bt = big.schema(bigKey).dataType
+    val st = small.schema(smallKey).dataType
+    require(bt == st,
+      s"bloomReducedJoin key types must match exactly ($bigKey: $bt vs " +
+        s"$smallKey: $st) — the sketch compares string renderings, and a " +
+        "coercion the exact join would apply can render differently, " +
+        "silently dropping true matches; cast one side explicitly")
+    require(smallKey == bigKey || !small.columns.contains(bigKey),
+      s"bloomReducedJoin: small side already carries a column named " +
+        s"'$bigKey'; renaming its key '$smallKey' for the USING join would " +
+        "collide — rename or drop the clashing column first")
+    val idx = DedupOps.buildFingerprintBloom(
+      small.filter(col(smallKey).isNotNull), col(smallKey), k, mBits)
+    big.filter(GraftFunctions.bloomContains(
+        col(bigKey).cast("string"), idx.sketch, idx.k))
       .join(small.withColumnRenamed(smallKey, bigKey), Seq(bigKey))
   }
 }

@@ -162,7 +162,12 @@ object Etl extends QueryGroup {
     * inner join the oracle runs; what changes is the exchange: at 100 TB
     * only (true matches + ε·2^−k) of the fact table enters the join
     * shuffle instead of all of it. The explicit, measured-sizing form of
-    * Spark's own `InjectRuntimeFilter` rewrite. */
+    * Spark's own `InjectRuntimeFilter` rewrite.
+    *
+    * The sum casts l_quantity to long PER-ROW before summing:
+    * integer-exact and order-independent, where a double sum's low bits
+    * depend on shuffle order. Fixture l_quantity is integral 1..50, so
+    * Spark's truncate-cast and DuckDB's round-cast agree. */
   private val q161 = QueryDef(
     "q161_bloom_reduced_join",
     (s, dir) => {
@@ -190,11 +195,6 @@ object Etl extends QueryGroup {
     * identical values (no-op), keys +1,000,000 are first-seen inserts.
     * `bal` arithmetic is a single IEEE double addition — deterministic
     * cross-engine with no rounding step. */
-  // (q161's sum casts l_quantity long per-row BEFORE summing: integer-exact
-  // and order-independent, where a double sum's low bits depend on shuffle
-  // order. Fixture l_quantity is integral 1..50, so Spark's truncate-cast
-  // and DuckDB's round-cast agree.)
-
   private val q122 = QueryDef(
     "q122_scd2_merge",
     (s, dir) => {

@@ -66,17 +66,13 @@ class JoinOpsSpec extends SparkSpec {
     // the key set's sliver is what survives the prefilter: exact selectivity
     // plus a bounded false-positive tail (fp ~ 2^-k at design load; assert a
     // loose 10x margin so the test stays deterministic, not distributional)
-    import graft.functions.{BloomBuild, BloomUtil, GraftFunctions}
-    val keys = small.select(col("sk").cast("string").as("__key"))
-      .filter(col("__key").isNotNull).distinct()
-    val m = BloomUtil.sizeFor(keys.count(), 5)
-    val agg = org.apache.spark.sql.functions.udaf(
-      new BloomBuild(m, 5), org.apache.spark.sql.Encoders.STRING)
-    val bloom = keys.agg(agg(col("__key"))).head.getAs[Array[Byte]](0)
+    import graft.functions.GraftFunctions
+    import graft.operators.DedupOps
+    val keys = small.select(col("sk")).filter(col("sk").isNotNull).distinct()
+    val idx = DedupOps.buildFingerprintBloom(keys, col("sk"))
     val survivors = big.filter(
-      GraftFunctions.bloomContains(col("k").cast("string"), bloom, 5)).count()
-    val trueMatches = big.join(keys, big("k").cast("string") === keys("__key"),
-      "left_semi").count()
+      GraftFunctions.bloomContains(col("k").cast("string"), idx.sketch, idx.k)).count()
+    val trueMatches = big.join(keys, big("k") === keys("sk"), "left_semi").count()
     assert(survivors >= trueMatches, "blooms must have no false negatives")
     assert(survivors <= trueMatches + (200 - trueMatches) / 10 + 1,
       s"prefilter admitted $survivors rows for $trueMatches true matches")
@@ -86,5 +82,24 @@ class JoinOpsSpec extends SparkSpec {
     val big = (0L until 10L).map(i => (i, i)).toDF("k", "v")
     val small = Seq.empty[(Long, String)].toDF("sk", "label")
     assert(JoinOps.bloomReducedJoin(big, "k", small, "sk").count() === 0L)
+  }
+
+  test("bloomReducedJoin refuses mismatched key types and USING collisions") {
+    // INT 3 vs DOUBLE 3.0 render "3" vs "3.0": the plain join would coerce
+    // and match, the sketch would not — a silent false negative, so the
+    // operator must refuse the shape rather than return a wrong answer.
+    val big = Seq((3L, 1L)).toDF("k", "v")
+    val small = Seq((3.0, "a")).toDF("sk", "label")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.bloomReducedJoin(big, "k", small, "sk")
+    }
+    assert(e.getMessage.contains("types must match"))
+    // a small side already carrying a column named like big's key would make
+    // the USING rename ambiguous at plan time — refuse with a message
+    val clash = Seq((3L, 9L, "a")).toDF("sk", "k", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      JoinOps.bloomReducedJoin(big, "k", clash, "sk")
+    }
+    assert(e2.getMessage.contains("collide"))
   }
 }
