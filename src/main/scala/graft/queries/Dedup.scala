@@ -979,7 +979,7 @@ object Dedup extends QueryGroup {
   /** X2 sorted-neighborhood blocking
     * ([[DedupOps.sortedNeighborhoodCandidates]]): the classic
     * entity-resolution generator beside the hash families — docs sorted
-    * by length, each paired with its 9 successors in that order, then the
+    * by length, each paired with its 7 successors in that order, then the
     * usual bounded-Levenshtein verify ([[DedupOps.editDistanceVerify]],
     * q65's stage). What the sort order buys over q65's length BANDS is
     * boundary-blindness: a near-dup pair straddling a band edge is still
@@ -994,8 +994,8 @@ object Dedup extends QueryGroup {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val cands = DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
-        expr("n_chars DIV 8"), col("n_chars"), window = 10)
-      DedupOps.editDistanceVerify(docs, "doc_id", col("text"), cands, maxDist = 320)
+        expr("n_chars DIV 8"), col("n_chars"), window = 8)
+      DedupOps.editDistanceVerify(docs, "doc_id", col("text"), cands, maxDist = 64)
         .orderBy(col("a_id"), col("b_id"))
     },
     Some("""WITH r AS (
@@ -1004,10 +1004,10 @@ object Dedup extends QueryGroup {
            |  FROM documents),
            |p AS (
            |  SELECT a.doc_id AS a_id, a.text AS a_txt, b.doc_id AS b_id, b.text AS b_txt
-           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 9)
+           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7)
            |SELECT a_id, b_id,
            |  CAST(levenshtein(a_txt, b_txt) AS BIGINT) AS edit_distance
-           |FROM p WHERE levenshtein(a_txt, b_txt) <= 320
+           |FROM p WHERE levenshtein(a_txt, b_txt) <= 64
            |ORDER BY a_id, b_id""".stripMargin))
 
   /** X2 WEIGHTED-Jaccard near-dup ([[DedupOps.featureTfRows]] →
