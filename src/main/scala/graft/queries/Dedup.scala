@@ -1098,7 +1098,119 @@ object Dedup extends QueryGroup {
            |    / CAST(la.mass + lb.mass - COALESCE(s.w_common, 0) AS DOUBLE), 6) >= 0.2
            |ORDER BY p.a_id, p.b_id""".stripMargin))
 
+  /** X2 blocking-strategy recall A/B — "measure, don't guess" applied to
+    * the GENERATOR choice: the exact ground-truth pair set (all 5-gram
+    * Jaccard ≥ 0.5 pairs, affordable because 5-gram df is discriminative —
+    * the §6.1 representation finding is what makes the truth computable)
+    * scored against BOTH production generators, each through the identical
+    * exact-Jaccard verify: sorted-neighborhood (q160's window-8 on
+    * n_chars) and calibrated banded LSH (q124's pure default). Verified ⊆
+    * truth by construction (same metric, same threshold, same sets), so
+    * the per-generator counts ARE generation recall — the number a
+    * pipeline owner reads before choosing a blocking strategy, and the
+    * audit that shows WHERE a sort key fails (a near-dup pair with
+    * different lengths is far apart in n_chars order but still collides
+    * in minhash space). One summary row; every stage a bounded
+    * join/aggregate shared through one checkpointed shingle pass. */
+  private val q163 = QueryDef(
+    "q163_blocking_recall_ab",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // Used by truth (both self-join sides), the LSH generator, and two
+      // verifies across separate jobs — checkpoint once (ScaleAudit's
+      // idiom; exchange reuse cannot fire across actions).
+      val sh5 = TextOps.shingleRows(docs, col("doc_id"), lit("all"),
+        col("text"), n = 5).localCheckpoint(true)
+      val truth = DedupOps.jaccardPairsFromRows(sh5)
+        .filter(col("jaccard") >= 0.5).select(col("a_id"), col("b_id"))
+      val snmV = DedupOps.jaccardVerifyPairs(
+          DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
+            expr("n_chars DIV 8"), col("n_chars"), window = 8), sh5, 0.5)
+        .select(col("a_id"), col("b_id"), lit(1L).as("snm"))
+      val lshV = DedupOps.jaccardVerifyPairs(
+          DedupOps.nearDupCandidates(sh5), sh5, 0.5)
+        .select(col("a_id"), col("b_id"), lit(1L).as("lsh"))
+      def recall(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(col("n_true") > 0,
+        round(n.cast("double") / col("n_true").cast("double"), 6))
+        .otherwise(lit(0.0))
+      truth.join(snmV, Seq("a_id", "b_id"), "left")
+        .join(lshV, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("snm")), lit(0L)).as("n_snm"),
+          coalesce(sum(col("lsh")), lit(0L)).as("n_lsh"),
+          coalesce(sum(when(col("snm").isNotNull && col("lsh").isNotNull,
+            lit(1L))), lit(0L)).as("n_both"))
+        .withColumn("snm_recall", recall(col("n_snm")))
+        .withColumn("lsh_recall", recall(col("n_lsh")))
+    },
+    Some("""WITH sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+           |      THEN list_transform(range(len(string_split(text,' ')) - 4),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           |          || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]
+           |          || ' ' || string_split(text,' ')[i+5])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |sizes AS (SELECT doc_id, len(shset) AS setsize FROM sets WHERE len(shset) > 0),
+           |jac AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+           |  FROM ex0 a JOIN ex0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (
+           |  SELECT a_id, b_id FROM jac
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(CAST(n_common AS DOUBLE)
+           |      / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) >= 0.5),
+           |r AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+           |  FROM documents),
+           |snmp AS (
+           |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+           |    greatest(a.doc_id, b.doc_id) AS b_id
+           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7),
+           |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
+           |thr AS (SELECT greatest(min(df), 2) AS t FROM (
+           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
+           |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN dfs USING (sh), thr
+           |  WHERE dfs.df <= thr.t),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |mh AS (
+           |  SELECT doc_id, j.j AS j, min(h1 + j.j * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(j)
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, j // 2 AS band, string_agg(h::VARCHAR, ':' ORDER BY j) AS bk
+           |  FROM mh GROUP BY 1, 2),
+           |lshp AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+           |agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+           |    CAST(sum(CASE WHEN s.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_snm,
+           |    CAST(sum(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+           |    CAST(sum(CASE WHEN s.a_id IS NOT NULL AND p.a_id IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+           |  FROM truth t
+           |  LEFT JOIN snmp s ON s.a_id = t.a_id AND s.b_id = t.b_id
+           |  LEFT JOIN lshp p ON p.a_id = t.a_id AND p.b_id = t.b_id)
+           |SELECT n_true, n_snm, n_lsh, n_both,
+           |  CASE WHEN n_true > 0
+           |    THEN round(CAST(n_snm AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+           |    ELSE 0.0 END AS snm_recall,
+           |  CASE WHEN n_true > 0
+           |    THEN round(CAST(n_lsh AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+           |    ELSE 0.0 END AS lsh_recall
+           |FROM agg""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124, q143, q148, q150, q160, q162)
+      q118, q119, q120, q121, q124, q143, q148, q150, q160, q162, q163)
 }

@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (162 queries, 159 oracles)") {
-    assert(SparkEntry.queries.size >= 162,
-      s"query surface shrank: ${SparkEntry.queries.size} < 162")
-    assert(SparkEntry.oracleSql.size >= 159,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 159")
+  test("query ledger matches the documented surface (163 queries, 160 oracles)") {
+    assert(SparkEntry.queries.size >= 163,
+      s"query surface shrank: ${SparkEntry.queries.size} < 163")
+    assert(SparkEntry.oracleSql.size >= 160,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 160")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
       "q127_shuffle_shards" -> "prefix-sum over shuffleRank's 256-bucket offset aggregate (constant group folds away)",
       "q128_length_bucket_batches" -> "prefix-sum over the per-bucket offset aggregate + batch-stats windows (|buckets×batches| rows)",
       "q160_sorted_neighborhood" -> "prefix-sum + lag over the per-bucket offset aggregate (≤|n_chars DIV 8 buckets| rows)",
-      "q162_weighted_jaccard" -> "same distinct-df histogram threshold as q118 (over the expanded multiset universe)")
+      "q162_weighted_jaccard" -> "same distinct-df histogram threshold as q118 (over the expanded multiset universe)",
+      "q163_blocking_recall_ab" -> "q160's per-bucket offset prefix-sum + q118's distinct-df histogram threshold")
     val globalWindowed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         if (globalWindows(build(spark, dir)) > 0) Some(name) else None
