@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (163 queries, 160 oracles)") {
-    assert(SparkEntry.queries.size >= 163,
-      s"query surface shrank: ${SparkEntry.queries.size} < 163")
-    assert(SparkEntry.oracleSql.size >= 160,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 160")
+  test("query ledger matches the documented surface (164 queries, 161 oracles)") {
+    assert(SparkEntry.queries.size >= 164,
+      s"query surface shrank: ${SparkEntry.queries.size} < 164")
+    assert(SparkEntry.oracleSql.size >= 161,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 161")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
@@ -64,7 +64,8 @@ class PlanAuditSpec extends SparkSpec {
       "q128_length_bucket_batches" -> "prefix-sum over the per-bucket offset aggregate + batch-stats windows (|buckets×batches| rows)",
       "q160_sorted_neighborhood" -> "prefix-sum + lag over the per-bucket offset aggregate (≤|n_chars DIV 8 buckets| rows)",
       "q162_weighted_jaccard" -> "same distinct-df histogram threshold as q118 (over the expanded multiset universe)",
-      "q163_blocking_recall_ab" -> "q160's per-bucket offset prefix-sum + q118's distinct-df histogram threshold")
+      "q163_blocking_recall_ab" -> "q160's per-bucket offset prefix-sum + q118's distinct-df histogram threshold",
+      "q164_snm_multipass" -> "two SNM per-bucket offset prefix-sums (length buckets; 2-char prefix buckets)")
     val globalWindowed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         if (globalWindows(build(spark, dir)) > 0) Some(name) else None
