@@ -1102,11 +1102,11 @@ object Dedup extends QueryGroup {
     * the GENERATOR choice: the exact ground-truth pair set (all 5-gram
     * Jaccard ≥ 0.5 pairs, affordable because 5-gram df is discriminative —
     * the §6.1 representation finding is what makes the truth computable)
-    * scored against BOTH production generators, each through the identical
-    * exact-Jaccard verify: sorted-neighborhood (q160's window-8 on
-    * n_chars) and calibrated banded LSH (q124's pure default). Verified ⊆
-    * truth by construction (same metric, same threshold, same sets), so
-    * the per-generator counts ARE generation recall — the number a
+    * scored against BOTH production generators: sorted-neighborhood
+    * (q160's window-8 on n_chars) and calibrated banded LSH (q124's pure
+    * default). A generated pair that is in truth would pass the
+    * identical-metric verify by construction (verified ⊆ truth), so
+    * truth ∩ candidates IS generation recall and no verify stage runs — the number a
     * pipeline owner reads before choosing a blocking strategy, and the
     * audit that shows WHERE a sort key fails (a near-dup pair with
     * different lengths is far apart in n_chars order but still collides
@@ -1123,13 +1123,18 @@ object Dedup extends QueryGroup {
         col("text"), n = 5).localCheckpoint(true)
       val truth = DedupOps.jaccardPairsFromRows(sh5)
         .filter(col("jaccard") >= 0.5).select(col("a_id"), col("b_id"))
-      val snmV = DedupOps.jaccardVerifyPairs(
-          DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
-            expr("n_chars DIV 8"), col("n_chars"), window = 8), sh5, 0.5)
-        .select(col("a_id"), col("b_id"), lit(1L).as("snm"))
-      val lshV = DedupOps.jaccardVerifyPairs(
-          DedupOps.nearDupCandidates(sh5), sh5, 0.5)
-        .select(col("a_id"), col("b_id"), lit(1L).as("lsh"))
+      // No verify stage: a generated pair that is in truth passes the
+      // identical-metric verify by construction (verified ⊆ truth), so
+      // truth ∩ normalized-candidates IS the verified count — q164's
+      // idiom, and what the oracle runs. Running jaccardVerifyPairs here
+      // would pay two |candidates|×set-size joins for identical counts.
+      def norm(cands: org.apache.spark.sql.DataFrame, flag: String) =
+        cands.select(least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"))
+          .distinct().withColumn(flag, lit(1L))
+      val snmV = norm(DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
+        expr("n_chars DIV 8"), col("n_chars"), window = 8), "snm")
+      val lshV = norm(DedupOps.nearDupCandidates(sh5), "lsh")
       def recall(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         when(col("n_true") > 0,
         round(n.cast("double") / col("n_true").cast("double"), 6))
@@ -1194,10 +1199,10 @@ object Dedup extends QueryGroup {
            |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
            |agg AS (
            |  SELECT CAST(count(*) AS BIGINT) AS n_true,
-           |    CAST(sum(CASE WHEN s.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_snm,
-           |    CAST(sum(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
-           |    CAST(sum(CASE WHEN s.a_id IS NOT NULL AND p.a_id IS NOT NULL
-           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+           |    CAST(COALESCE(sum(CASE WHEN s.a_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_snm,
+           |    CAST(COALESCE(sum(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lsh,
+           |    CAST(COALESCE(sum(CASE WHEN s.a_id IS NOT NULL AND p.a_id IS NOT NULL
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both
            |  FROM truth t
            |  LEFT JOIN snmp s ON s.a_id = t.a_id AND s.b_id = t.b_id
            |  LEFT JOIN lshp p ON p.a_id = t.a_id AND p.b_id = t.b_id)
@@ -1288,10 +1293,10 @@ object Dedup extends QueryGroup {
            |  FROM rp a JOIN rp b ON b.rk > a.rk AND b.rk - a.rk <= 7),
            |agg AS (
            |  SELECT CAST(count(*) AS BIGINT) AS n_true,
-           |    CAST(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
-           |    CAST(sum(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix,
-           |    CAST(sum(CASE WHEN l.a_id IS NOT NULL OR p.a_id IS NOT NULL
-           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_union
+           |    CAST(COALESCE(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_len,
+           |    CAST(COALESCE(sum(CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_prefix,
+           |    CAST(COALESCE(sum(CASE WHEN l.a_id IS NOT NULL OR p.a_id IS NOT NULL
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_union
            |  FROM truth t
            |  LEFT JOIN lp l ON l.a_id = t.a_id AND l.b_id = t.b_id
            |  LEFT JOIN pp p ON p.a_id = t.a_id AND p.b_id = t.b_id)
