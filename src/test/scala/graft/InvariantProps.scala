@@ -352,4 +352,73 @@ object InvariantProps extends Properties("graft") {
         }
       }
     }
+
+  property("X2: sorted-neighborhood emits exactly the closed-form pair set, in key order") =
+    Prop.secure {
+      // The generator's whole contract is the closed form: pairs =
+      // Σ_{g=1..w−1} max(0, N−g), each (a, b) adjacent-within-window in
+      // (key, id) order, regardless of how keys collide or how the
+      // monotone bucket slices them. Fixed-seed batch (rank + join per
+      // case); brute force recomputes the permutation in memory.
+      val rng = new scala.util.Random(20260815L)
+      (1 to 10).forall { _ =>
+        val n = rng.nextInt(30) + 2
+        val w = rng.nextInt(4) + 2
+        val rows = (1L to n.toLong).map(id => (id, rng.between(0L, 40L)))
+        val got = DedupOps.sortedNeighborhoodCandidates(
+            rows.toDF("doc_id", "k"), "doc_id",
+            expr("k DIV 4"), col("k"), window = w)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val perm = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+        val want = (for {
+          i <- perm.indices; g <- 1 until w; if i + g < perm.size
+        } yield (perm(i), perm(i + g), g.toLong)).toSet
+        got == want && got.size == (1 until w).map(g => math.max(0, n - g)).sum
+      }
+    }
+
+  property("X2: weighted Jaccard matches brute force, lives in [0,1], hits 1 iff equal multisets") =
+    Prop.secure {
+      val rng = new scala.util.Random(20260816L)
+      (1 to 10).forall { _ =>
+        // two random tf vectors over a tiny feature space, plus doc 3 as
+        // an exact copy of doc 1 (the ==1 case must actually occur)
+        def vec(): Map[String, Long] =
+          (0 until rng.nextInt(5) + 1).map(i => s"f${rng.nextInt(6)}" -> rng.between(1L, 5L)).toMap
+        val (va, vb) = (vec(), vec())
+        val tfs = (va.toSeq.map { case (f, t) => (1L, "all", f, t) } ++
+          vb.toSeq.map { case (f, t) => (2L, "all", f, t) } ++
+          va.toSeq.map { case (f, t) => (3L, "all", f, t) })
+          .toDF("doc_id", "bucket", "sh", "tf")
+        val got = DedupOps.weightedJaccardVerifyPairs(
+            Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id"),
+            tfs.drop("bucket"), threshold = 0.0)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+        val keys = va.keySet ++ vb.keySet
+        val inter = keys.toSeq.map(k => math.min(va.getOrElse(k, 0L), vb.getOrElse(k, 0L))).sum
+        val union = keys.toSeq.map(k => math.max(va.getOrElse(k, 0L), vb.getOrElse(k, 0L))).sum
+        val brute = math.rint(inter.toDouble / union * 1e6) / 1e6
+        val ab = got((1L, 2L))
+        ab == brute && ab >= 0.0 && ab <= 1.0 && got((1L, 3L)) == 1.0 &&
+          (va != vb || ab == 1.0)
+      }
+    }
+
+  property("J1: bloomReducedJoin equals the plain inner join on any key multiset") =
+    Prop.secure {
+      val rng = new scala.util.Random(20260817L)
+      (1 to 8).forall { _ =>
+        val big = List.fill(rng.nextInt(40) + 1)(
+          (rng.between(0L, 30L), rng.nextLong())).toDF("k", "v")
+        val small = List.fill(rng.nextInt(10) + 1)(
+          (rng.between(0L, 60L), rng.nextInt(5).toString)).toDF("sk", "label")
+        val got = graft.operators.JoinOps.bloomReducedJoin(big, "k", small, "sk")
+          .select(col("k"), col("v"), col("label")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+        val plain = big.join(small, big("k") === small("sk"))
+          .select(col("k"), col("v"), col("label")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+        got == plain
+      }
+    }
 }
