@@ -189,4 +189,40 @@ object EtlOps {
         effective.as(validFrom) :+ lit(null).cast(toType).as(validTo): _*)
     hist.unionByName(closedOrKept).unionByName(opened)
   }
+
+  /** MERGEABLE rollup state — the materialized-summary-table pattern: a
+    * standing (keys..., n_rows, sum_v, min_v, max_v) aggregate whose
+    * fields form a commutative monoid, so a fresh batch's partial state
+    * merges into the standing table WITHOUT rescanning history (the
+    * insert-only incremental-view-maintenance case; updates/deletes need
+    * the SCD or delete-before-load operators). At 100 TB this is the
+    * difference between a dashboard refresh costing one batch scan and
+    * costing one fact-table scan. AVG is derived (sum/n), never stored —
+    * averages don't merge; exact COUNT(DISTINCT) doesn't either, which
+    * is precisely what the mergeable HLL register state
+    * ([[SketchOps]], q136) exists for. NULL measures follow SQL
+    * aggregate semantics (skipped by min/max, null-safe 0 in sums)
+    * via count/sum/min/max themselves. */
+  def rollupState(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(value).as("n_rows"), sum(value).as("sum_v"),
+        min(value).as("min_v"), max(value).as("max_v"))
+
+  /** Merge two [[rollupState]] frames by the same keys: counts and sums
+    * add, min/max fold — `mergeRollup(rollupState(a), rollupState(b)) ≡
+    * rollupState(a ∪ b)` (bit-exact for integral measures; float sums
+    * re-associate, so queries round at OUTPUT, never in state). Keys in
+    * only one side pass through unchanged (sum/min/max over the single
+    * present row). */
+  def mergeRollup(standing: DataFrame, fresh: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cols = keys ++ Seq("n_rows", "sum_v", "min_v", "max_v")
+    require(cols.forall(standing.columns.contains) && cols.forall(fresh.columns.contains),
+      s"mergeRollup expects rollupState schema (${cols.mkString(", ")})")
+    standing.select(cols.map(col): _*)
+      .unionByName(fresh.select(cols.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
 }

@@ -183,4 +183,34 @@ class EtlOpsSpec extends SparkSpec {
       (1L, None, None), //                      null == null: unchanged
       (2L, None, Some(eff)), (2L, Some("x"), None)))
   }
+
+  test("mergeRollup(state(a), state(b)) equals rollupState(a union b) bit-exactly on longs") {
+    // integral measures so the sum comparison is exact — float sums
+    // re-associate across partials (queries round at output, q165)
+    val a = Seq(("x", 5L), ("x", 1L), ("y", 7L)).toDF("k", "v")
+    val b = Seq(("x", 2L), ("z", 9L), ("y", -3L)).toDF("k", "v")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      EtlOps.rollupState(df, Seq("k"), col("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val merged = canon(EtlOps.mergeRollup(state(a), state(b), Seq("k")))
+    assert(merged === canon(state(a.unionByName(b))))
+    assert(merged === Set(("x", 3L, 8L, 1L, 5L), ("y", 2L, 4L, -3L, 7L),
+      ("z", 1L, 9L, 9L, 9L)))
+    // one-sided keys pass through; merge is idempotent in shape (re-merge
+    // with an EMPTY batch changes nothing)
+    val empty = state(Seq.empty[(String, Long)].toDF("k", "v"))
+    assert(canon(EtlOps.mergeRollup(state(a.unionByName(b)), empty, Seq("k"))) === merged)
+    // null measures: count skips them; an all-null group carries null sum
+    val withNull = Seq(("x", Some(4L)), ("n", None), ("n", None))
+      .toDF("k", "v")
+    val st = EtlOps.rollupState(withNull, Seq("k"), col("v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.isNullAt(2))).toMap
+    assert(st("n") === ((0L, true)) && st("x") === ((1L, false)))
+    // schema refusal: a frame without rollup columns is refused loudly
+    intercept[IllegalArgumentException] {
+      EtlOps.mergeRollup(a, state(b), Seq("k"))
+    }
+  }
 }
