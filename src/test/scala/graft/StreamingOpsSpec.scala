@@ -686,4 +686,41 @@ class StreamingOpsSpec extends SparkSpec {
       assert(StandingStore.physicalRowCount(spark, regs) === 3L * 256L)
     } finally q.stop()
   }
+
+  test("T4/A: a streaming rollup maintained per micro-batch equals the batch recompute") {
+    // q165's monoid driven by the stream: each micro-batch's PARTIAL
+    // rollupState merges into a versioned standing level (read v=id-1,
+    // write v=id — the committed-level discipline in miniature), and the
+    // final level must be bit-identical to one batch recompute over
+    // everything the stream ever carried. Integral measures so the sums
+    // compare exactly.
+    import graft.operators.EtlOps
+    val input = MemoryStream[(String, Long)](spark)
+    val root = tmp("rollup_levels")
+    val q = StreamingOps.foreachBatchHandoff(
+        input.toDF().toDF("k", "v"), tmp("rollup_cp")) { (batch, id) =>
+      val part = EtlOps.rollupState(batch, Seq("k"), col("v"))
+      val prev = new java.io.File(s"$root/v=${id - 1}")
+      val merged = if (prev.exists)
+        EtlOps.mergeRollup(spark.read.parquet(prev.getPath), part, Seq("k"))
+      else part
+      merged.write.mode("overwrite").parquet(s"$root/v=$id")
+    }.start()
+    val batches = Seq(
+      Seq(("x", 5L), ("y", 7L)),
+      Seq(("x", 2L), ("z", 9L)),
+      Seq(("y", -3L), ("x", 1L)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val standing = spark.read.parquet(s"$root/v=${batches.size - 1}")
+      val full = EtlOps.rollupState(
+        batches.flatten.toDF("k", "v"), Seq("k"), col("v"))
+      assert(canon(standing) === canon(full))
+      assert(canon(standing) === Set(("x", 3L, 8L, 1L, 5L),
+        ("y", 2L, 4L, -3L, 7L), ("z", 1L, 9L, 9L, 9L)))
+    } finally q.stop()
+  }
 }
