@@ -404,6 +404,31 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("A: folding mergeRollup over ANY batch split equals one rollupState pass") =
+    Prop.secure {
+      // q165's monoid law, quantified: for any rows and any partition into
+      // 1..4 batches, left-folding mergeRollup over per-batch partial
+      // states is bit-identical to the single-pass aggregate — the
+      // incremental-refresh correctness claim for every refresh cadence,
+      // not just the 80/20 split the oracle checks. Longs, so exact.
+      val rng = new scala.util.Random(20260818L)
+      (1 to 8).forall { _ =>
+        val rows = List.fill(rng.nextInt(25) + 1)(
+          (s"k${rng.nextInt(5)}", rng.between(-50L, 50L)))
+        val nb = rng.nextInt(4) + 1
+        val batches = rows.zipWithIndex.groupMap(_._2 % nb)(_._1).values.toList
+        def state(rs: List[(String, Long)]) =
+          EtlOps.rollupState(rs.toDF("k", "v"), Seq("k"), col("v"))
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSet
+        val folded = batches.tail.foldLeft(state(batches.head)) {
+          (acc, b) => EtlOps.mergeRollup(acc, state(b), Seq("k"))
+        }
+        canon(folded) == canon(state(rows))
+      }
+    }
+
   property("J1: bloomReducedJoin equals the plain inner join on any key multiset") =
     Prop.secure {
       val rng = new scala.util.Random(20260817L)
