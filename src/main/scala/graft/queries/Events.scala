@@ -161,5 +161,36 @@ object Events extends QueryGroup {
            |SELECT 3::BIGINT, 'purchase', count(*) FROM s3
            |ORDER BY stage""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q28, q29, q30, q58, q59, q86, q87)
+  /** O4 grouped: per-group top-k as a MERGEABLE aggregate
+    * ([[graft.functions.TopK]]) instead of the window-rank plan — the
+    * window form shuffles EVERY row to its group then sorts whole groups;
+    * the aggregate's k-bounded buffer combines map-side so only ≤ k rows
+    * per group per partition cross the exchange. Deterministic under any
+    * partitioning via the (value DESC, event_id ASC) total order; the
+    * oracle runs the window form, proving plan-shape equivalence. NULL
+    * values filtered on both sides (SQL top-k skips them). */
+  private val q166 = QueryDef(
+    "q166_grouped_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val fn = udaf(new graft.functions.TopK(3),
+        ExpressionEncoder[(Double, Long)]())
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(fn(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("r0", "e")))
+        .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
+          col("e._1").as("value"), col("e._2").as("event_id"))
+        .orderBy(col("event_type"), col("rank"))
+    },
+    Some("""SELECT event_type, CAST(rk AS BIGINT) AS rank, value, event_id
+           |FROM (
+           |  SELECT event_type, value, event_id,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY value DESC, event_id) AS rk
+           |  FROM events WHERE value IS NOT NULL)
+           |WHERE rk <= 3 ORDER BY event_type, rank""".stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q28, q29, q30, q58, q59, q86, q87, q166)
 }

@@ -447,6 +447,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(self === Map(1L -> true))
   }
 
+  test("O4: mergeable TopK equals the window-rank top-k under any partitioning") {
+    import graft.functions.TopK
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val agg = new TopK(3)
+    // monoid-law brute force: any reduce/merge composition = global sort
+    val xs = Seq((5.0, 1L), (7.0, 2L), (5.0, 3L), (9.0, 4L), (1.0, 5L), (7.0, 6L))
+    val want = xs.sortBy { case (v, id) => (-v, id) }.take(3)
+    val viaReduce = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(viaReduce === want)
+    val (l, r) = xs.splitAt(2)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)) === want)
+    // tie on value (7.0): id ASC keeps 2 over 6 — deterministic
+    assert(want.map(_._2) === Seq(4L, 2L, 6L))
+    // insert-if-competitive edge: a row below a full buffer's floor is a no-op
+    assert(agg.reduce(want, (0.5, 9L)) === want)
+    // end-to-end through udaf on a many-partition frame: equals window rank
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => ((i % 4).toString, (i * 37 % 101).toDouble, i))
+      .toDF("g", "v", "id").repartition(7)
+    val fn = udaf(new TopK(3), ExpressionEncoder[(Double, Long)]())
+    val got = df.groupBy("g").agg(fn(col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("g"), col("e._1").as("v"), col("e._2").as("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaWindow = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(desc("v"), col("id"))))
+      .filter(col("rk") <= 3).select("g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === viaWindow)
+    intercept[IllegalArgumentException] { new TopK(0) }
+  }
+
   test("X2: weighted Jaccard scores repetition that set Jaccard is blind to") {
     import graft.operators.{DedupOps, TextOps}
     // d1 repeats the shingle "a b c" twice ("a b c a b c" has positional
