@@ -1148,8 +1148,9 @@ object DedupOps {
     * ORDER-BY window is the straggler the shuffleRank construction
     * exists to kill), so the rank is built the same way: the caller
     * supplies a coarse MONOTONE `bucket` of the key (e.g. `n_chars DIV
-    * 8` for a length key — at 100 TB, a sampled-quantile range
-    * partitioner); within-bucket ranks ride a per-bucket window, bucket
+    * 8` for a length key — or [[rangeBucket]] over
+    * [[rangeBucketBoundaries]]' quantile cuts, which stays balanced on
+    * skewed keys); within-bucket ranks ride a per-bucket window, bucket
     * offsets are a broadcast prefix-sum over the ≤|buckets|-row
     * aggregate. Monotonicity is NOT taken on faith: the offsets pass
     * carries per-bucket key min/max and RAISES if any bucket's max
@@ -1198,6 +1199,50 @@ object DedupOps {
       .withColumn("__rank", col("__rank") + col("gap"))
     probe.join(ranked.select(col("doc_id").as("b_id"), col("__rank")), "__rank")
       .select(col("a_id"), col("b_id"), col("gap").cast("long").as("gap"))
+  }
+
+  /** Quantile RANGE-BUCKET boundaries of a long key — the partitioner
+    * [[sortedNeighborhoodCandidates]]'s contract asks its caller for: cuts
+    * at the i/n discrete quantiles of the key's distribution, so buckets
+    * carry ~equal row mass however skewed the key is (a `key DIV c` bucket
+    * puts the whole corpus in one bucket when the key concentrates). The
+    * cuts come from the key's value-count HISTOGRAM (groupBy(key).count —
+    * a distributed hash aggregate) with one ordered cumulative window over
+    * the ≤|distinct key values| histogram rows — the dfQuantileThreshold
+    * discipline: never order the row table itself. For keys whose distinct
+    * cardinality is itself corpus-scale, sample rows upstream (boundaries
+    * only steer BALANCE — [[rangeBucket]] is monotone for ANY cut set, so
+    * correctness never depends on boundary quality). Driver state: ≤ n−1
+    * longs (the centroid class). Deterministic — same data, same cuts, any
+    * partitioning. */
+  def rangeBucketBoundaries(df: DataFrame, key: Column, nBuckets: Int): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val hist = df.select(key.cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val withCum = hist
+      .withColumn("__cum", sum(col("__n")).over(Window.orderBy(col("__k"))))
+      .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__tot"))))
+    // cut i = smallest key whose cumulative share reaches i/nBuckets: the
+    // discrete quantile, exact integers end to end (a CONT midpoint would
+    // interpolate floats and break engine reproducibility).
+    (1 until nBuckets).map { i =>
+      withCum.filter(col("__cum").cast("double") / col("__tot").cast("double")
+          >= lit(i.toDouble / nBuckets))
+        .agg(min(col("__k"))).head.getLong(0)
+    }.distinct
+  }
+
+  /** Monotone bucket column from [[rangeBucketBoundaries]] cuts: bucket =
+    * |{cut ≤ key}|, an interpreted array filter over ≤ nBuckets literals —
+    * negligible beside the exchange it steers, and monotone BY
+    * CONSTRUCTION for any ascending cut set (the property the
+    * sorted-neighborhood rank raise-checks). */
+  def rangeBucket(key: Column, cuts: Seq[Long]): Column = {
+    require(cuts == cuts.sorted, s"cuts must be ascending, got $cuts")
+    if (cuts.isEmpty) lit(0L)
+    else size(filter(array(cuts.map(lit): _*), c => key.cast("long") >= c)).cast("long")
   }
 
   /** Per-document feature FREQUENCIES from POSITIONAL (doc_id, bucket, sh)

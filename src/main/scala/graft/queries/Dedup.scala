@@ -1306,7 +1306,37 @@ object Dedup extends QueryGroup {
            |    ELSE 0.0 END AS union_recall
            |FROM agg""".stripMargin))
 
+  /** X2 SNM under the QUANTILE range bucket
+    * ([[DedupOps.rangeBucketBoundaries]] + [[DedupOps.rangeBucket]]): the
+    * skew-proof form of q160's bucket — cuts at the key distribution's
+    * discrete quantiles carry ~equal row mass per bucket however the key
+    * concentrates, where `DIV c` collapses a concentrated key into one
+    * straggler bucket. The PAIR SET is provably identical under ANY
+    * monotone bucketing (the rank is the (key, id) order either way; the
+    * closed form depends only on the permutation), which is exactly what
+    * the oracle checks: a pure global row_number permutation, no buckets
+    * at all. Candidates only — the generator stage isolated, feeding
+    * q160's verify or q164's union. */
+  private val q167 = QueryDef(
+    "q167_snm_range_bucketed",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cuts = DedupOps.rangeBucketBoundaries(docs, col("n_chars"), 16)
+      DedupOps.sortedNeighborhoodCandidates(docs, "doc_id",
+          DedupOps.rangeBucket(col("n_chars"), cuts), col("n_chars"),
+          window = 8)
+        .orderBy(col("a_id"), col("b_id"), col("gap"))
+    },
+    Some("""WITH r AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+           |  FROM documents)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(b.rk - a.rk AS BIGINT) AS gap
+           |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7
+           |ORDER BY a_id, b_id, gap""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
-      q118, q119, q120, q121, q124, q143, q148, q150, q160, q162, q163, q164)
+      q118, q119, q120, q121, q124, q143, q148, q150, q160, q162, q163, q164,
+      q167)
 }

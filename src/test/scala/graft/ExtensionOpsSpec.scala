@@ -550,6 +550,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(t === Set((1L, 2L)))
   }
 
+  test("X2: quantile range buckets balance a skewed key that DIV collapses") {
+    import graft.operators.DedupOps
+    // 90% of mass at key=100, a thin tail above: key DIV 8 puts ~90% of
+    // rows in ONE bucket; quantile cuts split the mass evenly.
+    val rows = ((1L to 900L).map(i => (i, 100L)) ++
+      (901L to 1000L).map(i => (i, 100L + i % 37))).toDF("doc_id", "k")
+    val cuts = DedupOps.rangeBucketBoundaries(rows, col("k"), 4)
+    assert(cuts.head === 100L && cuts == cuts.sorted)
+    // hand histogram exactness: keys 1,2,3,4 each once, 4 buckets → cuts
+    // at the 25/50/75% discrete quantiles = 1, 2, 3
+    val tiny = Seq(1L, 2L, 3L, 4L).map(k => (k, k)).toDF("doc_id", "k")
+    assert(DedupOps.rangeBucketBoundaries(tiny, col("k"), 4) === Seq(1L, 2L, 3L))
+    // bucket column is monotone and the SNM composition accepts it (the
+    // in-plan raise stays silent) with the same pair count as any bucket
+    val viaQuantile = DedupOps.sortedNeighborhoodCandidates(rows, "doc_id",
+      DedupOps.rangeBucket(col("k"), cuts), col("k"), window = 3).count()
+    val viaDiv = DedupOps.sortedNeighborhoodCandidates(rows, "doc_id",
+      expr("k DIV 8"), col("k"), window = 3).count()
+    assert(viaQuantile === viaDiv) // pair set depends only on the permutation
+    assert(viaQuantile === 2L * 1000L - 3L)
+    intercept[IllegalArgumentException] {
+      DedupOps.rangeBucketBoundaries(rows, col("k"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.rangeBucket(col("k"), Seq(5L, 3L))
+    }
+  }
+
   test("X2: sorted-neighborhood refuses non-monotone buckets and null keys") {
     import graft.operators.DedupOps
     // bucket 0 holds key 9, bucket 1 holds key 5 → bucket max(0)=9 ≥ min(1)=5:

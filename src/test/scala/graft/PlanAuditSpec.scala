@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (166 queries, 163 oracles)") {
-    assert(SparkEntry.queries.size >= 166,
-      s"query surface shrank: ${SparkEntry.queries.size} < 166")
-    assert(SparkEntry.oracleSql.size >= 163,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 163")
+  test("query ledger matches the documented surface (167 queries, 164 oracles)") {
+    assert(SparkEntry.queries.size >= 167,
+      s"query surface shrank: ${SparkEntry.queries.size} < 167")
+    assert(SparkEntry.oracleSql.size >= 164,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 164")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
       "q160_sorted_neighborhood" -> "prefix-sum + lag over the per-bucket offset aggregate (≤|n_chars DIV 8 buckets| rows)",
       "q162_weighted_jaccard" -> "same distinct-df histogram threshold as q118 (over the expanded multiset universe)",
       "q163_blocking_recall_ab" -> "q160's per-bucket offset prefix-sum + q118's distinct-df histogram threshold",
-      "q164_snm_multipass" -> "two SNM per-bucket offset prefix-sums (length buckets; 2-char prefix buckets)")
+      "q164_snm_multipass" -> "two SNM per-bucket offset prefix-sums (length buckets; 2-char prefix buckets)",
+      "q167_snm_range_bucketed" -> "SNM per-bucket offset prefix-sum over the 16 quantile buckets")
     val globalWindowed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         if (globalWindows(build(spark, dir)) > 0) Some(name) else None
