@@ -18,14 +18,23 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   * Order: value DESC, id ASC — the id tiebreak makes the result a
   * deterministic function of the data under any partitioning or arrival
   * order (a bare value order would keep an arbitrary id among ties).
-  * NULL values must be filtered by the caller (SQL top-k skips them; the
-  * tuple encoder cannot carry a null primitive). */
+  * The DESC comparison is `java.lang.Double.compare` reversed, NOT
+  * negate-and-sort-ascending: SQL's DESC (Spark and DuckDB alike) ranks
+  * NaN ABOVE +Infinity, and −NaN is still NaN, so the negation trick
+  * would quietly evict NaN rows the window-rank plan keeps — a silent
+  * divergence from the oracle on NaN data. NULL values must be filtered
+  * by the caller (SQL top-k skips them; the tuple encoder cannot carry a
+  * null primitive). */
 class TopK(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, "capacity k must be positive")
 
-  private def ord: Ordering[(Double, Long)] =
-    Ordering.by { case (v, id) => (-v, id) }
+  private def ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // DESC; NaN sorts first
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 

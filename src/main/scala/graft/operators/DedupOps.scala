@@ -1204,8 +1204,12 @@ object DedupOps {
   /** Quantile RANGE-BUCKET boundaries of a long key — the partitioner
     * [[sortedNeighborhoodCandidates]]'s contract asks its caller for: cuts
     * at the i/n discrete quantiles of the key's distribution, so buckets
-    * carry ~equal row mass however skewed the key is (a `key DIV c` bucket
-    * puts the whole corpus in one bucket when the key concentrates). The
+    * carry ~equal row mass — up to the largest SINGLE-VALUE mass, the
+    * irreducible floor (one key value can never be split across range
+    * buckets; a value holding half the corpus holds half of one bucket's
+    * corpus no matter where the cuts fall). A `key DIV c` bucket is worse
+    * on the same data: it merges the hot value WITH its neighbors into
+    * one straggler. The
     * cuts come from the key's value-count HISTOGRAM (groupBy(key).count —
     * a distributed hash aggregate) with one ordered cumulative window over
     * the ≤|distinct key values| histogram rows — the dfQuantileThreshold
@@ -1221,17 +1225,33 @@ object DedupOps {
     val hist = df.select(key.cast("long").as("__k"))
       .filter(col("__k").isNotNull)
       .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
-    val withCum = hist
+    // cut i = smallest key whose cumulative count reaches ⌈tot·i/n⌉, i.e.
+    // the first key with i·tot ≤ n·cum — pure LONG arithmetic (no double
+    // division whose rounding could flip a boundary). Key __k serves cut i
+    // exactly when n·cum_prev < i·tot ≤ n·cum, so every key emits its
+    // served i-range in ONE pass: one histogram aggregate, one ordered
+    // window over ≤|distinct key values| rows, one collect — not a
+    // blocking job per cut.
+    val n = nBuckets.toLong
+    val cuts = hist
       .withColumn("__cum", sum(col("__n")).over(Window.orderBy(col("__k"))))
-      .crossJoin(broadcast(hist.agg(sum(col("__n")).as("__tot"))))
-    // cut i = smallest key whose cumulative share reaches i/nBuckets: the
-    // discrete quantile, exact integers end to end (a CONT midpoint would
-    // interpolate floats and break engine reproducibility).
-    (1 until nBuckets).map { i =>
-      withCum.filter(col("__cum").cast("double") / col("__tot").cast("double")
-          >= lit(i.toDouble / nBuckets))
-        .agg(min(col("__k"))).head.getLong(0)
-    }.distinct
+      .crossJoin(broadcast(hist.agg(coalesce(sum(col("__n")), lit(0L)).as("__tot"))))
+      .withColumn("__prev", col("__cum") - col("__n"))
+      // integer DIV (floor on non-negatives), never `/` (double in SparkSQL);
+      // a row serving no cut gets an EMPTY array — sequence(a, b) with
+      // a > b would silently generate a DESCENDING range.
+      .withColumn("__lo", expr(s"($n * __prev) DIV __tot + 1"))
+      .withColumn("__hi", expr(s"($n * __cum) DIV __tot"))
+      .withColumn("__i", explode(when(col("__hi") >= col("__lo"),
+        sequence(col("__lo"), col("__hi")))
+        .otherwise(array().cast("array<bigint>"))))
+      .filter(col("__i") >= 1 && col("__i") <= lit(n - 1))
+      .select(col("__i"), col("__k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(cuts.nonEmpty,
+      "rangeBucketBoundaries: key column has no non-null values — cannot " +
+        "cut an empty distribution; filter or supply a constant bucket")
+    (1L until n).flatMap(cuts.get).distinct
   }
 
   /** Monotone bucket column from [[rangeBucketBoundaries]] cuts: bucket =

@@ -195,34 +195,6 @@ object Etl extends QueryGroup {
     * identical values (no-op), keys +1,000,000 are first-seen inserts.
     * `bal` arithmetic is a single IEEE double addition — deterministic
     * cross-engine with no rounding step. */
-  /** Incremental summary-table maintenance ([[EtlOps.rollupState]] +
-    * [[EtlOps.mergeRollup]]): the insert-only materialized-view refresh —
-    * a standing per-type rollup (count/sum/min/max, a commutative monoid)
-    * absorbs a fresh batch's PARTIAL state without rescanning history,
-    * and the oracle proves merge ≡ full recompute by running the full
-    * GROUP BY over everything. Float sums re-associate across partials,
-    * so the query rounds at OUTPUT (house round-4), never in state; AVG
-    * would be derived sum/n, COUNT(DISTINCT) needs the HLL register
-    * state (q136) — neither is storable-mergeable directly. */
-  private val q165 = QueryDef(
-    "q165_incremental_rollup",
-    (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val standing = EtlOps.rollupState(
-        ev.filter(col("event_id") % 10 < 8), Seq("event_type"), col("value"))
-      val batch = EtlOps.rollupState(
-        ev.filter(col("event_id") % 10 >= 8), Seq("event_type"), col("value"))
-      EtlOps.mergeRollup(standing, batch, Seq("event_type"))
-        .select(col("event_type"), col("n_rows"),
-          round(col("sum_v"), 4).as("sum_value"),
-          col("min_v").as("min_value"), col("max_v").as("max_value"))
-        .orderBy(col("event_type"))
-    },
-    Some("""SELECT event_type, count(value) AS n_rows,
-           |  round(sum(value), 4) AS sum_value,
-           |  min(value) AS min_value, max(value) AS max_value
-           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
-
   private val q122 = QueryDef(
     "q122_scd2_merge",
     (s, dir) => {
@@ -287,6 +259,34 @@ object Etl extends QueryGroup {
            |  FROM j WHERE has_u AND (NOT has_c OR chg))
            |SELECT k AS c_custkey, segment, bal, valid_from, valid_to
            |FROM sel ORDER BY c_custkey, valid_from""".stripMargin))
+
+  /** Incremental summary-table maintenance ([[EtlOps.rollupState]] +
+    * [[EtlOps.mergeRollup]]): the insert-only materialized-view refresh —
+    * a standing per-type rollup (count/sum/min/max, a commutative monoid)
+    * absorbs a fresh batch's PARTIAL state without rescanning history,
+    * and the oracle proves merge ≡ full recompute by running the full
+    * GROUP BY over everything. Float sums re-associate across partials,
+    * so the query rounds at OUTPUT (house round-4), never in state; AVG
+    * would be derived sum/n, COUNT(DISTINCT) needs the HLL register
+    * state (q136) — neither is storable-mergeable directly. */
+  private val q165 = QueryDef(
+    "q165_incremental_rollup",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val standing = EtlOps.rollupState(
+        ev.filter(col("event_id") % 10 < 8), Seq("event_type"), col("value"))
+      val batch = EtlOps.rollupState(
+        ev.filter(col("event_id") % 10 >= 8), Seq("event_type"), col("value"))
+      EtlOps.mergeRollup(standing, batch, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"),
+          round(col("sum_v"), 4).as("sum_value"),
+          col("min_v").as("min_value"), col("max_v").as("max_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(value) AS n_rows,
+           |  round(sum(value), 4) AS sum_value,
+           |  min(value) AS min_value, max(value) AS max_value
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   override val defs: Seq[QueryDef] =
     Seq(q14, q15, q16, q42, q43, q122, q161, q165)

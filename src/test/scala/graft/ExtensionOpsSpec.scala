@@ -552,29 +552,47 @@ class ExtensionOpsSpec extends SparkSpec {
 
   test("X2: quantile range buckets balance a skewed key that DIV collapses") {
     import graft.operators.DedupOps
-    // 90% of mass at key=100, a thin tail above: key DIV 8 puts ~90% of
-    // rows in ONE bucket; quantile cuts split the mass evenly.
-    val rows = ((1L to 900L).map(i => (i, 100L)) ++
-      (901L to 1000L).map(i => (i, 100L + i % 37))).toDF("doc_id", "k")
+    // Zipf-ish mass: key k ∈ 1..100 appears 101−k times (5,050 rows, mass
+    // concentrated at small keys). DIV 26 puts 43% of all rows in its
+    // first bucket; quantile buckets must each stay within the ideal
+    // share plus the irreducible single-value floor (max value mass 100).
+    val rows = (1L to 100L).flatMap(k =>
+      (1L to (101L - k)).map(j => (k * 1000L + j, k))).toDF("doc_id", "k")
+    val tot = 5050L
     val cuts = DedupOps.rangeBucketBoundaries(rows, col("k"), 4)
-    assert(cuts.head === 100L && cuts == cuts.sorted)
+    assert(cuts == cuts.sorted && cuts.size === 3)
+    val sizes = rows.select(DedupOps.rangeBucket(col("k"), cuts).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum === tot && sizes.keySet === Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max <= tot / 4 + 100,
+      s"quantile buckets unbalanced: $sizes")
+    val divMax = rows.select(expr("k DIV 26").as("b"))
+      .groupBy("b").count().agg(max("count")).head.getLong(0)
+    assert(divMax > tot * 2 / 5, "fixture stopped being DIV-adversarial")
     // hand histogram exactness: keys 1,2,3,4 each once, 4 buckets → cuts
     // at the 25/50/75% discrete quantiles = 1, 2, 3
     val tiny = Seq(1L, 2L, 3L, 4L).map(k => (k, k)).toDF("doc_id", "k")
     assert(DedupOps.rangeBucketBoundaries(tiny, col("k"), 4) === Seq(1L, 2L, 3L))
+    // single-value corpus: every cut lands on the one key — buckets
+    // degenerate to one, CORRECTLY (the irreducible floor), no crash
+    val mono = (1L to 9L).map(i => (i, 7L)).toDF("doc_id", "k")
+    assert(DedupOps.rangeBucketBoundaries(mono, col("k"), 4) === Seq(7L))
     // bucket column is monotone and the SNM composition accepts it (the
     // in-plan raise stays silent) with the same pair count as any bucket
     val viaQuantile = DedupOps.sortedNeighborhoodCandidates(rows, "doc_id",
       DedupOps.rangeBucket(col("k"), cuts), col("k"), window = 3).count()
     val viaDiv = DedupOps.sortedNeighborhoodCandidates(rows, "doc_id",
-      expr("k DIV 8"), col("k"), window = 3).count()
+      expr("k DIV 26"), col("k"), window = 3).count()
     assert(viaQuantile === viaDiv) // pair set depends only on the permutation
-    assert(viaQuantile === 2L * 1000L - 3L)
+    assert(viaQuantile === 2L * tot - 3L)
     intercept[IllegalArgumentException] {
       DedupOps.rangeBucketBoundaries(rows, col("k"), 1)
     }
     intercept[IllegalArgumentException] {
       DedupOps.rangeBucket(col("k"), Seq(5L, 3L))
+    }
+    intercept[IllegalArgumentException] { // empty key refused loudly
+      DedupOps.rangeBucketBoundaries(rows.filter(col("k") < 0), col("k"), 4)
     }
   }
 
