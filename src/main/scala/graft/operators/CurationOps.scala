@@ -206,9 +206,14 @@ object CurationOps {
     * (round-10: previously two EXACT `percentile` aggregates, whose
     * per-group array collect is the scale anti-pattern the prefix-sum
     * machinery replaces — one implementation now serves both
-    * signatures). Output contract unchanged: (grp, median, mad,
-    * n_rows, n_outliers) with median/mad displayed at 6 decimals and the
-    * gate computed on unrounded values. */
+    * signatures). Output contract: (grp, median, mad, n_rows,
+    * n_outliers) with median/mad displayed at 6 decimals and the gate
+    * computed on unrounded values. One deliberate contract CHANGE from
+    * the old percentile form: a group whose values are ALL NULL has no
+    * median and is absent from the output (exact ranks are computed over
+    * non-null values only), where the percentile form emitted it with
+    * null median/mad — callers needing every group should left-join this
+    * result back to their group list. */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
       k: Double): DataFrame =
     robustOutliers(df.select(group.as("grp"), value.cast("double").as("__rv")),

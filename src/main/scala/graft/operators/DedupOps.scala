@@ -275,6 +275,10 @@ object DedupOps {
     final case class FixedCap(maxDf: Int, numHashes: Int = 8,
         rowsPerBand: Int = 1) extends CandidateGen {
       require(maxDf > 0, s"FixedCap.maxDf must be positive, got $maxDf")
+      // Same fail-at-construction contract as QuantileCapped — a bad
+      // band shape must not surface mid-plan in minhashBandedRows.
+      require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+        s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
     }
   }
 
@@ -1112,7 +1116,15 @@ object DedupOps {
     * carries `nKeys` for snapshot auditing.
     *
     * `fpName` must name a string column present in `fresh`; `corpusFps`
-    * needs the same column (deduplicated internally). */
+    * needs the same column (deduplicated internally).
+    *
+    * '''Determinism contract''': `fresh` is evaluated TWICE (the
+    * bloom-negative filter and the positive rescan are separate plan
+    * branches). A non-deterministic input — `sample`/`rand`/uuid-derived
+    * fingerprints — can land a row in both branches or neither,
+    * duplicating or dropping it relative to the plain anti-join.
+    * Materialize such inputs first (`localCheckpoint()`, as ScaleAudit
+    * does at its call site) before handing them here. */
   def bloomPrunedNovel(fresh: DataFrame, fpName: String, corpusFps: DataFrame,
       idx: BloomIndex): DataFrame = {
     import graft.functions.GraftFunctions
@@ -1143,6 +1155,11 @@ object DedupOps {
     * at 500 docs collapsed to 0.027 at 5,000, while the calibrated LSH
     * default held ~0.9. SNM complements content-keyed blocking for
     * boundary cases; it is not the primary generator at corpus scale.
+    * '''Do not deploy single-pass SNM solo''': reach for
+    * [[nearDupCandidates]] (the calibrated front door) or, when a
+    * sort-key family is genuinely wanted, [[snmMultiPass]] — its
+    * multi-key union restores recall 1.0 on the same corpus where this
+    * single key measured 0.027 (q163/q164 ledger rows).
     *
     * The global sorted RANK is the scale problem (a corpus-wide
     * ORDER-BY window is the straggler the shuffleRank construction

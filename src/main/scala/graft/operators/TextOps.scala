@@ -565,7 +565,7 @@ object TextOps {
       "/+$", "")
     val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
     val sortedQ = array_join(array_sort(filter(split(qs, "&"),
-      x => x =!= "" && !x.rlike("^(utm_|fbclid|gclid)"))), "&")
+      x => x =!= "" && !x.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))), "&")
     concat(scheme, lit("://"), urlHost(url), path,
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
@@ -749,9 +749,15 @@ object TextOps {
     * stores document); a re-appended doc would double-count its tf. */
   def appendTextIndex(idx: TextIndex, fresh: DataFrame, id: Column,
       text: Column): TextIndex = {
-    val f = buildTextIndex(fresh, id, text)
-    TextIndex(idx.nDocs + f.nDocs, idx.sumDl + f.sumDl,
-      idx.postings.unionByName(f.postings))
+    // An empty micro-batch is a NO-OP, not a crash: TextIndex's
+    // nDocs > 0 contract is for a standalone index, and an ingest loop
+    // legitimately delivers empty batches between arrivals.
+    if (fresh.isEmpty) idx
+    else {
+      val f = buildTextIndex(fresh, id, text)
+      TextIndex(idx.nDocs + f.nDocs, idx.sumDl + f.sumDl,
+        idx.postings.unionByName(f.postings))
+    }
   }
 
   /** BM25 top-docs for `queryTerms` served FROM the index — per-query

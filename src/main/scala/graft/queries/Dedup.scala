@@ -936,10 +936,10 @@ object Dedup extends QueryGroup {
            |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
            |         ELSE hostport END || path ||
            |    CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
-           |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&'), '') = ''
+           |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') = ''
            |         THEN ''
            |         ELSE '?' || array_to_string(list_sort(list_filter(string_split(qs, '&'),
-           |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&') END AS curl
+           |           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&') END AS curl
            |  FROM cp),
            |f AS (
            |  SELECT v.doc_id, v.source, v.text, v.n_chars,

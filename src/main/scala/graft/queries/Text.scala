@@ -801,7 +801,7 @@ object Text extends QueryGroup {
            |         ELSE hostport END AS host,
            |    path,
            |    coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
-           |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid|gclid)'))), '&'), '') AS sq
+           |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS sq
            |  FROM p)
            |SELECT host, regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain,
            |  count(*) AS n_docs,

@@ -133,8 +133,12 @@ class ExtensionOpsSpec extends SparkSpec {
     val v2 = DedupOps.jaccardVerifyPairs(DedupOps.nearDupCandidates(rows), rows, 0.5)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(v1 === v2 && v1.exists { case (a, b, _) => a == 0L && b == 1L })
-    // The gate itself: a nonsensical fixed cap refuses at construction.
+    // The gate itself: a nonsensical fixed cap refuses at construction —
+    // including a band shape that doesn't divide numHashes (round-10
+    // ADVICE: that one used to surface mid-plan in minhashBandedRows).
     intercept[IllegalArgumentException](DedupOps.CandidateGen.FixedCap(0))
+    intercept[IllegalArgumentException](
+      DedupOps.CandidateGen.FixedCap(10, numHashes = 8, rowsPerBand = 3))
   }
 
   test("X2: simhash of identical token sets is identical; disjoint sets differ") {

@@ -64,6 +64,19 @@ class TextIndexSpec extends SparkSpec {
     assert(served(appended, terms) === served(rebuilt, terms))
   }
 
+  test("append of an EMPTY fresh batch is a no-op, not a crash") {
+    // An ingest loop legitimately delivers empty micro-batches between
+    // arrivals (round-10 ADVICE: this used to throw on TextIndex's
+    // nDocs > 0 contract).
+    val idx = TextOps.buildTextIndex(docs, col("doc_id"), col("text"))
+    val appended = TextOps.appendTextIndex(
+      idx, docs.filter(col("doc_id") < 0), col("doc_id"), col("text"))
+    assert(appended.nDocs === idx.nDocs)
+    assert(appended.sumDl === idx.sumDl)
+    val terms = Seq("vector", "stream")
+    assert(served(appended, terms) === served(idx, terms))
+  }
+
   test("refusals: malformed meta, missing postings columns, empty query") {
     val idx = TextOps.buildTextIndex(docs, col("doc_id"), col("text"))
     intercept[IllegalArgumentException] {

@@ -30,6 +30,14 @@ class UrlCanonicalSpec extends SparkSpec {
     assert(canon("https://h.example.com/p?utm_campaign=c") === "https://h.example.com/p")
   }
 
+  test("tracking-param match is anchored to the NAME: gclid2/fbclid_x are ordinary params") {
+    // 'utm_*, fbclid, gclid' semantics — a param whose name merely STARTS
+    // with fbclid/gclid (gclid2=x, fbclid_x=1) must survive; bare 'gclid'
+    // with no '=' must still drop (round-10 ADVICE).
+    assert(canon("https://h.example.com/p?gclid2=x&fbclid_x=1&gclid=y&fbclid")
+      === "https://h.example.com/p?fbclid_x=1&gclid2=x")
+  }
+
   test("idempotence: canonicalizing a canonical URL is a fixpoint") {
     val urls = Seq(
       "HTTPS://A.Example.COM:443/x/?utm_source=1&b=2&a=1#f",
