@@ -36,7 +36,10 @@ def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-8]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # Driver tiers are single parquet FILES; builder-synthesized tiers
+        # (GenData/GenRel) are Spark-written DIRECTORIES of part files.
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     if only:
         missing = only - set(oracle)
