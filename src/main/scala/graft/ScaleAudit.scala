@@ -280,6 +280,26 @@ object ScaleAudit {
     val fixedOcc = meanBucketOccupancy(SimilarityOps.lshTables(1, 2, 64))
     val tunedCandPerQuery = if (tunedCand >= 0) tunedCand / 10.0 else -1d
 
+    // q141 serving-cost split (round-10 verdict task #2): the sweep is a
+    // TRAIN-time cost once the tuned geometry persists in the AnnIndex
+    // artifact. Row pair = wall seconds of (a) trainTunedAnnIndex — Lloyd
+    // + full recall sweep, paid once per corpus — vs (b) serveAnn from the
+    // RELOADED artifact — the per-batch serving bill a query fleet pays.
+    // (b) ≪ (a) is the measurement that the serve path excludes the sweep.
+    val annDir = graft.engine.Scratch.dir(spark, "audit_tuned_ann")
+    val t0Train = System.nanoTime()
+    val trainedIdx = SimilarityOps.trainTunedAnnIndex(embs, "vec_id",
+      col("embedding"), dim = 64, kCells = 8, lloydIters = 3, queries = knnQ,
+      k = 10, configs = Seq((1, 2), (2, 2), (4, 2), (8, 2), (2, 4), (4, 4)),
+      recallTarget = 0.8)
+    SimilarityOps.writeAnnIndex(spark, annDir, trainedIdx)
+    val trainSec = (System.nanoTime() - t0Train) / 1e9
+    val t0Serve = System.nanoTime()
+    val servedIdx = SimilarityOps.readAnnIndex(spark, annDir)
+    val serveRows = SimilarityOps.serveAnn(embs, knnQ, "vec_id",
+      col("embedding"), servedIdx, k = 10).count()
+    val serveSec = (System.nanoTime() - t0Serve) / 1e9
+
     // q143 bloom-pruned incremental dedup: the prefilter's job is to keep
     // the exact anti-join's probe side at (true dupes + ε·fresh). Across
     // SFs the positive row count must track the TRUE dupe count, with the
@@ -363,6 +383,10 @@ object ScaleAudit {
       s""""q141_tuned_bucket_occupancy":${math.rint(tunedOcc * 100) / 100},""" +
       s""""q141_fixed_1x2_bucket_occupancy":${math.rint(fixedOcc * 100) / 100},""" +
       s""""q141_tuned_candidates_per_query":$tunedCandPerQuery,""" +
+      s""""q141_train_with_sweep_sec":${math.rint(trainSec * 1000) / 1000},""" +
+      s""""q141_serve_from_artifact_sec":${math.rint(serveSec * 1000) / 1000},""" +
+      s""""q141_serve_rows":$serveRows,""" +
+      s""""q141_artifact_tables":${trainedIdx.tables},"q141_artifact_planes":${trainedIdx.planesPerTable},""" +
       s""""q143_bloom_mbits":${idx143.mBits},"q143_fresh_rows":$fresh143N,""" +
       s""""q143_bloom_positive_rows":$bloomPos143,"q143_true_dup_rows":$trueDup143,""" +
       s""""q158_postings_total":$q158Total,"q158_postings_query":$q158Query,""" +

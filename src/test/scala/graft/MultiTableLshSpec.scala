@@ -242,6 +242,59 @@ class MultiTableLshSpec extends SparkSpec {
     }
   }
 
+  test("trainTunedAnnIndex: geometry IS the tuner's choice under the trained cells; " +
+      "persist/reload/serve parity under a TUNED (not literal) config; " +
+      "drift gate retrains only on drift") {
+    import graft.operators.SimilarityOps._
+    val queries = emb.filter(col("vec_id") < 5)
+    val configs = Seq((1, 2), (2, 2), (4, 2))
+    val idx = trainTunedAnnIndex(emb, "vec_id", col("embedding"), dim = 64,
+      kCells = 4, lloydIters = 2, queries = queries, k = 5, configs = configs,
+      recallTarget = 0.0)
+    assert(configs.contains((idx.tables, idx.planesPerTable)))
+    // The geometry must be EXACTLY what tunedLshConfig chooses under the
+    // same trained cells — recomputed by hand via kmeans' own assignment.
+    val (assign, cents) = kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(idx.centroids === cents)
+    def withCell(df: org.apache.spark.sql.DataFrame) =
+      df.join(assign.select(col("vec_id"), col("cluster").as("cell")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    val (t, p) = tunedLshConfig(withCell(emb), withCell(queries), "cell",
+      k = 5, configs, dim = 64, recallTarget = 0.0)
+    assert((idx.tables, idx.planesPerTable) === ((t, p)))
+    // Persist → reload → serve parity, with the sweep priced ONLY at train
+    // time: the serving side touches just the artifact.
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank").as[(Long, Long, Long)]
+        .collect().sortBy(identity).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("tunedidx").toString
+    writeAnnIndex(spark, s"$dir/idx", idx)
+    val back = readAnnIndex(spark, s"$dir/idx")
+    assert(back === idx.copy(centroids = back.centroids))
+    assert(back.centroids === idx.centroids)
+    val served = canon(serveAnn(emb, queries, "vec_id", col("embedding"), back, k = 3))
+    assert(served.nonEmpty)
+    assert(served === canon(serveAnn(emb, queries, "vec_id", col("embedding"), idx, k = 3)))
+    // Drift gate: a stable batch must NOT call the retrain thunk...
+    var calls = 0
+    val (sameIdx, retrained1) = retrainAnnIndexOnDrift(spark, s"$dir/idx",
+      emb, emb, col("embedding"), threshold = 1.5,
+      () => { calls += 1; idx })
+    assert(!retrained1 && calls === 0)
+    assert(sameIdx === idx.copy(centroids = sameIdx.centroids))
+    // ...while a drifted batch re-triggers training and REPLACES the
+    // artifact on disk (distinct geometry proves the new one was written).
+    val blown = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x * lit(3.0)).as("embedding"))
+    val fresh = idx.copy(tables = idx.tables + 1)
+    val (newIdx, retrained2) = retrainAnnIndexOnDrift(spark, s"$dir/idx",
+      emb, blown, col("embedding"), threshold = 1.5,
+      () => { calls += 1; fresh })
+    assert(retrained2 && calls === 1)
+    assert(newIdx.tables === fresh.tables)
+    assert(readAnnIndex(spark, s"$dir/idx").tables === fresh.tables)
+  }
+
   test("clusterSkeleton: hand case — mass, mean, representative with id tie-break") {
     val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
     // cell 0: (1,0)@d2=1, (0,2)@d2=4, (-1,0)@d2=1 (ties id1 at d2=1 -> rep id1)
