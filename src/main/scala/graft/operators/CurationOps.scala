@@ -901,12 +901,64 @@ object CurationOps {
     val counts = df.select(col(groupName), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col(groupName), col("__v")).agg(count(lit(1)).as("__cnt"))
+    medianFromCounts(counts, groupName)
+  }
+
+  /** [[groupedExactMedian]] over PRE-AGGREGATED (value, weight) histogram
+    * rows — bit-identical to expanding each row `weight` times and running
+    * the row form (shared tail, same doubles, same (a+b)/2 arithmetic).
+    * This is what lets a STANDING per-group value histogram (the
+    * streaming-funnel state class: bounded by the value domain, not the
+    * stream age) answer exact-median questions without ever replaying the
+    * rows. Zero/negative-weight rows are rejected loudly — a silent skip
+    * would make a histogram bug look like data. */
+  def groupedExactMedianWeighted(df: DataFrame, groupName: String,
+      value: Column, weight: Column): DataFrame = {
+    val base = df.select(col(groupName), value.cast("double").as("__v"),
+        coalesce(weight.cast("long"),
+          raise_error(lit("groupedExactMedianWeighted: weight must be " +
+            "non-null")).cast("long")).as("__w"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__w", when(col("__w") >= 1L, col("__w"))
+        .otherwise(raise_error(lit("groupedExactMedianWeighted: weight " +
+          "must be >= 1")).cast("long")))
+    val counts = base.groupBy(col(groupName), col("__v"))
+      .agg(sum(col("__w")).as("__cnt"))
+    medianFromCounts(counts, groupName)
+  }
+
+  /** Shared tail of the exact-median pair: prefix-sum window over each
+    * group's distinct values, two middle positions off the cumulative
+    * counts (quantile_cont(0.5): even totals average the middles). Input
+    * contract: (groupName, __v: double, __cnt: long ≥ 1). */
+  private def medianFromCounts(counts: DataFrame, groupName: String): DataFrame = {
     val w = Window.partitionBy(col(groupName)).orderBy(col("__v"))
     counts.withColumn("__cum", sum(col("__cnt")).over(w))
       .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col(groupName))))
       .groupBy(col(groupName))
       .agg(((min(when(col("__cum") >= floor((col("__n") + 1) / 2), col("__v"))) +
         min(when(col("__cum") >= floor((col("__n") + 2) / 2), col("__v")))) / 2d).as("med"))
+  }
+
+  /** Per-group (med, mad) from a PRE-AGGREGATED (value, weight) histogram
+    * — [[robustOutliers]]' fence statistics computed from standing state
+    * instead of rows, bit-identical to the row form by construction (both
+    * medians ride [[medianFromCounts]]; |x − med| over distinct values
+    * with summed weights is the same multiset). The streaming admission
+    * funnel re-derives its length fence from this after every merged
+    * micro-batch: the histogram is bounded by the value DOMAIN, so the
+    * recompute never scales with stream age. */
+  def robustStatsWeighted(hist: DataFrame, groupName: String,
+      value: Column, weight: Column): DataFrame = {
+    val base = hist.select(col(groupName), value.cast("double").as("__x"),
+      weight.cast("long").as("__w"))
+    val med = groupedExactMedianWeighted(base, groupName, col("__x"), col("__w"))
+    val mad = groupedExactMedianWeighted(
+      base.join(broadcast(med), Seq(groupName))
+        .select(col(groupName), abs(col("__x") - col("med")).as("__d"), col("__w")),
+      groupName, col("__d"), col("__w"))
+      .withColumnRenamed("med", "mad")
+    med.join(mad, Seq(groupName))
   }
 
   /** EXACT per-group quantile_cont(p) for several p at once, by the same

@@ -469,6 +469,119 @@ object StreamingOps {
           .write.mode("append").parquet(outPath)
       }
 
+  /** X1×X4×X7 STREAMING ingest-admission funnel — q150's five batch stages
+    * under the streaming envelope (the last un-streamed production
+    * pipeline, round-10 verdict task #3): per micro-batch, (1)
+    * canonical-URL revisit dedup against a STANDING curl index plus the
+    * within-batch earlier-doc_id rule (arrival order stands in for crawl
+    * order, the [[streamingLshSuspects]] blind-spot discipline); (2) Bloom
+    * novelty probe of the fixed standing-corpus artifact
+    * ([[graft.operators.DedupOps.bloomPrunedNovel]] — exact by
+    * construction; `kept` is deterministic, satisfying its two-branch
+    * contract); (3) the char-entropy gibberish gate; (4) per-source robust
+    * length fence; (5) the per-source funnel report. Input `docs` must
+    * carry (doc_id, source, text, n_chars, fp, curl) — fingerprinting and
+    * URL canonicalization are stateless narrow maps the caller applies
+    * upstream.
+    *
+    * The fence is the part a naive port gets WRONG: q150's med/MAD are
+    * statistics of the whole fresh set, so a row's admission depends on
+    * rows that arrive LATER — not a streamable predicate. The honest
+    * streaming form keeps the q165 incremental-rollup shape: per-batch
+    * PARTIALS (a per-(source, n_chars, kept, novel, h_ok) count histogram)
+    * go to a [[StandingStore]], and each batch emits the funnel REDERIVED
+    * over the merged state — fence included, via
+    * [[graft.operators.CurationOps.robustStatsWeighted]], bit-identical to
+    * the row form — so the batch-`id` snapshot equals batch q150 run on
+    * the stream's prefix through that batch (spec-asserted). Per-batch
+    * cost: the batch's own narrow maps + two standing-state scans whose
+    * row counts are bounded by |unique curls| and |sources × length
+    * domain × 8 flag combos| — never by stream age (both stores compact
+    * every `compactEvery` batches). Snapshots land replay-idempotently
+    * under `outPath/raw/batch=<id>` (a replayed batch overwrites its own
+    * partition — the T1 discipline). */
+  def streamingAdmissionFunnel(docs: DataFrame, checkpoint: String,
+      urlIndexPath: String, statsPath: String, outPath: String,
+      corpusFps: DataFrame, corpusBloom: graft.operators.DedupOps.BloomIndex,
+      entropyMin: Double = 4.0, z: Double = 3.5,
+      compactEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.{CurationOps, DedupOps, TextOps}
+        import org.apache.spark.sql.expressions.Window
+        StandingStore.maybeCompact(spark, urlIndexPath, id, compactEvery,
+          _.select(col("curl")).distinct())
+        StandingStore.maybeCompact(spark, statsPath, id, compactEvery,
+          _.groupBy(col("source"), col("n_chars"), col("kept"), col("novel"),
+              col("h_ok"))
+            .agg(sum(col("n")).as("n")))
+        val b = batch.toDF().persist()
+        // (1) revisit dedup: within-batch min doc_id per curl, then the
+        // standing index (strictly earlier batches) — first batch wins.
+        val intraKept = b.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
+          .filter(col("__rn") === 1).drop("__rn")
+        val kept = (StandingStore.readBefore(spark, urlIndexPath, id) match {
+          case Some(seen) => intraKept.join(
+            seen.select(col("curl")).distinct(), Seq("curl"), "left_anti")
+          case None => intraKept
+        }).persist()
+        // (2) novelty vs the standing corpus; (3) entropy on the novel
+        // sliver only (exactly q150's evaluation set).
+        val novel = DedupOps.bloomPrunedNovel(kept, "fp", corpusFps, corpusBloom)
+          .persist()
+        try {
+          val hOk = TextOps.docCharEntropy(novel, col("doc_id"), col("text"))
+            .select(col("doc_id"), (col("h") >= entropyMin).as("__h_ok"))
+          // register this batch's partials: flag histogram + curl keys
+          val partial = b.select(col("doc_id"), col("source"), col("n_chars"))
+            .join(kept.select(col("doc_id"))
+              .withColumn("__kept", lit(true)), Seq("doc_id"), "left")
+            .join(novel.select(col("doc_id"))
+              .withColumn("__novel", lit(true)), Seq("doc_id"), "left")
+            .join(hOk, Seq("doc_id"), "left")
+            .groupBy(col("source"), col("n_chars"),
+              coalesce(col("__kept"), lit(false)).as("kept"),
+              coalesce(col("__novel"), lit(false)).as("novel"),
+              coalesce(col("__h_ok"), lit(false)).as("h_ok"))
+            .agg(count(lit(1)).as("n"))
+          StandingStore.writeRaw(partial, statsPath, id)
+          StandingStore.writeRaw(kept.select(col("curl")).distinct(),
+            urlIndexPath, id)
+          // (4)+(5): funnel REDERIVED over the merged standing histogram —
+          // the snapshot that equals batch q150 on the prefix through `id`.
+          val merged = StandingStore.readThrough(spark, statsPath, id).get
+            .groupBy(col("source"), col("n_chars"), col("kept"), col("novel"),
+              col("h_ok"))
+            .agg(sum(col("n")).as("n")).persist()
+          try {
+            val fence = CurationOps.robustStatsWeighted(
+              merged, "source", col("n_chars"), col("n"))
+            val funnel = merged.groupBy(col("source"))
+              .agg(sum(col("n")).as("n_fetched"),
+                sum(when(col("kept"), col("n")).otherwise(0L)).as("n_url_unique"),
+                sum(when(col("kept") && col("novel"), col("n")).otherwise(0L))
+                  .as("n_novel"))
+            val admitted = merged.join(broadcast(fence), Seq("source"))
+              .filter(col("kept") && col("novel") && col("h_ok") &&
+                abs(col("n_chars") - col("med")) <= lit(z) * col("mad"))
+              .groupBy(col("source")).agg(sum(col("n")).as("n_admitted"))
+            StandingStore.writeRaw(
+              funnel.join(admitted, Seq("source"), "left")
+                .select(col("source"), col("n_fetched"), col("n_url_unique"),
+                  col("n_novel"),
+                  coalesce(col("n_admitted"), lit(0L)).as("n_admitted")),
+              outPath, id)
+          } finally merged.unpersist(false)
+        } finally {
+          novel.unpersist(false)
+          kept.unpersist(false)
+          b.unpersist(false)
+        }
+      }
+
   /** Convenience: run a streaming query until all currently-available input
     * is processed, then stop (test/batch-catchup harness). */
   def runAvailableNow(w: DataStreamWriter[org.apache.spark.sql.Row]): Unit = {

@@ -677,6 +677,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === Map("g1" -> 1.5))
   }
 
+  test("robustStatsWeighted: histogram form is bit-identical to the row form; " +
+      "bad weights refuse") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    // Deterministic pseudo-random multiset with repeats and two groups —
+    // the histogram (value, weight) form must reproduce the ROW form's
+    // (med, mad) bit-for-bit (shared medianFromCounts tail).
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map(i =>
+      (if (i % 3 == 0) "a" else "b", (rng.nextInt(25) + 1).toDouble))
+    val rowStats = CurationOps.robustOutliers(rows.toDF("g", "v"), "g", col("v"))
+      .select(col("g"), col("med"), col("mad"))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    val hist = rows.groupBy(identity).map { case ((g, v), xs) => (g, v, xs.size.toLong) }
+      .toSeq.toDF("g", "v", "w")
+    val histStats = CurationOps.robustStatsWeighted(hist, "g", col("v"), col("w"))
+      .select(col("g"), col("med"), col("mad"))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(histStats === rowStats)
+    // weight 0 / null weights are histogram bugs, not data — refuse loudly
+    intercept[Exception] {
+      CurationOps.groupedExactMedianWeighted(
+        Seq(("a", 1.0, 0L)).toDF("g", "v", "w"), "g", col("v"), col("w")).collect()
+    }
+    intercept[Exception] {
+      CurationOps.groupedExactMedianWeighted(
+        Seq(("a", 1.0, Option.empty[Long])).toDF("g", "v", "w"),
+        "g", col("v"), col("w")).collect()
+    }
+  }
+
   test("ruleFunnel: gross vs sole-fail attribution, NULL rule fails, refusals") {
     // doc layout per (grp, a, b):
     //   g1: (T,T) admitted; (F,T) sole-fails a; (F,F) fails both, sole neither

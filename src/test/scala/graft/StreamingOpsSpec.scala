@@ -687,6 +687,90 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("X1×X4×X7-stream: admission funnel — every batch's snapshot equals batch q150's " +
+      "pipeline on the stream's prefix; compaction leaves snapshots bit-identical") {
+    import graft.operators.{CurationOps, DedupOps, TextOps}
+    import org.apache.spark.sql.expressions.Window
+    // Standing corpus: the Bloom artifact the stream probes for novelty.
+    val corpusTexts = Seq(
+      (0L, "s1", "standing corpus document number zero with varied words"),
+      (1L, "s2", "standing corpus document number one with other letters"))
+    val corpus = corpusTexts.toDF("doc_id", "source", "text")
+      .withColumn("fp", md5(col("text").cast("binary"))).persist()
+    val bloom = DedupOps.buildFingerprintBloom(corpus, col("fp"))
+    // Fresh stream: revisits (shared curl), corpus dupes (shared fp), a
+    // low-entropy doc, and varied lengths so the fence moves per prefix.
+    val batches: Seq[Seq[(Long, String, String, String)]] = Seq(
+      Seq((100L, "s1", "the quick brown fox jumps over one lazy dog today", "u1"),
+        (101L, "s1", corpusTexts(0)._3, "u2"), // corpus dup -> not novel
+        (102L, "s2", "a different document with plenty of varied characters here", "u3"),
+        (103L, "s1", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "u4")), // low entropy
+      Seq((104L, "s1", "second batch fresh text with many distinct words around", "u1"), // revisit of u1
+        (105L, "s2", "novel second batch doc for source two with varied text", "u5"),
+        (106L, "s2", corpusTexts(1)._3, "u6")), // corpus dup
+      Seq((107L, "s1", "third batch doc with quite ordinary english sentence text", "u7"),
+        (108L, "s1", "short txt", "u8"),
+        (109L, "s2", "another wholly novel doc in batch three with letters", "u5"))) // revisit of u5
+    def decorated(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+    // Batch q150's exact pipeline on a prefix — the reference the
+    // streamed snapshots must reproduce.
+    def batchFunnel(fresh: org.apache.spark.sql.DataFrame) = {
+      val u = fresh.withColumn("rn", row_number().over(
+          Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val nov = DedupOps.bloomPrunedNovel(u, "fp", corpus, bloom)
+      val ent = TextOps.docCharEntropy(nov, col("doc_id"), col("text"))
+      val st = CurationOps.robustOutliers(fresh, "source", col("n_chars"), 3.5)
+        .select(col("source"), col("med"), col("mad"))
+      val adm = nov.join(ent, Seq("doc_id")).join(broadcast(st), Seq("source"))
+        .filter(col("h") >= 4.0 &&
+          abs(col("n_chars") - col("med")) <= lit(3.5) * col("mad"))
+      fresh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_fetched"),
+          countDistinct(col("curl")).as("n_url_unique"))
+        .join(nov.groupBy(col("source")).agg(count(lit(1)).as("n_novel")),
+          Seq("source"), "left")
+        .join(adm.groupBy(col("source")).agg(count(lit(1)).as("n_admitted")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_fetched"), col("n_url_unique"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "n_fetched", "n_url_unique", "n_novel", "n_admitted")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def run(compactEvery: Int): Seq[Seq[(String, Long, Long, Long, Long)]] = {
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val (cp, ui, st, out) = (tmp("adm_cp"), tmp("adm_url"), tmp("adm_st"), tmp("adm_out"))
+      val q = StreamingOps.streamingAdmissionFunnel(
+        decorated(input.toDF().toDF("doc_id", "source", "text", "curl")),
+        cp, ui, st, out, corpus, bloom, compactEvery = compactEvery).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        batches.indices.map(k => canon(spark.read.parquet(s"$out/raw/batch=$k")))
+      } finally q.stop()
+    }
+    val snaps = run(compactEvery = 16) // never compacts at 3 batches
+    batches.indices.foreach { k =>
+      val prefix = decorated(batches.take(k + 1).flatten
+        .toDF("doc_id", "source", "text", "curl"))
+      assert(snaps(k) === canon(batchFunnel(prefix)), s"prefix through batch $k")
+    }
+    // The fixture exercises every funnel stage: a revisit drop, a novelty
+    // drop, an entropy drop, and a fence drop all visible in the totals.
+    val last = snaps.last
+    assert(last.map(_._2).sum === 10L) // fetched
+    assert(last.map(_._3).sum === 8L) // u1/u5 revisits collapsed
+    assert(last.map(_._4).sum === 6L) // two corpus dupes not novel
+    assert(last.map(_._5).sum < 6L) // entropy/fence gates bit something
+    // Compaction must not move any snapshot (both standing stores merge
+    // with their declared algebras).
+    assert(run(compactEvery = 2) === snaps)
+    corpus.unpersist(false)
+  }
+
   test("T4/A: a streaming rollup maintained per micro-batch equals the batch recompute") {
     // q165's monoid driven by the stream: each micro-batch's PARTIAL
     // rollupState merges into a versioned standing level (read v=id-1,
