@@ -1,6 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Bench-drift adjudication, codified from the house rule the round-9/10
+    * verdicts applied by hand: per-query steady ratios against a prior
+    * run, with the verdict read off their CONCENTRATION —
+    *  - a query whose ratio is ≥ 1.5× the run's MEDIAN ratio (and whose
+    *    prior steady is ≥ 0.6 s — sub-0.6 s rows are scheduler-latency
+    *    noise, the documented contention band) is a CONCENTRATED outlier:
+    *    code changed something (round 9 caught a 2× q41 exactly here);
+    *  - no outliers but median ≥ 1.25 → the whole bench moved together:
+    *    machine contention, not a regression (ratios normalize it away);
+    *  - otherwise no_regression.
+    * Returns (medianRatio, outliers sorted worst-first, verdict). */
+  def adjudicate(cur: Map[String, Double], prior: Map[String, Double])
+      : (Double, Seq[(String, Double)], String) = {
+    val shared = cur.keySet.intersect(prior.keySet).toSeq
+      .filter(k => prior(k) > 0)
+    require(shared.nonEmpty, "adjudicate: no shared queries with prior steady > 0")
+    val ratios = shared.map(k => k -> cur(k) / prior(k))
+    val med = median(ratios.map(_._2))
+    val outliers = ratios
+      .filter { case (k, r) => prior(k) >= 0.6 && med > 0 && r / med >= 1.5 }
+      .sortBy(-_._2)
+    val verdict =
+      if (outliers.nonEmpty) "concentrated_regression"
+      else if (med >= 1.25) "broad_contention"
+      else "no_regression"
+    (med, outliers, verdict)
+  }
+
+  /** queries_steady map out of a prior bench_full.json (non-numeric /
+    * null entries — failed queries — are skipped). */
+  def parseSteady(path: String): Map[String, Double] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val qs = root.get("queries_steady")
+    require(qs != null && qs.isObject,
+      s"$path has no queries_steady object — not a bench_full record")
+    val it = qs.properties().iterator()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+    }
+    b.result()
+  }
   /** Median of a non-empty sequence; for even sizes, the lower-middle element
     * (order statistic, not interpolation — keeps the figure an actually
     * observed elapsed time). */
@@ -148,12 +192,33 @@ object Bench {
     val steadyTotal = results.flatMap(_._3).sum
     val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // `--baseline <prior bench_full.json>`: emit the drift adjudication
+    // (per-query steady ratios, median, concentration verdict) the
+    // round-9/10 verdicts computed by hand. Parse/shape errors in the
+    // baseline surface as a "baseline_error" field, never a failed bench.
+    val baselineJson = args.sliding(2).collectFirst {
+      case Array("--baseline", p) => p
+    }.map { p =>
+      try {
+        val prior = parseSteady(p)
+        val curSteady = results.collect { case (k, _, Some(s), _) => k -> s }.toMap
+        val (med, outliers, verdict) = adjudicate(curSteady, prior)
+        val outJson = outliers.map { case (k, r) =>
+          s"\"" + k + "\":" + (math.rint(r * 1000) / 1000) }.mkString("{", ",", "}")
+        s""","baseline":{"path":"$p","n_shared":${
+          curSteady.keySet.intersect(prior.keySet).size
+        },"median_ratio":${math.rint(med * 1000) / 1000},"outliers":$outJson,""" +
+          s""""verdict":"$verdict"}"""
+      } catch { case e: Throwable =>
+        s""","baseline_error":"${e.getMessage.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""
+      }
+    }.getOrElse("")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""steady_total":$steadyTotal,"steady_runs":$steadyRuns,"steady_stat":"median",""" +
       s""""queries_steady":$qsSteady,"queries_spread":$qsSpread,""" +
       s""""shared":$sharedJson,"shared_total":${fmt(Some(sharedTotal))},""" +
       s""""failed":$failed,"sf":"$sfDir",""" +
-      s""""load_before":$loadBefore,"load_after":$loadAfter}"""
+      s""""load_before":$loadBefore,"load_after":$loadAfter$baselineJson}"""
     // Full line first (humans, files), COMPACT line last: a log-tail window
     // shorter than the per-query dicts cuts the full line mid-JSON, so the
     // final line a tail parser sees must be short enough to always fit.
