@@ -18,6 +18,35 @@ import graft.operators.{DedupOps, SimilarityOps, TextOps}
   * }}}
   */
 object ScaleAudit {
+
+  /** The CALIBRATED dedup pipeline's measurement family — 5-gram shingles →
+    * 0.95-quantile df cap (floor 2) → r=1 and banded r=2 LSH candidates →
+    * exact-Jaccard verify (≥ 0.5) → exact ground truth — extracted so the
+    * full audit and the three-decade [[ScaleAuditCalibrated]] run measure
+    * the SAME plans (a copy would drift). Returns the count rows keyed as
+    * the audit JSON names them. */
+  private[graft] def calibratedFiveGramRows(docs: org.apache.spark.sql.DataFrame)
+      : scala.collection.immutable.ListMap[String, Long] = {
+    val fiveGramSh = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
+      .localCheckpoint(true)
+    val fiveGram = DedupOps.minhashLshCandidatesFromRows(
+      DedupOps.capShingleDfQuantile(fiveGramSh, 0.95, floor = 2), 8).count()
+    val q124Cand = DedupOps.minhashLshCandidatesBanded(
+      DedupOps.capShingleDfQuantile(fiveGramSh, 0.95, floor = 2), 8, rowsPerBand = 2)
+      .localCheckpoint(true)
+    val q124CandN = q124Cand.count()
+    val q124Verified = DedupOps.jaccardVerifyPairs(q124Cand, fiveGramSh, 0.5).count()
+    val q124True = DedupOps.jaccardPairsFromRows(fiveGramSh)
+      .filter(col("jaccard") >= 0.5).count()
+    fiveGramSh.unpersist(false)
+    q124Cand.unpersist(false)
+    scala.collection.immutable.ListMap(
+      "q118_5gram_candidates" -> fiveGram,
+      "q124_banded_5gram_candidates" -> q124CandN,
+      "q124_verified_pairs" -> q124Verified,
+      "q124_true_pairs" -> q124True)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -141,34 +170,16 @@ object ScaleAudit {
     // can land on t = 1, which drops every SHARED shingle (true dups
     // included — measured as exactly 0 candidates at sf0.01 without the
     // floor). The floor keeps shared evidence alive at any sparsity.
-    val fiveGramSh = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
-      .localCheckpoint(true)
-    val fiveGram = DedupOps.minhashLshCandidatesFromRows(
-      DedupOps.capShingleDfQuantile(fiveGramSh, 0.95, floor = 2), 8).count()
-    // q124 end-to-end rows: the same 5-gram quantile-capped pool banded at
-    // r = 2 (its candidate generator) and the exact-Jaccard-verified
-    // (≥ 0.5) edge set that feeds CC. The verify pool is the number that
-    // closes round 7's q65 ledger: verify cost is structurally bounded by
-    // the generator's output (jaccardVerifyPairs routes the shingle stream
-    // through the pair list), so these two rows growing linearly IS the
-    // proof the whole scrub stays linear.
-    val q124Cand = DedupOps.minhashLshCandidatesBanded(
-      DedupOps.capShingleDfQuantile(fiveGramSh, 0.95, floor = 2), 8, rowsPerBand = 2)
-      .localCheckpoint(true)
-    val q124CandN = q124Cand.count()
-    val q124Verified = DedupOps.jaccardVerifyPairs(q124Cand, fiveGramSh, 0.5).count()
-    // Ground truth for the scrub's RECALL: every pair whose exact 5-gram
-    // Jaccard ≥ 0.5, from the uncapped corpus-wide shared-shingle join
-    // (affordable here precisely because 5-gram df is discriminative —
-    // the representation-knob finding). jaccardVerifyPairs computes the
-    // IDENTICAL metric over the identical sets, so verified ⊆ true by
-    // construction and recall = q124_verified_pairs / q124_true_pairs —
-    // what the cap+banding generation stage gave up, isolated from any
-    // verify-stage error.
-    val q124True = DedupOps.jaccardPairsFromRows(fiveGramSh)
-      .filter(col("jaccard") >= 0.5).count()
-    fiveGramSh.unpersist(false)
-    q124Cand.unpersist(false)
+    // q124 end-to-end rows (q118 r=1 / banded r=2 candidates, verified,
+    // ground truth): the calibrated family, shared with the three-decade
+    // run — see [[calibratedFiveGramRows]] for the plan and the
+    // recall-isolation rationale (verified ⊆ true by construction; the
+    // verify pool is structurally bounded by the generator's output).
+    val calib = calibratedFiveGramRows(docs)
+    val fiveGram = calib("q118_5gram_candidates")
+    val q124CandN = calib("q124_banded_5gram_candidates")
+    val q124Verified = calib("q124_verified_pairs")
+    val q124True = calib("q124_true_pairs")
 
     val embs = Tables.embeddings(spark, sfDir)
     val nVecs = embs.count()
@@ -394,6 +405,45 @@ object ScaleAudit {
       s""""q162_verified_pairs":$ver162,""" +
       s""""q161_fact_rows":$fact161,"q161_bloom_positive_rows":$pos161,""" +
       s""""q161_true_match_rows":$true161}""")
+    spark.stop()
+  }
+}
+
+/** Three-decade audit of the CALIBRATED dedup pipeline only — the q124
+  * linearity claim rested on two 10× steps; this runs the identical plans
+  * ([[ScaleAudit.calibratedFiveGramRows]]) on any tier, sized so the
+  * 500k-doc heaps_sf10 decade is affordable: the measured-superlinear
+  * fixed-cap baselines (q22/q23/q73/q78 — 22–92× growth at ONE decade on
+  * Heaps vocabulary, SURVEY §6.1) are exactly what this entry point
+  * SKIPS, because at 100× they would dominate the run while measuring a
+  * quarantined opt-in path the front door no longer takes.
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=target/heaps_sf10 sbt "runMain graft.ScaleAuditCalibrated"
+  * }}}
+  */
+object ScaleAuditCalibrated {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/heaps_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val allPairs = docs.groupBy("source").count()
+      .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L))).head.getLong(0)
+    val t0 = System.nanoTime()
+    val rows = ScaleAudit.calibratedFiveGramRows(docs)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val body = rows.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"calibrated_candidates","sf":"$sfDir","docs":$nDocs,""" +
+      s""""all_pairs_docs":$allPairs,$body,""" +
+      s""""wall_sec":${math.rint(sec * 1000) / 1000}}""")
     spark.stop()
   }
 }
