@@ -1288,10 +1288,34 @@ object Curation extends QueryGroup {
            |  CAST(d.doc_pass * s.domain_admitted AS BIGINT) AS admitted
            |FROM d JOIN s USING (domain) ORDER BY doc_id""".stripMargin))
 
+  /** X7 standing-state robust stats ([[CurationOps.robustStatsWeighted]]):
+    * q145's per-source (median, MAD) fence statistics recomputed from a
+    * PRE-AGGREGATED (value, weight) histogram — the streamed admission
+    * funnel's state class (per-batch partial counts merged in a
+    * StandingStore) — instead of the rows. The histogram is built in the
+    * query (source × n_chars → count), and the oracle computes the
+    * ROW-form median/mad, so the hash check pins the exact property the
+    * streamed q150 fence rests on: histogram ≡ rows, cross-engine.
+    * Scale shape: one hash aggregate to |sources × length domain| rows,
+    * then prefix-sum medians over the histogram — the per-refresh cost a
+    * standing store pays, independent of stream age or corpus size. */
+  private val q168 = QueryDef(
+    "q168_histogram_robust_stats",
+    (s, dir) => {
+      val hist = Tables.documents(s, dir)
+        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("n"))
+      CurationOps.robustStatsWeighted(hist, "source", col("n_chars"), col("n"))
+        .select(col("source"), col("med"), col("mad"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(median(n_chars) AS DOUBLE) AS med,
+           |  CAST(mad(n_chars) AS DOUBLE) AS mad
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138, q139, q145, q146, q151, q155, q157)
+      q137, q138, q139, q145, q146, q151, q155, q157, q168)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among
