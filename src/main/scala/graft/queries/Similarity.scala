@@ -995,7 +995,108 @@ object Similarity extends QueryGroup {
          |ORDER BY policy, cell, rank""".stripMargin
     })
 
+  /** X3 the round-11 serving lifecycle as ONE oracle-checked query
+    * ([[SimilarityOps.trainTunedAnnIndex]] → [[SimilarityOps.writeAnnIndex]]
+    * → [[SimilarityOps.readAnnIndex]] → [[SimilarityOps.serveAnn]]): train
+    * the complete tuned artifact — Lloyd IVF cells (k=4, 2 iterations)
+    * over the corpus, then the recall-targeted sweep UNDER those trained
+    * cells — persist it, RELOAD it, and serve the 10-query ANN batch from
+    * the loaded artifact, config columns riding each row. Where q141
+    * demonstrated the data-dependent geometry choice on a GIVEN cell
+    * column (label), this puts the whole lifecycle in the driver's hash:
+    * the quantizer training, the cell assignment, the sweep's choice, and
+    * the artifact round-trip all have to agree with DuckDB's replay —
+    * unrolled-Lloyd CTEs derive the same centroids, every config's ANN
+    * list is re-ranked over the kmeans cells and gated on ITS chosen
+    * flag. A persistence bug (lost precision, reordered centroids,
+    * dropped geometry) would hash-mismatch here even if training were
+    * perfect. Train-time cost is the sweep (by design, priced once); the
+    * serve join is the audited bucket-bounded generator. */
+  private val q169 = QueryDef(
+    "q169_served_tuned_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val idx = SimilarityOps.trainTunedAnnIndex(emb, "vec_id",
+        col("embedding"), dim = 64, kCells = 4, lloydIters = 2,
+        queries = queries, k = 10, configs = q117Configs, recallTarget = 0.8)
+      val path = graft.engine.Scratch.dir(s,
+        s"q169_ann_${new java.io.File(dir).getName}")
+      SimilarityOps.writeAnnIndex(s, path, idx)
+      val back = SimilarityOps.readAnnIndex(s, path)
+      SimilarityOps.serveAnn(emb, queries, "vec_id", col("embedding"), back,
+          k = 10)
+        .withColumn("n_tables", lit(back.tables))
+        .withColumn("n_planes", lit(back.planesPerTable))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+           |        / (sqrt(list_dot_product($a, $a))
+           |         * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+      val cfgs = q117Configs.zipWithIndex.map { case ((t, p), i) =>
+        val tables = SimilarityOps.lshTables(t, p, 64)
+        val anyTable = tables.map(planes =>
+          s"(${OracleSql.signLshBucketSql("e.v", planes)})" +
+            s" = (${OracleSql.signLshBucketSql("qs.q_v", planes)})")
+          .mkString("(", "\n      OR ", ")")
+        s"""cfg${i}_cand AS (
+           |  SELECT DISTINCT qs.q_id, e.vec_id AS n_id
+           |  FROM cells e JOIN qs ON e.cell = qs.cell AND $anyTable
+           |  WHERE e.vec_id <> qs.q_id),
+           |cfg${i}_ann AS (
+           |  SELECT q_id, n_id, cosine, CAST(rk AS BIGINT) AS rank FROM (
+           |    SELECT c.q_id, c.n_id, ${cos("e.v", "qs.q_v")} + 0.0 AS cosine,
+           |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+           |        ${cos("e.v", "qs.q_v")} DESC, c.n_id) AS rk
+           |    FROM cfg${i}_cand c
+           |    JOIN cells e ON e.vec_id = c.n_id
+           |    JOIN qs ON qs.q_id = c.q_id) WHERE rk <= 10),
+           |cfg${i}_rec AS (
+           |  SELECT t.q_id, count(*) AS n_truth, count(a.n_id) AS n_hit
+           |  FROM tru t LEFT JOIN cfg${i}_ann a
+           |    ON a.q_id = t.q_id AND a.n_id = t.n_id
+           |  GROUP BY 1),
+           |cfg$i AS (
+           |  SELECT $t AS n_tables, $p AS n_planes,
+           |    round(avg(n_hit::DOUBLE / n_truth::DOUBLE), 6) + 0.0 AS mean_recall,
+           |    (SELECT count(*) FROM cfg${i}_cand) AS candidate_pairs
+           |  FROM cfg${i}_rec)""".stripMargin
+      }.mkString(",\n")
+      val unioned = q117Configs.indices
+        .map(i => s"SELECT * FROM cfg$i").mkString("\n  UNION ALL ")
+      val gated = q117Configs.zipWithIndex.map { case ((t, p), i) =>
+        s"""SELECT q_id, n_id, cosine, rank, $t AS n_tables, $p AS n_planes
+           |  FROM cfg${i}_ann
+           |  WHERE (SELECT bool_or(chosen) FROM win
+           |         WHERE n_tables = $t AND n_planes = $p)""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${OracleSql.kmeansCtes("km", "e", k = 4, iters = 2, dim = 64)},
+         |cells AS (SELECT vec_id, v, cluster AS cell
+         |  FROM (${OracleSql.kmeansAssignSelect("kmc2", "e")})),
+         |qs AS (SELECT vec_id AS q_id, cell, v AS q_v FROM cells WHERE vec_id < 10),
+         |tru AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT qs.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |        ${cos("e.v", "qs.q_v")} DESC, e.vec_id) AS rk
+         |    FROM cells e JOIN qs ON e.cell = qs.cell
+         |    WHERE e.vec_id <> qs.q_id) WHERE rk <= 10),
+         |$cfgs,
+         |allc AS ($unioned),
+         |flg AS (SELECT *, mean_recall >= 0.8 AS meets_target FROM allc),
+         |win AS (SELECT n_tables, n_planes,
+         |    meets_target AND row_number() OVER (ORDER BY meets_target DESC,
+         |      candidate_pairs, n_tables, n_planes) = 1 AS chosen
+         |  FROM flg)
+         |$gated
+         |ORDER BY q_id, rank""".stripMargin
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
-      q102, q110, q112, q116, q117, q123, q132, q133, q141, q152, q153, q154)
+      q102, q110, q112, q116, q117, q123, q132, q133, q141, q152, q153, q154,
+      q169)
 }
