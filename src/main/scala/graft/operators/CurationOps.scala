@@ -617,6 +617,56 @@ object CurationOps {
         col("planned_tokens"), col("epochs"))
   }
 
+  /** [[temperatureMixture]] planned on DEDUP-ADJUSTED token mass — the
+    * composition that closes the planning loop between the sampling
+    * instrument and the mixture: raw per-source token counts overweight
+    * exactly the sources whose mass is duplicated (the docs a dedup pass
+    * will delete before training ever sees them), so the √-temperature
+    * plan should weigh what SURVIVES dedup. Effective mass is
+    * avail · (1 − r̂) where r̂ is the per-source dup rate estimated from a
+    * fingerprint-space sample ([[DedupOps.sampledDupRateJackknife]]'s
+    * estimator: the sample keys on a hash OF the fingerprint, so dup
+    * groups land in or out together and r̂ is unbiased at |buckets|/16 of
+    * the scan cost) — the plan prices 100 TB of dedup without running it.
+    * Sources absent from the sample fall back to r̂ = 0 (raw mass,
+    * LEFT-join surfaced, never dropped). Arithmetic follows q134's
+    * hard-oracle discipline: r̂ is round6'd before entering, 1−r̂ and
+    * avail·(1−r̂) are single exactly-rounded ops, √ is IEEE-exact, and the
+    * normalizer/shares round6 — every step bit-reproducible cross-engine.
+    * Same two-tiny-aggregate plan as the mixture itself; the only scan is
+    * the token count plus the 3/16-cost sampled branch. */
+  def temperatureMixtureEffective(df: DataFrame, source: Column, tokens: Column,
+      fp: Column, sampleBuckets: Seq[String], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(sampleBuckets.nonEmpty && sampleBuckets.forall(_.length == 1),
+      "sampleBuckets must be single md5-hex chars")
+    val base = df.select(source.as("source"), tokens.as("__tok"), fp.as("__fp"))
+      .withColumn("__sb", substring(md5(col("__fp").cast("binary")), 1, 1))
+    val avail = base.groupBy(col("source")).agg(sum(col("__tok")).as("avail_tokens"))
+    val est = base.filter(col("__sb").isin(sampleBuckets: _*))
+      .groupBy(col("source"))
+      .agg(graft.engine.Semantics.roundz(
+        lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
+        .as("__est"))
+    val weighted = avail.join(est, Seq("source"), "left")
+      .withColumn("est_dup_rate", coalesce(col("__est"), lit(0.0)))
+      .withColumn("__eff",
+        col("avail_tokens").cast("double") * (lit(1.0) - col("est_dup_rate")))
+      .withColumn("__w", sqrt(col("__eff")))
+    weighted
+      .crossJoin(broadcast(weighted.agg(
+        graft.engine.Semantics.roundz(sum(col("__w")), 6).as("__sw"))))
+      .withColumn("sample_p",
+        graft.engine.Semantics.roundz(col("__w") / col("__sw"), 6))
+      .withColumn("planned_tokens",
+        floor(lit(budgetTokens.toDouble) * col("sample_p")).cast("long"))
+      .withColumn("epochs", when(col("__eff") > 0, graft.engine.Semantics.roundz(
+        col("planned_tokens").cast("double") / col("__eff"), 6)).otherwise(lit(0.0)))
+      .select(col("source"), col("avail_tokens"), col("est_dup_rate"),
+        graft.engine.Semantics.roundz(col("__eff"), 6).as("eff_tokens"),
+        col("sample_p"), col("planned_tokens"), col("epochs"))
+  }
+
   /** Global deterministic shuffle rank — the "shuffle the corpus" step a
     * training run needs before sharding: rank 1..n in (md5(id), id) order,
     * computed WITHOUT a single-partition global sort. The md5 hex prefix

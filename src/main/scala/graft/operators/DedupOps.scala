@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data extension surface (builder
@@ -1363,5 +1364,77 @@ object DedupOps {
         round(col("w_common").cast("double") /
           (col("a_mass") + col("b_mass") - col("w_common")).cast("double"), 6))
       .filter(col("w_jaccard") >= threshold)
+  }
+
+  /** Leave-one-bucket-out jackknife on the SAMPLED dup-rate estimator
+    * (q148's planning instrument, now with an error bar): the fingerprint
+    * space is hashed into 16 sub-buckets (first md5-hex char OF the
+    * fingerprint, so every copy of a key lands in one bucket together —
+    * the same no-split-groups property the point estimate rests on), the
+    * estimator runs on the union of `sampleBuckets`, and its standard
+    * error comes from the g leave-one-out replicates
+    * θ_(i) = 1 − (U−u_i)/(N−n_i) over the sampled buckets:
+    * se = sqrt((g−1)/g · Σ(θ_(i) − θ̄)²). Because fingerprints never
+    * straddle buckets, per-bucket (count, distinct-count) pairs are
+    * SUFFICIENT statistics — the replicates are closed-form arithmetic
+    * over |sources × g| tiny rows, so the error bar costs nothing beyond
+    * the sampled scan the estimate already pays. A 100 TB dedup plan can
+    * then be sized with a confidence band instead of a bare point: if the
+    * band is too wide, widen `sampleBuckets` and re-read — the marginal
+    * cost is 1/16 of the scan per bucket.
+    *
+    * Output per source: `n_docs`/`dup_rate` (full-corpus ground truth,
+    * kept beside the estimate exactly as q148 does — at scale only the
+    * sampled branch runs), `n_sampled`, `est_dup_rate`, `g_reps`
+    * (replicates with N > n_i; a single-bucket source yields g = 1 and
+    * se = 0 via the (g−1)/g factor), `jk_se`. Sources with no sampled
+    * rows surface with zeros (LEFT join), never vanish. */
+  def sampledDupRateJackknife(df: DataFrame, source: Column, fp: Column,
+      sampleBuckets: Seq[String]): DataFrame = {
+    require(sampleBuckets.nonEmpty && sampleBuckets.forall(_.length == 1),
+      "sampleBuckets must be single md5-hex chars")
+    require(sampleBuckets.distinct.size == sampleBuckets.size,
+      "duplicate sample bucket")
+    val base = df.select(source.as("source"), fp.as("__fp"))
+      .withColumn("__sb", substring(md5(col("__fp").cast("binary")), 1, 1))
+    val actual = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.engine.Semantics.roundz(
+          lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+    val per = base.filter(col("__sb").isin(sampleBuckets: _*))
+      .groupBy(col("source"), col("__sb"))
+      .agg(count(lit(1)).as("__nb"), countDistinct(col("__fp")).as("__ub"))
+    val wsrc = Window.partitionBy(col("source"))
+    // θ_(i) is null for a replicate with N == n_i (a source entirely inside
+    // one bucket has no leave-one-out information); null-SKIPPING avg/sum
+    // keep such a source in the output with its estimate and g_reps = 0
+    // instead of silently dropping it — in a sizing instrument a vanished
+    // source reads as "no duplication", the worst failure mode.
+    val th = per
+      .withColumn("__n", sum(col("__nb")).over(wsrc))
+      .withColumn("__u", sum(col("__ub")).over(wsrc))
+      .withColumn("__theta", when(col("__n") > col("__nb"),
+        lit(1.0) - (col("__u") - col("__ub")).cast("double") /
+          (col("__n") - col("__nb")).cast("double")))
+      .withColumn("__tbar", avg(col("__theta")).over(wsrc))
+    // (θ−θ̄)·(θ−θ̄), not pow(·,2): an exactly-rounded multiply both
+    // engines agree on bit-for-bit, where pow() is libm-dependent.
+    val est = th.groupBy(col("source"))
+      .agg(max(col("__n")).as("n_sampled"), max(col("__u")).as("__us"),
+        count(col("__theta")).as("g_reps"),
+        sum((col("__theta") - col("__tbar")) * (col("__theta") - col("__tbar")))
+          .as("__ss"))
+      .withColumn("est_dup_rate", graft.engine.Semantics.roundz(
+        lit(1.0) - col("__us").cast("double") / col("n_sampled").cast("double"), 6))
+      .withColumn("jk_se", when(col("g_reps") > 0, graft.engine.Semantics.roundz(
+        sqrt((col("g_reps") - 1).cast("double") / col("g_reps").cast("double") *
+          col("__ss")), 6)).otherwise(lit(0.0)))
+    actual.join(est, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("dup_rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_dup_rate"), lit(0.0)).as("est_dup_rate"),
+        coalesce(col("g_reps"), lit(0L)).as("g_reps"),
+        coalesce(col("jk_se"), lit(0.0)).as("jk_se"))
   }
 }

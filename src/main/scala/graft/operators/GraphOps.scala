@@ -427,4 +427,38 @@ object GraphOps {
     outd.unpersist()
     r.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Leakage-SAFE train/valid/test split — the constructive counterpart of
+    * [[CurationOps.pairSplitAudit]]: doc-level hash splitting
+    * ([[CurationOps.hashSplit]]) lets near-duplicate twins straddle the
+    * split boundary because distinct doc ids hash independently (q114
+    * MEASURES that leak; q163's ground truth shows it is never empty on a
+    * corpus with near-dups). Here the split hash keys on each document's
+    * duplicate-CLUSTER representative instead: members of one component
+    * share `rep_id` (= the component label, the min member id — the same
+    * canonical [[clusterKeepers]] exposes), so every near-dup family lands
+    * in ONE split by construction and the audit's off-diagonal is
+    * identically zero — an eval doc can no longer have a train twin the
+    * detector already knew about. Singleton docs (no component row) fall
+    * back to their own id, which reproduces plain hash splitting exactly
+    * where no duplication exists.
+    *
+    * Shape: one LEFT equi-join of the doc-id projection against the
+    * (node, comp) labeling — ids and labels only, never text — then a
+    * stateless hash map; the labeling itself is the dedup run's existing
+    * output, not a new cost. Cut fractions hold over CLUSTERS, not docs:
+    * a corpus whose dup mass is concentrated in giant components will see
+    * doc-level proportions drift (exactly because those docs must travel
+    * together) — the audit query reports both counts so the drift is
+    * visible, not silent. */
+  def leakproofSplit(docs: DataFrame, id: String, components: DataFrame,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    val c = components.select(col("node").cast("long").as(id),
+      col("comp").cast("long").as("__comp"))
+    docs.select(col(id).cast("long").as(id))
+      .join(c, Seq(id), "left")
+      .withColumn("rep_id", coalesce(col("__comp"), col(id)))
+      .withColumn("split", CurationOps.hashSplit(col("rep_id"), cuts))
+      .select(col(id), col("rep_id"), col("split"))
+  }
 }

@@ -1312,10 +1312,53 @@ object Curation extends QueryGroup {
            |  CAST(mad(n_chars) AS DOUBLE) AS mad
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** X7×X1 dedup-ADJUSTED temperature mixture
+    * ([[CurationOps.temperatureMixtureEffective]]): q134's √-temperature
+    * plan weighted by what SURVIVES dedup instead of raw token mass — the
+    * per-source dup rate comes from q148/q170's 3/16 fingerprint-space
+    * sample (group-preserving by construction), so the plan prices the
+    * dedup pass without running it. A source whose mass is largely
+    * duplicated stops crowding the mixture; the oracle replays the sampled
+    * estimate, the effective-mass arithmetic, and the share normalization
+    * step for step, so the whole instrument chain — sample → estimate →
+    * effective mass → plan — is inside the hash. */
+  private val q172 = QueryDef(
+    "q172_dedup_adjusted_mixture",
+    (s, dir) => CurationOps.temperatureMixtureEffective(
+        Tables.documents(s, dir), col("source"),
+        size(split(col("text"), " ")).cast("long"),
+        substring(md5(col("text").cast("binary")), 1, 3),
+        Seq("0", "1", "2"), budgetTokens = 100000L)
+      .orderBy(col("source")),
+    Some("""WITH t AS (
+           |  SELECT source, len(string_split(text, ' ')) AS nt,
+           |    substr(md5(text), 1, 3) AS fp,
+           |    substr(md5(substr(md5(text), 1, 3)), 1, 1) AS sb
+           |  FROM documents),
+           |a AS (SELECT source, CAST(sum(nt) AS BIGINT) AS avail_tokens
+           |  FROM t GROUP BY 1),
+           |s AS (SELECT source,
+           |    round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) + 0.0 AS est
+           |  FROM t WHERE sb IN ('0', '1', '2') GROUP BY 1),
+           |w AS (SELECT a.source, a.avail_tokens,
+           |    coalesce(s.est, 0.0) AS est_dup_rate,
+           |    CAST(a.avail_tokens AS DOUBLE) * (1.0 - coalesce(s.est, 0.0)) AS eff,
+           |    sqrt(CAST(a.avail_tokens AS DOUBLE) * (1.0 - coalesce(s.est, 0.0))) AS w
+           |  FROM a LEFT JOIN s USING (source)),
+           |sw AS (SELECT round(sum(w), 6) + 0.0 AS sw FROM w)
+           |SELECT source, avail_tokens, est_dup_rate,
+           |  round(eff, 6) + 0.0 AS eff_tokens,
+           |  round(w / sw, 6) + 0.0 AS sample_p,
+           |  CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS BIGINT) AS planned_tokens,
+           |  CASE WHEN eff > 0
+           |    THEN round(CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS DOUBLE) / eff, 6) + 0.0
+           |    ELSE 0.0 END AS epochs
+           |FROM w CROSS JOIN sw ORDER BY source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,
       q99, q100, q103, q105, q108, q109, q113, q114, q125, q127, q128, q130, q134, q135,
-      q137, q138, q139, q145, q146, q151, q155, q157, q168)
+      q137, q138, q139, q145, q146, q151, q155, q157, q168, q172)
 
   /** X7×X3 SEMANTIC decontamination: q50's train/eval audit in embedding
     * space — eval vectors with a train near-neighbor (cosine ≥ 0.35 among

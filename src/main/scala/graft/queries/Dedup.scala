@@ -1335,8 +1335,67 @@ object Dedup extends QueryGroup {
            |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7
            |ORDER BY a_id, b_id, gap""".stripMargin))
 
+  /** X1 the q148 sizing instrument with an ERROR BAR
+    * ([[DedupOps.sampledDupRateJackknife]]): the same 3/16 fingerprint-
+    * space sample, plus a leave-one-bucket-out jackknife over the three
+    * sampled sub-buckets — per-bucket (count, distinct) pairs are
+    * sufficient statistics because fingerprints never straddle buckets, so
+    * the standard error is closed-form arithmetic over |sources × 3| tiny
+    * rows, free beyond the sampled scan. The full-corpus truth sits beside
+    * the estimate (as in q148) so the checked output demonstrates the band
+    * doing its job; at 100 TB only the sampled branch runs and the band
+    * decides whether 3 buckets of scan were enough or more must be paid.
+    * Cross-engine determinism: θ replicates are integer-derived divisions
+    * (exactly rounded), the spread uses (θ−θ̄)·(θ−θ̄) multiplies instead
+    * of libm pow, √ is IEEE-exact, outputs round6. */
+  private val q170 = QueryDef(
+    "q170_dup_rate_jackknife",
+    (s, dir) => DedupOps.sampledDupRateJackknife(
+        Tables.documents(s, dir)
+          .withColumn("fp", substring(md5(col("text").cast("binary")), 1, 3)),
+        col("source"), col("fp"), Seq("0", "1", "2"))
+      .orderBy(col("source")),
+    Some("""WITH g AS (
+           |  SELECT source, substr(md5(text), 1, 3) AS fp,
+           |    substr(md5(substr(md5(text), 1, 3)), 1, 1) AS sb
+           |  FROM documents),
+           |a AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) + 0.0 AS dup_rate
+           |  FROM g GROUP BY 1),
+           |per AS (
+           |  SELECT source, sb, count(*) AS nb, count(DISTINCT fp) AS ub
+           |  FROM g WHERE sb IN ('0', '1', '2') GROUP BY 1, 2),
+           |th AS (
+           |  SELECT source, nb, ub,
+           |    sum(nb) OVER (PARTITION BY source) AS n,
+           |    sum(ub) OVER (PARTITION BY source) AS u
+           |  FROM per),
+           |tj AS (
+           |  SELECT source, n, u,
+           |    CASE WHEN n > nb
+           |      THEN 1.0 - CAST(u - ub AS DOUBLE) / (n - nb) END AS theta
+           |  FROM th),
+           |tb AS (
+           |  SELECT source, n, u, theta,
+           |    avg(theta) OVER (PARTITION BY source) AS tbar
+           |  FROM tj),
+           |e AS (
+           |  SELECT source, max(n) AS n_sampled, max(u) AS us,
+           |    count(theta) AS g_reps,
+           |    sum((theta - tbar) * (theta - tbar)) AS ss
+           |  FROM tb GROUP BY 1)
+           |SELECT a.source, a.n_docs, a.dup_rate,
+           |  CAST(coalesce(e.n_sampled, 0) AS BIGINT) AS n_sampled,
+           |  coalesce(round(1.0 - CAST(e.us AS DOUBLE) / e.n_sampled, 6) + 0.0, 0.0) AS est_dup_rate,
+           |  CAST(coalesce(e.g_reps, 0) AS BIGINT) AS g_reps,
+           |  CASE WHEN coalesce(e.g_reps, 0) > 0
+           |    THEN round(sqrt(CAST(e.g_reps - 1 AS DOUBLE) / e.g_reps * e.ss), 6) + 0.0
+           |    ELSE 0.0 END AS jk_se
+           |FROM a LEFT JOIN e USING (source) ORDER BY a.source""".stripMargin))
+
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
       q118, q119, q120, q121, q124, q143, q148, q150, q160, q162, q163, q164,
-      q167)
+      q167, q170)
 }

@@ -218,5 +218,97 @@ object Graph extends QueryGroup {
            |       LEFT JOIN c3 ON c3.id = nodes.id)
            |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111, q159)
+  /** X8×X7 leakage-SAFE split ([[GraphOps.leakproofSplit]]) — the
+    * constructive closure of q114's audit: q45's hash split keys on the
+    * duplicate-cluster REPRESENTATIVE (q53's component label; own id for
+    * singletons), so near-dup families travel to one split together and
+    * the cross-split leak the audit measures is zero by construction. The
+    * checked output is the per-DOC assignment (doc_id, rep_id, split) —
+    * the oracle re-derives the clusters via the recursive-CTE closure and
+    * re-hashes every representative, pinning both the labeling join and
+    * the fallback row by row. GraphOpsSpec asserts the semantic contract
+    * on top: [[CurationOps.pairSplitAudit]] over the candidate pairs has
+    * NO off-diagonal mass under this assignment (and strictly positive
+    * mass under doc-level hashing on the same corpus). */
+  private val q171 = QueryDef(
+    "q171_leakproof_split",
+    (s, dir) => GraphOps.leakproofSplit(
+        Tables.documents(s, dir), "doc_id",
+        SharedPipelines.minhashComps(s, dir),
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+      .orderBy(col("doc_id")),
+    Some(ccCompsPrefix +
+      ("""
+           |SELECT d.doc_id,
+           |  CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS rep_id,
+           |  CASE WHEN ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           |       WHEN ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+           |ORDER BY d.doc_id""").stripMargin))
+
+  /** X8 split-assignment CHURN under incremental cluster maintenance — the
+    * operational cost q171's safety buys: the leakproof split keys on the
+    * component label, and labels move when a crawl batch MERGES components
+    * (the q111 lifecycle), so standing documents can change splits between
+    * crawls. The flips are not a bug to paper over: an eval doc whose
+    * cluster merged with train data MUST be retired from eval (keeping it
+    * is exactly the leak q171 exists to prevent), and a train doc flipping
+    * toward eval must NOT be recycled into eval (it was already trained
+    * on) — sticky assignment would preserve stability by silently
+    * re-opening the leak whenever a merge spans splits. This query is the
+    * reconciliation report a crawl pipeline runs after each merge: the
+    * old→new split transition matrix over STANDING docs (the fresh batch
+    * is arrivals, not churn), diagonal = stable mass, off-diagonal = the
+    * retire/exclude work list's size. Cost on top of the two labelings
+    * (which the dedup lifecycle already maintains): two id-only joins and
+    * a ≤9-row aggregate. The oracle re-derives BOTH labelings via
+    * recursive-CTE closures (old graph = pairs never touching a fresh
+    * doc), re-hashes both representatives per doc, and pins the matrix. */
+  private val q173 = QueryDef(
+    "q173_split_churn",
+    (s, dir) => {
+      val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+      val standing = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 3 =!= 0)
+      val before = GraphOps.leakproofSplit(standing, "doc_id",
+          SharedPipelines.minhashOldCompsMod3(s, dir), cuts)
+        .select(col("doc_id"), col("split").as("old_split"))
+      val after = GraphOps.leakproofSplit(standing, "doc_id",
+          SharedPipelines.minhashComps(s, dir), cuts)
+        .select(col("doc_id"), col("split").as("new_split"))
+      before.join(after, "doc_id")
+        .groupBy(col("old_split"), col("new_split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("old_split"), col("new_split"))
+    },
+    Some(ccCompsPrefix +
+      (""",
+           |und_old AS (SELECT src, dst FROM und WHERE src % 3 <> 0 AND dst % 3 <> 0),
+           |walk_old AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und_old
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk_old w JOIN und_old u ON u.src = w.node),
+           |comps_old AS (SELECT node, min(comp) AS comp FROM walk_old GROUP BY node),
+           |standing AS (
+           |  SELECT d.doc_id,
+           |    coalesce(co.comp, d.doc_id) AS old_rep,
+           |    coalesce(c.comp, d.doc_id) AS new_rep
+           |  FROM documents d
+           |  LEFT JOIN comps_old co ON co.node = d.doc_id
+           |  LEFT JOIN comps c ON c.node = d.doc_id
+           |  WHERE d.doc_id % 3 <> 0),
+           |lab AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ('0x' || substr(md5(CAST(old_rep AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           |         WHEN ('0x' || substr(md5(CAST(old_rep AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+           |         ELSE 'test' END AS old_split,
+           |    CASE WHEN ('0x' || substr(md5(CAST(new_rep AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           |         WHEN ('0x' || substr(md5(CAST(new_rep AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+           |         ELSE 'test' END AS new_split
+           |  FROM standing)
+           |SELECT old_split, new_split, count(*) AS n_docs
+           |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin))
+
+  override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111, q159, q171, q173)
 }

@@ -73,6 +73,23 @@ object SharedPipelines {
     }
   }
 
+  /** q173's standing labeling: like [[minhashOldComps]] but with the fresh
+    * batch at doc_id ≡ 0 mod 3. The fixtures' dup groups all live on ids
+    * ≡ 0 mod 5 with member offsets ≡ 0 mod 20, so the %5 batch leaves the
+    * OLD pair graph empty (every pair touches a fresh doc — fine for
+    * q111's merge≡recompute check, degenerate for measuring label churn);
+    * offsets mod 3 vary, so the %3 batch yields a nonempty standing
+    * graph AND real cross-batch merges — the case where component labels
+    * actually move. */
+  def minhashOldCompsMod3(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    Shared.cached(s, s"minhash-oldcc3:$dir") {
+      val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
+      GraphOps.connectedComponents(
+        pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), "a_id", "b_id")
+    }
+  }
+
   /** Connected components over the embedding-cosine near-dup pair graph
     * (cell × sign-LSH candidates, threshold 0.35) — q61's clusters and
     * q110's false-negative exclusion set. */

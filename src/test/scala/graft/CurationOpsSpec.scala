@@ -775,6 +775,42 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixtureEffective: no dups degenerates to the raw plan; dup mass deflates its source") {
+    val allBuckets = "0123456789abcdef".map(_.toString)
+    // all fingerprints distinct -> est = 0 everywhere -> effective == raw
+    val clean = Seq(
+      ("a", 100L, "f1"), ("a", 300L, "f2"), ("b", 900L, "f3"))
+      .toDF("source", "nt", "fp")
+    val eff = CurationOps.temperatureMixtureEffective(clean, col("source"),
+        col("nt"), col("fp"), allBuckets, budgetTokens = 10000L)
+      .select(col("source"), col("avail_tokens"), col("sample_p"),
+        col("planned_tokens"), col("epochs"))
+      .as[(String, Long, Double, Long, Double)].collect().sortBy(_._1)
+    val raw = CurationOps.temperatureMixture(clean, col("source"), col("nt"),
+        budgetTokens = 10000L)
+      .as[(String, Long, Double, Long, Double)].collect().sortBy(_._1)
+    assert(eff.toSeq === raw.toSeq)
+    // source "a": 4 docs sharing one fingerprint -> est = 1 - 1/4 = 0.75,
+    // eff = 400*0.25 = 100 = source "b"'s clean mass -> equal shares.
+    val dup = Seq(
+      ("a", 100L, "d1"), ("a", 100L, "d1"), ("a", 100L, "d1"), ("a", 100L, "d1"),
+      ("b", 100L, "u1")).toDF("source", "nt", "fp")
+    val got = CurationOps.temperatureMixtureEffective(dup, col("source"),
+        col("nt"), col("fp"), allBuckets, budgetTokens = 1000L)
+      .select(col("source"), col("est_dup_rate"), col("eff_tokens"), col("sample_p"))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) === (("a", 0.75, 100.0, 0.5)))
+    assert(got(1) === (("b", 0.0, 100.0, 0.5)))
+    intercept[IllegalArgumentException] {
+      CurationOps.temperatureMixtureEffective(dup, col("source"), col("nt"),
+        col("fp"), Seq.empty, 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.temperatureMixtureEffective(dup, col("source"), col("nt"),
+        col("fp"), allBuckets, 0L)
+    }
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))

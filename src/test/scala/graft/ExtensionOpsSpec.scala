@@ -1194,6 +1194,48 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r(3L) === (("P Q2 R S T m P Q2 R S T", 11L, 0L)))
   }
 
+  test("X1: dup-rate jackknife — full-bucket sample reproduces truth; hand-checked SE; no-info source survives with g=0") {
+    // fingerprints chosen by VALUE (the operator hashes them into
+    // sub-buckets itself); with ALL 16 hex buckets sampled the estimator
+    // must equal the ground-truth dup rate exactly, bucket-split aside.
+    val allBuckets = "0123456789abcdef".map(_.toString)
+    val df = Seq(
+      ("s1", "f1"), ("s1", "f1"), ("s1", "f2"), ("s1", "f3"),
+      ("s2", "g1"), ("s2", "g2")).toDF("source", "fp")
+    val full = DedupOps.sampledDupRateJackknife(df, col("source"), col("fp"), allBuckets)
+      .as[(String, Long, Double, Long, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(full("s1")._2 === 4L && full("s1")._3 === 0.25) // 1 - 3/4
+    assert(full("s1")._5 === 0.25) // sample == corpus -> estimate == truth
+    assert(full("s2")._3 === 0.0 && full("s2")._5 === 0.0)
+    // hand-checked jackknife: md5 head chars are f1→'b', f2→'3', f3→'1',
+    // so s1 has buckets b:{f1,f1} (n=2,u=1), 3:{f2} (1,1), 1:{f3} (1,1).
+    // N=4, U=3. theta_b = 1-(3-1)/(4-2) = 0; theta_3 = theta_1 =
+    // 1-(3-1)/(4-1) = 1/3. tbar = 2/9; ss = (2/9)^2 + 2*(1/9)^2 = 2/27;
+    // se = sqrt(2/3 * 2/27) = 2/9 -> round6.
+    assert(full("s1")._6 === 3L)
+    assert(full("s1")._7 === 0.222222)
+    // a source whose only sampled rows land in ONE bucket: estimate
+    // surfaces, g_reps = 0, se = 0 — never dropped from the report.
+    val one = DedupOps.sampledDupRateJackknife(
+      Seq(("s3", "f1"), ("s3", "f1")).toDF("source", "fp"),
+      col("source"), col("fp"), Seq("b"))
+      .as[(String, Long, Double, Long, Double, Long, Double)].collect().head
+    assert(one._4 === 2L && one._5 === 0.5 && one._6 === 0L && one._7 === 0.0)
+    // a source with NO sampled rows: zeros, not absence
+    val none = DedupOps.sampledDupRateJackknife(
+      Seq(("s4", "f2")).toDF("source", "fp"),
+      col("source"), col("fp"), Seq("0"))
+      .as[(String, Long, Double, Long, Double, Long, Double)].collect().head
+    assert(none._4 === 0L && none._5 === 0.0 && none._6 === 0L && none._7 === 0.0)
+    intercept[IllegalArgumentException] {
+      DedupOps.sampledDupRateJackknife(df, col("source"), col("fp"), Seq("ab"))
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.sampledDupRateJackknife(df, col("source"), col("fp"), Seq("0", "0"))
+    }
+  }
+
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(
       ("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", "de"),

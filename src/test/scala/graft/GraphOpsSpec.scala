@@ -207,4 +207,37 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.pageRankFixedPoint(e, "s", "d", iters = 1, dampingPct = 101)
     }
   }
+
+  test("leakproofSplit: no candidate pair ever straddles a split; doc-level hashing does leak") {
+    import graft.operators.CurationOps
+    // 40 dup pairs (2k, 2k+1) plus 20 singletons: enough ids that doc-level
+    // md5 hashing provably separates at least one pair.
+    val pairs = (0L until 40L).map(k => (2 * k, 2 * k + 1)).toDF("a_id", "b_id")
+    val docs = (0L until 100L).toDF("doc_id")
+    val comps = GraphOps.connectedComponents(pairs, "a_id", "b_id")
+    val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+    val safe = GraphOps.leakproofSplit(docs, "doc_id", comps, cuts)
+    // every member of a component carries the component label as rep_id,
+    // singletons their own id
+    val byDoc = safe.as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byDoc.size === 100)
+    (0L until 40L).foreach { k =>
+      assert(byDoc(2 * k)._1 === 2 * k && byDoc(2 * k + 1)._1 === 2 * k)
+      assert(byDoc(2 * k)._2 === byDoc(2 * k + 1)._2, s"pair $k split apart")
+    }
+    (80L until 100L).foreach(i => assert(byDoc(i)._1 === i))
+    // audit contract: zero off-diagonal mass under the safe assignment...
+    val audit = CurationOps.pairSplitAudit(pairs,
+      safe.select(col("doc_id"), col("split")))
+    val offDiag = audit.filter(col("split_lo") =!= col("split_hi"))
+      .agg(coalesce(sum(col("n_pairs")), lit(0L))).head.getLong(0)
+    assert(offDiag === 0L)
+    // ...and strictly positive leak under plain doc-level hashing
+    val docSplit = docs.select(col("doc_id"),
+      CurationOps.hashSplit(col("doc_id"), cuts).as("split"))
+    val leaky = CurationOps.pairSplitAudit(pairs, docSplit)
+      .filter(col("split_lo") =!= col("split_hi"))
+      .agg(coalesce(sum(col("n_pairs")), lit(0L))).head.getLong(0)
+    assert(leaky > 0L, "fixture too small to demonstrate doc-level leakage")
+  }
 }

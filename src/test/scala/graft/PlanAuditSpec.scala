@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (169 queries, 166 oracles)") {
-    assert(SparkEntry.queries.size >= 169,
-      s"query surface shrank: ${SparkEntry.queries.size} < 169")
-    assert(SparkEntry.oracleSql.size >= 166,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 166")
+  test("query ledger matches the documented surface (173 queries, 170 oracles)") {
+    assert(SparkEntry.queries.size >= 173,
+      s"query surface shrank: ${SparkEntry.queries.size} < 173")
+    assert(SparkEntry.oracleSql.size >= 170,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 170")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
