@@ -1405,6 +1405,52 @@ object DedupOps {
     val per = base.filter(col("__sb").isin(sampleBuckets: _*))
       .groupBy(col("source"), col("__sb"))
       .agg(count(lit(1)).as("__nb"), countDistinct(col("__fp")).as("__ub"))
+    jackknifeTail(actual, per)
+  }
+
+  /** [[sampledDupRateJackknife]] from a STANDING (source, fingerprint,
+    * count) histogram instead of rows — the streamed form of the sizing
+    * instrument: per-key counts are sum-mergeable across micro-batches
+    * (unlike distinct counts over raw rows), so a `StandingStore` can
+    * maintain the sampled-bucket histogram incrementally and answer the
+    * estimate + error bar at any moment without replaying the stream.
+    * State is bounded by |distinct sampled fingerprints|, i.e. the
+    * |sampleBuckets|/16 slice of key space — the same slice the batch
+    * instrument scans. Identical output contract to the row form (q168's
+    * histogram ≡ rows discipline); duplicate (source, fp) rows are merged
+    * by summing, zero/negative/null counts are rejected loudly — a silent
+    * skip would make a histogram bug look like data. */
+  def sampledDupRateJackknifeFromCounts(hist: DataFrame, source: Column,
+      fp: Column, n: Column, sampleBuckets: Seq[String]): DataFrame = {
+    require(sampleBuckets.nonEmpty && sampleBuckets.forall(_.length == 1),
+      "sampleBuckets must be single md5-hex chars")
+    require(sampleBuckets.distinct.size == sampleBuckets.size,
+      "duplicate sample bucket")
+    val base = hist.select(source.as("source"), fp.as("__fp"),
+        coalesce(n.cast("long"),
+          raise_error(lit("sampledDupRateJackknifeFromCounts: count must " +
+            "be non-null")).cast("long")).as("__n0"))
+      .withColumn("__n0", when(col("__n0") >= 1L, col("__n0"))
+        .otherwise(raise_error(lit("sampledDupRateJackknifeFromCounts: " +
+          "count must be >= 1")).cast("long")))
+      .groupBy(col("source"), col("__fp")).agg(sum(col("__n0")).as("__cnt"))
+      .withColumn("__sb", substring(md5(col("__fp").cast("binary")), 1, 1))
+    val actual = base.groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_docs"),
+        graft.engine.Semantics.roundz(
+          lit(1.0) - count(lit(1)).cast("double") / sum(col("__cnt")).cast("double"), 6)
+          .as("dup_rate"))
+    val per = base.filter(col("__sb").isin(sampleBuckets: _*))
+      .groupBy(col("source"), col("__sb"))
+      .agg(sum(col("__cnt")).as("__nb"), count(lit(1)).as("__ub"))
+    jackknifeTail(actual, per)
+  }
+
+  /** Shared tail of the jackknife pair: per-bucket (n, distinct) rows →
+    * leave-one-out replicates → (estimate, g, se), LEFT-joined back onto
+    * the ground-truth frame. Input contract: `actual(source, n_docs,
+    * dup_rate)`, `per(source, __sb, __nb, __ub)`. */
+  private def jackknifeTail(actual: DataFrame, per: DataFrame): DataFrame = {
     val wsrc = Window.partitionBy(col("source"))
     // θ_(i) is null for a replicate with N == n_i (a source entirely inside
     // one bucket has no leave-one-out information); null-SKIPPING avg/sum

@@ -1355,7 +1355,14 @@ object Dedup extends QueryGroup {
           .withColumn("fp", substring(md5(col("text").cast("binary")), 1, 3)),
         col("source"), col("fp"), Seq("0", "1", "2"))
       .orderBy(col("source")),
-    Some("""WITH g AS (
+    Some(jackknifeOracle))
+
+  /** Shared by q170 (row form) and q174 (standing-histogram form): the
+    * oracle ALWAYS re-derives from raw rows, so q174's hash match IS the
+    * histogram ≡ rows equivalence, cross-engine — one copy, so an
+    * estimator change can never fork the two checks. */
+  private lazy val jackknifeOracle: String =
+    ("""WITH g AS (
            |  SELECT source, substr(md5(text), 1, 3) AS fp,
            |    substr(md5(substr(md5(text), 1, 3)), 1, 1) AS sb
            |  FROM documents),
@@ -1392,10 +1399,32 @@ object Dedup extends QueryGroup {
            |  CASE WHEN coalesce(e.g_reps, 0) > 0
            |    THEN round(sqrt(CAST(e.g_reps - 1 AS DOUBLE) / e.g_reps * e.ss), 6) + 0.0
            |    ELSE 0.0 END AS jk_se
-           |FROM a LEFT JOIN e USING (source) ORDER BY a.source""".stripMargin))
+           |FROM a LEFT JOIN e USING (source) ORDER BY a.source""").stripMargin
+
+  /** X1 the sizing instrument SERVED FROM STANDING STATE
+    * ([[DedupOps.sampledDupRateJackknifeFromCounts]]): q170's estimate +
+    * error bar recomputed from a (source, fingerprint, count) histogram —
+    * the sum-mergeable state class a `StandingStore` maintains per
+    * micro-batch, bounded by the 3/16 sampled slice of fingerprint space —
+    * instead of the rows. The histogram is built in the query; the oracle
+    * is LITERALLY q170's (always re-derived from raw rows), so the hash
+    * match pins histogram ≡ rows for the whole estimator chain
+    * cross-engine, exactly as q168 does for the robust-stats fence. At
+    * 100 TB this is the difference between re-scanning 3/16 of the corpus
+    * per sizing question and reading a standing table that each ingest
+    * batch already pays one tiny merge to keep current. */
+  private val q174 = QueryDef(
+    "q174_jackknife_standing",
+    (s, dir) => DedupOps.sampledDupRateJackknifeFromCounts(
+        Tables.documents(s, dir)
+          .withColumn("fp", substring(md5(col("text").cast("binary")), 1, 3))
+          .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("n")),
+        col("source"), col("fp"), col("n"), Seq("0", "1", "2"))
+      .orderBy(col("source")),
+    Some(jackknifeOracle))
 
   override val defs: Seq[QueryDef] =
     Seq(q22, q23, q24, q32, q60, q65, q67, q73, q74, q75, q85, q88, q107,
       q118, q119, q120, q121, q124, q143, q148, q150, q160, q162, q163, q164,
-      q167, q170)
+      q167, q170, q174)
 }

@@ -429,6 +429,60 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("X1: jackknife per-bucket stats are SUFFICIENT — closed form equals direct leave-one-out recomputation on any fp multiset") =
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.oneOf("s1", "s2"), Gen.choose(0, 12)))) { rows =>
+      rows.isEmpty || {
+        def md5hex(s: String): String = java.security.MessageDigest
+          .getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val sample = "0123456789abcdef".take(8).map(_.toString)
+        val data = rows.map { case (src, i) => (src, s"f$i") }
+        val got = DedupOps.sampledDupRateJackknife(
+            data.toDF("source", "fp"), col("source"), col("fp"), sample)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+        data.groupBy(_._1).forall { case (src, rs) =>
+          // direct recomputation on raw rows: distinct counts over each
+          // leave-one-bucket-out SUBSET, no sufficiency assumption
+          val sampled = rs.map(_._2).filter(f => sample.contains(md5hex(f).take(1)))
+          val byB = sampled.groupBy(f => md5hex(f).take(1))
+          val n = sampled.size.toLong
+          val u = sampled.distinct.size.toLong
+          val thetas = byB.keys.toSeq.flatMap { b =>
+            val rest = sampled.filterNot(f => md5hex(f).take(1) == b)
+            if (rest.nonEmpty) Some(1.0 - rest.distinct.size.toDouble / rest.size)
+            else None
+          }
+          val est = if (n > 0) 1.0 - u.toDouble / n else 0.0
+          val se = if (thetas.nonEmpty) {
+            val tbar = thetas.sum / thetas.size
+            math.sqrt((thetas.size - 1).toDouble / thetas.size *
+              thetas.map(t => (t - tbar) * (t - tbar)).sum)
+          } else 0.0
+          val (gn, ge, gg, gs) = got(src)
+          gn == n && gg == thetas.size.toLong &&
+            math.abs(ge - est) <= 1e-6 && math.abs(gs - se) <= 1e-6
+        }
+      }
+    }
+
+  property("X8: leakproofSplit never puts two paired docs in different splits, on any graph") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 60L)))) { es =>
+      es.isEmpty || es.forall(e => e._1 == e._2) || {
+        import graft.operators.{CurationOps, GraphOps}
+        val edges = es.filter(e => e._1 != e._2)
+        val pairs = edges.toDF("a_id", "b_id")
+        val docs = (0L to 60L).toDF("doc_id")
+        val assigned = GraphOps.leakproofSplit(docs, "doc_id",
+          GraphOps.connectedComponents(pairs, "a_id", "b_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+        CurationOps.pairSplitAudit(pairs,
+            assigned.select(col("doc_id"), col("split")))
+          .filter(col("split_lo") =!= col("split_hi")).count() == 0L
+      }
+    }
+
   property("J1: bloomReducedJoin equals the plain inner join on any key multiset") =
     Prop.secure {
       val rng = new scala.util.Random(20260817L)
