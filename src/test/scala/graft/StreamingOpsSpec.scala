@@ -807,4 +807,51 @@ class StreamingOpsSpec extends SparkSpec {
         ("y", 2L, 4L, -3L, 7L), ("z", 1L, 9L, 9L, 9L)))
     } finally q.stop()
   }
+
+  test("T5/X1: a standing fp histogram maintained per micro-batch serves the exact batch jackknife") {
+    // q174's claim driven end to end: each micro-batch's (source, fp)
+    // partial counts merge into a versioned standing histogram (sum is
+    // the algebra — the reason the FromCounts form exists at all), and
+    // the jackknife SERVED from the standing level after batch k must be
+    // bit-identical to the row-form q170 estimator run over everything
+    // the stream carried through batch k. Doubles compared exactly: the
+    // served path and the row path share one arithmetic tail, so any
+    // drift is a real estimator fork, not float noise.
+    import graft.operators.DedupOps
+    val input = MemoryStream[(String, String)](spark)
+    val root = tmp("jk_levels")
+    val q = StreamingOps.foreachBatchHandoff(
+        input.toDF().toDF("source", "fp"), tmp("jk_cp")) { (batch, id) =>
+      val part = batch.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("n"))
+      val prev = new java.io.File(s"$root/v=${id - 1}")
+      val merged = if (prev.exists)
+        spark.read.parquet(prev.getPath).union(part)
+          .groupBy(col("source"), col("fp")).agg(sum(col("n")).as("n"))
+      else part
+      merged.write.mode("overwrite").parquet(s"$root/v=$id")
+    }.start()
+    // fps straddle sampled ("0".."7"-bucketed) and unsampled space, with
+    // cross-batch repeats so the merge actually has to add counts.
+    val batches = Seq(
+      Seq(("s1", "f1"), ("s1", "f1"), ("s1", "f2"), ("s2", "f3")),
+      Seq(("s1", "f1"), ("s1", "f4"), ("s2", "f3"), ("s2", "f5")),
+      Seq(("s1", "f2"), ("s1", "f6"), ("s2", "f5"), ("s2", "f5")))
+    val sample = "01234567".map(_.toString)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Double, Long, Double, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    try {
+      batches.zipWithIndex.foreach { case (b, k) =>
+        input.addData(b: _*); q.processAllAvailable()
+        val served = DedupOps.sampledDupRateJackknifeFromCounts(
+          spark.read.parquet(s"$root/v=$k"),
+          col("source"), col("fp"), col("n"), sample)
+        val prefix = batches.take(k + 1).flatten.toDF("source", "fp")
+        val batchForm = DedupOps.sampledDupRateJackknife(
+          prefix, col("source"), col("fp"), sample)
+        assert(canon(served) === canon(batchForm), s"prefix through batch $k")
+      }
+    } finally q.stop()
+  }
 }
