@@ -106,6 +106,7 @@ object Bench {
         "shared_minhash_pairs" -> (() => { SharedPipelines.minhashPairs(spark, sfDir); () }),
         "shared_minhash_cc" -> (() => { SharedPipelines.minhashComps(spark, sfDir); () }),
         "shared_minhash_oldcc" -> (() => { SharedPipelines.minhashOldComps(spark, sfDir); () }),
+        "shared_minhash_oldcc3" -> (() => { SharedPipelines.minhashOldCompsMod3(spark, sfDir); () }),
         "shared_semantic_cc" -> (() => { SharedPipelines.semanticComps(spark, sfDir); () }))
     }
     val shared: Seq[(String, Option[Double])] = sharedBuilds.map { case (name, build) =>

@@ -367,6 +367,17 @@ object ScaleAudit {
     val true161 = li161.join(dim161,
       li161("l_partkey") === dim161("p_partkey"), "left_semi").count()
 
+    // q174 standing-state bound: the histogram a StandingStore must hold
+    // to serve the sampled jackknife is the SAMPLED slice's distinct
+    // (source, fp) keys — reported against the row count it replaces
+    // (rescanning 3/16 of the corpus per sizing question).
+    val d174 = Tables.documents(spark, sfDir)
+      .withColumn("fp", substring(md5(col("text").cast("binary")), 1, 3))
+      .withColumn("sb", substring(md5(col("fp").cast("binary")), 1, 1))
+      .filter(col("sb").isin("0", "1", "2"))
+    val sampled174 = d174.count()
+    val hist174 = d174.select(col("source"), col("fp")).distinct().count()
+
     println(s"""{"metric":"candidates","sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""all_pairs_docs":$allPairsDocs,"q22_shingle_pairs":$q22,"q23_minhash_candidates":$q23,""" +
       s""""q24_simhash_band_candidates":$q24,"q24_band_candidates_cap100":$q24Capped,""" +
@@ -404,7 +415,8 @@ object ScaleAudit {
       s""""q162_expanded_rows":$ex162Rows,"q162_weighted_candidates":$cand162N,""" +
       s""""q162_verified_pairs":$ver162,""" +
       s""""q161_fact_rows":$fact161,"q161_bloom_positive_rows":$pos161,""" +
-      s""""q161_true_match_rows":$true161}""")
+      s""""q161_true_match_rows":$true161,""" +
+      s""""q174_sampled_rows":$sampled174,"q174_standing_hist_rows":$hist174}""")
     spark.stop()
   }
 }
