@@ -461,4 +461,42 @@ object GraphOps {
       .withColumn("split", CurationOps.hashSplit(col("rep_id"), cuts))
       .select(col(id), col("rep_id"), col("split"))
   }
+
+  /** Eval-hygiene quarantine after a cluster merge — the ACTION q173's
+    * churn matrix implies: once a crawl batch merges duplicate clusters,
+    * a cluster the new [[leakproofSplit]] assigns to an EVAL split may
+    * contain a document that was already TRAINED ON under the old
+    * assignment. That contaminates the WHOLE cluster as eval — every
+    * member is a near-twin of content the model saw — and the taint does
+    * not stop at the trained doc itself (which is why the flip list alone
+    * is not the work list). The safe disposition is cluster-level: any
+    * eval-side cluster with a formerly-trained member is
+    * `quarantine_to_train` (its content is train-grade now; using it for
+    * eval would score memorization), everything else `keep`. The reverse
+    * flip (eval-ward history moving train-ward) needs no action: past
+    * eval exposure does not contaminate future training.
+    *
+    * `assigned` is the NEW authoritative labeling ([[leakproofSplit]]
+    * output: id, rep_id, split); `oldSplits` is the historical fact table
+    * (id, old_split) for docs that existed before the merge — fresh docs
+    * LEFT-join to 'none' and carry no taint of their own. Shape: one
+    * id-only join, one |clusters|-bounded flag aggregate, one broadcast-
+    * size join back — nothing touches text, and the flag table is one row
+    * per cluster however large the corpus. */
+  def evalQuarantine(assigned: DataFrame, id: String, oldSplits: DataFrame,
+      trainLabel: String = "train"): DataFrame = {
+    val old = oldSplits.select(col(id).cast("long").as(id),
+      col("old_split").cast("string").as("old_split"))
+    val joined = assigned.join(old, Seq(id), "left")
+      .withColumn("old_split", coalesce(col("old_split"), lit("none")))
+    val flag = joined.groupBy(col("rep_id"))
+      .agg(max(when(col("old_split") === trainLabel, 1).otherwise(0))
+        .as("__has_trained"))
+    joined.join(flag, Seq("rep_id"))
+      .withColumn("action",
+        when(col("split") =!= trainLabel && col("__has_trained") === 1,
+          lit("quarantine_to_train")).otherwise(lit("keep")))
+      .select(col(id), col("rep_id"), col("old_split"),
+        col("split").as("new_split"), col("action"))
+  }
 }

@@ -310,5 +310,64 @@ object Graph extends QueryGroup {
            |SELECT old_split, new_split, count(*) AS n_docs
            |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin))
 
-  override val defs: Seq[QueryDef] = Seq(q53, q61, q101, q111, q159, q171, q173)
+  /** X8 eval-hygiene quarantine ([[GraphOps.evalQuarantine]]) — the ACTION
+    * q173's matrix implies, as a per-doc work list: after the %3 batch's
+    * merges, any cluster the new leakproof split assigns to an eval split
+    * (valid/test) that contains a formerly-TRAINED member is contaminated
+    * whole — every member is a near-twin of content the model saw — and is
+    * dispositioned `quarantine_to_train`; everything else keeps. Fresh
+    * docs carry `old_split = 'none'` (no taint of their own, but they
+    * inherit their cluster's). The oracle re-derives both labelings, the
+    * per-cluster taint flag, and the CASE disposition row by row, so the
+    * audit→cure→reconcile→act chain (q114 → q171 → q173 → q175) is
+    * oracle-checked end to end. */
+  private val q175 = QueryDef(
+    "q175_eval_quarantine",
+    (s, dir) => {
+      val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+      val allDocs = Tables.documents(s, dir).select(col("doc_id"))
+      val before = GraphOps.leakproofSplit(
+          allDocs.filter(col("doc_id") % 3 =!= 0), "doc_id",
+          SharedPipelines.minhashOldCompsMod3(s, dir), cuts)
+        .select(col("doc_id"), col("split").as("old_split"))
+      val after = GraphOps.leakproofSplit(allDocs, "doc_id",
+        SharedPipelines.minhashComps(s, dir), cuts)
+      GraphOps.evalQuarantine(after, "doc_id", before)
+        .orderBy(col("doc_id"))
+    },
+    Some(ccCompsPrefix +
+      (""",
+           |und_old AS (SELECT src, dst FROM und WHERE src % 3 <> 0 AND dst % 3 <> 0),
+           |walk_old AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und_old
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk_old w JOIN und_old u ON u.src = w.node),
+           |comps_old AS (SELECT node, min(comp) AS comp FROM walk_old GROUP BY node),
+           |ns AS (
+           |  SELECT d.doc_id,
+           |    coalesce(c.comp, d.doc_id) AS new_rep,
+           |    CASE WHEN d.doc_id % 3 <> 0 THEN
+           |      CASE WHEN ('0x' || substr(md5(CAST(coalesce(co.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           |           WHEN ('0x' || substr(md5(CAST(coalesce(co.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+           |           ELSE 'test' END
+           |      ELSE 'none' END AS old_split,
+           |    CASE WHEN ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           |         WHEN ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+           |         ELSE 'test' END AS new_split
+           |  FROM documents d
+           |  LEFT JOIN comps c ON c.node = d.doc_id
+           |  LEFT JOIN comps_old co ON co.node = d.doc_id),
+           |fl AS (
+           |  SELECT new_rep,
+           |    max(CASE WHEN old_split = 'train' THEN 1 ELSE 0 END) AS has_trained
+           |  FROM ns GROUP BY 1)
+           |SELECT ns.doc_id, CAST(ns.new_rep AS BIGINT) AS rep_id,
+           |  ns.old_split, ns.new_split,
+           |  CASE WHEN ns.new_split <> 'train' AND fl.has_trained = 1
+           |    THEN 'quarantine_to_train' ELSE 'keep' END AS action
+           |FROM ns JOIN fl USING (new_rep)
+           |ORDER BY ns.doc_id""").stripMargin))
+
+  override val defs: Seq[QueryDef] =
+    Seq(q53, q61, q101, q111, q159, q171, q173, q175)
 }

@@ -240,4 +240,29 @@ class GraphOpsSpec extends SparkSpec {
       .agg(coalesce(sum(col("n_pairs")), lit(0L))).head.getLong(0)
     assert(leaky > 0L, "fixture too small to demonstrate doc-level leakage")
   }
+
+  test("evalQuarantine: one trained member taints its whole eval cluster; train clusters and clean eval keep") {
+    // new assignment: cluster 10 -> test (docs 1,2,5), cluster 20 -> train
+    // (doc 3), cluster 30 -> valid (doc 4); history: 1 was trained, 3 was
+    // trained, 4 was valid; 2's history is eval, 5 is fresh (no history).
+    val assigned = Seq(
+      (1L, 10L, "test"), (2L, 10L, "test"), (5L, 10L, "test"),
+      (3L, 20L, "train"), (4L, 30L, "valid"))
+      .toDF("doc_id", "rep_id", "split")
+    val old = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
+      .toDF("doc_id", "old_split")
+    val got = GraphOps.evalQuarantine(assigned, "doc_id", old)
+      .as[(Long, Long, String, String, String)].collect().sortBy(_._1)
+    // doc 1's training history quarantines 2 and 5 with it — the taint is
+    // cluster-level, including the fresh doc with no history of its own
+    assert(got.map(r => r._1 -> r._5).toSeq === Seq(
+      1L -> "quarantine_to_train", 2L -> "quarantine_to_train",
+      3L -> "keep", 4L -> "keep", 5L -> "quarantine_to_train"))
+    assert(got.find(_._1 == 5L).get._3 === "none") // fresh doc surfaces as such
+    // remove the taint: same clusters, no trained history in cluster 10
+    val clean = GraphOps.evalQuarantine(assigned, "doc_id",
+        Seq((1L, "test"), (2L, "test")).toDF("doc_id", "old_split"))
+      .as[(Long, Long, String, String, String)].collect()
+    assert(clean.forall(_._5 === "keep"))
+  }
 }
