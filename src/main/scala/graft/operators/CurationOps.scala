@@ -628,6 +628,10 @@ object CurationOps {
     * estimator: the sample keys on a hash OF the fingerprint, so dup
     * groups land in or out together and r̂ is unbiased at |buckets|/16 of
     * the scan cost) — the plan prices 100 TB of dedup without running it.
+    * Degenerate corner: if EVERY source's r̂ rounds to 1.0 (≥10⁶:1 dup
+    * ratios in every source at once), the weight sum is 0 and the shares
+    * are NaN on both engines — a corpus that is all duplicates has no
+    * meaningful mixture, and the NaN is deliberately loud, not masked.
     * Sources absent from the sample fall back to r̂ = 0 (raw mass,
     * LEFT-join surfaced, never dropped). Arithmetic follows q134's
     * hard-oracle discipline: r̂ is round6'd before entering, 1−r̂ and

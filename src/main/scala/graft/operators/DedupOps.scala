@@ -1386,9 +1386,10 @@ object DedupOps {
     * Output per source: `n_docs`/`dup_rate` (full-corpus ground truth,
     * kept beside the estimate exactly as q148 does — at scale only the
     * sampled branch runs), `n_sampled`, `est_dup_rate`, `g_reps`
-    * (replicates with N > n_i; a single-bucket source yields g = 1 and
-    * se = 0 via the (g−1)/g factor), `jk_se`. Sources with no sampled
-    * rows surface with zeros (LEFT join), never vanish. */
+    * (replicates with N > n_i; a source entirely inside ONE bucket has no
+    * leave-one-out information, so it surfaces with its estimate and
+    * g = 0, se = 0 — never silently dropped), `jk_se`. Sources with no
+    * sampled rows surface with zeros (LEFT join), never vanish. */
   def sampledDupRateJackknife(df: DataFrame, source: Column, fp: Column,
       sampleBuckets: Seq[String]): DataFrame = {
     require(sampleBuckets.nonEmpty && sampleBuckets.forall(_.length == 1),

@@ -478,8 +478,10 @@ object GraphOps {
     *
     * `assigned` is the NEW authoritative labeling ([[leakproofSplit]]
     * output: id, rep_id, split); `oldSplits` is the historical fact table
-    * (id, old_split) for docs that existed before the merge — fresh docs
-    * LEFT-join to 'none' and carry no taint of their own. Shape: one
+    * (id, old_split), ONE row per id — it is the caller's split record,
+    * not an event log; duplicate ids would fan the join out and corrupt
+    * downstream counts. Fresh docs LEFT-join to 'none' and carry no taint
+    * of their own. Shape: one
     * id-only join, one |clusters|-bounded flag aggregate, one broadcast-
     * size join back — nothing touches text, and the flag table is one row
     * per cluster however large the corpus. */
