@@ -12,7 +12,18 @@ object Bench {
     *    machine contention, not a regression (ratios normalize it away);
     *  - otherwise no_regression.
     * Returns (medianRatio, outliers sorted worst-first, verdict). */
-  def adjudicate(cur: Map[String, Double], prior: Map[String, Double])
+  /** Cross-run drift adjudication. `envFactor` is the machine-state
+    * control: the median ratio of the SHARED pipeline builds (identical
+    * code in both runs, so any shift there measures the box, not the
+    * engine). When the box itself moved ≥1.5× either way, per-query
+    * ratios are void — a query can look "concentratedly regressed"
+    * purely because its cost is hypersensitive to machine state (the
+    * 2026-08-15 q141 misfire: flagged 3.75×, same-commit A/B on the
+    * shifted box reproduced the slowdown bit for bit on OLD code) — so
+    * the verdict is `environment_shift`: rerun when quiet, or A/B the
+    * prior commit on the same machine in the same hour. */
+  def adjudicate(cur: Map[String, Double], prior: Map[String, Double],
+      envFactor: Double = 1.0)
       : (Double, Seq[(String, Double)], String) = {
     val shared = cur.keySet.intersect(prior.keySet).toSeq
       .filter(k => prior(k) > 0)
@@ -23,10 +34,27 @@ object Bench {
       .filter { case (k, r) => prior(k) >= 0.6 && med > 0 && r / med >= 1.5 }
       .sortBy(-_._2)
     val verdict =
-      if (outliers.nonEmpty) "concentrated_regression"
+      if (envFactor >= 1.5 || envFactor <= 0.67) "environment_shift"
+      else if (outliers.nonEmpty) "concentrated_regression"
       else if (med >= 1.25) "broad_contention"
       else "no_regression"
     (med, outliers, verdict)
+  }
+
+  /** The shared-build map out of a prior bench_full.json (absent in
+    * pre-round-10 records → empty). */
+  def parseShared(path: String): Map[String, Double] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val sh = root.get("shared")
+    if (sh == null || !sh.isObject) return Map.empty
+    val it = sh.properties().iterator()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+    }
+    b.result()
   }
 
   /** queries_steady map out of a prior bench_full.json (non-numeric /
@@ -203,12 +231,19 @@ object Bench {
       try {
         val prior = parseSteady(p)
         val curSteady = results.collect { case (k, _, Some(s), _) => k -> s }.toMap
-        val (med, outliers, verdict) = adjudicate(curSteady, prior)
+        val priorShared = parseShared(p)
+        val curShared = shared.collect { case (k, Some(v)) => k -> v }.toMap
+        val envKeys = curShared.keySet.intersect(priorShared.keySet).toSeq
+          .filter(k => priorShared(k) > 0)
+        val envFactor = if (envKeys.nonEmpty)
+          median(envKeys.map(k => curShared(k) / priorShared(k))) else 1.0
+        val (med, outliers, verdict) = adjudicate(curSteady, prior, envFactor)
         val outJson = outliers.map { case (k, r) =>
           s"\"" + k + "\":" + (math.rint(r * 1000) / 1000) }.mkString("{", ",", "}")
         s""","baseline":{"path":"$p","n_shared":${
           curSteady.keySet.intersect(prior.keySet).size
-        },"median_ratio":${math.rint(med * 1000) / 1000},"outliers":$outJson,""" +
+        },"median_ratio":${math.rint(med * 1000) / 1000},""" +
+          s""""env_factor":${math.rint(envFactor * 1000) / 1000},"outliers":$outJson,""" +
           s""""verdict":"$verdict"}"""
       } catch { case e: Throwable =>
         s""","baseline_error":"${e.getMessage.replaceAll("[\"\\\\\\n\\r\\t]", " ")}""""

@@ -58,6 +58,28 @@ class BenchDriftSpec extends AnyFunSuite {
     }
   }
 
+  test("a shifted box voids the comparison: env_factor >= 1.5 turns even a concentrated blowup into environment_shift") {
+    // the 2026-08-15 q141 misfire: the box ran 3.2x slower than the prior
+    // record (shared builds, identical code, measured it), and q141's
+    // machine-state-hypersensitive sweep looked like a 3.75x concentrated
+    // regression until a same-commit A/B reproduced it on old code.
+    val cur = base.updated("q05", base("q05") * 2.5)
+    val (_, outliers, verdict) = Bench.adjudicate(cur, base, envFactor = 3.2)
+    assert(outliers.nonEmpty) // the flag itself still computes...
+    assert(verdict === "environment_shift") // ...but the verdict voids it
+    // a FASTER box voids the comparison symmetrically
+    assert(Bench.adjudicate(base, base, envFactor = 0.5)._3 === "environment_shift")
+    // a mild shift does not: normal rules apply
+    assert(Bench.adjudicate(cur, base, envFactor = 1.2)._3 === "concentrated_regression")
+  }
+
+  test("parseShared reads a real record; absent shared section degrades to empty") {
+    val sh = Bench.parseShared("BENCH_r11_builder_full2.json")
+    assert(sh.contains("shared_minhash_pairs") && sh.size >= 4)
+    val none = Bench.parseShared("BENCH_r10.json") // compact record, no shared
+    assert(none.isEmpty)
+  }
+
   test("parseSteady reads the committed r10 driver detail; self-comparison adjudicates clean") {
     val prior = Bench.parseSteady("BENCH_r10_full.json")
     assert(prior.size >= 167, s"expected the full r10 surface, got ${prior.size}")
