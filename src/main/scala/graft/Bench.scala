@@ -21,7 +21,20 @@ object Bench {
     * 2026-08-15 q141 misfire: flagged 3.75×, same-commit A/B on the
     * shifted box reproduced the slowdown bit for bit on OLD code) — so
     * the verdict is `environment_shift`: rerun when quiet, or A/B the
-    * prior commit on the same machine in the same hour. */
+    * prior commit on the same machine in the same hour.
+    *
+    * VALIDITY LIMIT (round-11 advice): the control is engine code under
+    * test, not a fixed workload — it is only a machine-state probe across
+    * runs of the SAME commit, or commits that do not touch the shared
+    * pipelines (graft.queries.SharedPipelines and everything they call).
+    * A commit that genuinely slows those pipelines ≥1.5× would inflate
+    * envFactor and void every per-query outlier as `environment_shift`,
+    * masking a real regression. Before accepting an `environment_shift`
+    * verdict, corroborate with the `load_before`/`load_after` stamps the
+    * record already carries (a load1 far above the CPU count at bench
+    * time confirms contention; a quiet stamp plus envFactor ≥ 1.5 across
+    * a shared-pipeline-touching commit means A/B the prior commit on the
+    * same box instead). */
   def adjudicate(cur: Map[String, Double], prior: Map[String, Double],
       envFactor: Double = 1.0)
       : (Double, Seq[(String, Double)], String) = {
@@ -131,11 +144,12 @@ object Bench {
     val sharedBuilds: Seq[(String, () => Unit)] = {
       import graft.queries.SharedPipelines
       Seq(
-        "shared_minhash_pairs" -> (() => { SharedPipelines.minhashPairs(spark, sfDir); () }),
-        "shared_minhash_cc" -> (() => { SharedPipelines.minhashComps(spark, sfDir); () }),
-        "shared_minhash_oldcc" -> (() => { SharedPipelines.minhashOldComps(spark, sfDir); () }),
-        "shared_minhash_oldcc3" -> (() => { SharedPipelines.minhashOldCompsMod3(spark, sfDir); () }),
-        "shared_semantic_cc" -> (() => { SharedPipelines.semanticComps(spark, sfDir); () }))
+        "shared_calib_candidates" -> (() => { SharedPipelines.calibratedCandidates(spark, sfDir); () }),
+        "shared_calib_pairs" -> (() => { SharedPipelines.calibratedPairs(spark, sfDir); () }),
+        "shared_calib_cc" -> (() => { SharedPipelines.calibratedComps(spark, sfDir); () }),
+        "shared_calib_oldcc3" -> (() => { SharedPipelines.calibratedOldCompsMod3(spark, sfDir); () }),
+        "shared_semantic_cc" -> (() => { SharedPipelines.semanticComps(spark, sfDir); () }),
+        "shared_tuned_ann" -> (() => { SharedPipelines.tunedAnnIndex(spark, sfDir); () }))
     }
     val shared: Seq[(String, Option[Double])] = sharedBuilds.map { case (name, build) =>
       val t0 = System.nanoTime()

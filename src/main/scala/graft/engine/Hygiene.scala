@@ -121,6 +121,28 @@ object Shared {
     }
   }
 
+  private val valueCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
+
+  /** [[cached]] for small DRIVER-side artifacts that are not DataFrames —
+    * a trained [[graft.operators.SimilarityOps.AnnIndex]], a fitted config
+    * tuple: values whose whole point is to be computed once per session
+    * (training is the expensive step) and then consulted cheaply. Same
+    * build-outside-the-lock / publish-with-putIfAbsent discipline as
+    * [[cached]]; the loser's duplicate needs no release (plain JVM value,
+    * no pinned blocks). Keyed by applicationId like the DataFrame cache so
+    * a value derived from one context's data is never served to another. */
+  def cachedValue[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val k = (spark.sparkContext.applicationId, key)
+    val hit = valueCache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val out = build
+      val prior = valueCache.putIfAbsent(k, out)
+      if (prior == null) out else prior.asInstanceOf[T]
+    }
+  }
+
   /** Drop and free every shared entry of this application. */
   def clear(spark: SparkSession): Unit = {
     val app = spark.sparkContext.applicationId
@@ -132,6 +154,10 @@ object Shared {
         Hygiene.release(e.getValue)
         it.remove()
       }
+    }
+    val vit = valueCache.entrySet().iterator()
+    while (vit.hasNext) {
+      if (vit.next().getKey._1 == app) vit.remove()
     }
   }
 }

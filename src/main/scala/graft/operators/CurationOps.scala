@@ -629,9 +629,14 @@ object CurationOps {
     * groups land in or out together and r̂ is unbiased at |buckets|/16 of
     * the scan cost) — the plan prices 100 TB of dedup without running it.
     * Degenerate corner: if EVERY source's r̂ rounds to 1.0 (≥10⁶:1 dup
-    * ratios in every source at once), the weight sum is 0 and the shares
-    * are NaN on both engines — a corpus that is all duplicates has no
-    * meaningful mixture, and the NaN is deliberately loud, not masked.
+    * ratios in every source at once), the weight sum is 0 — a corpus that
+    * is all duplicates has no meaningful mixture, and the normalizer
+    * REFUSES with a named error rather than dividing 0/0 (round-11
+    * advice: the previous "NaN on both engines" posture was
+    * engine-version-dependent — DuckDB returns NULL for float division by
+    * zero unless ieee_floating_point_ops is on, so the hash equivalence
+    * could fork in exactly the corner meant to be loud; the oracle
+    * carries the matching CASE/error()).
     * Sources absent from the sample fall back to r̂ = 0 (raw mass,
     * LEFT-join surfaced, never dropped). Arithmetic follows q134's
     * hard-oracle discipline: r̂ is round6'd before entering, 1−r̂ and
@@ -644,7 +649,12 @@ object CurationOps {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     require(sampleBuckets.nonEmpty && sampleBuckets.forall(_.length == 1),
       "sampleBuckets must be single md5-hex chars")
-    val base = df.select(source.as("source"), tokens.as("__tok"), fp.as("__fp"))
+    // Null-fp refusal (the sampledDupRateJackknife discipline): a null
+    // would inflate r̂ (countDistinct skips it, count(1) keeps it) and
+    // silently vanish from the sampled branch via md5(null).
+    val base = df.select(source.as("source"), tokens.as("__tok"),
+        when(fp.isNotNull, fp).otherwise(raise_error(lit(
+          "temperatureMixtureEffective: fp must be non-null"))).as("__fp"))
       .withColumn("__sb", substring(md5(col("__fp").cast("binary")), 1, 1))
     val avail = base.groupBy(col("source")).agg(sum(col("__tok")).as("avail_tokens"))
     val est = base.filter(col("__sb").isin(sampleBuckets: _*))
@@ -661,7 +671,11 @@ object CurationOps {
       .crossJoin(broadcast(weighted.agg(
         graft.engine.Semantics.roundz(sum(col("__w")), 6).as("__sw"))))
       .withColumn("sample_p",
-        graft.engine.Semantics.roundz(col("__w") / col("__sw"), 6))
+        when(col("__sw") > 0,
+          graft.engine.Semantics.roundz(col("__w") / col("__sw"), 6))
+          .otherwise(raise_error(lit("temperatureMixtureEffective: " +
+            "effective token mass is zero in every source (all-duplicate " +
+            "corpus) — no meaningful mixture exists"))))
       .withColumn("planned_tokens",
         floor(lit(budgetTokens.toDouble) * col("sample_p")).cast("long"))
       .withColumn("epochs", when(col("__eff") > 0, graft.engine.Semantics.roundz(

@@ -1389,14 +1389,26 @@ object DedupOps {
     * (replicates with N > n_i; a source entirely inside ONE bucket has no
     * leave-one-out information, so it surfaces with its estimate and
     * g = 0, se = 0 — never silently dropped), `jk_se`. Sources with no
-    * sampled rows surface with zeros (LEFT join), never vanish. */
+    * sampled rows surface with zeros (LEFT join), never vanish.
+    *
+    * `fp` must be NON-NULL, enforced loudly (round-11 advice): a null
+    * fingerprint would skew the estimate invisibly — countDistinct skips
+    * nulls while count(1) counts the row (dup_rate inflates), and
+    * md5(null) → null __sb drops the row from the sampled branch without
+    * a trace — exactly the silent divergence the "never silently dropped"
+    * discipline above refuses. */
   def sampledDupRateJackknife(df: DataFrame, source: Column, fp: Column,
       sampleBuckets: Seq[String]): DataFrame = {
     require(sampleBuckets.nonEmpty && sampleBuckets.forall(_.length == 1),
       "sampleBuckets must be single md5-hex chars")
     require(sampleBuckets.distinct.size == sampleBuckets.size,
       "duplicate sample bucket")
-    val base = df.select(source.as("source"), fp.as("__fp"))
+    val base = df.select(source.as("source"),
+        when(fp.isNotNull, fp).otherwise(raise_error(lit(
+          "sampledDupRateJackknife: fp must be non-null — a null would " +
+            "inflate dup_rate (countDistinct skips it, count(1) keeps it) " +
+            "and vanish from the sampled branch (md5(null) bucket)")))
+          .as("__fp"))
       .withColumn("__sb", substring(md5(col("__fp").cast("binary")), 1, 1))
     val actual = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1427,7 +1439,12 @@ object DedupOps {
       "sampleBuckets must be single md5-hex chars")
     require(sampleBuckets.distinct.size == sampleBuckets.size,
       "duplicate sample bucket")
-    val base = hist.select(source.as("source"), fp.as("__fp"),
+    val base = hist.select(source.as("source"),
+        // Same null-fp refusal as the row form: a null key would hold its
+        // own histogram group yet vanish from the sampled branch.
+        when(fp.isNotNull, fp).otherwise(raise_error(lit(
+          "sampledDupRateJackknifeFromCounts: fp must be non-null")))
+          .as("__fp"),
         coalesce(n.cast("long"),
           raise_error(lit("sampledDupRateJackknifeFromCounts: count must " +
             "be non-null")).cast("long")).as("__n0"))

@@ -1023,56 +1023,34 @@ object Curation extends QueryGroup {
            |FROM lab JOIN documents d USING (doc_id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  /** Cross-source duplication provenance (mirror detection): q78's GLOBAL-
-    * bucket near-dup pair generator aggregated by unordered SOURCE pair
-    * instead of split — which sources copy from which, the report that
-    * catches a mirrored crawl before the mixture planner (q66) double-
-    * weights its content. Pure reuse of [[CurationOps.pairSplitAudit]]
-    * with the source as the label: zero new candidate volume (the
-    * ScaleAudit q78 row covers this generator). */
+  /** Cross-source duplication provenance (mirror detection): the CALIBRATED
+    * VERIFIED near-dup pair graph ([[graft.queries.SharedPipelines
+    * .calibratedPairs]] — re-anchored off the fixed-cap q78 generator in
+    * round 12; verified pairs make the provenance report count TRUE copies,
+    * not band collisions) aggregated by unordered SOURCE pair — which
+    * sources copy from which, the report that catches a mirrored crawl
+    * before the mixture planner (q66) double-weights its content. Pure
+    * reuse of [[CurationOps.pairSplitAudit]] with the source as the label:
+    * zero new candidate volume (the session-shared prefix is built once). */
   private val q114 = QueryDef(
     "q114_source_overlap",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = graft.operators.DedupOps.minhashLshCandidatesFromRows(
-        graft.operators.TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text")),
-        8, maxDf = 50)
+      val pairs = graft.queries.SharedPipelines.calibratedPairs(s, dir)
       CurationOps.pairSplitAudit(pairs, docs.select(col("doc_id"), col("source").as("split")))
         .select(col("split_lo").as("source_lo"), col("split_hi").as("source_hi"),
           col("n_pairs"))
         .orderBy(col("source_lo"), col("source_hi"))
     },
-    Some("""WITH sets AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
-           |hashed AS (
-           |  SELECT doc_id,
-           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
-           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
-           |  FROM ex),
-           |bands AS (
-           |  SELECT doc_id, j.band, min(h1 + j.band * h2) AS h
-           |  FROM hashed, unnest(range(8)) AS j(band)
-           |  GROUP BY 1, 2),
-           |pairs AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
+    Some("WITH " + graft.queries.OracleSql.calibratedEdgesCtes + (""",
            |lk AS (SELECT
            |    least(coalesce(sa.source, 'unknown'), coalesce(sb.source, 'unknown')) AS source_lo,
            |    greatest(coalesce(sa.source, 'unknown'), coalesce(sb.source, 'unknown')) AS source_hi
-           |  FROM pairs
-           |  LEFT JOIN documents sa ON sa.doc_id = pairs.a_id
-           |  LEFT JOIN documents sb ON sb.doc_id = pairs.b_id)
+           |  FROM edges
+           |  LEFT JOIN documents sa ON sa.doc_id = edges.src
+           |  LEFT JOIN documents sb ON sb.doc_id = edges.dst)
            |SELECT source_lo, source_hi, count(*) AS n_pairs
-           |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin))
 
   /** X7 robust per-source QA gate ([[CurationOps.robustOutliers]]): flag
     * docs whose length sits > 3.5 MADs from their source's median — the
@@ -1345,15 +1323,20 @@ object Curation extends QueryGroup {
            |    CAST(a.avail_tokens AS DOUBLE) * (1.0 - coalesce(s.est, 0.0)) AS eff,
            |    sqrt(CAST(a.avail_tokens AS DOUBLE) * (1.0 - coalesce(s.est, 0.0))) AS w
            |  FROM a LEFT JOIN s USING (source)),
-           |sw AS (SELECT round(sum(w), 6) + 0.0 AS sw FROM w)
+           |sw AS (SELECT round(sum(w), 6) + 0.0 AS sw FROM w),
+           |p AS (SELECT w.*,
+           |    CASE WHEN sw > 0 THEN round(w / sw, 6) + 0.0
+           |      ELSE error('temperatureMixtureEffective: effective token mass is zero in every source (all-duplicate corpus) — no meaningful mixture exists')
+           |      END AS sample_p
+           |  FROM w CROSS JOIN sw)
            |SELECT source, avail_tokens, est_dup_rate,
            |  round(eff, 6) + 0.0 AS eff_tokens,
-           |  round(w / sw, 6) + 0.0 AS sample_p,
-           |  CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS BIGINT) AS planned_tokens,
+           |  sample_p,
+           |  CAST(floor(100000.0 * sample_p) AS BIGINT) AS planned_tokens,
            |  CASE WHEN eff > 0
-           |    THEN round(CAST(floor(100000.0 * (round(w / sw, 6) + 0.0)) AS DOUBLE) / eff, 6) + 0.0
+           |    THEN round(CAST(floor(100000.0 * sample_p) AS DOUBLE) / eff, 6) + 0.0
            |    ELSE 0.0 END AS epochs
-           |FROM w CROSS JOIN sw ORDER BY source""".stripMargin))
+           |FROM p ORDER BY source""".stripMargin))
 
   override val defs: Seq[QueryDef] =
     Seq(q45, q46, q47, q48, q49, q50, q52, q54, q56, q66, q70, q71, q77, q78, q83, q84, q92,

@@ -175,50 +175,31 @@ object Dedup extends QueryGroup {
            |FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  /** X2 (edit distance): entity-resolution-style verification — MinHash-LSH
-    * candidates (q23's density-bounded generator) each pay one
-    * threshold-bounded `levenshtein` (banded DP, early exit at 320), so the
-    * quadratic metric runs only on pairs the sketch already deemed similar.
-    * The exhaustive per-length-band variant exists as
+  /** X2 (edit distance): entity-resolution-style verification — CALIBRATED
+    * candidate pairs ([[SharedPipelines.calibratedCandidates]], the
+    * measured-linear quantile-cap + banded generator; re-anchored off the
+    * quarantined fixed-cap pool in round 12 per the round-11 verdict) each
+    * pay one threshold-bounded `levenshtein` (banded DP, early exit at
+    * 320), so the quadratic metric runs only on pairs the sketch already
+    * deemed similar. The exhaustive per-length-band variant exists as
     * `DedupOps.editDistancePairs` (complete for the token metric, spec-
     * covered); at corpus scale the LSH-blocked form is the one that
-    * survives, and the oracle reproduces generator + verifier exactly. */
+    * survives, and the oracle reproduces generator + verifier exactly
+    * ([[OracleSql.calibratedPairsCtes]] — the one shared copy). */
   private val q65 = QueryDef(
     "q65_edit_distance_pairs",
     (s, dir) => DedupOps.editDistanceVerify(
         Tables.documents(s, dir), "doc_id", col("text"),
-        DedupOps.minhashLshCandidatesFromRows(docShingleRows(s, dir), 8, maxDf = 50),
+        SharedPipelines.calibratedCandidates(s, dir),
         maxDist = 320)
       .orderBy(col("edit_distance"), col("a_id"), col("b_id")),
-    Some("""WITH sets AS (
-           |  SELECT doc_id, source,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
-           |hashed AS (
-           |  SELECT doc_id, source,
-           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
-           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
-           |  FROM ex),
-           |bands AS (
-           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
-           |  FROM hashed, unnest(range(8)) AS j(band)
-           |  GROUP BY 1, 2, 3),
-           |pairs AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
+    Some("WITH " + OracleSql.calibratedPairsCtes + (""",
            |d AS (SELECT doc_id, text FROM documents)
            |SELECT p.a_id, p.b_id,
            |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
            |FROM pairs p JOIN d da ON da.doc_id = p.a_id JOIN d db ON db.doc_id = p.b_id
            |WHERE levenshtein(da.text, db.text) <= 320
-           |ORDER BY edit_distance, a_id, b_id""".stripMargin))
+           |ORDER BY edit_distance, a_id, b_id""").stripMargin))
 
   /** X1 at sub-document granularity: repeated-passage removal — drop every
     * occurrence of a 10-token chunk that appears in more than one document
@@ -703,12 +684,12 @@ object Dedup extends QueryGroup {
     "q124_calibrated_neardup_scrub",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sh5 = TextOps.shingleRows(docs, col("doc_id"), lit("all"), col("text"), n = 5)
-      // The pure-DEFAULT path: CandidateGen.QuantileCapped() IS
+      // The pure-DEFAULT path: [[SharedPipelines.calibratedComps]] IS
+      // CC over nearDupVerifiedPairs under CandidateGen.QuantileCapped()
       // (q=0.95, floor=2, 8 hashes, r=2) — the flagship scrub runs on
-      // exactly what a caller gets without choosing anything.
-      val verified = DedupOps.nearDupVerifiedPairs(sh5, minJaccard = 0.5)
-      val comps = graft.operators.GraphOps.connectedComponents(verified, "a_id", "b_id")
+      // exactly what a caller gets without choosing anything, served from
+      // the session-shared prefix the whole CC family clusters.
+      val comps = SharedPipelines.calibratedComps(s, dir)
       val dropped = comps.filter(col("node") =!= col("comp"))
         .select(col("node").as("doc_id"), lit(true).as("is_dup"))
       docs.join(dropped, Seq("doc_id"), "left")
@@ -716,60 +697,11 @@ object Dedup extends QueryGroup {
         .agg(count(lit(1)).as("n_docs"), count(col("is_dup")).as("n_dropped"))
         .orderBy(col("source"))
     },
-    Some("""WITH RECURSIVE sets AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
-           |      THEN list_transform(range(len(string_split(text,' ')) - 4),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
-           |          || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]
-           |          || ' ' || string_split(text,' ')[i+5])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |sizes AS (SELECT doc_id, len(shset) AS setsize FROM sets WHERE len(shset) > 0),
-           |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
-           |thr AS (SELECT greatest(min(df), 2) AS t FROM (
-           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
-           |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN dfs USING (sh), thr
-           |  WHERE dfs.df <= thr.t),
-           |hashed AS (
-           |  SELECT doc_id,
-           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
-           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
-           |  FROM ex),
-           |mh AS (
-           |  SELECT doc_id, j.j AS j, min(h1 + j.j * h2) AS h
-           |  FROM hashed, unnest(range(8)) AS j(j)
-           |  GROUP BY 1, 2),
-           |bands AS (
-           |  SELECT doc_id, j // 2 AS band, string_agg(h::VARCHAR, ':' ORDER BY j) AS bk
-           |  FROM mh GROUP BY 1, 2),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
-           |cmn AS (
-           |  SELECT p.a_id, p.b_id, count(*) AS n_common
-           |  FROM pairs p
-           |  JOIN ex0 a ON a.doc_id = p.a_id
-           |  JOIN ex0 b ON b.doc_id = p.b_id AND b.sh = a.sh
-           |  GROUP BY 1, 2),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst FROM cmn
-           |  JOIN sizes sa ON sa.doc_id = a_id
-           |  JOIN sizes sb ON sb.doc_id = b_id
-           |  WHERE round(CAST(n_common AS DOUBLE)
-           |      / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) >= 0.5),
-           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-           |walk AS (
-           |  SELECT DISTINCT src AS node, src AS comp FROM und
-           |  UNION
-           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+    Some(OracleSql.calibratedCompsPrefix + (""",
            |dropped AS (SELECT node AS doc_id FROM comps WHERE node <> comp)
            |SELECT d.source, count(*) AS n_docs, count(dr.doc_id) AS n_dropped
            |FROM documents d LEFT JOIN dropped dr USING (doc_id)
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""").stripMargin))
 
   /** X1 incremental dedup, Bloom-pruned (q60's recurring-ingest shape with
     * the standing-corpus probe made batch-cheap): the corpus partition's

@@ -10,88 +10,64 @@ import org.apache.spark.sql.functions._
   * into clusters with one canonical keeper each. */
 object Graph extends QueryGroup {
 
-  /** X8: duplicate-cluster resolution — connected components over the q23
-    * MinHash+LSH candidate-pair graph, reported as (keeper, cluster size).
-    * The Spark side is iterative min-label propagation (one join + one hash
-    * aggregate per round, rounds = component diameter — no driver-side graph
-    * state); the oracle reproduces it with a recursive CTE, which is
-    * tractable at oracle scale because reachability pairs are bounded by the
-    * pair graph, not the corpus. */
+  /** X8: duplicate-cluster resolution — connected components over the
+    * CALIBRATED VERIFIED near-dup pair graph (q124's production edge set:
+    * quantile-capped banded MinHash candidates, exact-Jaccard verified at
+    * 0.5 — LSH candidates never feed CC unverified, the round-7 giant-
+    * cluster lesson), reported as (keeper, cluster size). The Spark side
+    * is iterative min-label propagation (one join + one hash aggregate per
+    * round, rounds = component diameter — no driver-side graph state); the
+    * oracle reproduces it with a recursive CTE, tractable at oracle scale
+    * because reachability pairs are bounded by the verified pair graph,
+    * not the corpus. */
   private val q53 = QueryDef(
     "q53_dedup_clusters",
     (s, dir) =>
-      // Candidate pairs + labeling come from the session-shared CC prefix
-      // ([[SharedPipelines.minhashComps]]) — q53/q101/q111 cluster the same
-      // pair graph, and a long-lived driver materializes it once.
-      GraphOps.clusterKeepers(SharedPipelines.minhashComps(s, dir))
+      // Verified pairs + labeling come from the session-shared CC prefix
+      // ([[SharedPipelines.calibratedComps]]) — the whole CC family
+      // clusters the same graph, and a long-lived driver materializes it
+      // once.
+      GraphOps.clusterKeepers(SharedPipelines.calibratedComps(s, dir))
         .orderBy(col("keeper_id")),
     Some(ccKeepersOracle))
 
   /** Shared by q53 (batch CC) and q111 (incremental merge): both must equal
-    * the recursive-CTE closure over the FULL minhash pair graph. */
-  /** Recursive-CTE closure over the FULL minhash pair graph, ending at the
-    * `comps(node, comp)` labeling. Opens `WITH RECURSIVE`; callers append
-    * either the final SELECT (q53/q111 keepers) or further CTEs after a
-    * comma (q101 canonical selection) — ONE copy of the candidate
-    * generator, so a hashing/df-cap change can never fork the oracles. */
-  private lazy val ccCompsPrefix: String =
-    ("""WITH RECURSIVE sets AS (
-           |  SELECT doc_id, source,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
-           |hashed AS (
-           |  SELECT doc_id, source,
-           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
-           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
-           |  FROM ex),
-           |bands AS (
-           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
-           |  FROM hashed, unnest(range(8)) AS j(band)
-           |  GROUP BY 1, 2, 3),
-           |edges AS (
-           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-           |  FROM bands a JOIN bands b
-           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-           |walk AS (
-           |  SELECT DISTINCT src AS node, src AS comp FROM und
-           |  UNION
-           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)""").stripMargin
-
-  private lazy val ccKeepersOracle: String = ccCompsPrefix +
+    * the recursive-CTE closure over the FULL verified pair graph
+    * ([[OracleSql.calibratedCompsPrefix]] — ONE copy of the generator +
+    * verifier SQL serves every consumer). */
+  private lazy val ccKeepersOracle: String = OracleSql.calibratedCompsPrefix +
     ("""
            |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
            |FROM comps GROUP BY 1 ORDER BY 1""").stripMargin
 
-  /** Incremental cluster maintenance (X8, the crawl-grows case): the pair
-    * graph is split into an "already indexed" part (docs with doc_id % 5
-    * ≠ 0) and a "fresh crawl batch" (every pair touching a % 5 == 0 doc);
-    * the old part is clustered once, then the batch folds in via
-    * [[GraphOps.mergeComponents]] — old connectivity replayed as one star
-    * edge per labeled node, the historical pair edges never regenerated.
-    * The oracle is q53's: a recursive-CTE closure over the FULL graph —
-    * the hash match IS the merge≡recompute equivalence, end-to-end on
-    * real minhash candidates (GraphOpsSpec proves it on random graphs). */
+  /** Incremental cluster maintenance (X8, the crawl-grows case): the
+    * verified pair graph is split into an "already indexed" part (docs
+    * with doc_id % 3 ≠ 0) and a "fresh crawl batch" (every pair touching a
+    * % 3 == 0 doc); the old part is clustered once, then the batch folds
+    * in via [[GraphOps.mergeComponents]] — old connectivity replayed as
+    * one star edge per labeled node, the historical pair edges never
+    * regenerated. Mod 3, not 5: the fixtures' dup groups make every true
+    * pair touch a %5 doc (empty standing graph — a vacuous merge), while
+    * %3 leaves a NONEMPTY standing labeling and real cross-batch merges,
+    * so the replayed star edges are load-bearing. The oracle is q53's: a
+    * recursive-CTE closure over the FULL graph, split-agnostic by
+    * construction — the hash match IS the merge≡recompute equivalence,
+    * end-to-end on real verified pairs (GraphOpsSpec proves it on random
+    * graphs). */
   private val q111 = QueryDef(
     "q111_incremental_clusters",
     (s, dir) => {
-      // The standing labeling ([[SharedPipelines.minhashOldComps]] — the
-      // (node, comp) state a crawl has BEFORE the batch) and the pair list
-      // both come from the session materialization; what this query
-      // re-executes per invocation is the incremental work itself: the
-      // fresh-batch filter plus the star-merge CC.
-      val pairs = SharedPipelines.minhashPairs(s, dir)
-      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      // The standing labeling ([[SharedPipelines.calibratedOldCompsMod3]]
+      // — the (node, comp) state a crawl has BEFORE the batch) and the
+      // pair list both come from the session materialization; what this
+      // query re-executes per invocation is the incremental work itself:
+      // the fresh-batch filter plus the star-merge CC.
+      val pairs = SharedPipelines.calibratedPairs(s, dir)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
       val newPairs = pairs.filter(isNew(col("a_id")) || isNew(col("b_id")))
       GraphOps.clusterKeepers(
           GraphOps.mergeComponents(
-            SharedPipelines.minhashOldComps(s, dir), newPairs, "a_id", "b_id"))
+            SharedPipelines.calibratedOldCompsMod3(s, dir), newPairs, "a_id", "b_id"))
         .orderBy(col("keeper_id"))
     },
     Some(ccKeepersOracle))
@@ -143,11 +119,11 @@ object Graph extends QueryGroup {
       val quality = docs.select(col("doc_id"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("quality"))
       GraphOps.clusterCanonical(
-          SharedPipelines.minhashComps(s, dir),
+          SharedPipelines.calibratedComps(s, dir),
           quality, "doc_id", "quality")
         .orderBy(col("cluster_id"))
     },
-    Some(ccCompsPrefix + (""",
+    Some(OracleSql.calibratedCompsPrefix + (""",
            |q AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS quality
            |  FROM documents),
            |m AS (SELECT comps.comp, comps.node, q.quality,
@@ -234,10 +210,10 @@ object Graph extends QueryGroup {
     "q171_leakproof_split",
     (s, dir) => GraphOps.leakproofSplit(
         Tables.documents(s, dir), "doc_id",
-        SharedPipelines.minhashComps(s, dir),
+        SharedPipelines.calibratedComps(s, dir),
         Seq("train" -> 80, "valid" -> 90, "test" -> 100))
       .orderBy(col("doc_id")),
-    Some(ccCompsPrefix +
+    Some(OracleSql.calibratedCompsPrefix +
       ("""
            |SELECT d.doc_id,
            |  CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS rep_id,
@@ -272,17 +248,17 @@ object Graph extends QueryGroup {
       val standing = Tables.documents(s, dir).select(col("doc_id"))
         .filter(col("doc_id") % 3 =!= 0)
       val before = GraphOps.leakproofSplit(standing, "doc_id",
-          SharedPipelines.minhashOldCompsMod3(s, dir), cuts)
+          SharedPipelines.calibratedOldCompsMod3(s, dir), cuts)
         .select(col("doc_id"), col("split").as("old_split"))
       val after = GraphOps.leakproofSplit(standing, "doc_id",
-          SharedPipelines.minhashComps(s, dir), cuts)
+          SharedPipelines.calibratedComps(s, dir), cuts)
         .select(col("doc_id"), col("split").as("new_split"))
       before.join(after, "doc_id")
         .groupBy(col("old_split"), col("new_split"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("old_split"), col("new_split"))
     },
-    Some(ccCompsPrefix +
+    Some(OracleSql.calibratedCompsPrefix +
       (""",
            |und_old AS (SELECT src, dst FROM und WHERE src % 3 <> 0 AND dst % 3 <> 0),
            |walk_old AS (
@@ -328,14 +304,14 @@ object Graph extends QueryGroup {
       val allDocs = Tables.documents(s, dir).select(col("doc_id"))
       val before = GraphOps.leakproofSplit(
           allDocs.filter(col("doc_id") % 3 =!= 0), "doc_id",
-          SharedPipelines.minhashOldCompsMod3(s, dir), cuts)
+          SharedPipelines.calibratedOldCompsMod3(s, dir), cuts)
         .select(col("doc_id"), col("split").as("old_split"))
       val after = GraphOps.leakproofSplit(allDocs, "doc_id",
-        SharedPipelines.minhashComps(s, dir), cuts)
+        SharedPipelines.calibratedComps(s, dir), cuts)
       GraphOps.evalQuarantine(after, "doc_id", before)
         .orderBy(col("doc_id"))
     },
-    Some(ccCompsPrefix +
+    Some(OracleSql.calibratedCompsPrefix +
       (""",
            |und_old AS (SELECT src, dst FROM und WHERE src % 3 <> 0 AND dst % 3 <> 0),
            |walk_old AS (

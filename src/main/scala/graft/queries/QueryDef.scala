@@ -22,73 +22,107 @@ trait QueryGroup {
 
 /** Deterministic pipeline prefixes several queries rebuild identically,
   * served once per session through [[graft.engine.Shared]]: the CC family
-  * (q53/q101/q111 over the minhash pair graph; q61/q110 over the semantic
-  * near-dup graph) otherwise re-runs the same candidate generation and
-  * label propagation up to 6× per bench pass. Sharing elides only the
-  * common prefix's recomputation — each query's RESULT (and oracle SQL)
-  * is unchanged. Builds are pre-resolved OUTSIDE the nested `cached` call
-  * (a by-name build that itself entered the shared map could recurse into
-  * the backing ConcurrentHashMap mid-compute). */
+  * (q53/q101/q111/q171/q173/q175 over the calibrated verified near-dup
+  * graph; q61/q110 over the semantic near-dup graph) otherwise re-runs the
+  * same candidate generation, verification, and label propagation up to 8×
+  * per bench pass. Sharing elides only the common prefix's recomputation —
+  * each query's RESULT (and oracle SQL) is unchanged. Builds are
+  * pre-resolved OUTSIDE the nested `cached` call (a by-name build that
+  * itself entered the shared map could recurse into the backing
+  * ConcurrentHashMap mid-compute). */
 object SharedPipelines {
   import graft.engine.{Shared, Tables}
-  import graft.operators.{DedupOps, GraphOps, TextOps}
+  import graft.operators.{DedupOps, GraphOps, SimilarityOps, TextOps}
   import org.apache.spark.sql.SparkSession
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, lit}
 
   /** The one sign-LSH plane set the semantic family (q61/q110/q112) keys
     * its buckets on — 2 tables' worth of 6 planes over dim 64. */
   val semPlanes: Seq[Seq[Double]] = graft.operators.SimilarityOps.lshPlanes(2, 64)
 
-  /** q23's MinHash+LSH candidate-pair list over `documents` — the edge set
-    * the lexical CC family clusters. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Shared.cached(s, s"minhash-pairs:$dir") {
-      DedupOps.minhashLshCandidatesFromRows(
-        TextOps.shingleRows(Tables.documents(s, dir),
-          col("doc_id"), col("source"), col("text")),
-        8, maxDf = 50)
+  /** The (tables, planes) grid every LSH sweep in the similarity family
+    * walks (q117/q123/q141/q169 and the shared tuned-ANN artifact). */
+  val annSweepConfigs: Seq[(Int, Int)] =
+    Seq((1, 2), (2, 2), (4, 2), (8, 2), (2, 4), (4, 4))
+
+  /** 5-gram global-bucket shingle rows over `documents` — the calibrated
+    * near-dup family's representation (q124's operating point: 5-gram for
+    * per-shingle selectivity on a saturated corpus, one global bucket
+    * because near-duplication crosses source boundaries). Cheap narrow
+    * map — rebuilt per consumer, not cached. */
+  private def shingles5(s: SparkSession, dir: String): DataFrame =
+    TextOps.shingleRows(Tables.documents(s, dir),
+      col("doc_id"), lit("all"), col("text"), n = 5)
+
+  /** The CALIBRATED candidate-pair pool ([[DedupOps.nearDupCandidates]]
+    * under the default [[DedupOps.CandidateGen.QuantileCapped]]: 0.95
+    * df-quantile cap floored at 2, 8 minhashes banded r = 2) — the
+    * measured-linear generator (three decades, 5 k→500 k docs, flat
+    * 0.85–0.88 recall; SURVEY §6.1). This pool feeds the exact verifiers:
+    * Jaccard ([[calibratedPairs]]) and edit distance (q65). */
+  def calibratedCandidates(s: SparkSession, dir: String): DataFrame =
+    Shared.cached(s, s"calib-cand:$dir") {
+      DedupOps.nearDupCandidates(shingles5(s, dir))
     }
 
-  /** Connected components over [[minhashPairs]] — q53's and q101's shared
-    * (node, comp) labeling. */
-  def minhashComps(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-    Shared.cached(s, s"minhash-cc:$dir") {
+  /** The calibrated VERIFIED pair graph — [[calibratedCandidates]] passed
+    * through exact full-set Jaccard ≥ 0.5 ([[DedupOps.jaccardVerifyPairs]];
+    * composition bit-identical to [[DedupOps.nearDupVerifiedPairs]]): the
+    * production edge set (q124's) that the whole CC family clusters.
+    * LSH candidates never feed connected components unverified — the q53
+    * giant-cluster lesson — so the shared graph is the verified one. */
+  def calibratedPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = calibratedCandidates(s, dir)
+    Shared.cached(s, s"calib-pairs:$dir") {
+      DedupOps.jaccardVerifyPairs(cand, shingles5(s, dir), 0.5)
+    }
+  }
+
+  /** Connected components over [[calibratedPairs]] — the (node, comp)
+    * labeling q53/q101/q171/q173/q175 and q111's full-graph oracle share. */
+  def calibratedComps(s: SparkSession, dir: String): DataFrame = {
+    val pairs = calibratedPairs(s, dir)
+    Shared.cached(s, s"calib-cc:$dir") {
       GraphOps.connectedComponents(pairs, "a_id", "b_id")
     }
   }
 
-  /** q111's STANDING labeling: CC over the "already indexed" part of the
-    * pair graph (every pair not touching a doc_id ≡ 0 mod 5). In a real
-    * crawl this is exactly the state that exists BEFORE the batch arrives
-    * (the (node, comp) table the incremental merge reads and rewrites), so
-    * serving it from the session materialization is the honest model —
-    * the per-invocation work q111 then measures is the merge itself. */
-  def minhashOldComps(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-    Shared.cached(s, s"minhash-oldcc:$dir") {
-      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
-      GraphOps.connectedComponents(
-        pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), "a_id", "b_id")
-    }
-  }
-
-  /** q173's standing labeling: like [[minhashOldComps]] but with the fresh
-    * batch at doc_id ≡ 0 mod 3. The fixtures' dup groups all live on ids
-    * ≡ 0 mod 5 with member offsets ≡ 0 mod 20, so the %5 batch leaves the
-    * OLD pair graph empty (every pair touches a fresh doc — fine for
-    * q111's merge≡recompute check, degenerate for measuring label churn);
-    * offsets mod 3 vary, so the %3 batch yields a nonempty standing
-    * graph AND real cross-batch merges — the case where component labels
-    * actually move. */
-  def minhashOldCompsMod3(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir)
-    Shared.cached(s, s"minhash-oldcc3:$dir") {
+  /** The STANDING labeling for the incremental/churn family (q111/q173/
+    * q175): CC over the "already indexed" part of the verified pair graph
+    * — every pair not touching a doc_id ≡ 0 mod 3. In a real crawl this is
+    * exactly the state that exists BEFORE a batch arrives (the (node,
+    * comp) table the incremental merge reads and rewrites), so serving it
+    * from the session materialization is the honest model — the
+    * per-invocation work the consumers then measure is the merge itself.
+    * Mod 3 (not 5): the fixtures' dup groups live on ids ≡ 0 mod 5 with
+    * member offsets ≡ 0 mod 20, so a %5 batch would leave the standing
+    * graph EMPTY (every true pair touches a fresh doc), while offsets vary
+    * mod 3 — the %3 batch yields a nonempty standing graph AND real
+    * cross-batch merges, the case where component labels actually move. */
+  def calibratedOldCompsMod3(s: SparkSession, dir: String): DataFrame = {
+    val pairs = calibratedPairs(s, dir)
+    Shared.cached(s, s"calib-oldcc3:$dir") {
       val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
       GraphOps.connectedComponents(
         pairs.filter(!isNew(col("a_id")) && !isNew(col("b_id"))), "a_id", "b_id")
     }
   }
+
+  /** The session's trained tuned-ANN artifact
+    * ([[SimilarityOps.trainTunedAnnIndex]]: Lloyd IVF cells + the
+    * recall-targeted LSH sweep under them) — train-once state a serving
+    * job holds, shared so the ~6× train-vs-serve cost split is visible:
+    * the bench itemizes THIS build as its own row and q169 prices only
+    * the artifact round-trip + serve. Deterministic (fixed seed, rounded
+    * Lloyd updates), so sharing cannot move any consumer's result. */
+  def tunedAnnIndex(s: SparkSession, dir: String): SimilarityOps.AnnIndex =
+    Shared.cachedValue(s, s"tuned-ann:$dir") {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.trainTunedAnnIndex(emb, "vec_id",
+        col("embedding"), dim = 64, kCells = 4, lloydIters = 2,
+        queries = emb.filter(col("vec_id") < 10), k = 10,
+        configs = annSweepConfigs, recallTarget = 0.8)
+    }
 
   /** Connected components over the embedding-cosine near-dup pair graph
     * (cell × sign-LSH candidates, threshold 0.35) — q61's clusters and
@@ -104,6 +138,87 @@ object SharedPipelines {
 
 /** Oracle-SQL fragments shared across query groups. */
 object OracleSql {
+
+  /** DuckDB replay of the CALIBRATED candidate generator
+    * ([[SharedPipelines.calibratedCandidates]] ≡ [[graft.operators.DedupOps
+    * .nearDupCandidates]] under the QuantileCapped default): 5-gram global
+    * shingles → 0.95 df-quantile cap floored at 2 → 8 minhashes banded
+    * r = 2 → DISTINCT band-collision pairs. CTE chain ends at
+    * `pairs(a_id, b_id)`; also exposes `ex0` (uncapped shingle rows) and
+    * `sizes` (full set sizes) for the verify stage. ONE copy of the
+    * generator SQL serves every consumer (q65/q114/q124 and the CC
+    * family's closure prefix), so a hashing/cap/band change can never fork
+    * the oracles. */
+  val calibratedPairsCtes: String =
+    ("""sets AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+           |      THEN list_transform(range(len(string_split(text,' ')) - 4),
+           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+           |          || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]
+           |          || ' ' || string_split(text,' ')[i+5])
+           |      ELSE [] END) AS shset
+           |  FROM documents),
+           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
+           |sizes AS (SELECT doc_id, len(shset) AS setsize FROM sets WHERE len(shset) > 0),
+           |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
+           |thr AS (SELECT greatest(min(df), 2) AS t FROM (
+           |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
+           |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN dfs USING (sh), thr
+           |  WHERE dfs.df <= thr.t),
+           |hashed AS (
+           |  SELECT doc_id,
+           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
+           |  FROM ex),
+           |mh AS (
+           |  SELECT doc_id, j.j AS j, min(h1 + j.j * h2) AS h
+           |  FROM hashed, unnest(range(8)) AS j(j)
+           |  GROUP BY 1, 2),
+           |bands AS (
+           |  SELECT doc_id, j // 2 AS band, string_agg(h::VARCHAR, ':' ORDER BY j) AS bk
+           |  FROM mh GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""").stripMargin
+
+  /** [[calibratedPairsCtes]] + the exact full-set-Jaccard verify at 0.5
+    * ([[SharedPipelines.calibratedPairs]] ≡ [[graft.operators.DedupOps
+    * .jaccardVerifyPairs]]) — ends at `edges(src, dst)`, the verified
+    * near-dup edge set. */
+  val calibratedEdgesCtes: String = calibratedPairsCtes +
+    (""",
+           |cmn AS (
+           |  SELECT p.a_id, p.b_id, count(*) AS n_common
+           |  FROM pairs p
+           |  JOIN ex0 a ON a.doc_id = p.a_id
+           |  JOIN ex0 b ON b.doc_id = p.b_id AND b.sh = a.sh
+           |  GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM cmn
+           |  JOIN sizes sa ON sa.doc_id = a_id
+           |  JOIN sizes sb ON sb.doc_id = b_id
+           |  WHERE round(CAST(n_common AS DOUBLE)
+           |      / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) >= 0.5)""").stripMargin
+
+  /** Recursive-CTE min-label closure over [[calibratedEdgesCtes]], ending
+    * at the `comps(node, comp)` labeling ([[SharedPipelines
+    * .calibratedComps]]). Opens `WITH RECURSIVE`; callers append either a
+    * final SELECT (keepers, split assignment) or further CTEs after a
+    * comma. Also exposes `und` (the undirected edge list) for consumers
+    * that re-close over a filtered subgraph (q173/q175's standing
+    * labeling). Tractable at oracle scale because reachability pairs are
+    * bounded by the VERIFIED pair graph — true near-dups only, sparser
+    * than any candidate pool. */
+  val calibratedCompsPrefix: String = "WITH RECURSIVE " + calibratedEdgesCtes +
+    (""",
+           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+           |walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM und
+           |  UNION
+           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)""").stripMargin
 
   /** DuckDB expression equivalent to
     * [[graft.operators.SimilarityOps.signLshBucket]] over LITERAL

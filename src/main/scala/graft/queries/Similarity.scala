@@ -625,7 +625,7 @@ object Similarity extends QueryGroup {
     * reproduces each config's candidate join with its literal plane sets
     * (agree-on-any-table expressed as an OR of per-table bucket
     * equalities) and the same cheapest-meeting window. */
-  private val q117Configs = Seq((1, 2), (2, 2), (4, 2), (8, 2), (2, 4), (4, 4))
+  private val q117Configs = SharedPipelines.annSweepConfigs
   private val q117 = QueryDef(
     "q117_lsh_autotune",
     (s, dir) => {
@@ -1017,9 +1017,15 @@ object Similarity extends QueryGroup {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
-      val idx = SimilarityOps.trainTunedAnnIndex(emb, "vec_id",
-        col("embedding"), dim = 64, kCells = 4, lloydIters = 2,
-        queries = queries, k = 10, configs = q117Configs, recallTarget = 0.8)
+      // Train-once state served from the session ([[SharedPipelines
+      // .tunedAnnIndex]] — identical parameters, deterministic result):
+      // the bench itemizes the train+sweep as its own shared row, so THIS
+      // query prices what a serving job pays — the artifact round-trip
+      // (write → reload) plus the bucket-bounded serve join. The
+      // round-trip stays inside the hash on purpose: a persistence bug
+      // (lost precision, reordered centroids, dropped geometry) must
+      // mismatch here even when training is perfect.
+      val idx = SharedPipelines.tunedAnnIndex(s, dir)
       val path = graft.engine.Scratch.dir(s,
         s"q169_ann_${new java.io.File(dir).getName}")
       SimilarityOps.writeAnnIndex(s, path, idx)

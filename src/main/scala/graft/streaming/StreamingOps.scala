@@ -499,12 +499,34 @@ object StreamingOps {
     * domain × 8 flag combos| — never by stream age (both stores compact
     * every `compactEvery` batches). Snapshots land replay-idempotently
     * under `outPath/raw/batch=<id>` (a replayed batch overwrites its own
-    * partition — the T1 discipline). */
+    * partition — the T1 discipline).
+    *
+    * OPT-IN stream-content dedup (`streamFpIndexPath`, round-11 verdict
+    * task #4): by default novelty is checked against the FIXED corpus
+    * artifact only — faithful to batch q150, where the whole "stream" is
+    * one fresh set — so the SAME text re-crawled under a DIFFERENT URL in
+    * a later batch is admitted twice (the URL index can't see it, the
+    * corpus Bloom never grows). Passing a path enables a GROWING standing
+    * fingerprint index: each batch's corpus-novel fps are content-deduped
+    * within the batch (first doc_id wins, the curl-stage rule), probed
+    * against the fps admitted by STRICTLY EARLIER batches, and the
+    * survivors appended to the store. The probe is Bloom-accelerated the
+    * bloomPrunedNovel way — a driver-held sketch OR-merges each batch's
+    * fps ([[graft.operators.DedupOps.mergeBloomIndexes]]), rebuilt from
+    * the store on restart, so a false positive costs one exact rescan and
+    * never correctness; replay is safe because the exact side reads only
+    * earlier batches and re-OR-ing the same bits is idempotent. THIS IS A
+    * DELIBERATE SEMANTIC DIVERGENCE from batch q150: `novel` (and
+    * everything downstream of it) then means "novel vs corpus AND vs the
+    * stream so far", so snapshots no longer equal the batch pipeline on
+    * the prefix — the spec asserts prefix-equality for the default and
+    * the second-arrival drop for the opt-in. */
   def streamingAdmissionFunnel(docs: DataFrame, checkpoint: String,
       urlIndexPath: String, statsPath: String, outPath: String,
       corpusFps: DataFrame, corpusBloom: graft.operators.DedupOps.BloomIndex,
       entropyMin: Double = 4.0, z: Double = 3.5,
-      compactEvery: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactEvery: Int = 16,
+      streamFpIndexPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -530,9 +552,33 @@ object StreamingOps {
         }).persist()
         // (2) novelty vs the standing corpus; (3) entropy on the novel
         // sliver only (exactly q150's evaluation set).
-        val novel = DedupOps.bloomPrunedNovel(kept, "fp", corpusFps, corpusBloom)
-          .persist()
+        val corpusNovel = DedupOps.bloomPrunedNovel(kept, "fp", corpusFps, corpusBloom)
+        // (2b, opt-in) novelty vs the STREAM so far: content-dedup within
+        // the batch (first doc_id per fp — the curl-stage rule), then the
+        // Bloom-accelerated probe of fps admitted by earlier batches.
+        val novel = (streamFpIndexPath match {
+          case None => corpusNovel
+          case Some(fpPath) =>
+            StandingStore.maybeCompact(spark, fpPath, id, compactEvery,
+              _.select(col("fp")).distinct())
+            val intra = corpusNovel.withColumn("__fn", row_number().over(
+                Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+              .filter(col("__fn") === 1).drop("__fn")
+            val out = StandingStore.readBefore(spark, fpPath, id) match {
+              case Some(seen) =>
+                val seenFps = seen.select(col("fp")).distinct()
+                DedupOps.bloomPrunedNovel(intra, "fp", seenFps,
+                  StreamFpBloom.getOrRebuild(spark, fpPath, seenFps))
+              case None => intra
+            }
+            out
+        }).persist()
         try {
+          streamFpIndexPath.foreach { fpPath =>
+            val outFps = novel.select(col("fp")).distinct()
+            StandingStore.writeRaw(outFps, fpPath, id)
+            StreamFpBloom.mergeIn(spark, fpPath, outFps)
+          }
           val hOk = TextOps.docCharEntropy(novel, col("doc_id"), col("text"))
             .select(col("doc_id"), (col("h") >= entropyMin).as("__h_ok"))
           // register this batch's partials: flag histogram + curl keys
@@ -581,6 +627,49 @@ object StreamingOps {
           b.unpersist(false)
         }
       }
+
+  /** Driver-held Bloom over the growing stream-fingerprint index
+    * ([[streamingAdmissionFunnel]]'s opt-in stage): per batch the admitted
+    * fps' sketch OR-merges into the standing one
+    * ([[graft.operators.DedupOps.mergeBloomIndexes]]) — KB-sized driver
+    * state however long the stream runs, rebuilt from the exact store on
+    * restart (cache keyed by applicationId + path). FIXED geometry (2^21
+    * bits, k = 5 — ~0.1% fp rate at 10^5 keys) so every batch's sketch is
+    * merge-compatible; saturation only raises the false-positive rate,
+    * which costs exact rescans, never correctness (the bloomPrunedNovel
+    * contract). Merge is idempotent (OR of the same bits), so a replayed
+    * batch cannot corrupt the sketch. */
+  private object StreamFpBloom {
+    import graft.operators.DedupOps
+    private val mBits = 1 << 21
+    private val k = 5
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), DedupOps.BloomIndex]()
+
+    /** The standing sketch for `path`, rebuilt from the exact store's fps
+      * on a cache miss (fresh driver). */
+    def getOrRebuild(spark: SparkSession, path: String,
+        seenFps: DataFrame): DedupOps.BloomIndex = {
+      val key = (spark.sparkContext.applicationId, path)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val built = DedupOps.buildFingerprintBloom(seenFps, col("fp"), k, mBits)
+        val prior = cache.putIfAbsent(key, built)
+        if (prior == null) built else prior
+      }
+    }
+
+    /** OR-merge one batch's fps into the standing sketch (seeds the cache
+      * when this is the stream's first batch). */
+    def mergeIn(spark: SparkSession, path: String, batchFps: DataFrame): Unit = {
+      val key = (spark.sparkContext.applicationId, path)
+      val b = DedupOps.buildFingerprintBloom(batchFps, col("fp"), k, mBits)
+      cache.merge(key, b,
+        (a: DedupOps.BloomIndex, x: DedupOps.BloomIndex) =>
+          DedupOps.mergeBloomIndexes(a, x))
+    }
+  }
 
   /** Convenience: run a streaming query until all currently-available input
     * is processed, then stop (test/batch-catchup harness). */

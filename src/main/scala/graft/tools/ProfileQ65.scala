@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.operators.{DedupOps, TextOps}
 
-/** Throwaway stage-by-stage profile of q65's pipeline at one SF dir. */
+/** Throwaway stage-by-stage profile of q65's pipeline at one SF dir.
+  * Round 12 re-anchored q65 onto the calibrated generator
+  * ([[graft.queries.SharedPipelines.calibratedCandidates]]); this profiles
+  * BOTH pools so the re-anchoring's verify-cost delta stays measurable. */
 object ProfileQ65 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -25,15 +28,16 @@ object ProfileQ65 {
 
     val shingles = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
     val cands = DedupOps.minhashLshCandidatesFromRows(shingles, 8, maxDf = 50)
-    time("candidates-count")(println("n=" + cands.count()))
-    time("candidates-count-2")(println("n=" + cands.count()))
+    time("fixedcap-candidates-count")(println("n=" + cands.count()))
     val pinned = cands.localCheckpoint()
-    time("pin")(println("n=" + pinned.count()))
-    time("verify-from-pinned") {
+    time("fixedcap-pin")(println("n=" + pinned.count()))
+    time("fixedcap-verify-from-pinned") {
       println("n=" + DedupOps.editDistanceVerify(docs, "doc_id", col("text"), pinned, 320).count())
     }
-    time("full-q65") {
-      println("n=" + DedupOps.editDistanceVerify(docs, "doc_id", col("text"), cands, 320).count())
+    val calib = graft.queries.SharedPipelines.calibratedCandidates(spark, dir)
+    time("calibrated-candidates-build")(println("n=" + calib.count()))
+    time("calibrated-verify (q65 production path)") {
+      println("n=" + DedupOps.editDistanceVerify(docs, "doc_id", col("text"), calib, 320).count())
     }
     spark.stop()
   }

@@ -811,6 +811,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixtureEffective: zero total effective mass and null fp are refused loudly (round-11 advice)") {
+    def messageChain(t: Throwable): String =
+      Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val allBuckets = "0123456789abcdef".map(_.toString)
+    // every source's effective mass 0 (zero-token docs): the normalizer
+    // would divide 0/0 — previously an engine-version-dependent NaN/NULL
+    // fork (DuckDB needs ieee_floating_point_ops for NaN); now a named
+    // refusal on BOTH sides.
+    val zeroMass = Seq(("a", 0L, "f1"), ("b", 0L, "f2")).toDF("source", "nt", "fp")
+    val eZero = intercept[Exception] {
+      CurationOps.temperatureMixtureEffective(zeroMass, col("source"),
+        col("nt"), col("fp"), allBuckets, 1000L).collect()
+    }
+    assert(messageChain(eZero).contains("effective token mass is zero"))
+    // a null fingerprint would skew r̂ invisibly — refused by name
+    val withNull = Seq(("a", 10L, "f1"), ("a", 10L, null))
+      .toDF("source", "nt", "fp")
+    val eNull = intercept[Exception] {
+      CurationOps.temperatureMixtureEffective(withNull, col("source"),
+        col("nt"), col("fp"), allBuckets, 1000L).collect()
+    }
+    assert(messageChain(eNull).contains("fp must be non-null"))
+  }
+
   private def md5String(i: Int): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8"))

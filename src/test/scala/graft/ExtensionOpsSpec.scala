@@ -1234,7 +1234,29 @@ class ExtensionOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DedupOps.sampledDupRateJackknife(df, col("source"), col("fp"), Seq("0", "0"))
     }
+    // round-12 contract: a NULL fingerprint is refused loudly (it would
+    // inflate dup_rate via countDistinct-vs-count and silently vanish from
+    // the sampled branch) — in BOTH the row and the histogram form.
+    val withNull = Seq(("s1", "f1"), ("s1", null)).toDF("source", "fp")
+    val eNull = intercept[Exception] {
+      DedupOps.sampledDupRateJackknife(
+        withNull, col("source"), col("fp"), allBuckets).collect()
+    }
+    assert(messageChain(eNull).contains("fp must be non-null"))
+    val eNullH = intercept[Exception] {
+      DedupOps.sampledDupRateJackknifeFromCounts(
+        withNull.withColumn("n", lit(1L)),
+        col("source"), col("fp"), col("n"), allBuckets).collect()
+    }
+    assert(messageChain(eNullH).contains("fp must be non-null"))
   }
+
+  /** Concatenated message chain of a throwable — Spark surfaces
+    * raise_error through task-failure wrappers, so the named message may
+    * sit on a cause. */
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
 
   test("X4: category entropy — 0 for monolingual, 1 bit for a 50/50 mix") {
     val df = Seq(

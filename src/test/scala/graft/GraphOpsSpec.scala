@@ -265,4 +265,31 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, String, String, String)].collect()
     assert(clean.forall(_._5 === "keep"))
   }
+
+  test("leakproofSplit/evalQuarantine refuse duplicate-id inputs loudly (round-11 advice)") {
+    def messageChain(t: Throwable): String =
+      Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val docs = (0L until 10L).toDF("doc_id")
+    val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+    // a duplicate components.node row would fan the id-join out and
+    // duplicate that doc in every downstream split count — refused by name
+    val badComps = Seq((1L, 0L), (1L, 5L), (2L, 0L)).toDF("node", "comp")
+    val e1 = intercept[Exception] {
+      GraphOps.leakproofSplit(docs, "doc_id", badComps, cuts).collect()
+    }
+    assert(messageChain(e1).contains("one row per node"))
+    // the well-formed labeling still passes through the guard unchanged
+    val ok = GraphOps.leakproofSplit(docs, "doc_id",
+      Seq((1L, 0L), (2L, 0L)).toDF("node", "comp"), cuts)
+    assert(ok.count() === 10L)
+    // duplicate oldSplits.id: the historical fact table is one row per id
+    val assigned = Seq((1L, 10L, "test"), (2L, 10L, "test"))
+      .toDF("doc_id", "rep_id", "split")
+    val badOld = Seq((1L, "train"), (1L, "test")).toDF("doc_id", "old_split")
+    val e2 = intercept[Exception] {
+      GraphOps.evalQuarantine(assigned, "doc_id", badOld).collect()
+    }
+    assert(messageChain(e2).contains("one row per id"))
+  }
 }

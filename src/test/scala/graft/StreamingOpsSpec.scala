@@ -771,6 +771,52 @@ class StreamingOpsSpec extends SparkSpec {
     corpus.unpersist(false)
   }
 
+  test("X1-stream: opt-in stream-fp index drops same-content re-crawls under new URLs; " +
+      "the default stays faithful to batch q150 and admits them") {
+    import graft.operators.DedupOps
+    // Corpus disjoint from the stream: every drop below is the stream
+    // index's doing, never the corpus Bloom's.
+    val corpus = Seq((0L, "s1", "standing corpus document zero with varied words"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("fp", md5(col("text").cast("binary"))).persist()
+    val bloom = DedupOps.buildFingerprintBloom(corpus, col("fp"))
+    val same = "identical content re crawled under several different urls"
+    // w1/w5 carry the SAME text within batch 0 (intra-batch content dup);
+    // w3 re-crawls it in batch 1 (cross-batch dup); w2/w4 are unique.
+    val batches: Seq[Seq[(Long, String, String, String)]] = Seq(
+      Seq((200L, "s1", same, "w1"),
+        (201L, "s1", "a wholly different first batch document with letters", "w2"),
+        (204L, "s1", same, "w5")),
+      Seq((202L, "s1", same, "w3"),
+        (203L, "s1", "another quite different second batch document words", "w4")))
+    def decorated(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+    def run(fpIndex: Option[String]): (Long, Long, Long) = {
+      val input = MemoryStream[(Long, String, String, String)](spark)
+      val (cp, ui, st, out) = (tmp("sfp_cp"), tmp("sfp_url"), tmp("sfp_st"), tmp("sfp_out"))
+      val q = StreamingOps.streamingAdmissionFunnel(
+        decorated(input.toDF().toDF("doc_id", "source", "text", "curl")),
+        cp, ui, st, out, corpus, bloom,
+        streamFpIndexPath = fpIndex).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val last = spark.read.parquet(s"$out/raw/batch=${batches.size - 1}")
+          .select("n_fetched", "n_url_unique", "n_novel")
+          .as[(Long, Long, Long)].collect()
+        assert(last.length === 1)
+        last.head
+      } finally q.stop()
+    }
+    // Default (batch-q150 semantics): all 5 URLs are unique and nothing is
+    // in the corpus, so all 5 count as novel — including both re-crawls.
+    assert(run(None) === ((5L, 5L, 5L)))
+    // Opt-in: the intra-batch copy (w5) and the cross-batch re-crawl (w3)
+    // are dropped by content; only the first arrival of `same` survives.
+    assert(run(Some(tmp("sfp_idx"))) === ((5L, 5L, 3L)))
+    corpus.unpersist(false)
+  }
+
   test("T4/A: a streaming rollup maintained per micro-batch equals the batch recompute") {
     // q165's monoid driven by the stream: each micro-batch's PARTIAL
     // rollupState merges into a versioned standing level (read v=id-1,
