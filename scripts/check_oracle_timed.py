@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""check_oracle with per-query wall timing and a per-query timeout.
+
+Same comparison semantics as check_oracle.py (sorted columns, bitwise
+floats), plus: each oracle runs under a watchdog that interrupts DuckDB
+after --timeout seconds (default 1800). Timed-out queries are reported
+TIMEOUT (diagnosed, not failed silently) — the sf10 tier's purpose is to
+find exactly which ORACLE-side CTEs stop being payable two decades above
+the fixture, separately from engine correctness. Writes a JSON timing
+record to --out.
+
+Usage: check_oracle_timed.py <sfDir> <verifyOutDir> [--only q1,q2]
+       [--timeout SEC] [--out timings.json]
+"""
+import json, math, sys, glob, os, struct, threading, time
+import duckdb
+
+
+def canon(rows):
+    out = []
+    for row in rows:
+        r = []
+        for v in row:
+            if isinstance(v, float):
+                r.append("NaN" if math.isnan(v) else struct.pack("<d", v).hex())
+            else:
+                r.append(str(v) if v is not None else None)
+        out.append(tuple(r))
+    out.sort(key=lambda t: tuple((x is None, x if x is not None else "") for x in t))
+    return out
+
+
+def views(con, sf_dir):
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-8]
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only, timeout, out_path = None, 1800.0, None
+    i = 2
+    while i < len(args):
+        if args[i] == "--only":
+            only = set(args[i + 1].split(",")); i += 2
+        elif args[i] == "--timeout":
+            timeout = float(args[i + 1]); i += 2
+        elif args[i] == "--out":
+            out_path = args[i + 1]; i += 2
+        else:
+            print(f"unknown arg {args[i]}"); return 2
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        missing = only - set(oracle)
+        if missing:
+            print(f"FAIL unknown query name(s): {', '.join(sorted(missing))}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    results = {}
+    n_pass = n_fail = n_timeout = 0
+    for name in sorted(oracle):
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark result dir", flush=True)
+            results[name] = {"status": "fail", "reason": "no spark result"}
+            n_fail += 1
+            continue
+        # Fresh connection per query: an interrupt can leave a connection
+        # unusable, and view setup is metadata-only (lazy scans).
+        con = duckdb.connect()
+        views(con, sf_dir)
+        timed_out = threading.Event()
+
+        def watchdog(c=con, ev=timed_out):
+            ev.set()
+            c.interrupt()
+
+        t = threading.Timer(timeout, watchdog)
+        t.start()
+        t0 = time.monotonic()
+        try:
+            duck = con.sql(oracle[name])
+            duck_cols = sorted(duck.columns)
+            sp = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            sp_cols = sorted(sp.columns)
+            if duck_cols != sp_cols:
+                t.cancel(); con.close()
+                print(f"FAIL {name}: cols duck={duck_cols} spark={sp_cols}",
+                      flush=True)
+                results[name] = {"status": "fail", "reason": "cols"}
+                n_fail += 1
+                continue
+            proj = ", ".join(f'"{c}"' for c in duck_cols)
+            con.execute(f"CREATE TEMP TABLE __d AS SELECT {proj} FROM ({oracle[name]})")
+            con.execute("CREATE TEMP TABLE __s AS SELECT " + proj +
+                        f" FROM read_parquet('{spark_path}/*.parquet')")
+            nd = con.sql("SELECT count(*) FROM __d").fetchone()[0]
+            ns = con.sql("SELECT count(*) FROM __s").fetchone()[0]
+            if nd != ns:
+                t.cancel(); con.close()
+                print(f"FAIL {name}: rows duck={nd} spark={ns}", flush=True)
+                results[name] = {"status": "fail", "reason": "rows",
+                                 "sec": round(time.monotonic() - t0, 1)}
+                n_fail += 1
+                continue
+            if nd <= 200_000:
+                # Exact driver semantics: bitwise floats, sorted rows.
+                duck_canon = canon(con.sql("SELECT * FROM __d").df()
+                                   .itertuples(index=False, name=None))
+                sp_canon = canon(con.sql("SELECT * FROM __s").df()
+                                 .itertuples(index=False, name=None))
+                mismatch = duck_canon != sp_canon
+                diff = ([(a, b) for a, b in zip(duck_canon, sp_canon) if a != b][:3]
+                        if mismatch else [])
+            else:
+                # Large outputs: multiset EXCEPT in DuckDB (vectorized;
+                # NaN-safe value equality — weaker than bitwise only on
+                # -0.0 vs +0.0, which the engine's output-rounding
+                # discipline already excludes at the driver-gated tiers).
+                d = con.sql(
+                    "SELECT count(*) FROM ((SELECT * FROM __d EXCEPT ALL "
+                    "SELECT * FROM __s) UNION ALL (SELECT * FROM __s "
+                    "EXCEPT ALL SELECT * FROM __d))").fetchone()[0]
+                mismatch = d != 0
+                diff = [f"except_all_diff_rows={d}"] if mismatch else []
+            dt = time.monotonic() - t0
+            t.cancel()
+            con.close()
+            if mismatch:
+                print(f"FAIL {name}: value mismatch, first diffs: {diff}",
+                      flush=True)
+                results[name] = {"status": "fail", "sec": round(dt, 1),
+                                 "reason": "values"}
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({nd} rows, {dt:.1f}s)", flush=True)
+                results[name] = {"status": "pass", "sec": round(dt, 1),
+                                 "rows": nd}
+                n_pass += 1
+            continue
+        except Exception as e:
+            dt = time.monotonic() - t0
+            t.cancel()
+            if timed_out.is_set():
+                print(f"TIMEOUT {name} after {dt:.1f}s", flush=True)
+                results[name] = {"status": "timeout", "sec": round(dt, 1)}
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: exception {e}", flush=True)
+                results[name] = {"status": "fail", "sec": round(dt, 1),
+                                 "reason": str(e)[:300]}
+                n_fail += 1
+            con.close()
+            continue
+    print(f"== {n_pass} pass / {n_fail} fail / {n_timeout} timeout ==")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
