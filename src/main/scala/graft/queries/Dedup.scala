@@ -520,57 +520,54 @@ object Dedup extends QueryGroup {
            |  GROUP BY 1, 2)
            |SELECT a_id, b_id, n_shared_bands FROM pairs ORDER BY a_id, b_id""".stripMargin))
 
-  /** X2×X8 verify-before-cluster — the production composition the sf1
-    * audit showed is mandatory at scale: clustering RAW LSH candidates
-    * percolates into giant components under saturation (q53's audit row hit
-    * a 46k-doc cluster at sf1), so real pipelines verify candidates (exact
-    * Jaccard here, q65's edit-distance elsewhere) BEFORE connected
-    * components. Edges = shared-shingle pairs with exact Jaccard ≥ 0.5
-    * over the GLOBAL bucket (near-duplicates cross source boundaries — the
-    * same reason q78 audits global leakage; a source-bucketed verify would
-    * miss nearly every true copy in this corpus); clusters then contain
-    * only true near-duplicates. The oracle composes q22's verified pair
-    * CTE, globalized, with the recursive-CTE closure. */
+  /** X2×X8 verification-shrinkage audit — what the exact-verify stage
+    * BUYS before clustering, measured on the calibrated graph: connected
+    * components over the RAW banded candidate pool
+    * ([[SharedPipelines.calibratedCandidates]]) vs over the exact-Jaccard
+    * VERIFIED edge set ([[SharedPipelines.calibratedComps]]), one audit
+    * row per variant (cluster count, node count, max cluster). Verify-
+    * before-CC is the production ordering because unverified LSH edges
+    * percolate (q53's historical raw-pool audit hit a 46k-doc cluster at
+    * sf1); this query puts the before/after contrast itself inside the
+    * oracle hash. Round 12: re-anchored off the fixed-df q22 demo pool —
+    * the last fixed-cap composition outside the four named baselines —
+    * which MEASURED EMPTY at sf10 (500 k saturated docs drive every
+    * 3-gram's df past 50, the round-7 collapse at its endpoint; timing
+    * record target/r12_sf10_timings.json), so the audit now rides the
+    * measured-linear calibrated pool and stays live at every tier. */
   private val q119 = QueryDef(
-    "q119_verified_clusters",
+    "q119_verify_shrinkage",
     (s, dir) => {
-      val globalShingles = TextOps.shingleRows(Tables.documents(s, dir),
-        col("doc_id"), lit("all"), col("text"))
-      val verified = DedupOps.jaccardPairsFromRows(globalShingles, maxDf = 50)
-        .filter(col("jaccard") >= 0.5)
-      graft.operators.GraphOps.clusterKeepers(
-          graft.operators.GraphOps.connectedComponents(verified, "a_id", "b_id"))
-        .orderBy(col("keeper_id"))
+      def audit(cc: org.apache.spark.sql.DataFrame, label: String)
+          : org.apache.spark.sql.DataFrame =
+        cc.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_nodes"),
+            max(col("n")).as("max_cluster"))
+          .select(lit(label).as("variant"), col("n_clusters"), col("n_nodes"),
+            col("max_cluster"))
+      val candCC = graft.operators.GraphOps.connectedComponents(
+        SharedPipelines.calibratedCandidates(s, dir)
+          .select(col("a_id"), col("b_id")), "a_id", "b_id")
+      audit(candCC, "candidates")
+        .unionAll(audit(SharedPipelines.calibratedComps(s, dir), "verified"))
+        .orderBy(col("variant"))
     },
-    Some("""WITH RECURSIVE sets AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |sizes AS (SELECT doc_id, len(shset) AS setsize FROM sets WHERE len(shset) > 0),
-           |ex0 AS (SELECT doc_id, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
-           |common AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-           |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst
-           |  FROM common
-           |  JOIN sizes sa ON sa.doc_id = a_id
-           |  JOIN sizes sb ON sb.doc_id = b_id
-           |  WHERE round(CAST(n_common AS DOUBLE)
-           |      / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE), 6) >= 0.5),
-           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-           |walk AS (
-           |  SELECT DISTINCT src AS node, src AS comp FROM und
+    Some(OracleSql.calibratedCompsPrefix + (""",
+           |cand_und AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION SELECT b_id AS src, a_id AS dst FROM pairs),
+           |cand_walk AS (
+           |  SELECT DISTINCT src AS node, src AS comp FROM cand_und
            |  UNION
-           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
-           |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
-           |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
+           |  SELECT u.dst AS node, w.comp FROM cand_walk w JOIN cand_und u ON u.src = w.node),
+           |cand_comps AS (SELECT node, min(comp) AS comp FROM cand_walk GROUP BY node)
+           |SELECT 'candidates' AS variant, count(*) AS n_clusters,
+           |  CAST(sum(n) AS BIGINT) AS n_nodes, max(n) AS max_cluster
+           |FROM (SELECT comp, count(*) AS n FROM cand_comps GROUP BY 1)
+           |UNION ALL
+           |SELECT 'verified' AS variant, count(*) AS n_clusters,
+           |  CAST(sum(n) AS BIGINT) AS n_nodes, max(n) AS max_cluster
+           |FROM (SELECT comp, count(*) AS n FROM comps GROUP BY 1)
+           |ORDER BY variant""").stripMargin))
 
   /** X2 banded MinHash ([[DedupOps.minhashLshCandidatesBanded]], r = 2) on
     * the quantile-capped pool — the two saturation knobs COMPOSED the way a
