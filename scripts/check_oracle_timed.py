@@ -12,8 +12,13 @@ record to --out.
 Usage: check_oracle_timed.py <sfDir> <verifyOutDir> [--only q1,q2]
        [--timeout SEC] [--out timings.json]
 """
-import json, math, sys, glob, os, struct, threading, time
+import json, math, sys, glob, os, shutil, struct, threading, time
 import duckdb
+
+# DuckDB spill floor: interrupt any oracle once free disk drops below this
+# (the q124 sf10 oracle spilled >60 GB and took the whole box's tempdir
+# with it — a diagnosed-DISK result must never cascade into other jobs).
+MIN_FREE_BYTES = 25 * (1 << 30)
 
 
 def canon(rows):
@@ -34,13 +39,37 @@ def views(con, sf_dir):
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-8]
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+
+
+def load_fragments(path):
+    frag = open(path).read()
+    pairs = frag.split("===PAIRS_CTES===\n")[1].split("\n===EDGES_CTES===")[0]
+    comps = frag.split("===COMPS_PREFIX===\n")[1].split("\n===END===")[0]
+    return pairs, comps
+
+
+def rewrite_prefix(sql, fragments):
+    """If `sql` opens with a shared calibrated CTE prefix, strip it so the
+    suffix's CTE names resolve to the tables `build_cal_prefix.py`
+    materialized (same text, derived once — still DuckDB's own work)."""
+    pairs_ctes, comps_prefix = fragments
+    for prefix, kw in ((comps_prefix, "WITH RECURSIVE "),
+                       ("WITH " + pairs_ctes, "WITH ")):
+        if sql.startswith(prefix):
+            suffix = sql[len(prefix):].lstrip("\n ")
+            if suffix.startswith(","):
+                return kw + suffix.lstrip(", \n"), True
+            return suffix, True
+    return sql, False
 
 
 def main():
     args = sys.argv[1:]
     sf_dir, out_dir = args[0], args[1]
     only, timeout, out_path = None, 1800.0, None
+    fragments, db_path = None, None
     i = 2
     while i < len(args):
         if args[i] == "--only":
@@ -49,6 +78,10 @@ def main():
             timeout = float(args[i + 1]); i += 2
         elif args[i] == "--out":
             out_path = args[i + 1]; i += 2
+        elif args[i] == "--frag":
+            fragments = load_fragments(args[i + 1]); i += 2
+        elif args[i] == "--db":
+            db_path = args[i + 1]; i += 2
         else:
             print(f"unknown arg {args[i]}"); return 2
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -67,39 +100,68 @@ def main():
             results[name] = {"status": "fail", "reason": "no spark result"}
             n_fail += 1
             continue
+        # A just-interrupted spiller's temp cleanup is asynchronous: wait
+        # for the disk to recover before starting the next query, or the
+        # guard cascades one genuine DISKKILL into killing its successors.
+        for _ in range(30):
+            if shutil.disk_usage("/").free >= MIN_FREE_BYTES + 10 * (1 << 30):
+                break
+            time.sleep(10)
+        sql = oracle[name]
+        rewritten = False
+        if fragments:
+            sql, rewritten = rewrite_prefix(sql, fragments)
         # Fresh connection per query: an interrupt can leave a connection
         # unusable, and view setup is metadata-only (lazy scans).
-        con = duckdb.connect()
+        con = duckdb.connect(db_path) if db_path else duckdb.connect()
+        tmpdir = os.environ.get("DUCK_TMP")
+        if tmpdir:
+            os.makedirs(tmpdir, exist_ok=True)
+            con.execute(f"SET temp_directory='{tmpdir}'")
+        if os.environ.get("DUCK_MEM"):
+            con.execute(f"SET memory_limit='{os.environ['DUCK_MEM']}'")
+        if os.environ.get("DUCK_THREADS"):
+            con.execute(f"SET threads={os.environ['DUCK_THREADS']}")
         views(con, sf_dir)
         timed_out = threading.Event()
+        disk_killed = threading.Event()
+        done = threading.Event()
 
         def watchdog(c=con, ev=timed_out):
             ev.set()
             c.interrupt()
 
+        def disk_guard(c=con, ev=disk_killed, fin=done):
+            while not fin.wait(10):
+                if shutil.disk_usage("/").free < MIN_FREE_BYTES:
+                    ev.set()
+                    c.interrupt()
+                    return
+
+        threading.Thread(target=disk_guard, daemon=True).start()
         t = threading.Timer(timeout, watchdog)
         t.start()
         t0 = time.monotonic()
         try:
-            duck = con.sql(oracle[name])
+            duck = con.sql(sql)
             duck_cols = sorted(duck.columns)
             sp = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
             sp_cols = sorted(sp.columns)
             if duck_cols != sp_cols:
-                t.cancel(); con.close()
+                t.cancel(); done.set(); con.close()
                 print(f"FAIL {name}: cols duck={duck_cols} spark={sp_cols}",
                       flush=True)
                 results[name] = {"status": "fail", "reason": "cols"}
                 n_fail += 1
                 continue
             proj = ", ".join(f'"{c}"' for c in duck_cols)
-            con.execute(f"CREATE TEMP TABLE __d AS SELECT {proj} FROM ({oracle[name]})")
+            con.execute(f"CREATE TEMP TABLE __d AS SELECT {proj} FROM ({sql})")
             con.execute("CREATE TEMP TABLE __s AS SELECT " + proj +
                         f" FROM read_parquet('{spark_path}/*.parquet')")
             nd = con.sql("SELECT count(*) FROM __d").fetchone()[0]
             ns = con.sql("SELECT count(*) FROM __s").fetchone()[0]
             if nd != ns:
-                t.cancel(); con.close()
+                t.cancel(); done.set(); con.close()
                 print(f"FAIL {name}: rows duck={nd} spark={ns}", flush=True)
                 results[name] = {"status": "fail", "reason": "rows",
                                  "sec": round(time.monotonic() - t0, 1)}
@@ -127,6 +189,7 @@ def main():
                 diff = [f"except_all_diff_rows={d}"] if mismatch else []
             dt = time.monotonic() - t0
             t.cancel()
+            done.set()
             con.close()
             if mismatch:
                 print(f"FAIL {name}: value mismatch, first diffs: {diff}",
@@ -137,13 +200,19 @@ def main():
             else:
                 print(f"PASS {name} ({nd} rows, {dt:.1f}s)", flush=True)
                 results[name] = {"status": "pass", "sec": round(dt, 1),
-                                 "rows": nd}
+                                 "rows": nd, "rewritten": rewritten}
                 n_pass += 1
             continue
         except Exception as e:
             dt = time.monotonic() - t0
             t.cancel()
-            if timed_out.is_set():
+            done.set()
+            if disk_killed.is_set():
+                print(f"DISKKILL {name} after {dt:.1f}s (spill past free-disk floor)",
+                      flush=True)
+                results[name] = {"status": "diskkill", "sec": round(dt, 1)}
+                n_timeout += 1
+            elif timed_out.is_set():
                 print(f"TIMEOUT {name} after {dt:.1f}s", flush=True)
                 results[name] = {"status": "timeout", "sec": round(dt, 1)}
                 n_timeout += 1

@@ -453,15 +453,28 @@ object Relational extends QueryGroup {
   /** Skew path: two-phase salted aggregate over the low-cardinality
     * event_type key (the skew-prone shape at scale — every heavy key
     * otherwise lands on one reducer). Salting is semantics-preserving for
-    * the count/sum monoids, so the plain GROUP BY is the oracle. */
+    * the count/sum monoids, so the plain GROUP BY is the oracle.
+    *
+    * The sum runs in integer CENTS (`value` carries exactly ≤2 decimals —
+    * measured `max(abs(value − round(value, 2))) = 0` on the fixtures), a
+    * round-12 fix from the sf10 sweep: a DOUBLE sum over 10 M rows
+    * accumulates order-dependent error past the old round-4 guard
+    * (measured fork at sf10: Spark 99 849 750.0 vs DuckDB
+    * 99 849 749.9999 — same data, different addition order), while the
+    * cents sum is one exact long per group at any scale and the single
+    * final /100.0 is the same IEEE op on both engines. */
   private val q40 = QueryDef(
     "q40_salted_agg",
     (s, dir) => graft.operators.SkewOps
       .saltedCountSum(Tables.events(s, dir),
-        key = col("event_type"), value = col("value"), spread = col("event_id"), salts = 16)
-      .select(col("key").as("event_type"), col("cnt"), round(col("sum_value"), 4).as("sum_value"))
+        key = col("event_type"),
+        value = round(col("value") * 100).cast("long"),
+        spread = col("event_id"), salts = 16)
+      .select(col("key").as("event_type"), col("cnt"),
+        (col("sum_value") / 100.0).as("sum_value"))
       .orderBy(col("event_type")),
-    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    Some("""SELECT event_type, count(*) AS cnt,
+           |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   override val defs: Seq[QueryDef] = Seq(
