@@ -33,14 +33,34 @@ def main(a, b):
             ca, cb = sorted(ra.columns), sorted(rb.columns)
             if ca != cb:
                 print(f"FAIL {name}: columns {ca} != {cb}"); n_fail += 1; continue
-            va = canon(ra.df()[ca].itertuples(index=False, name=None))
-            vb = canon(rb.df()[cb].itertuples(index=False, name=None))
-            if va != vb:
-                diff = sum(1 for x, y in zip(va, vb) if x != y) + abs(len(va) - len(vb))
-                print(f"FAIL {name}: {len(va)} vs {len(vb)} rows, {diff} differing")
-                n_fail += 1
+            na = con.sql(f"SELECT count(*) FROM read_parquet('{a}/{name}/*.parquet')").fetchone()[0]
+            nb = con.sql(f"SELECT count(*) FROM read_parquet('{pb}/*.parquet')").fetchone()[0]
+            if na != nb:
+                print(f"FAIL {name}: {na} vs {nb} rows"); n_fail += 1; continue
+            if na <= 200_000:
+                va = canon(ra.df()[ca].itertuples(index=False, name=None))
+                vb = canon(rb.df()[cb].itertuples(index=False, name=None))
+                if va != vb:
+                    diff = sum(1 for x, y in zip(va, vb) if x != y)
+                    print(f"FAIL {name}: {na} rows, {diff} differing")
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({na} rows)"); n_pass += 1
             else:
-                print(f"PASS {name} ({len(va)} rows)"); n_pass += 1
+                # sf10-sized dumps (100M+ rows): vectorized multiset compare
+                # (NaN-safe value equality; bitwise only diverges on
+                # -0.0 vs +0.0, excluded by the output-rounding discipline).
+                proj = ", ".join(f'"{c}"' for c in ca)
+                d = con.sql(
+                    f"SELECT count(*) FROM ((SELECT {proj} FROM read_parquet('{a}/{name}/*.parquet') "
+                    f"EXCEPT ALL SELECT {proj} FROM read_parquet('{pb}/*.parquet')) UNION ALL "
+                    f"(SELECT {proj} FROM read_parquet('{pb}/*.parquet') "
+                    f"EXCEPT ALL SELECT {proj} FROM read_parquet('{a}/{name}/*.parquet')))").fetchone()[0]
+                if d:
+                    print(f"FAIL {name}: {na} rows, {d} differing (except-all)")
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({na} rows, except-all)"); n_pass += 1
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")

@@ -933,7 +933,7 @@ object Dedup extends QueryGroup {
            |  FROM documents),
            |p AS (
            |  SELECT a.doc_id AS a_id, a.text AS a_txt, b.doc_id AS b_id, b.text AS b_txt
-           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7)
+           |  FROM r a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN r b ON b.rk = a.rk + o.k)
            |SELECT a_id, b_id,
            |  CAST(levenshtein(a_txt, b_txt) AS BIGINT) AS edit_distance
            |FROM p WHERE levenshtein(a_txt, b_txt) <= 64
@@ -1104,7 +1104,7 @@ object Dedup extends QueryGroup {
            |snmp AS (
            |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
            |    greatest(a.doc_id, b.doc_id) AS b_id
-           |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7),
+           |  FROM r a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN r b ON b.rk = a.rk + o.k),
            |dfs AS (SELECT sh, count(*) AS df FROM ex0 GROUP BY 1),
            |thr AS (SELECT greatest(min(df), 2) AS t FROM (
            |  SELECT df, cume_dist() OVER (ORDER BY df) AS cd FROM dfs) WHERE cd >= 0.95),
@@ -1212,14 +1212,14 @@ object Dedup extends QueryGroup {
            |lp AS (
            |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
            |    greatest(a.doc_id, b.doc_id) AS b_id
-           |  FROM rl a JOIN rl b ON b.rk > a.rk AND b.rk - a.rk <= 7),
+           |  FROM rl a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN rl b ON b.rk = a.rk + o.k),
            |rp AS (SELECT doc_id,
            |    row_number() OVER (ORDER BY substr(text, 1, 16), doc_id) AS rk
            |  FROM documents),
            |pp AS (
            |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
            |    greatest(a.doc_id, b.doc_id) AS b_id
-           |  FROM rp a JOIN rp b ON b.rk > a.rk AND b.rk - a.rk <= 7),
+           |  FROM rp a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN rp b ON b.rk = a.rk + o.k),
            |agg AS (
            |  SELECT CAST(count(*) AS BIGINT) AS n_true,
            |    CAST(COALESCE(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_len,
@@ -1261,7 +1261,7 @@ object Dedup extends QueryGroup {
            |  FROM documents)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |  CAST(b.rk - a.rk AS BIGINT) AS gap
-           |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7
+           |FROM r a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN r b ON b.rk = a.rk + o.k
            |ORDER BY a_id, b_id, gap""".stripMargin))
 
   /** X1 the q148 sizing instrument with an ERROR BAR
