@@ -19,7 +19,14 @@ import duckdb
 
 
 def parse_ctes(text):
-    """Split 'name AS (body), name AS (body), ...' via balanced parens."""
+    """Split 'name AS (body), name AS (body), ...' via balanced parens.
+
+    LIMITATION (documented per round-12 advice): the scan counts every
+    paren, so a CTE body containing a STRING LITERAL with an unbalanced
+    paren (e.g. ``'('``) would desynchronize it. The calibrated prefix's
+    fragments carry no such literals today; if one ever appears, the scan
+    must learn to skip quoted spans. The guard below at least refuses
+    loudly instead of mis-splitting silently."""
     out = []
     i = 0
     n = len(text)
@@ -35,7 +42,13 @@ def parse_ctes(text):
             elif c == ")":
                 depth -= 1
             k += 1
-        out.append((name, text[j + len(" AS ("):k - 1]))
+        body = text[j + len(" AS ("):k - 1]
+        if not name.replace("_", "").isalnum():
+            raise ValueError(
+                f"parse_ctes desynchronized at offset {i}: parsed CTE name "
+                f"{name!r} is not an identifier — a string literal with "
+                "unbalanced parens upstream? (see docstring)")
+        out.append((name, body))
         i = k
         while i < n and text[i] in ",\n ":
             i += 1
@@ -51,14 +64,33 @@ def main(frag_path, sf_dir, db_path):
     con.execute("SET threads=24")
     con.execute("SET memory_limit='80GB'")
     con.execute("SET temp_directory='.ducktmp'")
-    import glob, os
+    import glob, os, hashlib
+    # Provenance pin (round-12 advice): a reused .db whose tables were built
+    # from DIFFERENT fragment text or a different sf dir would silently feed
+    # every prefix-rewritten oracle a wrong derivation. Hash (fragment text,
+    # resolved sf dir) into a metadata table at build time and REFUSE to
+    # reuse on mismatch — the done-skip below may then only skip tables this
+    # exact (fragments, sfDir) derivation created.
+    build_key = hashlib.sha256(
+        (frag + "\x00" + os.path.realpath(sf_dir)).encode()).hexdigest()
+    con.execute("CREATE TABLE IF NOT EXISTS __cal_prefix_meta (build_key VARCHAR)")
+    prior = [r[0] for r in con.execute(
+        "SELECT build_key FROM __cal_prefix_meta").fetchall()]
+    if prior and prior != [build_key]:
+        print(f"REFUSE: {db_path} was built from a different (fragments, sfDir) "
+              f"derivation (key {prior[0][:16]}… != {build_key[:16]}…); "
+              "delete the .db or point at the matching one", flush=True)
+        con.close()
+        sys.exit(2)
+    if not prior:
+        con.execute("INSERT INTO __cal_prefix_meta VALUES (?)", [build_key])
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-8]
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     done = {r[0] for r in con.execute(
         "SELECT table_name FROM information_schema.tables "
-        "WHERE table_type='BASE TABLE'").fetchall()}
+        "WHERE table_type='BASE TABLE'").fetchall()} - {"__cal_prefix_meta"}
     for name, cte_body in ctes:
         if name in done:
             print(f"SKIP {name} (exists)", flush=True)

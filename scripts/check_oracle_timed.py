@@ -21,6 +21,15 @@ import duckdb
 MIN_FREE_BYTES = 25 * (1 << 30)
 
 
+def spill_dir():
+    """The filesystem the guard must watch = where DuckDB actually spills:
+    DUCK_TMP when set, else '/'. Watching '/' unconditionally (round-12
+    advice) meant a DUCK_TMP on another volume either never tripped the
+    floor (that volume filled) or tripped it spuriously."""
+    d = os.environ.get("DUCK_TMP")
+    return d if d and os.path.isdir(d) else "/"
+
+
 def canon(rows):
     out = []
     for row in rows:
@@ -104,7 +113,7 @@ def main():
         # for the disk to recover before starting the next query, or the
         # guard cascades one genuine DISKKILL into killing its successors.
         for _ in range(30):
-            if shutil.disk_usage("/").free >= MIN_FREE_BYTES + 10 * (1 << 30):
+            if shutil.disk_usage(spill_dir()).free >= MIN_FREE_BYTES + 10 * (1 << 30):
                 break
             time.sleep(10)
         sql = oracle[name]
@@ -133,7 +142,7 @@ def main():
 
         def disk_guard(c=con, ev=disk_killed, fin=done):
             while not fin.wait(10):
-                if shutil.disk_usage("/").free < MIN_FREE_BYTES:
+                if shutil.disk_usage(spill_dir()).free < MIN_FREE_BYTES:
                     ev.set()
                     c.interrupt()
                     return

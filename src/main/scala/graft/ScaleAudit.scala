@@ -65,14 +65,22 @@ object ScaleAudit {
       .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L))).head.getLong(0)
 
     val shingles = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
-    val q22 = DedupOps.jaccardPairsFromRows(shingles, maxDf = 50).count()
+    // pairMassBudget = 0 (guard off): this audit IS the instrument that
+    // measures the fixed cap's blow-up curve — it must be able to count
+    // past the refusal point the production guard enforces.
+    val q22 = DedupOps.jaccardPairsFromRows(shingles, maxDf = 50,
+      pairMassBudget = 0L).count()
     val q23 = DedupOps.minhashLshCandidatesFromRows(shingles, 8, maxDf = 50).count()
     val toks = docs.withColumn("tokset", array_distinct(TextOps.tokenize(col("text"))))
-    val q24 = DedupOps.simhashBandCandidates(toks, "doc_id", col("tokset"), col("source")).count()
+    // bandMassBudget = 0 (guard off): measurement instrument — the audit
+    // counts past the refusal point the production guard enforces.
+    val q24 = DedupOps.simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"),
+      bandMassBudget = 0L).count()
     // The production posture on adversarially self-similar corpora: band
     // buckets capped at 100 members (recall trade documented on the op).
     val q24Capped = DedupOps
-      .simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"), maxBucket = 100).count()
+      .simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"), maxBucket = 100,
+        bandMassBudget = 0L).count()
 
     // q50 decontamination: both sides grow LINEARLY — probe = test-split
     // shingle rows, build = train-split distinct vocabulary (sublinear on
@@ -117,7 +125,8 @@ object ScaleAudit {
 
     // q73 idf-weighted shingle cosine shares q22's bounded shared-shingle
     // join; its pair volume before the cosine threshold IS the q22 row.
-    val q73 = DedupOps.tfidfCosinePairs(shingles, maxDf = 50, minCosine = 0.02).count()
+    val q73 = DedupOps.tfidfCosinePairs(shingles, maxDf = 50, minCosine = 0.02,
+      pairMassBudget = 0L).count() // guard off: measurement instrument
 
     // q85 content-defined chunking: same df-table state class as q67's
     // fixed chunks — the SATURATING quantity is the distinct CDC-chunk
@@ -455,6 +464,69 @@ object ScaleAuditCalibrated {
     val body = rows.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"calibrated_candidates","sf":"$sfDir","docs":$nDocs,""" +
       s""""all_pairs_docs":$allPairs,$body,""" +
+      s""""wall_sec":${math.rint(sec * 1000) / 1000}}""")
+    spark.stop()
+  }
+}
+
+/** SimHash scale posture — the round-12 verdict #1 measurement: is the
+  * BANDED simhash plan (7 bands × 9 bits) density-bounded on a REALISTIC
+  * vocabulary, with the driver fixture's blow-up being corpus pathology?
+  *
+  * Reports, per tier: band-bucket count, max bucket size, the band-join
+  * pair mass Σ C(n,2) over (bucket, band, bits) groups (= the self-join's
+  * pre-aggregation row count — what [[DedupOps.simhashBandCandidates]]'
+  * priced guard refuses on), uncapped candidate pairs, and maxBucket=100
+  * capped pairs. The UNCAPPED count is only executed when the measured
+  * mass is ≤ `maxCountMass` (default 500 M — above it the count IS the
+  * blow-up; the row then reports candidates: null with the mass as the
+  * diagnosis, the same priced-skip discipline as the production guard).
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=target/heaps_sf10 sbt "runMain graft.ScaleAuditSimhash"
+  * }}}
+  */
+object ScaleAuditSimhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/heaps_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val maxCountMass = sys.env.getOrElse("SPARK_GRAFT_MAX_COUNT_MASS", "500000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val toks = docs.withColumn("tokset", array_distinct(TextOps.tokenize(col("text"))))
+    val sigs = DedupOps.simhash63(toks.withColumn("bucket", col("source")),
+      "doc_id", col("tokset"), Seq("bucket"))
+    val bands = sigs.select(col("doc_id"), col("bucket"),
+      posexplode(array((0 until 7).map(j => expr(s"(simhash >> ${9 * j}) & 511")): _*))
+        .as(Seq("band", "bits")))
+    val grp = bands.groupBy(col("bucket"), col("band"), col("bits"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val stats = grp.agg(
+      count(lit(1)).as("buckets"),
+      max(col("n")).as("max_bucket"),
+      coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("mass")).head
+    val (buckets, maxBucket, mass) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    grp.unpersist(false)
+    val t0 = System.nanoTime()
+    val uncapped: Option[Long] =
+      if (mass <= maxCountMass)
+        Some(DedupOps.simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"),
+          bandMassBudget = 0L).count())
+      else None
+    val capped = DedupOps.simhashBandCandidates(toks, "doc_id", col("tokset"), col("source"),
+      maxBucket = 100, bandMassBudget = 0L).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"simhash_posture","sf":"$sfDir","docs":$nDocs,""" +
+      s""""band_buckets":$buckets,"max_bucket":$maxBucket,"band_join_mass":$mass,""" +
+      s""""candidates":${uncapped.fold("null")(_.toString)},""" +
+      s""""candidates_capped100":$capped,""" +
       s""""wall_sec":${math.rint(sec * 1000) / 1000}}""")
     spark.stop()
   }

@@ -81,10 +81,18 @@ object Dedup extends QueryGroup {
 
   /** X2c: SimHash-63 near-dups — same-source pairs within Hamming ≤ 6,
     * top-20 closest. Spark-side candidates come from the BANDED plan (7
-    * bands × 9 bits; pigeonhole makes recall exact for Hamming ≤ 6), so the
-    * all-pairs oracle below computes the identical result while the Spark
-    * plan's candidate volume stays near-dup-density-bounded, not
-    * corpus²/sources (round-1's scale-killer). */
+    * bands × 9 bits; pigeonhole makes recall exact for Hamming ≤ 6), so
+    * the all-pairs oracle below computes the identical result.
+    *
+    * Scale posture (round 13, measured — `ScaleAuditSimhash`): the 9-bit
+    * band space gives the band join a quadratic/512 random-collision
+    * floor once buckets outgrow ~512 docs, on ANY vocabulary (Heaps-tier
+    * mass 1.46 M → 146.6 M on a 10× corpus; fixture tier 4.69 B at 500 k
+    * docs). This query is therefore a measured BASELINE like the fixed-cap
+    * family: it runs uncapped for the exact-recall oracle contract, and
+    * the default `bandMassBudget` turns the blow-up tier into a priced
+    * refusal (r12's 45 GB disk-guard kill at sf10 → a stated cost). The
+    * calibrated MinHash pipeline is the production near-dup default. */
   private val q24 = QueryDef(
     "q24_simhash_neardup",
     (s, dir) => {
@@ -232,8 +240,13 @@ object Dedup extends QueryGroup {
     * shingles dominate and ubiquitous ones wash out. */
   private val q73 = QueryDef(
     "q73_tfidf_cosine_pairs",
+    // pairMassBudget raised above the default 200M: THIS plan's sf10 mass
+    // (432.4M sub-cap rows) is individually measured payable — the r12
+    // sweep dumped 214,163,506 result rows through it without spilling
+    // past the guard. The default stays for unmeasured callers.
     (s, dir) => DedupOps.tfidfCosinePairs(
-        docShingleRows(s, dir), maxDf = 50, minCosine = 0.02)
+        docShingleRows(s, dir), maxDf = 50, minCosine = 0.02,
+        pairMassBudget = 1000000000L)
       .orderBy(desc("cosine"), col("a_id"), col("b_id")),
     Some("""WITH sets AS (
            |  SELECT doc_id, source,
@@ -269,8 +282,11 @@ object Dedup extends QueryGroup {
     * as q22 (zero new candidate volume — BASELINE.md's q22 row covers it). */
   private val q75 = QueryDef(
     "q75_containment_pairs",
+    // pairMassBudget raised above the default 200M: same 432.4M sf10
+    // sub-cap mass as q22/q73, individually measured payable — the r12
+    // sweep hash-verified this query at sf10 in 144.6s (36.1M rows).
     (s, dir) => DedupOps.containmentPairs(docShingleRows(s, dir), maxDf = 50,
-        minContainment = 0.05)
+        minContainment = 0.05, pairMassBudget = 1000000000L)
       .select(col("a_id"), col("b_id"), col("n_common"), col("containment"))
       .orderBy(desc("containment"), col("a_id"), col("b_id")),
     Some("""WITH sets AS (

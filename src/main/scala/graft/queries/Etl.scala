@@ -291,9 +291,16 @@ object Etl extends QueryGroup {
           (col("max_v") / 100.0).as("max_value"))
         .orderBy(col("event_type"))
     },
+    // min/max go through the SAME integer-cents round-trip as the engine
+    // (round-12 advice): `min(value)` raw would be bit-identical only under
+    // the unasserted assumption that events.value carries ≤2 decimals — a
+    // future tier with more precision would surface as a spurious q165 FAIL
+    // costing a diagnosis round. Symmetric cents on both sides makes the
+    // check compare the function actually computed.
     Some("""SELECT event_type, count(value) AS n_rows,
            |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
-           |  min(value) AS min_value, max(value) AS max_value
+           |  min(CAST(round(value * 100) AS BIGINT)) / 100.0 AS min_value,
+           |  max(CAST(round(value * 100) AS BIGINT)) / 100.0 AS max_value
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
   override val defs: Seq[QueryDef] =

@@ -141,6 +141,43 @@ class ExtensionOpsSpec extends SparkSpec {
       DedupOps.CandidateGen.FixedCap(10, numHashes = 8, rowsPerBand = 3))
   }
 
+  test("X2: fixed-cap pre-flight prices the sub-cap pair mass and refuses above budget") {
+    // 40 docs all sharing a hot trigram that a df<=50 cap KEEPS: sub-cap
+    // pair mass >= C(40,2) = 780 — the join this corpus would fan into.
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"hot hot hot hot hot u${i}a u${i}b u${i}c", "s")
+    }.toDF("doc_id", "text", "source")
+    val rows = TextOps.shingleRows(docs, col("doc_id"), col("source"), col("text"))
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    // Under budget: the guard is a semantic pass-through (same pairs as
+    // guard-off), so green tiers stay bit-identical.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "n_common").as[(Long, Long, Long)].collect().toSet
+    assert(pairs(DedupOps.jaccardPairsFromRows(rows, maxDf = 50)) ===
+      pairs(DedupOps.jaccardPairsFromRows(rows, maxDf = 50, pairMassBudget = 0L)))
+    // Over budget: a PRICED refusal before the join fans out — the message
+    // carries the computed mass and the budget it exceeded.
+    val e = intercept[Throwable](
+      DedupOps.jaccardPairsFromRows(rows, maxDf = 50, pairMassBudget = 100L).count())
+    assert(chain(e).contains("pair mass") && chain(e).contains("pairMassBudget = 100"),
+      chain(e).take(500))
+    // The FixedCap POLICY carries the same ceiling (round-12 verdict #2:
+    // the construction-time refusal catches the choice, the budget catches
+    // the legitimately-chosen plan whose corpus outgrew it).
+    val e2 = intercept[Throwable](DedupOps.nearDupCandidates(rows,
+      DedupOps.CandidateGen.FixedCap(maxDf = 50, numHashes = 8,
+        pairMassBudget = 100L)).count())
+    assert(chain(e2).contains("nearDupCandidates(FixedCap)"), chain(e2).take(500))
+    // The sibling fixed-cap self-joins refuse through the same guard.
+    val e3 = intercept[Throwable](DedupOps.containmentPairs(rows, maxDf = 50,
+      pairMassBudget = 100L).count())
+    assert(chain(e3).contains("containmentPairs"), chain(e3).take(500))
+    val e4 = intercept[Throwable](DedupOps.tfidfCosinePairs(rows, maxDf = 50,
+      minCosine = 0.0, pairMassBudget = 100L).count())
+    assert(chain(e4).contains("tfidfCosinePairs"), chain(e4).take(500))
+  }
+
   test("X2: simhash of identical token sets is identical; disjoint sets differ") {
     val docs = Seq((1L, Seq("alpha", "beta", "gamma")), (2L, Seq("alpha", "beta", "gamma")),
       (3L, Seq("zeta", "eta", "theta"))).toDF("doc_id", "tokset")
@@ -226,6 +263,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(bPairs.subsetOf(capped))        // under-cap buckets keep exact recall
     assert(capped.subsetOf(allPairs.keySet)) // cap never invents pairs
     assert(capped.size < allPairs.size)    // hot A-cluster fan-out is actually cut
+  }
+
+  test("X2: simhash band-mass guard refuses the degenerate-signature regime by price") {
+    // 30 docs with the IDENTICAL token set — signatures all equal, every
+    // band bucket holds all 30 docs: band-join mass = 7 · C(30,2) = 3045.
+    val setA = (0 until 20).map(j => s"a$j")
+    val docs = (0 until 30).map(i => (i.toLong, setA))
+      .toDF("doc_id", "tokset").withColumn("source", lit("s"))
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    // Over budget: priced refusal naming the collapse, before the shuffle.
+    val e = intercept[Throwable](DedupOps.simhashNearDupsBanded(
+      docs, "doc_id", col("tokset"), col("source"), 6,
+      bandMassBudget = 1000L).count())
+    assert(chain(e).contains("band-join pair mass") &&
+      chain(e).contains("bandMassBudget = 1000"), chain(e).take(500))
+    // Under budget: pass-through — bit-identical to guard-off.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs(DedupOps.simhashNearDupsBanded(
+        docs, "doc_id", col("tokset"), col("source"), 6, bandMassBudget = 4000L)) ===
+      pairs(DedupOps.simhashNearDupsBanded(
+        docs, "doc_id", col("tokset"), col("source"), 6, bandMassBudget = 0L)))
+    // The maxBucket cap composes: capping FIRST shrinks the mass the guard
+    // prices, so a budget the uncapped plan refuses passes once capped
+    // (here every bucket holds all 30 docs > cap 10 → all dropped → 0).
+    assert(DedupOps.simhashNearDupsBanded(docs, "doc_id", col("tokset"),
+      col("source"), 6, maxBucket = 10, bandMassBudget = 1000L).count() === 0L)
   }
 
   test("X3: cosine top-k ranks an identical vector first with cosine 1") {
