@@ -1,18 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Second mode — `--invariance` (round-12 verdict #3, promoted from the
+  * `run_verify_cpus.sh` + `compare_runs.py` shell ad-hocery into the
+  * verified surface): re-dump the same queries under TWO different
+  * parallelisms and compare the dumps BITWISE, one JSON row per query.
+  * This is the load-bearing check for tiers where the DuckDB oracle CTE is
+  * not payable on one box (sf10's 243 M-row dumps): a result that is
+  * bit-identical under different shuffle partitionings cannot depend on
+  * task scheduling, addition order across partitions, or limit
+  * nondeterminism. Float columns compare by IEEE-754 BIT PATTERN
+  * ([[graft.functions.GraftFunctions.doubleBits]]), so a
+  * partition-dependent −0.0/+0.0 flip FAILS — the hole the round-12 advice
+  * found in the old >200 k-row EXCEPT ALL path. NaNs canonicalize to one
+  * pattern (doubleToLongBits), which is what a determinism check wants.
+  *
+  * {{{
+  * graft.Verify <sfDir> <outDir> [q1,q2,...]              — oracle dump
+  * graft.Verify --invariance <sfDir> <outBase> [q1,q2,...] — A/B re-dump +
+  *   bitwise compare; parallelisms from SPARK_GRAFT_CPUS_AB (default
+  *   "16,7"), record at <outBase>/invariance.json
+  * }}}
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [comma-separated query names — default all]
-    val Array(sfDir, outDir) = args.take(2)
-    val only: Set[String] = args.drop(2).headOption
-      .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
-    val unknown = only -- SparkEntry.queries.keySet
-    require(unknown.isEmpty,
-      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def session(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,6 +38,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Dump each selected query's result to `outDir/<name>` as parquet.
+    * Shared across the oracle mode and both invariance passes so the
+    * invariance dumps are byte-for-byte the oracle-mode pipeline. */
+  private def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -32,6 +58,110 @@ object Verify {
       // Shared pipeline materializations are pinned and survive.
       graft.engine.Hygiene.sweep(spark)
     }
+  }
+
+  /** Every float-typed leaf projected through its IEEE-754 bit pattern
+    * (arrays element-wise); other columns pass through. Struct/map-typed
+    * outputs would need recursion — no query emits one (the schema check
+    * below fails loudly if that ever changes rather than weakening the
+    * compare silently). */
+  private def bitwise(df: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.doubleBits
+    val cols: Seq[Column] = df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType => doubleBits(col(f.name)).as(f.name)
+        case FloatType => doubleBits(col(f.name).cast(DoubleType)).as(f.name)
+        case ArrayType(DoubleType, _) =>
+          transform(col(f.name), x => doubleBits(x)).as(f.name)
+        case ArrayType(FloatType, _) =>
+          transform(col(f.name), x => doubleBits(x.cast(DoubleType))).as(f.name)
+        case _: StructType | _: MapType | ArrayType(_: StructType, _) =>
+          throw new IllegalArgumentException(
+            s"invariance compare: column ${f.name} has nested type " +
+              s"${f.dataType.simpleString} — extend bitwise() before trusting it")
+        case _ => col(f.name)
+      }
+    }.toSeq
+    df.select(cols: _*)
+  }
+
+  private def invariance(sfDir: String, outBase: String, only: Set[String],
+      cpusA: Int, cpusB: Int): Unit = {
+    require(cpusA != cpusB, s"invariance needs two DIFFERENT parallelisms, got $cpusA,$cpusB")
+    val (dirA, dirB) = (s"$outBase/cpus$cpusA", s"$outBase/cpus$cpusB")
+    // Two dumps in two fresh sessions: partitioning differences must come
+    // from the engine configuration, never from leftover session state.
+    val sa = session(cpusA)
+    dump(sa, sfDir, dirA, only); sa.stop()
+    val sb = session(cpusB)
+    dump(sb, sfDir, dirB, only); sb.stop()
+    val spark = session(math.max(cpusA, cpusB))
+    val rows = only.toSeq.sorted.map { name =>
+      val t0 = System.nanoTime()
+      val row = try {
+        val a = spark.read.parquet(s"$dirA/$name")
+        val b = spark.read.parquet(s"$dirB/$name")
+        val colsA = a.schema.fields.map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+        val colsB = b.schema.fields.map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+        if (!colsA.sameElements(colsB))
+          s""""cols_match":false,"cols_a":"${colsA.mkString(";")}","cols_b":"${colsB.mkString(";")}""""
+        else {
+          val (na, nb) = (a.count(), b.count())
+          if (na != nb) s""""cols_match":true,"rows_a":$na,"rows_b":$nb,"bitwise_match":false"""
+          else {
+            // Multiset equality, bitwise floats: equal counts + empty
+            // symmetric EXCEPT ALL. Column order aligned by name so a
+            // writer-side field reorder can't alias two columns.
+            val names = a.columns.sorted
+            val ba = bitwise(a.select(names.map(col): _*))
+            val bb = bitwise(b.select(names.map(col): _*))
+            val diff = ba.exceptAll(bb).count() + bb.exceptAll(ba).count()
+            s""""cols_match":true,"rows_a":$na,"rows_b":$nb,""" +
+              s""""diff_rows":$diff,"bitwise_match":${diff == 0L}"""
+          }
+        }
+      } catch { case e: Throwable =>
+        s""""error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)}""""
+      }
+      val sec = math.rint((System.nanoTime() - t0) / 1e9 * 10) / 10
+      val line = s"""{"query":"$name",$row,"sec":$sec}"""
+      println(line)
+      line
+    }
+    val ok = rows.count(_.contains("\"bitwise_match\":true"))
+    val record = s"""{"metric":"invariance","sf":"$sfDir","cpus":[$cpusA,$cpusB],""" +
+      s""""pass":$ok,"total":${rows.size},"queries":[${rows.mkString(",")}]}"""
+    Files.writeString(Paths.get(s"$outBase/invariance.json"), record)
+    println(s"""{"metric":"invariance","pass":$ok,"total":${rows.size},""" +
+      s""""record":"$outBase/invariance.json"}""")
+    spark.stop()
+    if (ok != rows.size) sys.exit(1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--invariance")) {
+      val Array(sfDir, outBase) = args.slice(1, 3)
+      val only: Set[String] = args.drop(3).headOption
+        .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+      val unknown = only -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      val ab = sys.env.getOrElse("SPARK_GRAFT_CPUS_AB", "16,7").split(",").map(_.trim.toInt)
+      require(ab.length == 2, "SPARK_GRAFT_CPUS_AB must be 'A,B'")
+      invariance(sfDir, outBase, only, ab(0), ab(1))
+      return
+    }
+    // args: <sfDir> <outDir> [comma-separated query names — default all]
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Set[String] = args.drop(2).headOption
+      .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus.toInt)
+    dump(spark, sfDir, outDir, only)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

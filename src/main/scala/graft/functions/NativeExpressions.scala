@@ -136,6 +136,36 @@ object StringPolyHash {
   }
 }
 
+/** Raw IEEE-754 bit pattern of a double as a long (`java.lang.Double
+  * .doubleToLongBits`) — the BITWISE-equality projection the partition-
+  * invariance gate compares float columns through. Value equality would
+  * let a partition-dependent −0.0/+0.0 flip pass silently (round-12
+  * advice: the >200 k-row EXCEPT ALL path had exactly that hole); bit
+  * patterns distinguish the zeros and canonicalize every NaN to the single
+  * 0x7ff8000000000000 pattern, which is what a determinism check wants.
+  * Verification surface, but codegen'd anyway — it projects 100 M-row
+  * dumps. */
+case class DoubleBits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = GraftFunctions.DoubleBitsName
+
+  override protected def nullSafeEval(d: Any): Any =
+    java.lang.Double.doubleToLongBits(d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToLongBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBits =
+    copy(child = newChild)
+}
+
 /** Greedy longest-match subword tokenizer over a LITERAL vocabulary — the
   * deterministic core of a WordPiece/SentencePiece-style encoder (the
   * inference half of BPE: merges already folded into the vocab). Per word
@@ -456,6 +486,7 @@ object GraftFunctions {
   val SubwordEncodeName = "graft_subword_encode"
   val BoundedLevenshteinName = "graft_levenshtein_bounded"
   val NfcNormalizeName = "graft_nfc_normalize"
+  val DoubleBitsName = "graft_double_bits"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -474,6 +505,7 @@ object GraftFunctions {
     ensure(BoundedLevenshteinName)(exprs =>
       BoundedLevenshtein(exprs.head, exprs(1), exprs(2)))
     ensure(NfcNormalizeName)(exprs => NfcNormalize(exprs.head))
+    ensure(DoubleBitsName)(exprs => DoubleBits(exprs.head))
   }
 
   /** Codegen'd dot product of two array<double> columns. Registers against
@@ -514,6 +546,15 @@ object GraftFunctions {
   def nfcNormalize(s: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(NfcNormalizeName, s)
+  }
+
+  /** Codegen'd IEEE-754 bit pattern of a double column as a long (see
+    * [[DoubleBits]]) — the bitwise-float projection for invariance
+    * comparison; floats cast to double first (exact, sign-of-zero
+    * preserving). */
+  def doubleBits(d: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(DoubleBitsName, d)
   }
 
   /** Codegen'd Bloom membership probe of a string column against a collected

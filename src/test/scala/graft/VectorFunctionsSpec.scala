@@ -48,6 +48,33 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("DoubleBits: bit-pattern projection separates -0.0 from +0.0, canonicalizes NaN") {
+    import graft.functions.GraftFunctions.doubleBits
+    val df = Seq(
+      (1L, 0.0), (2L, -0.0), (3L, Double.NaN),
+      (4L, java.lang.Double.longBitsToDouble(0x7ff0000000000001L)), // payload NaN
+      (5L, 1.5), (6L, Double.PositiveInfinity))
+      .toDF("id", "v")
+    val bits = df.select(col("id"), doubleBits(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bits(1L) === 0L)                                // +0.0
+    assert(bits(2L) === java.lang.Long.MIN_VALUE)          // -0.0: sign bit
+    assert(bits(1L) !== bits(2L), "the invariance gate must see the zero-sign flip")
+    assert(bits(3L) === 0x7ff8000000000000L)               // canonical NaN
+    assert(bits(4L) === bits(3L), "all NaN payloads canonicalize (doubleToLongBits)")
+    assert(bits(5L) === java.lang.Double.doubleToLongBits(1.5))
+    assert(bits(6L) === java.lang.Double.doubleToLongBits(Double.PositiveInfinity))
+    // null passes through (UnaryExpression null-safety)
+    val n = Seq((Some(1.0), 1), (None, 2)).toDF("v", "id")
+      .select(doubleBits(col("v"))).collect()
+    assert(n.count(_.isNullAt(0)) === 1)
+    // float → double cast preserves the sign of zero (the FloatType arm
+    // of Verify's bitwise projection rides this)
+    val f = Seq((1, -0.0f), (2, 0.0f)).toDF("id", "v")
+      .select(doubleBits(col("v").cast("double"))).collect().map(_.getLong(0))
+    assert(f(0) !== f(1))
+  }
+
   test("knnJoin: bucketed candidates are a rank-consistent subset of cell-only") {
     val rng = new scala.util.Random(7)
     val emb = (0L until 40L).map { i =>
