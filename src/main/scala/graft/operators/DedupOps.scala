@@ -73,12 +73,19 @@ object DedupOps {
     * form is retained as the measured baseline behind the explicit
     * [[CandidateGen.FixedCap]] opt-in and the q22/q23/q73/q78 ledger
     * rows. */
-  def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame = {
+  def capShingleDf(shingles: DataFrame, maxDf: Int): DataFrame =
+    capShingleDfKeep(shingles, maxDf).drop("__df")
+
+  /** [[capShingleDf]] KEEPING the per-row group-size column `__df` — so the
+    * priced pre-flight ([[subCapPairMassGuard]]) can aggregate the pair
+    * mass from the rows the window already labeled instead of re-deriving
+    * the shingle pipeline from scan (measured 3–7× on the guarded
+    * baselines when the mass branch recomputed from scratch). */
+  def capShingleDfKeep(shingles: DataFrame, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     shingles
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
       .filter(col("__df") <= maxDf)
-      .drop("__df")
   }
 
   /** Quantile-CALIBRATED df cap — the scale-robust form of [[capShingleDf]]:
@@ -255,21 +262,29 @@ object DedupOps {
     * shingle (disagreeing sets collide only at the ≈2⁻⁴⁰ hash level), so
     * band-join mass ≤ numBands × Σ C(df, 2).
     *
-    * Mechanics: the 1-row mass aggregate broadcasts onto the capped
-    * stream and the guard column raises on the FIRST row evaluated —
-    * inside the map stage feeding the join, before the shuffle fans out.
-    * Cost: one extra aggregate pass over the capped shingle rows,
-    * negligible next to the join it prices. `budget <= 0` disables (for
-    * call sites whose mass is individually measured payable — each cites
-    * its measurement). */
-  def subCapPairMassGuard(capped: DataFrame, maxDf: Int, budget: Long,
-      site: String): DataFrame = {
-    if (budget <= 0L) return capped
-    val mass = capped.groupBy(col("bucket"), col("sh"))
-      .agg(count(lit(1)).as("__df"))
-      .agg(coalesce(sum(expr("__df * (__df - 1) DIV 2")),
-        lit(0L)).as("__pm"))
-    capped.crossJoin(broadcast(mass))
+    * Mechanics: the input must carry the per-row group-size column
+    * `dfCol` (the df window [[capShingleDfKeep]] already computes — a
+    * group of df rows contributes df·(df−1)/2 pairs = Σ_rows (df−1)/2,
+    * so the mass is ONE plain aggregate over already-labeled rows:
+    * Σ(df−1) DIV 2). The 1-row result broadcasts onto the stream and the
+    * guard column raises on the FIRST row evaluated — inside the map
+    * stage feeding the join, before the shuffle fans out. Aggregating
+    * from the window's own output (not a fresh groupBy from scan) keeps
+    * the mass branch shareable with the join sides' exchange — the first
+    * cut recomputed the whole shingle pipeline for the mass and measured
+    * 3–7× on the guarded baselines. `budget <= 0` disables (for call
+    * sites whose mass is individually measured payable — each cites its
+    * measurement). */
+  def subCapPairMassGuard(cappedWithDf: DataFrame, maxDf: Int, budget: Long,
+      site: String, dfCol: String = "__df"): DataFrame = {
+    if (budget <= 0L) return cappedWithDf
+    val mass = cappedWithDf
+      .agg(coalesce(sum(col(dfCol) - lit(1L)), lit(0L)).as("__s"))
+      .select(expr("__s DIV 2").as("__pm"))
+    // The raise rides the JOIN KEY column (`sh`), never dfCol: callers drop
+    // dfCol right after, and a pruned guard column is a guard the optimizer
+    // silently deletes. `sh` survives into the self-join by construction.
+    cappedWithDf.crossJoin(broadcast(mass))
       .withColumn("sh", when(col("__pm") <= lit(budget), col("sh"))
         .otherwise(raise_error(concat(
           lit(s"$site: sub-cap (df <= $maxDf) shared-shingle pair mass = "),
@@ -358,8 +373,8 @@ object DedupOps {
       // Cap first, then PRICE the capped stream (the guard's Σ C(df,2)
       // upper-bounds the band join — see subCapPairMassGuard), then band.
       minhashLshCandidatesBanded(
-        subCapPairMassGuard(capShingleDf(shingles, maxDf), maxDf, budget,
-          "nearDupCandidates(FixedCap)"),
+        subCapPairMassGuard(capShingleDfKeep(shingles, maxDf), maxDf, budget,
+          "nearDupCandidates(FixedCap)").drop("__df"),
         numHashes, rowsPerBand)
   }
 
@@ -428,13 +443,13 @@ object DedupOps {
     // its set sizes across buckets.
     val sized = shingles.withColumn("setsize",
       count(lit(1)).over(Window.partitionBy(col("doc_id"), col("bucket"))))
-    val ex0 = if (maxDf > 0) capShingleDf(sized, maxDf) else sized
     // Fixed-cap plans carry the priced pre-flight (round-12 verdict #2):
     // Σ C(df,2) over the surviving groups IS this join's pre-aggregation
     // row count, so the refusal message states the exact fan-out avoided.
     val ex = if (maxDf > 0)
-      subCapPairMassGuard(ex0, maxDf, pairMassBudget, "jaccardPairsFromRows")
-    else ex0
+      subCapPairMassGuard(capShingleDfKeep(sized, maxDf), maxDf,
+        pairMassBudget, "jaccardPairsFromRows").drop("__df")
+    else sized
     val a = ex.toDF("a_id", "bucket", "sh", "a_size")
     val b = ex.toDF("b_id", "bucket", "sh", "b_size")
     a.join(b, Seq("bucket", "sh"))
@@ -471,10 +486,10 @@ object DedupOps {
     // its set sizes across buckets.
     val sized = shingles.withColumn("setsize",
       count(lit(1)).over(Window.partitionBy(col("doc_id"), col("bucket"))))
-    val ex0 = if (maxDf > 0) capShingleDf(sized, maxDf) else sized
     val ex = if (maxDf > 0)
-      subCapPairMassGuard(ex0, maxDf, pairMassBudget, "containmentPairs")
-    else ex0
+      subCapPairMassGuard(capShingleDfKeep(sized, maxDf), maxDf,
+        pairMassBudget, "containmentPairs").drop("__df")
+    else sized
     val a = ex.toDF("a_id", "bucket", "sh", "a_size")
     val b = ex.toDF("b_id", "bucket", "sh", "b_size")
     a.join(b, Seq("bucket", "sh"))
@@ -863,7 +878,8 @@ object DedupOps {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = subCapPairMassGuard(shingles
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
-      .filter(col("df") <= maxDf), maxDf, pairMassBudget, "tfidfCosinePairs")
+      .filter(col("df") <= maxDf), maxDf, pairMassBudget, "tfidfCosinePairs",
+      dfCol = "df")
       .join(broadcast(nb), "bucket")
       .withColumn("idf", log(col("n_docs").cast("double") / col("df").cast("double")))
       .withColumn("norm2", sum(col("idf") * col("idf"))
