@@ -65,7 +65,7 @@ object Verify {
     * outputs would need recursion — no query emits one (the schema check
     * below fails loudly if that ever changes rather than weakening the
     * compare silently). */
-  private def bitwise(df: DataFrame): DataFrame = {
+  private[graft] def bitwise(df: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.doubleBits
     val cols: Seq[Column] = df.schema.fields.map { f =>
       f.dataType match {

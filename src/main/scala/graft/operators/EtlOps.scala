@@ -83,7 +83,17 @@ object EtlOps {
     * incoming against existing keys, then append. No transactional sink in
     * Spark — idempotency comes from re-runnable anti-join + partition
     * overwrite (S9). The existing side is keys-only (pruned to the join
-    * columns), so at scale it broadcast- or shuffle-joins on the key alone. */
+    * columns), so at scale it broadcast- or shuffle-joins on the key alone.
+    *
+    * '''Verified against real PostgreSQL 15''' (round 13,
+    * `PostgresUpsertParitySpec`: throwaway initdb'd cluster, the
+    * reference's exact statement replayed via psql, end states compared
+    * bit-for-bit). Caveat the parity run surfaced: PG's DO NOTHING also
+    * arbitrates IN-BATCH duplicate keys (first physical row wins), which a
+    * bare anti-join does not — feed batches through
+    * [[extractDim]](key, batch order) first when the incoming stream can
+    * carry same-key rows; the spec asserts both the faithful composition's
+    * parity and the naive form's divergence. */
   def upsertNewKeys(incoming: DataFrame, existingKeys: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existingKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
 

@@ -75,6 +75,31 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(f(0) !== f(1))
   }
 
+  test("Verify.bitwise: the invariance gate CATCHES a -0.0 flip and an array-element flip") {
+    // Non-vacuous-gate check: two results equal under value semantics but
+    // differing in zero sign must NOT multiset-compare equal after the
+    // bitwise projection — this is exactly the partition-dependent flip
+    // the round-12 advice found the old EXCEPT ALL path passing.
+    val a = Seq((1L, 0.0, Seq(1.0f, 0.0f))).toDF("id", "v", "arr")
+    val b = Seq((1L, -0.0, Seq(1.0f, 0.0f))).toDF("id", "v", "arr")
+    assert(a.exceptAll(b).count() === 0L, "value semantics: -0.0 == 0.0 (the hole)")
+    val (ba, bb) = (Verify.bitwise(a), Verify.bitwise(b))
+    assert(ba.exceptAll(bb).count() + bb.exceptAll(ba).count() > 0L,
+      "bitwise projection must distinguish the zero signs")
+    // Array-element flip (float) is caught through the transform arm.
+    val c = Seq((1L, 0.0, Seq(1.0f, -0.0f))).toDF("id", "v", "arr")
+    val bc = Verify.bitwise(c)
+    assert(ba.exceptAll(bc).count() + bc.exceptAll(ba).count() > 0L)
+    // Identical frames stay identical (incl. NaN, which canonicalizes).
+    val n1 = Seq((1L, Double.NaN)).toDF("id", "v")
+    val n2 = Seq((1L, Double.NaN)).toDF("id", "v")
+    val (bn1, bn2) = (Verify.bitwise(n1), Verify.bitwise(n2))
+    assert(bn1.exceptAll(bn2).count() + bn2.exceptAll(bn1).count() === 0L)
+    // Nested types refuse loudly instead of weakening the compare.
+    val st = Seq((1L, (1.0, 2.0))).toDF("id", "s")
+    intercept[IllegalArgumentException](Verify.bitwise(st))
+  }
+
   test("knnJoin: bucketed candidates are a rank-consistent subset of cell-only") {
     val rng = new scala.util.Random(7)
     val emb = (0L until 40L).map { i =>
