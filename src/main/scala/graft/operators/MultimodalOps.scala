@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * for the RIFF/WAVE family (`javax.sound.sampled`); VIDEO container
   * ENVELOPE parse is real for ISO BMFF / MP4 (pure byte arithmetic over
   * the public box layout — duration from `mvhd`, dimensions from `tkhd`).
-  * Only frame/sample DECODE and pixel resampling are STUBBED behind the
-  * [[MediaCodec]] trait (no such codec ships with the JDK and this
-  * container has no media libraries).
+  * Frame PIXEL decode is real for MJPEG-in-MP4 (round 13,
+  * [[decodeMjpegFrames]] — every access unit is a complete JPEG, which
+  * the JDK reads); other codecs' pixel step and resampling stay STUBBED
+  * behind the [[MediaCodec]] trait (no H.264/VP9 codec ships with the JDK
+  * and this container has no media libraries).
   * The Spark-side plumbing is real and tested either way: schema, encoders,
   * partition batching, and the mapPartitions execution shape (the Scala
   * analogue of mapInPandas — one codec instantiation per partition,
@@ -334,6 +336,56 @@ object MultimodalOps {
       })
       .toDF("media_id", "sample_no", "dts_ms", "byte_offset", "n_bytes", "frame",
         "codec", "codec_profile", "codec_level")
+  }
+
+  /** REAL video-frame PIXEL decode for the one codec family whose access
+    * units the JDK can decode: MJPEG-in-MP4 (stsd fourcc `jpeg`/`mjpa` —
+    * every sample is a complete baseline JPEG, which `javax.imageio`
+    * reads). Composes directly over [[demuxSampledFrames]]' output: each
+    * frame row whose bytes ARE a decodable JPEG (SOI magic + successful
+    * ImageIO read — gated on the bytes, not the fourcc, so a container
+    * without stsd still decodes) becomes (media_id, sample_no, dts_ms,
+    * frame_width, frame_height, mean_luma), where mean_luma is the exact
+    * INTEGER mean of (r+g+b)/3 over all pixels (sum DIV count — bitwise
+    * reproducible across partitionings, per the invariance discipline).
+    * Undecodable frames emit NOTHING — same refuse-don't-guess contract
+    * as the demuxer; H.264/VP9 etc. still need an external codec, and a
+    * deployment swaps THIS stage only. mapPartitions is justified (binary
+    * decode); no shuffle — a pure generator over the frame rows. */
+  def decodeMjpegFrames(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("media_id").cast("long"), col("sample_no").cast("int"),
+        col("dts_ms").cast("long"), col("frame"))
+      .as[(Long, Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // executor-side: never touch local temp
+        it.flatMap { case (id, no, dts, bytes) =>
+          val isJpeg = bytes.length > 2 &&
+            (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+          val img =
+            if (!isJpeg) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single((id, no, dts, w, h, sum / (3L * w * h)))
+          }
+        }
+      }
+      .toDF("media_id", "sample_no", "dts_ms", "frame_width", "frame_height", "mean_luma")
   }
 
   /** Default decoder. The IMAGE branch is REAL: the JDK's built-in

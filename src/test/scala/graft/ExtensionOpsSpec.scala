@@ -873,6 +873,59 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(feats(2L).duration_ms >= 1000L)
   }
 
+  test("multimodal: MJPEG-in-MP4 pixel decode — demuxed frames to true dimensions and luma") {
+    import MultimodalOps._
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    // REAL JPEG access units: 3 solid-color frames (dark / mid / light
+    // gray — grayscale survives JPEG chroma subsampling unskewed) at known
+    // dimensions, encoded by the JDK's own writer.
+    def jpegOf(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray)); g.fillRect(0, 0, w, h); g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames0 = Seq(jpegOf(16, 8, 32), jpegOf(24, 12, 128), jpegOf(8, 8, 224))
+    val notJpeg = Array.tabulate[Byte](17)(i => (i + 1).toByte) // 4th sample: refuse path
+    val sampleBytes = frames0 :+ notJpeg
+    val chunk = sampleBytes.reduce(_ ++ _)
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(4) ++ u32(40)) // 40ms deltas
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(4) ++
+      sampleBytes.flatMap(s => u32(s.length.toLong)).toArray)
+    val stsc = box("stsc", u32(0) ++ u32(1) ++ (u32(1) ++ u32(4) ++ u32(1)))
+    val mdhd = box("mdhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(160) ++ u32(0))
+    def container(c1Off: Long): Array[Byte] = {
+      val stco = box("stco", u32(0) ++ u32(1) ++ u32(c1Off))
+      val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco)
+      val trak = box("trak", box("mdia", mdhd ++ box("minf", stbl)))
+      val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(160) ++
+        Array.fill[Byte](80)(0))
+      box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes) ++
+        box("moov", mvhd ++ trak) ++ box("mdat", chunk)
+    }
+    val probe = container(0L)
+    val mp4 = container((probe.length - chunk.length).toLong)
+    val media = Seq((9L, mp4)).toDF("media_id", "payload")
+    val decoded = MultimodalOps
+      .decodeMjpegFrames(MultimodalOps.demuxSampledFrames(media, stride = 1))
+      .as[(Long, Int, Long, Int, Int, Long)].collect().sortBy(_._2)
+    // The non-JPEG 4th sample emits NOTHING (refuse-don't-guess); the three
+    // real frames decode to exact dimensions and (lossy-tolerant) luma.
+    assert(decoded.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(decoded.map(_._3).toSeq === Seq(0L, 40L, 80L))
+    assert(decoded.map(d => (d._4, d._5)).toSeq === Seq((16, 8), (24, 12), (8, 8)))
+    val expectedLuma = Seq(32L, 128L, 224L)
+    decoded.zip(expectedLuma).foreach { case (d, want) =>
+      assert(math.abs(d._6 - want) <= 4, s"sample ${d._2}: luma ${d._6} vs $want")
+    }
+  }
+
   test("multimodal: MP4 sample-table demux recovers every sample's exact bytes and timestamp") {
     import MultimodalOps._
     def u32(v: Long): Array[Byte] =
