@@ -2,8 +2,12 @@
 """check_oracle with per-query wall timing and a per-query timeout.
 
 Same comparison semantics as check_oracle.py (sorted columns, bitwise
-floats), plus: each oracle runs under a watchdog that interrupts DuckDB
-after --timeout seconds (default 1800). Timed-out queries are reported
+floats; the >200k-row EXCEPT ALL path carries signbit companions for
+every float column so a -0.0/+0.0 flip fails — round-13 fix; NaN is
+equal-to-NaN under DuckDB set-op semantics, matching canon()'s "NaN"
+token), plus: each oracle runs under a watchdog that interrupts DuckDB
+after --timeout seconds (default 1800).
+ORACLE_EXCEPT_THRESHOLD overrides the 200k cutover (test hook). Timed-out queries are reported
 TIMEOUT (diagnosed, not failed silently) — the sf10 tier's purpose is to
 find exactly which ORACLE-side CTEs stop being payable two decades above
 the fixture, separately from engine correctness. Writes a JSON timing
@@ -176,7 +180,7 @@ def main():
                                  "sec": round(time.monotonic() - t0, 1)}
                 n_fail += 1
                 continue
-            if nd <= 200_000:
+            if nd <= int(os.environ.get("ORACLE_EXCEPT_THRESHOLD", 200_000)):
                 # Exact driver semantics: bitwise floats, sorted rows.
                 duck_canon = canon(con.sql("SELECT * FROM __d").df()
                                    .itertuples(index=False, name=None))
@@ -186,14 +190,31 @@ def main():
                 diff = ([(a, b) for a, b in zip(duck_canon, sp_canon) if a != b][:3]
                         if mismatch else [])
             else:
-                # Large outputs: multiset EXCEPT in DuckDB (vectorized;
-                # NaN-safe value equality — weaker than bitwise only on
-                # -0.0 vs +0.0, which the engine's output-rounding
-                # discipline already excludes at the driver-gated tiers).
+                # Large outputs: multiset EXCEPT in DuckDB (vectorized,
+                # NaN-safe). Round-13 fix for the round-12 advice: plain
+                # EXCEPT ALL treats -0.0 == +0.0, so every float column
+                # (scalars AND list elements) gets a signbit COMPANION in
+                # the projection — a partition/engine-dependent zero-sign
+                # flip now diffs instead of passing silently. (The Scala
+                # Verify --invariance gate does the same through DoubleBits
+                # bit patterns.)
+                dtypes = con.sql("SELECT * FROM __d").types
+                dnames = con.sql("SELECT * FROM __d").columns
+                aug = []
+                # NB: loop vars must not shadow the watchdog Timer `t`.
+                for c, ctype in zip(dnames, dtypes):
+                    ts = str(ctype)
+                    aug.append(f'"{c}"')
+                    if ts in ("DOUBLE", "FLOAT", "REAL"):
+                        aug.append(f'signbit("{c}") AS "__sb_{c}"')
+                    elif ts in ("DOUBLE[]", "FLOAT[]", "REAL[]"):
+                        aug.append(
+                            f'list_transform("{c}", x -> signbit(x)) AS "__sb_{c}"')
+                aproj = ", ".join(aug)
                 d = con.sql(
-                    "SELECT count(*) FROM ((SELECT * FROM __d EXCEPT ALL "
-                    "SELECT * FROM __s) UNION ALL (SELECT * FROM __s "
-                    "EXCEPT ALL SELECT * FROM __d))").fetchone()[0]
+                    f"SELECT count(*) FROM ((SELECT {aproj} FROM __d EXCEPT ALL "
+                    f"SELECT {aproj} FROM __s) UNION ALL (SELECT {aproj} FROM __s "
+                    f"EXCEPT ALL SELECT {aproj} FROM __d))").fetchone()[0]
                 mismatch = d != 0
                 diff = [f"except_all_diff_rows={d}"] if mismatch else []
             dt = time.monotonic() - t0
