@@ -200,16 +200,48 @@ def main():
                 # bit patterns.)
                 dtypes = con.sql("SELECT * FROM __d").types
                 dnames = con.sql("SELECT * FROM __d").columns
+                # A result column literally named __sb_<x> would collide with
+                # x's companion and alias two different columns in the
+                # projection — refuse loudly (round-13 advice).
+                collide = [c for c in dnames if c.startswith("__sb_")]
+                if collide:
+                    t.cancel(); done.set(); con.close()
+                    print(f"FAIL {name}: column(s) {collide} collide with the "
+                          "signbit companion prefix __sb_", flush=True)
+                    results[name] = {"status": "fail", "reason": "sb-collision"}
+                    n_fail += 1
+                    continue
                 aug = []
+                # Companions mask NaN to false: DuckDB's hardware-division NaN
+                # commonly carries a SET sign bit on x86 while Java NaN is
+                # positive, and canon()'s <=200k path folds every NaN to one
+                # token — only true zero-sign flips should diff (r13 advice).
+                nested_float = []
                 # NB: loop vars must not shadow the watchdog Timer `t`.
                 for c, ctype in zip(dnames, dtypes):
                     ts = str(ctype)
                     aug.append(f'"{c}"')
                     if ts in ("DOUBLE", "FLOAT", "REAL"):
-                        aug.append(f'signbit("{c}") AS "__sb_{c}"')
+                        aug.append(f'CASE WHEN isnan("{c}") THEN false ELSE '
+                                   f'signbit("{c}") END AS "__sb_{c}"')
                     elif ts in ("DOUBLE[]", "FLOAT[]", "REAL[]"):
                         aug.append(
-                            f'list_transform("{c}", x -> signbit(x)) AS "__sb_{c}"')
+                            f'list_transform("{c}", x -> CASE WHEN isnan(x) '
+                            f'THEN false ELSE signbit(x) END) AS "__sb_{c}"')
+                    elif any(f in ts for f in ("DOUBLE", "FLOAT", "REAL")):
+                        # Nested float-bearing type this path has no companion
+                        # for (DOUBLE[][], STRUCT(... DOUBLE ...), MAP):
+                        # refuse loudly like Verify.bitwise rather than let the
+                        # -0.0 hole persist silently inside the nesting.
+                        nested_float.append((c, ts))
+                if nested_float:
+                    t.cancel(); done.set(); con.close()
+                    print(f"FAIL {name}: unhandled nested float type(s) "
+                          f"{nested_float} in >threshold EXCEPT path — extend "
+                          "the signbit companions before trusting it", flush=True)
+                    results[name] = {"status": "fail", "reason": "nested-float"}
+                    n_fail += 1
+                    continue
                 aproj = ", ".join(aug)
                 d = con.sql(
                     f"SELECT count(*) FROM ((SELECT {aproj} FROM __d EXCEPT ALL "

@@ -30,6 +30,21 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
 
+  /** JSON string-body escape: backslash, quote, and ALL control chars
+    * (<0x20) — a stray control char in builder-authored SQL or an exception
+    * message would otherwise make the driver's json.load fail (oracle mode)
+    * or corrupt invariance.json (r13 advice: the error path escaped only
+    * \n\r\t). Shared by both emitters. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   private def session(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +90,12 @@ object Verify {
           transform(col(f.name), x => doubleBits(x)).as(f.name)
         case ArrayType(FloatType, _) =>
           transform(col(f.name), x => doubleBits(x.cast(DoubleType))).as(f.name)
-        case _: StructType | _: MapType | ArrayType(_: StructType, _) =>
+        // Arrays of anything non-atomic (array-of-array, array-of-map) would
+        // pass through UNPROJECTED and let Spark's set-op float normalization
+        // treat -0.0 == +0.0 inside the nesting — refuse like struct/map
+        // rather than silently weaken the gate (r13 advice).
+        case _: StructType | _: MapType | ArrayType(_: StructType, _) |
+            ArrayType(_: ArrayType, _) | ArrayType(_: MapType, _) =>
           throw new IllegalArgumentException(
             s"invariance compare: column ${f.name} has nested type " +
               s"${f.dataType.simpleString} — extend bitwise() before trusting it")
@@ -121,8 +141,8 @@ object Verify {
           }
         }
       } catch { case e: Throwable =>
-        s""""error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)}""""
+        s""""error":"${jsonEscape(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}""""
       }
       val sec = math.rint((System.nanoTime() - t0) / 1e9 * 10) / 10
       val line = s"""{"query":"$name",$row,"sec":$sec}"""
@@ -162,18 +182,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = session(cpus.toInt)
     dump(spark, sfDir, outDir, only)
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = "\"" + jsonEscape(s) + "\""
     // Only the queries dumped THIS run go into oracle_sql.json — otherwise a
     // subset run into a reused outDir would let check_oracle validate STALE
     // parquet from an earlier dump as PASS.

@@ -943,16 +943,26 @@ object Dedup extends QueryGroup {
       DedupOps.editDistanceVerify(docs, "doc_id", col("text"), cands, maxDist = 64)
         .orderBy(col("a_id"), col("b_id"))
     },
+    // Oracle cost discipline (round-14, verdict #4): the r13 form
+    // evaluated the full-DP levenshtein TWICE per pair (WHERE + SELECT) in
+    // a shape DuckDB executed near-serially — 5,110 s at a CONTENDED 1/16
+    // sf10 slice, timeout at 3/16. This form computes the DP ONCE in a
+    // plain projection (measured ~0.04–1.2 ms/pair at 16 threads across
+    // the slice's length tiers) behind a free SOUND prefilter
+    // (ed(a,b) >= |len(a)-len(b)|, so a length gap > 64 can never pass).
+    // The final WHERE is the exact predicate — identical rows to the
+    // unfiltered form, proven by the unchanged hash at the driver SFs.
     Some("""WITH r AS (
            |  SELECT doc_id, text,
            |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
            |  FROM documents),
            |p AS (
            |  SELECT a.doc_id AS a_id, a.text AS a_txt, b.doc_id AS b_id, b.text AS b_txt
-           |  FROM r a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN r b ON b.rk = a.rk + o.k)
-           |SELECT a_id, b_id,
-           |  CAST(levenshtein(a_txt, b_txt) AS BIGINT) AS edit_distance
-           |FROM p WHERE levenshtein(a_txt, b_txt) <= 64
+           |  FROM r a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN r b ON b.rk = a.rk + o.k),
+           |pl AS (SELECT * FROM p WHERE abs(len(a_txt) - len(b_txt)) <= 64),
+           |d AS (SELECT a_id, b_id, levenshtein(a_txt, b_txt) AS ed FROM pl)
+           |SELECT a_id, b_id, CAST(ed AS BIGINT) AS edit_distance
+           |FROM d WHERE ed <= 64
            |ORDER BY a_id, b_id""".stripMargin))
 
   /** X2 WEIGHTED-Jaccard near-dup ([[DedupOps.featureTfRows]] →

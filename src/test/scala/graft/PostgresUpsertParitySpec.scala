@@ -26,9 +26,10 @@ import scala.sys.process._
   * The faithful form is therefore `extractDim(batch order)` ∘
   * `upsertNewKeys`; the spec asserts parity of that composition AND the
   * naive form's divergence on the same fixture (proof the test bites).
-  * (The reference pre-arbitrates in python — `trips_data` is a dict keyed
-  * by trip_id, LAST write wins (transform.py:146-183) — which is exactly
-  * an `extractDim` with the opposite order; the statement-level semantics
+  * (The reference pre-arbitrates in python — `trips_data` only stores a
+  * trip_id not already present (transform.py:147 `if trip_id not in
+  * trips_data`), so FIRST write wins — the same orientation as
+  * `extractDim(batch_seq ascending)`; the statement-level semantics
   * tested here are what PG enforces against whatever batch arrives.)
   *
   * Environment-gated like the Kafka smoke: cancels unless the PostgreSQL
