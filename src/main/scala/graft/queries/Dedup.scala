@@ -944,23 +944,25 @@ object Dedup extends QueryGroup {
         .orderBy(col("a_id"), col("b_id"))
     },
     // Oracle cost discipline (round-14, verdict #4): the r13 form
-    // evaluated the full-DP levenshtein TWICE per pair (WHERE + SELECT) in
-    // a shape DuckDB executed near-serially — 5,110 s at a CONTENDED 1/16
-    // sf10 slice, timeout at 3/16. This form computes the DP ONCE in a
-    // plain projection (measured ~0.04–1.2 ms/pair at 16 threads across
-    // the slice's length tiers) behind a free SOUND prefilter
-    // (ed(a,b) >= |len(a)-len(b)|, so a length gap > 64 can never pass).
-    // The final WHERE is the exact predicate — identical rows to the
-    // unfiltered form, proven by the unchanged hash at the driver SFs.
+    // evaluated the full-DP levenshtein TWICE per pair (WHERE + SELECT),
+    // and the whole DP stage rode the window→join pipeline, which DuckDB
+    // executes near-serially — 5,110 s at a 1/16 sf10 slice, timeout at
+    // 3/16. Measured decomposition on the 3/16 slice (656 k pairs): pair
+    // production 13 s; the SAME DP over a materialized pair table at 32
+    // threads 109 s; inside the unhinted pipeline >1,800 s. So the fix is
+    // shape, not math: `AS MATERIALIZED` pins the pair CTE, the DP
+    // projection parallelizes over its scan, and levenshtein is computed
+    // ONCE in a named projection. Whole oracle: 296 s at 3/16. The final
+    // WHERE is the exact predicate — identical rows to the r13 form,
+    // proven by the unchanged hash at the driver SFs.
     Some("""WITH r AS (
            |  SELECT doc_id, text,
            |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
            |  FROM documents),
-           |p AS (
+           |p AS MATERIALIZED (
            |  SELECT a.doc_id AS a_id, a.text AS a_txt, b.doc_id AS b_id, b.text AS b_txt
            |  FROM r a CROSS JOIN unnest(range(1, 8)) AS o(k) JOIN r b ON b.rk = a.rk + o.k),
-           |pl AS (SELECT * FROM p WHERE abs(len(a_txt) - len(b_txt)) <= 64),
-           |d AS (SELECT a_id, b_id, levenshtein(a_txt, b_txt) AS ed FROM pl)
+           |d AS (SELECT a_id, b_id, levenshtein(a_txt, b_txt) AS ed FROM p)
            |SELECT a_id, b_id, CAST(ed AS BIGINT) AS edit_distance
            |FROM d WHERE ed <= 64
            |ORDER BY a_id, b_id""".stripMargin))
