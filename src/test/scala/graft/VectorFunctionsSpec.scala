@@ -98,6 +98,10 @@ class VectorFunctionsSpec extends SparkSpec {
     // Nested types refuse loudly instead of weakening the compare.
     val st = Seq((1L, (1.0, 2.0))).toDF("id", "s")
     intercept[IllegalArgumentException](Verify.bitwise(st))
+    // Array-of-array (r13 advice): previously passed through UNPROJECTED,
+    // letting set-op float normalization eat a nested -0.0 flip silently.
+    val aa = Seq((1L, Seq(Seq(1.0, -0.0)))).toDF("id", "m")
+    intercept[IllegalArgumentException](Verify.bitwise(aa))
   }
 
   test("knnJoin: bucketed candidates are a rank-consistent subset of cell-only") {
