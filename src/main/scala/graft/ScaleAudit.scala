@@ -212,7 +212,9 @@ object ScaleAudit {
     // O(|verified edges|), candidate volume above bounds the verifier;
     // nodes − components = docs the semantic dedup deletes.
     val semEdges = DedupOps.embeddingNearDups(embs, "vec_id", col("embedding"), col("label"),
-      0.35, SimilarityOps.lshPlanes(2, 64)).localCheckpoint(true)
+      0.35, SimilarityOps.lshPlanes(2, 64),
+      bucketMassBudget = 0L /* measurement instrument — guard disabled */)
+      .localCheckpoint(true)
     val semCc = graft.operators.GraphOps.connectedComponents(semEdges, "a_id", "b_id")
     val semNodes = semCc.count()
     val semComps = semCc.select("comp").distinct().count()

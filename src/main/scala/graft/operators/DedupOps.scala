@@ -296,6 +296,48 @@ object DedupOps {
       .drop("__pm")
   }
 
+  /** Pre-flight COST refusal for FIXED-geometry LSH bucket self-joins
+    * (round 14 — the [[subCapPairMassGuard]] discipline extended to the
+    * embedding family, closing the r14 bench's two unguarded >40× rows):
+    * with literal (tables, planes) the bucket space is pinned at
+    * |cells|·T·2^planes groups, so bucket population grows with the corpus
+    * and the self-join's pre-aggregation pair mass Σ C(n_g, 2) is
+    * corpus-QUADRATIC. Measured across sf0.1/sf1/sf10 (DuckDB replay of
+    * the engine's own bucket arithmetic): q32's (label × 2-plane) geometry
+    * 50.5 k → 5.04 M → 504.3 M over a FIXED 40 groups; q88's two-table OR
+    * 100.7 k → 10.04 M → 1.004 B over 80 — 100× per 10× step, the §6.2
+    * floor shape in embedding space. One cheap aggregate over the bucketed
+    * rows (a second narrow-map pass over the vectors — the same p dots per
+    * row the join sides already pay) prices the join; above `budget` the
+    * plan raises a PRICED `raise_error` naming the mass instead of fanning
+    * out. The production path at scale is the recall-targeted auto-tuner
+    * ([[SimilarityOps.trainTunedAnnIndex]]/`serveAnn`), whose geometry
+    * grows with the corpus. `budget <= 0` disables (measurement
+    * instruments); call sites whose mass is individually measured payable
+    * raise the budget citing the measurement (q32/q88/semanticComps: the
+    * sf10 masses above ran to completion in 47.6 s / 103.8 s / 61.3 s in
+    * `BENCH_sf10_r14.json`). */
+  def bucketPairMassGuard(bucketed: DataFrame, groupCols: Seq[String],
+      budget: Long, site: String, probeCol: String): DataFrame = {
+    if (budget <= 0L) return bucketed
+    val mass = bucketed.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(expr("__n * (__n - 1) DIV 2")), lit(0L)).as("__pm"))
+    // The raise rides a JOIN-KEY column (probeCol): a guard on a column the
+    // optimizer prunes is a guard that silently vanishes.
+    bucketed.crossJoin(broadcast(mass))
+      .withColumn(probeCol, when(col("__pm") <= lit(budget), col(probeCol))
+        .otherwise(raise_error(concat(
+          lit(s"$site: fixed-geometry LSH bucket pair mass = "),
+          col("__pm").cast("string"),
+          lit(s" rows exceeds bucketMassBudget = $budget — literal (tables," +
+            " planes) pin the bucket space, making the self-join" +
+            " corpus-quadratic (measured 100x per 10x step); use the" +
+            " recall-targeted auto-tuner (trainTunedAnnIndex/serveAnn)," +
+            " or raise the budget only with a measured payable plan")))))
+      .drop("__pm")
+  }
+
   /** Candidate-generation POLICY for near-dup dedup — the API-level guard
     * that makes the measured-linear calibrated pipeline the path of least
     * resistance, after two rounds of scale audits proved the fixed-df-cap
@@ -589,15 +631,18 @@ object DedupOps {
     * Recall per LSH table is (1 − θ/π)^planes; production ORs several plane
     * tables for high-recall thresholds. The verifier is exact cosine. */
   def embeddingNearDups(embs: DataFrame, id: String, emb: Column, cellCol: Column,
-      threshold: Double, planes: Seq[Seq[Double]] = Nil): DataFrame = {
+      threshold: Double, planes: Seq[Seq[Double]] = Nil,
+      bucketMassBudget: Long = DefaultPairMassBudget): DataFrame = {
     // Norms are computed per VECTOR below the join's shuffle barrier (2 fold
     // evaluations per row), not per PAIR above it (which would be quadratic
     // in interpreted-lambda evaluations — the dot product is the only
     // per-pair fold left).
-    val e = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
+    val raw = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
       .withColumn("nrm", SimilarityOps.l2norm(col("v")))
       .withColumn("bucket",
         if (planes.isEmpty) lit(0L) else SimilarityOps.signLshBucket(col("v"), planes))
+    val e = bucketPairMassGuard(raw, Seq("cell", "bucket"), bucketMassBudget,
+      "embeddingNearDups", "bucket")
     val a = e.toDF("a_id", "cell", "a_v", "a_nrm", "bucket")
     val b = e.toDF("b_id", "cell", "b_v", "b_nrm", "bucket")
     a.join(b, Seq("cell", "bucket"))
@@ -623,8 +668,13 @@ object DedupOps {
     * Candidate volume ≤ T × single-table — density-bounded
     * ([[graft.ScaleAudit]] tracks the T = 2 generator beside q32's). */
   def embeddingNearDupsTables(embs: DataFrame, id: String, emb: Column, cellCol: Column,
-      threshold: Double, tables: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val a = SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "a_")
+      threshold: Double, tables: Seq[Seq[Seq[Double]]],
+      bucketMassBudget: Long = DefaultPairMassBudget): DataFrame = {
+    // Guard ONE side: both sides are the same row set, and Σ C(n, 2) over
+    // the exploded (cell, tb) groups IS the join's pre-dedup output size.
+    val a = bucketPairMassGuard(
+      SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "a_"),
+      Seq("cell", "tb"), bucketMassBudget, "embeddingNearDupsTables", "tb")
     val b = SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "b_")
     a.join(b, Seq("cell", "tb"))
       .filter(col("a_id") < col("b_id"))

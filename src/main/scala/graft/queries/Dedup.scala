@@ -131,9 +131,14 @@ object Dedup extends QueryGroup {
   private val q32Planes = graft.operators.SimilarityOps.lshPlanes(2, 64)
   private val q32 = QueryDef(
     "q32_embedding_neardup",
+    // bucketMassBudget raised above the default 200 M with the measurement
+    // cited (the r13 q73/q75 discipline): this literal geometry's pair mass
+    // measures 50.5 k / 5.04 M / 504.3 M at sf0.1/sf1/sf10 — quadratic, but
+    // the 504 M sf10 join ran to completion in 47.6 s (BENCH_sf10_r14).
+    // 2 B sits above the measured-payable tier and below the next decade.
     (s, dir) => DedupOps
       .embeddingNearDups(Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"),
-        0.35, q32Planes)
+        0.35, q32Planes, bucketMassBudget = 2000000000L)
       .orderBy(desc("cosine"), col("a_id"), col("b_id")),
     Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
            |bk AS (SELECT vec_id, label, v,
@@ -411,9 +416,13 @@ object Dedup extends QueryGroup {
   private val q88Tables = graft.operators.SimilarityOps.lshTables(2, 2, 64)
   private val q88 = QueryDef(
     "q88_multitable_neardup",
+    // bucketMassBudget raised with measurement cited (see q32): this
+    // two-table geometry's exploded (cell, t, b) pair mass measures
+    // 100.7 k / 10.04 M / 1.004 B at sf0.1/sf1/sf10, and the 1.0 B sf10
+    // join ran to completion in 103.8 s (BENCH_sf10_r14).
     (s, dir) => DedupOps
       .embeddingNearDupsTables(Tables.embeddings(s, dir), "vec_id", col("embedding"),
-        col("label"), 0.35, q88Tables)
+        col("label"), 0.35, q88Tables, bucketMassBudget = 2000000000L)
       .orderBy(desc("cosine"), col("a_id"), col("b_id")),
     Some {
       val bucketCols = q88Tables.zipWithIndex.map { case (p, t) =>

@@ -129,9 +129,13 @@ object SharedPipelines {
     * q110's false-negative exclusion set. */
   def semanticComps(s: SparkSession, dir: String): DataFrame =
     Shared.cached(s, s"semantic-cc:$dir") {
+      // Same literal geometry as q32 → same measured masses (504.3 M at
+      // sf10, built in 61.3 s as `shared_semantic_cc` in BENCH_sf10_r14) —
+      // budget raised above the default with the measurement cited.
       GraphOps.connectedComponents(
         DedupOps.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
-          col("embedding"), col("label"), 0.35, semPlanes),
+          col("embedding"), col("label"), 0.35, semPlanes,
+          bucketMassBudget = 2000000000L),
         "a_id", "b_id")
     }
 }

@@ -49,6 +49,32 @@ class MultiTableLshSpec extends SparkSpec {
     assert(exact.nonEmpty && p4.size >= p2.size)
   }
 
+  test("bucketPairMassGuard: priced refusal above budget, no-op below, disabled at <= 0") {
+    // 60 vecs over (2 labels × 4 buckets): Σ C(n,2) is a few hundred —
+    // a 10-pair budget must refuse, pricing the mass in the message.
+    val tiny = intercept[Exception] {
+      DedupOps.embeddingNearDups(emb, "vec_id", col("embedding"), col("label"),
+        0.1, t1.head, bucketMassBudget = 10L).count()
+    }
+    def msg(e: Throwable): String =
+      (Option(e.getMessage) ++ Option(e.getCause).flatMap(c => Option(c.getMessage)))
+        .mkString(" ")
+    assert(msg(tiny).contains("bucket pair mass"), s"unpriced refusal: ${msg(tiny)}")
+    assert(msg(tiny).contains("bucketMassBudget = 10"))
+    val tinyT = intercept[Exception] {
+      DedupOps.embeddingNearDupsTables(emb, "vec_id", col("embedding"), col("label"),
+        0.1, t2, bucketMassBudget = 10L).count()
+    }
+    assert(msg(tinyT).contains("bucket pair mass"))
+    // Below budget (default) and disabled (0) produce the identical pair set:
+    // the guard moves no rows, it only prices the plan.
+    def pairs(budget: Long): Set[(Long, Long)] =
+      DedupOps.embeddingNearDupsTables(emb, "vec_id", col("embedding"), col("label"),
+        0.1, t2, bucketMassBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(DedupOps.DefaultPairMassBudget) === pairs(0L))
+  }
+
   test("candidate volume stays <= T x single-table and deduped") {
     val c1 = DedupOps.embeddingCandidates(emb, "vec_id", col("embedding"), col("label"),
       t1.head).count()
