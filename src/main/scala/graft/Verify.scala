@@ -45,6 +45,27 @@ object Verify {
     case c => c.toString
   }
 
+  /** Code-point-safe prefix: `String.take(n)` can split a surrogate pair
+    * mid-astral-char, leaving a lone surrogate that survives [[jsonEscape]]
+    * unescaped and turns into '?' at UTF-8 encode time (r14 advice).
+    * Truncating on code-point boundaries keeps every emitted char a
+    * complete, escapable code point. */
+  private def takeCodePoints(s: String, n: Int): String = {
+    val cps = s.codePoints().limit(n).toArray
+    new String(cps, 0, cps.length)
+  }
+
+  /** True when any leaf of `dt` is Float/Double — the nested types the
+    * bitwise projection cannot yet reach element-wise. */
+  private[graft] def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case DoubleType | FloatType => true
+      case ArrayType(e, _) => containsFloat(e)
+      case MapType(k, v, _) => containsFloat(k) || containsFloat(v)
+      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+      case _ => false
+    }
+
   private def session(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -90,15 +111,20 @@ object Verify {
           transform(col(f.name), x => doubleBits(x)).as(f.name)
         case ArrayType(FloatType, _) =>
           transform(col(f.name), x => doubleBits(x.cast(DoubleType))).as(f.name)
-        // Arrays of anything non-atomic (array-of-array, array-of-map) would
-        // pass through UNPROJECTED and let Spark's set-op float normalization
-        // treat -0.0 == +0.0 inside the nesting — refuse like struct/map
-        // rather than silently weaken the gate (r13 advice).
-        case _: StructType | _: MapType | ArrayType(_: StructType, _) |
-            ArrayType(_: ArrayType, _) | ArrayType(_: MapType, _) =>
+        // FLOAT-BEARING nesting (struct/map/array-of-array with a float
+        // leaf) would pass through UNPROJECTED and let Spark's set-op float
+        // normalization treat -0.0 == +0.0 inside the nesting — refuse
+        // rather than silently weaken the gate (r13 advice). Float-free
+        // nesting (e.g. array<array<string>>) is bit-exact under plain
+        // equality and passes through, matching check_oracle_timed.py's
+        // nested-FLOAT refusal rule (r14 advice).
+        case dt @ (_: StructType | _: MapType | ArrayType(_: ArrayType, _) |
+            ArrayType(_: StructType, _) | ArrayType(_: MapType, _))
+            if containsFloat(dt) =>
           throw new IllegalArgumentException(
-            s"invariance compare: column ${f.name} has nested type " +
-              s"${f.dataType.simpleString} — extend bitwise() before trusting it")
+            s"invariance compare: column ${f.name} has float-bearing nested " +
+              s"type ${f.dataType.simpleString} — extend bitwise() before " +
+              "trusting it")
         case _ => col(f.name)
       }
     }.toSeq
@@ -141,8 +167,8 @@ object Verify {
           }
         }
       } catch { case e: Throwable =>
-        s""""error":"${jsonEscape(
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}""""
+        s""""error":"${jsonEscape(takeCodePoints(
+          Option(e.getMessage).getOrElse(e.getClass.getName), 300))}""""
       }
       val sec = math.rint((System.nanoTime() - t0) / 1e9 * 10) / 10
       val line = s"""{"query":"$name",$row,"sec":$sec}"""

@@ -77,8 +77,11 @@ object IngestOps {
       new com.fasterxml.jackson.databind.ObjectMapper()
     override def fetch(vehicleId: String): Seq[String] = {
       val enc = java.net.URLEncoder.encode(vehicleId, "UTF-8")
+      // A baseUrl that already carries a query string joins with '&' — two
+      // '?' would make the request line malformed (r14 advice).
+      val sep = if (baseUrl.contains("?")) "&" else "?"
       val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"$baseUrl?vehicle_id=$enc"))
+        .uri(java.net.URI.create(s"$baseUrl${sep}vehicle_id=$enc"))
         .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
         .GET().build()
       val resp = client.send(req,

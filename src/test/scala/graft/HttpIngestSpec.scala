@@ -81,6 +81,19 @@ class HttpIngestSpec extends SparkSpec {
     }
   }
 
+  test("S1: baseUrl with an existing query string joins with '&', not a second '?'") {
+    withServer(vid => if (vid.isEmpty) "[]" else recordsFor(vid)) { (base, requested) =>
+      val ids = Seq("101").toDS()
+      val df = IngestOps.fetchBreadcrumbs(ids,
+        new IngestOps.HttpTransport(base + "?api_key=k"),
+        Tables.breadcrumbRawSchema, parallelism = 1)
+      // The request parses as TWO parameters — vehicle_id survives beside
+      // the pre-existing one instead of hiding inside a malformed '??' URL.
+      assert(df.count() === 2)
+      assert(requested.contains("101"))
+    }
+  }
+
   test("S1: non-array body raises loudly (divergence from the reference's silent None)") {
     withServer(_ => """{"oops": true}""") { (base, _) =>
       val ids = Seq("101").toDS()

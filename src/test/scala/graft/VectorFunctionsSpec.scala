@@ -102,6 +102,12 @@ class VectorFunctionsSpec extends SparkSpec {
     // letting set-op float normalization eat a nested -0.0 flip silently.
     val aa = Seq((1L, Seq(Seq(1.0, -0.0)))).toDF("id", "m")
     intercept[IllegalArgumentException](Verify.bitwise(aa))
+    // FLOAT-FREE nesting passes through (r14 advice): there is no zero-sign
+    // or NaN-bit to normalize in array<array<string>>, plain equality is
+    // already bit-exact — matching the oracle side's nested-FLOAT-only
+    // refusal instead of over-refusing a legit non-float output.
+    val as = Seq((1L, Seq(Seq("x", "y")))).toDF("id", "m")
+    assert(Verify.bitwise(as).exceptAll(Verify.bitwise(as)).count() === 0L)
   }
 
   test("knnJoin: bucketed candidates are a rank-consistent subset of cell-only") {
