@@ -219,6 +219,23 @@ object ScaleAudit {
     val semNodes = semCc.count()
     val semComps = semCc.select("comp").distinct().count()
 
+    // r15 OCCUPANCY-pinned semantic geometry (the production semanticComps
+    // path): chosen depth, candidate pairs, and exact bucket pair mass
+    // Σ C(n, 2) under the ladder's choice. The mass row is the claim to
+    // track across tiers: with occupancy pinned it must grow LINEARLY in
+    // the corpus (≈ n·occ·T/2), where the fixed 2-plane row above
+    // (q32_cell_lsh_candidates) is measured quadratic.
+    val semDepth = graft.queries.SharedPipelines.tunedSemanticDepth(spark, sfDir)
+    val semOccTables = SimilarityOps.lshTables(
+      graft.queries.SharedPipelines.semTables, semDepth, 64)
+    val semOccCand = DedupOps.embeddingCandidatesTables(embs, "vec_id",
+      col("embedding"), col("label"), semOccTables).count()
+    val semOccMass = SimilarityOps.lshCandidateRows(embs, "vec_id",
+        col("embedding"), col("label"), semOccTables, "n_")
+      .groupBy(col("cell"), col("tb")).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(expr("__n * (__n - 1) DIV 2")), lit(0L)))
+      .head.getLong(0)
+
     // q53/q61 cluster graphs: nodes/components from the minhash pair list.
     // The CC loop's work per round is O(|edges|); what must stay bounded as
     // the corpus grows is the edge list (candidate volumes above) — the
@@ -406,6 +423,8 @@ object ScaleAudit {
       s""""all_pairs_vecs":$allPairsVecs,"q32_cell_lsh_candidates":$q32,""" +
       s""""q88_multitable_candidates":$q88,""" +
       s""""q61_sem_nodes":$semNodes,"q61_sem_components":$semComps,""" +
+      s""""q61_occ_depth":$semDepth,"q61_occ_candidates":$semOccCand,""" +
+      s""""q61_occ_pair_mass":$semOccMass,""" +
       s""""q53_cc_nodes":$ccNodes,"q53_cc_components":$ccComps,""" +
       s""""q111_star_edges":$q111Stars,"q111_new_batch_pairs":$q111NewPairs,""" +
       s""""q110_knn_candidate_rows":$q110Rows,"q106_match_rows":$q106Match,""" +

@@ -562,28 +562,62 @@ object DedupOps {
     * GENERATION does not bias the verdict. Output: (a_id, b_id, n_common,
     * a_size, b_size, jaccard), pairs at or above `threshold` only. */
   def jaccardVerifyPairs(cand: DataFrame, shingles: DataFrame,
-      threshold: Double): DataFrame = {
-    // One row per pair MEMBER (side 0 = a, 1 = b), then ONE join against the
-    // distinct shingle stream: the shingle pipeline is EVALUATED ONCE, and
-    // set sizes fall out of the same joined stream (the join on doc_id alone
-    // carries every shingle of each member doc, so the per-side row count IS
-    // |A| / |B|) — no doc-level window, no second sizes aggregate. No
-    // broadcast HINT on the member table: a calibrated pool is tiny and AQE
-    // converts the join to broadcast at runtime (probe side read locally),
-    // while an uncalibrated multi-million-pair pool degrades to a shuffle
-    // join instead of blowing up the driver.
-    // Normalize the candidate list before fan-out: a duplicate pair (a
-    // multi-generator union, an ungrouped edge list) or a reversed (b, a)
-    // would double every per-shingle hit count — __hits === 2 then NEVER
-    // matches and a true near-dup silently verifies to jaccard 0, a false
-    // negative feeding the scrub. least/greatest + distinct makes the
-    // operator total over any id-pair list at the cost of one exchange
-    // over the (tiny) candidate ids.
-    val pairs = cand.select(
-        least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .distinct()
+      threshold: Double): DataFrame =
+    pairOverlapStats(cand, shingles)
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+
+  /** Directional-containment VERIFY over an explicit candidate-pair list —
+    * |A∩B| / min(|A|, |B|) on the FULL shingle sets, cost bounded by
+    * |candidates| × avg set size exactly like [[jaccardVerifyPairs]] (the
+    * two verifiers share [[pairOverlapStats]], so the quote/subset metric
+    * and the symmetric one can never see different sets). Re-anchors the
+    * containment family off the fixed-df-cap corpus-wide join (measured
+    * superlinear, SURVEY §6.1) onto whatever calibrated generator produced
+    * `cand`. Recall caveat, documented not hidden: an r-rows-per-band
+    * MinHash generator targets JACCARD, and a short-doc-inside-long-doc
+    * pair has high containment but low Jaccard — at a fixed band shape its
+    * collision odds decay with the length ratio, so a production
+    * containment pass that must catch extreme-ratio embeddings pairs this
+    * verifier with a 1-row-per-band pool ([[CandidateGen.QuantileCapped]]
+    * `rowsPerBand = 1`) or an asymmetric generator.
+    * Output: (a_id, b_id, n_common, containment) at or above
+    * `minContainment`. */
+  def containmentVerifyPairs(cand: DataFrame, shingles: DataFrame,
+      minContainment: Double): DataFrame =
+    pairOverlapStats(cand, shingles)
+      .withColumn("containment",
+        round(col("n_common").cast("double") /
+          least(col("a_size"), col("b_size")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("containment"))
+
+  /** The shared overlap stage of the pair VERIFIERS (Jaccard /
+    * containment): exact (n_common, a_size, b_size) per candidate pair,
+    * with sizes taken over the same (full, distinct) shingle stream the
+    * intersection is counted on.
+    *
+    * One row per pair MEMBER (side 0 = a, 1 = b), then ONE join against the
+    * distinct shingle stream: the shingle pipeline is EVALUATED ONCE, and
+    * set sizes fall out of the same joined stream (the join on doc_id alone
+    * carries every shingle of each member doc, so the per-side row count IS
+    * |A| / |B|) — no doc-level window, no second sizes aggregate. No
+    * broadcast HINT on the member table: a calibrated pool is tiny and AQE
+    * converts the join to broadcast at runtime (probe side read locally),
+    * while an uncalibrated multi-million-pair pool degrades to a shuffle
+    * join instead of blowing up the driver.
+    *
+    * Normalize the candidate list before fan-out: a duplicate pair (a
+    * multi-generator union, an ungrouped edge list) or a reversed (b, a)
+    * would double every per-shingle hit count — __hits === 2 then NEVER
+    * matches and a true near-dup silently verifies to jaccard 0, a false
+    * negative feeding the scrub. least/greatest + distinct makes the
+    * operator total over any id-pair list at the cost of one exchange
+    * over the (tiny) candidate ids. */
+  private def pairOverlapStats(cand: DataFrame, shingles: DataFrame): DataFrame = {
+    val pairs = normalizedPairs(cand)
     val members = pairs.select(col("a_id"), col("b_id"), col("a_id").as("doc_id"), lit(0).as("side"))
       .union(pairs.select(col("a_id"), col("b_id"), col("b_id").as("doc_id"), lit(1).as("side")))
     val rows = shingles.select(col("doc_id"), col("sh")).distinct()
@@ -595,11 +629,16 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id"))
       .agg(sum(when(col("__hits") === 2, 1L)).as("n_common"),
         sum(col("__a1")).as("a_size"), sum(col("__b1")).as("b_size"))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("a_size") + col("b_size") - col("n_common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** (a_id, b_id) with a < b, deduped — the candidate-list normalization
+    * every pair verifier applies before fanning members out. */
+  private def normalizedPairs(cand: DataFrame): DataFrame =
+    cand.select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
 
   /** X2 (n-gram Jaccard verifier): true Jaccard over shingle sets for pairs
     * sharing ≥1 shingle inside a bucket. The shingle join generates only
@@ -641,10 +680,13 @@ object DedupOps {
       .withColumn("nrm", SimilarityOps.l2norm(col("v")))
       .withColumn("bucket",
         if (planes.isEmpty) lit(0L) else SimilarityOps.signLshBucket(col("v"), planes))
-    val e = bucketPairMassGuard(raw, Seq("cell", "bucket"), bucketMassBudget,
-      "embeddingNearDups", "bucket")
-    val a = e.toDF("a_id", "cell", "a_v", "a_nrm", "bucket")
-    val b = e.toDF("b_id", "cell", "b_v", "b_nrm", "bucket")
+    // Guard ONE side only (the [[embeddingNearDupsTables]] discipline):
+    // both sides are the same row set, so Σ C(n, 2) over side `a`'s groups
+    // already prices the join — wrapping both sides would duplicate the
+    // mass aggregate + crossJoin lineage into each join input.
+    val a = bucketPairMassGuard(raw, Seq("cell", "bucket"), bucketMassBudget,
+      "embeddingNearDups", "bucket").toDF("a_id", "cell", "a_v", "a_nrm", "bucket")
+    val b = raw.toDF("b_id", "cell", "b_v", "b_nrm", "bucket")
     a.join(b, Seq("cell", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
@@ -1136,6 +1178,51 @@ object DedupOps {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("a_size") + col("b_size") - col("n_common")).cast("double"))
     cand.join(exact, Seq("a_id", "b_id"))
+      .withColumn("est_jaccard",
+        col("n_equal_hashes").cast("double") / lit(numHashes.toDouble))
+      .select(col("a_id"), col("b_id"), col("n_equal_hashes"),
+        col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
+  /** MinHash estimator calibration over an EXPLICIT candidate-pair list —
+    * [[minhashCalibration]]'s report (per pair: the numHashes-wide Jaccard
+    * ESTIMATE beside the EXACT Jaccard and the absolute error) with both
+    * sides routed THROUGH the pair list instead of corpus-wide self-joins,
+    * so the calibration bill is bounded by |candidates| × (numHashes + avg
+    * set size) — the [[jaccardVerifyPairs]] cost discipline applied to the
+    * sketch-quality audit. Feed it the calibrated generator's own pool
+    * ([[nearDupCandidates]]) and its own capped shingle stream: estimator
+    * and truth must see the SAME (capped) sets, or the report grades the
+    * cap, not the sketch. Expects a single global bucket in
+    * `cappedShingles` (the calibrated family's shape — a per-source
+    * bucketing would need the bucket carried through the signature join).
+    * Pairs with no surviving shared shingle are dropped (inner-join
+    * semantics, matching the corpus-wide form). Output: (a_id, b_id,
+    * n_equal_hashes, est_jaccard, jaccard, abs_err), unrounded — callers
+    * round for cross-engine hashing. */
+  def minhashCalibrationVerify(cand: DataFrame, cappedShingles: DataFrame,
+      numHashes: Int): DataFrame = {
+    val pairs = normalizedPairs(cand)
+    val members = pairs
+      .select(col("a_id"), col("b_id"), col("a_id").as("doc_id"), lit(0).as("side"))
+      .union(pairs
+        .select(col("a_id"), col("b_id"), col("b_id").as("doc_id"), lit(1).as("side")))
+    // Per-hash minwise rows over the SAME capped universe the exact side
+    // sees; one row per (doc, hash index) under the global bucket.
+    val sig = minhashBandRows(cappedShingles, numHashes)
+      .select(col("doc_id"), col("band").as("__j"), col("h"))
+    val est = members.join(sig, "doc_id")
+      .groupBy(col("a_id"), col("b_id"), col("__j"), col("h"))
+      .agg(count(lit(1)).as("__hits"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(coalesce(sum(when(col("__hits") === 2, 1L)), lit(0L))
+        .as("n_equal_hashes"))
+    val exact = pairOverlapStats(cand, cappedShingles)
+      .filter(col("n_common").isNotNull)
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("a_size") + col("b_size") - col("n_common")).cast("double"))
+    est.join(exact, Seq("a_id", "b_id"))
       .withColumn("est_jaccard",
         col("n_equal_hashes").cast("double") / lit(numHashes.toDouble))
       .select(col("a_id"), col("b_id"), col("n_equal_hashes"),

@@ -672,6 +672,129 @@ object SimilarityOps {
     (chosen.head.getInt(0), chosen.head.getInt(1))
   }
 
+  /** PAIR-geometry auto-tuner for LSH near-dup SELF-joins — the
+    * [[lshAutoTune]] instrument re-targeted at the quantity that actually
+    * breaks at scale there. A kNN sweep prices a config by its
+    * QUERY-side candidate bill; a near-dup self-join's bill is the bucket
+    * PAIR MASS Σ C(n_g, 2) over the whole corpus — the corpus-quadratic
+    * floor [[graft.operators.DedupOps.bucketPairMassGuard]] measured at
+    * 100× per 10× step for any FIXED geometry (SURVEY §6.2). This sweep
+    * scores each (tables, planes) config by:
+    *
+    *  - `pair_recall` — the fraction of UNAMBIGUOUS duplicate pairs
+    *    (exact cosine ≥ `recallBar` within a cell, measured on the
+    *    deterministic `vec_id < sampleN` sample — the q141 sample
+    *    discipline) that share a bucket in ≥1 of the config's tables.
+    *    Closed-form per pair (an OR of bucket-equality expressions over
+    *    the sampled pairs), no join. An empty truth sample yields a
+    *    vacuous 1.0 (every config meets it; the mass ordering then
+    *    decides alone). `recallBar` is deliberately HIGHER than the
+    *    downstream verify threshold: pairs barely above the keep
+    *    threshold sit near 90° where every sign-LSH plane is a coin
+    *    flip, so contracting on them forces wide-bucket (low-plane)
+    *    geometry whose pair mass grows quadratically — the exact floor
+    *    this tuner exists to remove. The contract covers the pairs a
+    *    dedup pass must not lose (true duplicates); marginal pairs are
+    *    best-effort, as in any banded-LSH production pipeline.
+    *  - `pair_mass` — the exact pre-aggregation size of the self-join the
+    *    config would run: Σ C(n, 2) over its (cell, table, bucket) groups,
+    *    one count aggregate per config over the corpus. No join is ever
+    *    fanned out to measure it.
+    *
+    * The chosen row is the CHEAPEST-BY-MASS config meeting the recall
+    * target (ties to the earlier `cfg` index — tables-then-planes sweep
+    * order). Both figures are integer-exact or single-division doubles, so
+    * the choice is bit-reproducible in any engine — which is what lets
+    * q61/q110 put the whole sweep in their DuckDB hash oracle
+    * ([[graft.queries.OracleSql.pairLshSweepCtes]]) instead of weakening
+    * to rows-only. As the corpus densifies, the sweep walks the geometry
+    * toward more planes/tables, keeping the near-dup bill pinned to the
+    * recall contract — the auto-scaling answer to the fixed-2-plane floor
+    * the r14 bench measured at 504.3 M pairs (sf10). */
+  def pairLshAutoTune(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      recallBar: Double, configs: Seq[(Int, Int)], dim: Int,
+      recallTarget: Double, sampleN: Long, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(configs.nonEmpty, "need at least one config to sweep")
+    val e = embs.select(col(id).as("vec_id"), cellCol.as("cell"),
+      emb.cast("array<double>").as("v"))
+    val smp = e.filter(col("vec_id") < sampleN)
+    val truth = smp.toDF("a_id", "cell", "a_v")
+      .join(smp.toDF("b_id", "cell", "b_v"), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.engine.Semantics.roundz(
+        dot(col("a_v"), col("b_v")) / (l2norm(col("a_v")) * l2norm(col("b_v"))),
+        6) >= recallBar)
+      .select(col("a_v"), col("b_v"))
+    val per = configs.zipWithIndex.map { case ((t, p), i) =>
+      val tables = lshTables(t, p, dim, seed)
+      val hit = tables.map(pl =>
+          signLshBucket(col("a_v"), pl) === signLshBucket(col("b_v"), pl))
+        .reduce(_ || _)
+      // avg of 0/1 doubles: integer partial sums + one division — exact
+      // and order-independent in every engine, no rounding needed.
+      val rec = truth.agg(coalesce(
+        avg(when(hit, 1.0).otherwise(0.0)), lit(1.0)).as("pair_recall"))
+      val mass = e.select(col("cell"),
+          explode(tableBuckets(col("v"), tables)).as("tb"))
+        .groupBy(col("cell"), col("tb")).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(expr("__n * (__n - 1) DIV 2")), lit(0L)).as("pair_mass"))
+      rec.crossJoin(mass) // two 1-row aggregates
+        .select(lit(i).as("cfg"), lit(t).as("n_tables"), lit(p).as("n_planes"),
+          col("pair_recall"), col("pair_mass"))
+    }.reduce(_ union _)
+    // Tiny frame (one row per config): the single-partition window is fine.
+    val w = Window.orderBy(desc("meets_target"), col("pair_mass"), col("cfg"))
+    per
+      .withColumn("meets_target", col("pair_recall") >= lit(recallTarget))
+      .withColumn("chosen", col("meets_target") && row_number().over(w) === 1)
+  }
+
+  /** OCCUPANCY-PINNED sign-LSH depth — the semantic family's production
+    * geometry rule: the shallowest plane count p ∈ [pMin, pMax] with
+    * n ≤ nCells · targetOccupancy · 2^p, i.e. expected bucket occupancy at
+    * most `targetOccupancy` rows. With occupancy pinned, the bucket
+    * self-join's pair mass is Θ(n · occupancy · tables) — LINEAR in the
+    * corpus at every scale, the embedding-space twin of the lexical
+    * quantile cap (both pin a RELATIVE quantity; a fixed plane count, like
+    * a fixed df cap, silently turns quadratic as the corpus grows — the
+    * §6.2 floor). Integer arithmetic only (compare n against shifted
+    * products), so the data-dependent choice replays bit-identically in
+    * any engine — q61/q110 put the whole depth ladder in their hash
+    * oracle. Recall at wide angles declines with depth and must be
+    * MEASURED ([[pairLshAutoTune]]); pairs of identical vectors share
+    * every bucket at every depth, so exact-duplicate recall is 1.0 by
+    * construction. Above the pMax clamp the mass is quadratic again —
+    * keep [[graft.operators.DedupOps.bucketPairMassGuard]] downstream as
+    * the priced backstop. */
+  def occupancyLshDepth(n: Long, nCells: Long, targetOccupancy: Long,
+      pMin: Int = 2, pMax: Int = 12): Int = {
+    require(nCells >= 1 && targetOccupancy >= 1 && pMin >= 1 && pMax >= pMin,
+      s"occupancyLshDepth: bad arguments ($n, $nCells, $targetOccupancy, $pMin, $pMax)")
+    (pMin to pMax).find(p => n <= nCells * targetOccupancy * (1L << p))
+      .getOrElse(pMax)
+  }
+
+  /** Driver-side distillation of [[pairLshAutoTune]] into the (tables,
+    * planes) the near-dup self-join deploys — bounded driver state (≤ 1 row
+    * of two ints), loud refusal when no swept config meets the pair-recall
+    * target, exactly the [[tunedLshConfig]] contract. */
+  def tunedPairLshConfig(embs: DataFrame, id: String, emb: Column, cellCol: Column,
+      recallBar: Double, configs: Seq[(Int, Int)], dim: Int,
+      recallTarget: Double, sampleN: Long, seed: Long = 42L): (Int, Int) = {
+    val chosen = pairLshAutoTune(embs, id, emb, cellCol, recallBar, configs,
+        dim, recallTarget, sampleN, seed)
+      .filter(col("chosen"))
+      .select(col("n_tables"), col("n_planes"))
+      .collect()
+    require(chosen.nonEmpty,
+      s"tunedPairLshConfig: no swept config $configs reached pair recall >= " +
+        s"$recallTarget on the sampled true near-dup pairs — widen the sweep " +
+        "(more tables / fewer planes) or lower the target; refusing to " +
+        "silently ship a below-target near-dup geometry")
+    (chosen.head.getInt(0), chosen.head.getInt(1))
+  }
+
   /** Hard-negative mining for retriever/embedding training: from scored
     * k-NN candidates ([[knnJoin]]/[[knnJoinTables]] output), drop every
     * neighbor that shares a duplicate CLUSTER with its query

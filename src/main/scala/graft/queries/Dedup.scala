@@ -283,38 +283,35 @@ object Dedup extends QueryGroup {
   /** X2 (containment): directional shingle containment
     * |A∩B| / min(|A|,|B|) — the quote/subset detector. A short doc embedded
     * in a long one scores 1.0 here while its Jaccard stays tiny, so q22's
-    * symmetric ranking never surfaces it. Same bounded shared-shingle join
-    * as q22 (zero new candidate volume — BASELINE.md's q22 row covers it). */
+    * symmetric ranking never surfaces it. Re-anchored (r15) off the
+    * fixed-df-cap corpus-wide join (the measured-superlinear q22 pool —
+    * 432 M pair mass / 68.4 s steady at sf10) onto the CALIBRATED
+    * candidate pool + the bounded pair verifier
+    * ([[DedupOps.containmentVerifyPairs]]): candidate cost is the
+    * measured-linear generator's, verify cost is |candidates| × avg set
+    * size, and the containment verdict is computed on FULL 5-gram sets so
+    * the generator's cap never biases the metric. The banding-vs-
+    * containment recall trade is documented on the operator. */
   private val q75 = QueryDef(
     "q75_containment_pairs",
-    // pairMassBudget raised above the default 200M: same 432.4M sf10
-    // sub-cap mass as q22/q73, individually measured payable — the r12
-    // sweep hash-verified this query at sf10 in 144.6s (36.1M rows).
-    (s, dir) => DedupOps.containmentPairs(docShingleRows(s, dir), maxDf = 50,
-        minContainment = 0.05, pairMassBudget = 1000000000L)
-      .select(col("a_id"), col("b_id"), col("n_common"), col("containment"))
+    (s, dir) => DedupOps.containmentVerifyPairs(
+        SharedPipelines.calibratedCandidates(s, dir),
+        SharedPipelines.calibratedShingleRows(s, dir), minContainment = 0.05)
       .orderBy(desc("containment"), col("a_id"), col("b_id")),
-    Some("""WITH sets AS (
-           |  SELECT doc_id, source,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
-           |sizes AS (SELECT doc_id, CAST(len(shset) AS BIGINT) AS setsize FROM sets WHERE len(shset) > 0),
-           |common AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-           |  FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+    Some("WITH " + OracleSql.calibratedPairsCtes + (""",
+           |cmn AS (
+           |  SELECT p.a_id, p.b_id, count(*) AS n_common
+           |  FROM pairs p
+           |  JOIN ex0 a ON a.doc_id = p.a_id
+           |  JOIN ex0 b ON b.doc_id = p.b_id AND b.sh = a.sh
            |  GROUP BY 1, 2)
-           |SELECT a_id, b_id, n_common,
+           |SELECT cmn.a_id, cmn.b_id, CAST(n_common AS BIGINT) AS n_common,
            |  round(CAST(n_common AS DOUBLE) / CAST(least(sa.setsize, sb.setsize) AS DOUBLE), 6) AS containment
-           |FROM common
-           |JOIN sizes sa ON sa.doc_id = a_id
-           |JOIN sizes sb ON sb.doc_id = b_id
+           |FROM cmn
+           |JOIN sizes sa ON sa.doc_id = cmn.a_id
+           |JOIN sizes sb ON sb.doc_id = cmn.b_id
            |WHERE round(CAST(n_common AS DOUBLE) / CAST(least(sa.setsize, sb.setsize) AS DOUBLE), 6) >= 0.05
-           |ORDER BY containment DESC, a_id, b_id""".stripMargin))
+           |ORDER BY containment DESC, a_id, b_id""").stripMargin))
 
   /** X2 incremental: fresh crawl sources probe the STANDING MinHash band
     * index of the existing corpus (semi join on (band, h) — cross-source,
@@ -442,62 +439,53 @@ object Dedup extends QueryGroup {
          |ORDER BY cosine DESC, a_id, b_id""".stripMargin
     })
 
-  /** MinHash estimator calibration — for every one of q23's LSH candidate
-    * pairs, the 8-hash Jaccard ESTIMATE (fraction of agreeing minwise
-    * hashes) next to the EXACT Jaccard over the same capped shingle
-    * universe, plus the absolute error. The sketch-quality report that
-    * justifies (or indicts) a signature width before the banding thresholds
-    * built on it are trusted. Candidate volume is q23's (df-capped band
-    * join); the exact side is q22's bounded shared-shingle join with sizes
-    * recomputed AFTER the cap (estimator and truth must see the same sets).
-    * est − exact is a single subtraction of bitwise-identical doubles in
-    * both engines; all three reported figures are rounded 1e-6. */
+  /** MinHash estimator calibration — for every CALIBRATED candidate pair
+    * ([[SharedPipelines.calibratedCandidates]] since r15; previously q23's
+    * fixed-df-cap pool, 67.1 s steady at sf10), the 8-hash Jaccard
+    * ESTIMATE (fraction of agreeing minwise hashes) next to the EXACT
+    * Jaccard over the same quantile-capped shingle universe, plus the
+    * absolute error. The sketch-quality report that justifies (or indicts)
+    * a signature width before the banding thresholds built on it are
+    * trusted — now grading the PRODUCTION generator's own signatures on
+    * its own pool, with both sides routed through the pair list
+    * ([[DedupOps.minhashCalibrationVerify]]) so the bill is bounded by the
+    * calibrated pool size. est − exact is a single subtraction of
+    * bitwise-identical doubles in both engines; all three reported figures
+    * are rounded 1e-6. */
   private val q107 = QueryDef(
     "q107_minhash_calibration",
-    (s, dir) => DedupOps
-      .minhashCalibration(docShingleRows(s, dir), 8, maxDf = 50)
+    (s, dir) => DedupOps.minhashCalibrationVerify(
+        SharedPipelines.calibratedCandidates(s, dir),
+        SharedPipelines.calibratedCappedShingles(s, dir), numHashes = 8)
       .select(col("a_id"), col("b_id"), col("n_equal_hashes"),
         graft.engine.Semantics.roundz(col("est_jaccard"), 6).as("est_jaccard"),
         graft.engine.Semantics.roundz(col("jaccard"), 6).as("jaccard"),
         graft.engine.Semantics.roundz(col("abs_err"), 6).as("abs_err"))
       .orderBy(col("a_id"), col("b_id")),
-    Some("""WITH sets AS (
-           |  SELECT doc_id, source,
-           |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-           |      THEN list_transform(range(len(string_split(text,' ')) - 2),
-           |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
-           |      ELSE [] END) AS shset
-           |  FROM documents),
-           |ex0 AS (SELECT doc_id, source, unnest(shset) AS sh FROM sets WHERE len(shset) > 0),
-           |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY source, sh) <= 50),
-           |hashed AS (
-           |  SELECT doc_id, source,
-           |    CAST('0x' || substr(md5(sh), 1, 10) AS BIGINT) AS h1,
-           |    CAST('0x' || substr(md5(sh), 11, 10) AS BIGINT) AS h2
-           |  FROM ex),
-           |bands AS (
-           |  SELECT doc_id, source, j.band, min(h1 + j.band * h2) AS h
-           |  FROM hashed, unnest(range(8)) AS j(band)
-           |  GROUP BY 1, 2, 3),
-           |cand AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_equal_hashes
-           |  FROM bands a JOIN bands b
-           |    ON a.source = b.source AND a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    Some("WITH " + OracleSql.calibratedPairsCtes + (""",
+           |eq AS (
+           |  SELECT p.a_id, p.b_id, count(*) AS n_equal_hashes
+           |  FROM pairs p
+           |  JOIN mh a ON a.doc_id = p.a_id
+           |  JOIN mh b ON b.doc_id = p.b_id AND b.j = a.j AND b.h = a.h
            |  GROUP BY 1, 2),
            |csz AS (SELECT doc_id, count(*) AS setsize FROM ex GROUP BY 1),
-           |common AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-           |  FROM ex a JOIN ex b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           |cmn AS (
+           |  SELECT p.a_id, p.b_id, count(*) AS n_common
+           |  FROM pairs p
+           |  JOIN ex a ON a.doc_id = p.a_id
+           |  JOIN ex b ON b.doc_id = p.b_id AND b.sh = a.sh
            |  GROUP BY 1, 2),
-           |jac AS (SELECT a_id, b_id,
+           |jac AS (SELECT cmn.a_id, cmn.b_id,
            |    CAST(n_common AS DOUBLE) / CAST(sa.setsize + sb.setsize - n_common AS DOUBLE) AS j
-           |  FROM common JOIN csz sa ON sa.doc_id = a_id JOIN csz sb ON sb.doc_id = b_id)
-           |SELECT c.a_id, c.b_id, c.n_equal_hashes,
-           |  round(CAST(n_equal_hashes AS DOUBLE) / 8.0, 6) + 0.0 AS est_jaccard,
-           |  round(j, 6) + 0.0 AS jaccard,
-           |  round(abs(CAST(n_equal_hashes AS DOUBLE) / 8.0 - j), 6) + 0.0 AS abs_err
-           |FROM cand c JOIN jac USING (a_id, b_id)
-           |ORDER BY a_id, b_id""".stripMargin))
+           |  FROM cmn JOIN csz sa ON sa.doc_id = cmn.a_id JOIN csz sb ON sb.doc_id = cmn.b_id)
+           |SELECT j.a_id, j.b_id,
+           |  CAST(coalesce(e.n_equal_hashes, 0) AS BIGINT) AS n_equal_hashes,
+           |  round(CAST(coalesce(e.n_equal_hashes, 0) AS DOUBLE) / 8.0, 6) + 0.0 AS est_jaccard,
+           |  round(j.j, 6) + 0.0 AS jaccard,
+           |  round(abs(CAST(coalesce(e.n_equal_hashes, 0) AS DOUBLE) / 8.0 - j.j), 6) + 0.0 AS abs_err
+           |FROM jac j LEFT JOIN eq e ON e.a_id = j.a_id AND e.b_id = j.b_id
+           |ORDER BY j.a_id, j.b_id""").stripMargin))
 
   /** X2 quantile-calibrated df cap ([[DedupOps.capShingleDfQuantile]]):
     * q23's global-bucket variant (q78's shape) with the hot-shingle cut at

@@ -73,12 +73,16 @@ object Graph extends QueryGroup {
     Some(ccKeepersOracle))
 
   /** X8 semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs
-    * (cell × sign-LSH bucketed candidates, exact-cosine verified — q32's
-    * generator) resolved into clusters by connected components, one
-    * canonical keeper per cluster. This is the embedding-space counterpart
-    * of q53's lexical clustering; together they are the two halves of a
-    * production dedup pass (lexical first, semantic on the survivors). */
-  private val q61Planes = SharedPipelines.semPlanes
+    * resolved into clusters by connected components, one canonical keeper
+    * per cluster. This is the embedding-space counterpart of q53's lexical
+    * clustering; together they are the two halves of a production dedup
+    * pass (lexical first, semantic on the survivors). Since r15 the
+    * candidate geometry is TUNED per corpus ([[SharedPipelines
+    * .tunedSemanticConfig]]: cheapest-by-pair-mass config meeting a
+    * measured pair-recall contract) instead of a fixed 2-plane literal —
+    * the oracle replays the whole sweep, so the hash check covers the
+    * data-dependent CHOICE, not just the clustering (the q141 discipline
+    * on the self-join side). */
   private val q61 = QueryDef(
     "q61_semantic_dedup",
     (s, dir) =>
@@ -87,22 +91,13 @@ object Graph extends QueryGroup {
       // near-dup clusters.
       GraphOps.clusterKeepers(SharedPipelines.semanticComps(s, dir))
         .orderBy(col("keeper_id")),
-    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |bk AS (SELECT vec_id, label, v,
-           |  ${OracleSql.signLshBucketSql("v", q61Planes)} AS bucket FROM e),
-           |edges AS (
-           |  SELECT a.vec_id AS src, b.vec_id AS dst
-           |  FROM bk a JOIN bk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |  WHERE round(list_dot_product(a.v, b.v)
-           |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
-           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-           |walk AS (
-           |  SELECT DISTINCT src AS node, src AS comp FROM und
-           |  UNION
-           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
-           |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
-           |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
+    Some(OracleSql.tunedSemanticCompsPrefix(SharedPipelines.semTables,
+        SharedPipelines.semOccupancy, SharedPipelines.semDepthMin,
+        SharedPipelines.semDepthMax, dim = 64,
+        threshold = SharedPipelines.semPairThreshold) +
+      """
+        |SELECT CAST(comp AS BIGINT) AS keeper_id, count(*) AS n_members
+        |FROM comps GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Quality-aware cluster canonicalization — q53's clusters, but the kept
     * document per cluster is the argmax-QUALITY member (distinct-token

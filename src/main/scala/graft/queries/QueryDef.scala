@@ -36,8 +36,10 @@ object SharedPipelines {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.{col, lit}
 
-  /** The one sign-LSH plane set the semantic family (q61/q110/q112) keys
-    * its buckets on — 2 tables' worth of 6 planes over dim 64. */
+  /** The fixed 2-plane set the bounded QUERY-side joins still key on
+    * (q110's candidate pool, q112's recall audit) — query-side fan-out is
+    * |queries|-bounded, not the §6.2 self-join floor. The semantic
+    * SELF-join left this literal geometry in r15 ([[tunedSemanticDepth]]). */
   val semPlanes: Seq[Seq[Double]] = graft.operators.SimilarityOps.lshPlanes(2, 64)
 
   /** The (tables, planes) grid every LSH sweep in the similarity family
@@ -49,10 +51,24 @@ object SharedPipelines {
     * near-dup family's representation (q124's operating point: 5-gram for
     * per-shingle selectivity on a saturated corpus, one global bucket
     * because near-duplication crosses source boundaries). Cheap narrow
-    * map — rebuilt per consumer, not cached. */
-  private def shingles5(s: SparkSession, dir: String): DataFrame =
+    * map — rebuilt per consumer, not cached. Public since r15: the pair
+    * verifiers that consume [[calibratedCandidates]] (containment q75,
+    * full-set Jaccard) must score over the SAME shingle stream the
+    * generator saw. */
+  def calibratedShingleRows(s: SparkSession, dir: String): DataFrame =
     TextOps.shingleRows(Tables.documents(s, dir),
       col("doc_id"), lit("all"), col("text"), n = 5)
+
+  private def shingles5(s: SparkSession, dir: String): DataFrame =
+    calibratedShingleRows(s, dir)
+
+  /** The quantile-capped stream the calibrated generator actually bands
+    * (the `ex` CTE of [[OracleSql.calibratedPairsCtes]]) — exposed for the
+    * estimator-calibration audit (q107), whose contract is that estimator
+    * and exact truth see the SAME capped universe. Same literal knobs as
+    * [[DedupOps.CandidateGen.QuantileCapped]]'s default. */
+  def calibratedCappedShingles(s: SparkSession, dir: String): DataFrame =
+    DedupOps.capShingleDfQuantile(shingles5(s, dir), q = 0.95, floor = 2)
 
   /** The CALIBRATED candidate-pair pool ([[DedupOps.nearDupCandidates]]
     * under the default [[DedupOps.CandidateGen.QuantileCapped]]: 0.95
@@ -124,18 +140,78 @@ object SharedPipelines {
         configs = annSweepConfigs, recallTarget = 0.8)
     }
 
-  /** Connected components over the embedding-cosine near-dup pair graph
-    * (cell × sign-LSH candidates, threshold 0.35) — q61's clusters and
-    * q110's false-negative exclusion set. */
+  /** The (tables, planes) grid the PAIR-geometry sweep INSTRUMENT walks
+    * for the semantic near-dup family ([[graft.operators.SimilarityOps
+    * .pairLshAutoTune]]) — wider than [[annSweepConfigs]] on the PLANES
+    * axis because a self-join's bill shrinks exponentially in planes
+    * (2^p buckets per table). The sweep MEASURES each config's pair
+    * recall and pair mass on this corpus (q176 reports the table under a
+    * hash oracle); the production geometry choice is the occupancy rule
+    * ([[tunedSemanticDepth]]) — see that scaladoc for why a recall
+    * CONTRACT at the family's wide-angle threshold cannot be held
+    * sub-quadratically. */
+  val semSweepConfigs: Seq[(Int, Int)] =
+    Seq((1, 2), (2, 2), (4, 2), (8, 2), (1, 4), (2, 4), (4, 4), (2, 6), (4, 6))
+
+  /** Sample size and bars of the semantic pair-sweep INSTRUMENT (q176) —
+    * shared literals between the Spark pipeline and oracle SQL. The sweep
+    * measures recall on the family's own threshold pairs (≥ 0.35), the
+    * regime SURVEY §6.2 proves cannot be recall-contracted
+    * sub-quadratically — the report is the evidence; the production choice
+    * is [[tunedSemanticDepth]]. */
+  val semPairThreshold: Double = 0.35
+  val semPairRecallTarget: Double = 0.8
+  val semPairSampleN: Long = 200L
+
+  /** OR-table count / target bucket occupancy / depth clamp of the
+    * semantic family's OCCUPANCY-PINNED geometry — shared literals between
+    * [[tunedSemanticDepth]] and the q61/q110 oracle ladder. */
+  val semTables: Int = 2
+  val semOccupancy: Long = 32L
+  val semDepthMin: Int = 2
+  val semDepthMax: Int = 12
+
+  /** The session's semantic near-dup LSH depth — the OCCUPANCY RULE
+    * ([[SimilarityOps.occupancyLshDepth]]): the shallowest plane count
+    * p ∈ [2, 12] with n ≤ cells · 32 · 2^p, from one (count, distinct
+    * labels) aggregate (2 longs of driver state). r15 re-anchor: until
+    * round 14 the semantic family rode a FIXED 2-plane literal geometry —
+    * the §6.2 corpus-quadratic floor (504.3 M pair mass / 61.3 s shared
+    * build at sf10, the last unquarantined default-path quadratic). The
+    * occupancy rule is the embedding-space twin of the lexical family's
+    * df-QUANTILE cap: both pin a RELATIVE quantity (bucket occupancy /
+    * hot-shingle share) so the candidate bill stays linear in the corpus
+    * by construction, instead of pinning an absolute knob that silently
+    * changes meaning as the corpus grows. Recall at the family's
+    * wide-angle threshold declines with depth and is MEASURED, not
+    * promised ([[SimilarityOps.pairLshAutoTune]], reported by q176);
+    * exact-duplicate pairs collide at every depth (identical vectors share
+    * all buckets), so true-dup recall is 1.0 by construction. Beyond the
+    * p = 12 clamp (n > cells · 131 k) mass grows quadratically again and
+    * [[DedupOps.bucketPairMassGuard]]'s default 200 M budget — back in
+    * force since r15 — prices the refusal. */
+  def tunedSemanticDepth(s: SparkSession, dir: String): Int =
+    Shared.cachedValue(s, s"sem-occ-depth:$dir") {
+      val r = Tables.embeddings(s, dir)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.countDistinct(col("label")).as("c"))
+        .head()
+      Integer.valueOf(SimilarityOps.occupancyLshDepth(r.getLong(0),
+        r.getLong(1), semOccupancy, semDepthMin, semDepthMax))
+    }.intValue()
+
+  /** Connected components over the embedding-cosine near-dup pair graph —
+    * q61's clusters and q110's false-negative exclusion set. Candidates
+    * come from the occupancy-pinned geometry ([[tunedSemanticDepth]],
+    * [[semTables]] OR-tables) under the DEFAULT bucket-mass budget; every
+    * pair is exact-cosine verified (≥ 0.35) before clustering. */
   def semanticComps(s: SparkSession, dir: String): DataFrame =
     Shared.cached(s, s"semantic-cc:$dir") {
-      // Same literal geometry as q32 → same measured masses (504.3 M at
-      // sf10, built in 61.3 s as `shared_semantic_cc` in BENCH_sf10_r14) —
-      // budget raised above the default with the measurement cited.
+      val p = tunedSemanticDepth(s, dir)
       GraphOps.connectedComponents(
-        DedupOps.embeddingNearDups(Tables.embeddings(s, dir), "vec_id",
-          col("embedding"), col("label"), 0.35, semPlanes,
-          bucketMassBudget = 2000000000L),
+        DedupOps.embeddingNearDupsTables(Tables.embeddings(s, dir), "vec_id",
+          col("embedding"), col("label"), semPairThreshold,
+          SimilarityOps.lshTables(semTables, p, 64)),
         "a_id", "b_id")
     }
 }
@@ -236,6 +312,130 @@ object OracleSql {
     planes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The exact-cosine expression both engines evaluate identically (one
+    * dot per operand pair + two norms, rounded 1e-6) — shared by the
+    * semantic-family oracle fragments so a rounding change can't fork
+    * them. */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b)
+       |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.SimilarityOps.pairLshAutoTune]] —
+    * the PAIR-geometry sweep (per config: pair recall on the sampled true
+    * near-dup pairs + exact bucket pair mass over the corpus) and its
+    * chosen-config distillation, as CTE blocks:
+    *
+    *  - `e` (vec_id, label, v) over `embeddings`;
+    *  - `tp` — the sampled truth pairs (vec_id < sampleN, same label,
+    *    exact cosine ≥ recallBar — the contract bar, ABOVE the verify
+    *    threshold);
+    *  - `sbka` (cfg, tb, vec_id, label, v, bucket) — every config's
+    *    bucketed corpus rows, one UNION ALL arm per (config, table) with
+    *    the table's literal planes inlined;
+    *  - `rec` / `mass` / `win` — per-config pair recall (vacuous 1.0 on an
+    *    empty sample), Σ C(n, 2) bucket mass, and the chosen flag
+    *    (cheapest-by-mass meeting `recallTarget`, ties to the lower cfg
+    *    index — the Spark side's exact ordering);
+    *  - `chq` (c) — the chosen cfg index; `sbkc` — the chosen config's
+    *    bucketed rows, ready for the candidate self-join.
+    *
+    * Every figure is integer arithmetic or a single exact division, so the
+    * data-dependent CHOICE hashes identically cross-engine — the q141
+    * discipline extended from serving to self-join geometry. */
+  def pairLshSweepCtes(configs: Seq[(Int, Int)], dim: Int, recallBar: Double,
+      recallTarget: Double, sampleN: Long): String = {
+    import graft.operators.SimilarityOps.lshTables
+    val arms = configs.zipWithIndex.flatMap { case ((t, p), i) =>
+      lshTables(t, p, dim).zipWithIndex.map { case (planes, tb) =>
+        s"""SELECT $i AS cfg, $tb AS tb, vec_id, label, v,
+           |    (${signLshBucketSql("v", planes)}) AS bucket FROM e""".stripMargin
+      }
+    }.mkString("\nUNION ALL ")
+    val recArms = configs.zipWithIndex.map { case ((t, p), i) =>
+      val hit = lshTables(t, p, dim).map(planes =>
+        s"(${signLshBucketSql("av", planes)}) = (${signLshBucketSql("bv", planes)})")
+        .mkString("(", "\n      OR ", ")")
+      s"""SELECT $i AS cfg, coalesce(
+         |    avg(CASE WHEN $hit THEN 1 ELSE 0 END::DOUBLE), 1.0::DOUBLE) AS pair_recall
+         |  FROM tp""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |smp AS (SELECT vec_id, label, v FROM e WHERE vec_id < $sampleN),
+       |tp AS (
+       |  SELECT a.v AS av, b.v AS bv
+       |  FROM smp a JOIN smp b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= $recallBar),
+       |sbka AS MATERIALIZED (
+       |$arms),
+       |rec AS ($recArms),
+       |mass AS (
+       |  SELECT cfg, sum(c * (c - 1) // 2) AS pair_mass FROM (
+       |    SELECT cfg, tb, label, bucket, count(*) AS c
+       |    FROM sbka GROUP BY 1, 2, 3, 4) GROUP BY 1),
+       |win AS (
+       |  SELECT r.cfg, (r.pair_recall >= $recallTarget) AS meets, m.pair_mass,
+       |    (r.pair_recall >= $recallTarget) AND row_number() OVER (
+       |      ORDER BY (r.pair_recall >= $recallTarget) DESC, m.pair_mass, r.cfg) = 1 AS chosen
+       |  FROM rec r JOIN mass m ON m.cfg = r.cfg),
+       |chq AS (SELECT min(cfg) AS c FROM win WHERE chosen),
+       |sbkc AS (SELECT sbka.* FROM sbka JOIN chq ON sbka.cfg = chq.c)""".stripMargin
+  }
+
+  /** DuckDB replay of the OCCUPANCY-pinned semantic geometry
+    * ([[SharedPipelines.tunedSemanticDepth]] ≡ [[graft.operators
+    * .SimilarityOps.occupancyLshDepth]]) + the chosen depth's verified
+    * near-dup edges and their recursive-CTE connected components — the
+    * full oracle prefix of the tuned semantic family ([[SharedPipelines
+    * .semanticComps]]: q61's clusters, q110's exclusion set). Opens
+    * `WITH RECURSIVE`; ends at `comps(node, comp)`.
+    *
+    *  - `e` (vec_id, label, v); `sz` — one (n, cells) row;
+    *  - `dep` — the depth choice: min p in [pMin, pMax] with
+    *    n ≤ cells · occupancy · 2^p, pMax when none (integer shifts and
+    *    compares only — bit-identical to the Spark rule by construction);
+    *  - `sbkc` — the chosen depth's bucketed rows: one UNION ALL arm per
+    *    (depth, table) with that depth's literal planes inlined, each arm
+    *    gated on `dep` so only the chosen ladder rung computes buckets;
+    *  - `spr`/`edges` — the [[graft.operators.DedupOps
+    *    .embeddingNearDupsTables]] self-join (distinct pairs over (table,
+    *    cell, bucket) matches), exact-cosine verified at `threshold`
+    *    BEFORE clustering;
+    *  - `und`/`walk`/`comps` — the min-label closure. */
+  def tunedSemanticCompsPrefix(tables: Int, occupancy: Long, pMin: Int,
+      pMax: Int, dim: Int, threshold: Double): String = {
+    import graft.operators.SimilarityOps.lshTables
+    val arms = (pMin to pMax).flatMap { p =>
+      lshTables(tables, p, dim).zipWithIndex.map { case (planes, tb) =>
+        s"""SELECT $p AS p, $tb AS tb, vec_id, label, v,
+           |    (${signLshBucketSql("v", planes)}) AS bucket FROM e
+           |  WHERE (SELECT p FROM dep) = $p""".stripMargin
+      }
+    }.mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |sz AS (SELECT count(*) AS n, count(DISTINCT label) AS c FROM e),
+       |dep AS (
+       |  SELECT coalesce(min(pp.p), $pMax) AS p
+       |  FROM unnest(range($pMin, ${pMax + 1})) pp(p), sz
+       |  WHERE sz.n <= sz.c * $occupancy * (1::BIGINT << pp.p)),
+       |sbkc AS (
+       |$arms),
+       |spr AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sbkc a JOIN sbkc b
+       |    ON a.tb = b.tb AND a.label = b.label AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       |edges AS (
+       |  SELECT p.a_id AS src, p.b_id AS dst
+       |  FROM spr p JOIN e a ON a.vec_id = p.a_id JOIN e b ON b.vec_id = p.b_id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= $threshold),
+       |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |walk AS (
+       |  SELECT DISTINCT src AS node, src AS comp FROM und
+       |  UNION
+       |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
+       |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)""".stripMargin
+  }
 
   /** Unrolled deterministic Lloyd's k-means as DuckDB CTE blocks — the
     * oracle for the fixed-iteration trainers (q41/q90/q95). The iteration

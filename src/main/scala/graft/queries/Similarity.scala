@@ -454,8 +454,10 @@ object Similarity extends QueryGroup {
     * negatives. Candidates are q31's (cell × sign-LSH) pool with the rank
     * cut disabled (top-k among NEGATIVES, not negatives among top-k);
     * the exclusion is two id-only left joins, embeddings never re-enter.
-    * Oracle composes q31's scored CTE with q61's recursive-CTE clusters
-    * over the same literal planes. */
+    * Oracle composes q31's scored CTE (over the fixed candidate-pool
+    * planes — a bounded QUERY-side join, not the scale-sensitive
+    * self-join) with the TUNED semantic sweep + clusters prefix q61
+    * shares ([[OracleSql.tunedSemanticCompsPrefix]]). */
   private val q110Planes = SharedPipelines.semPlanes
   private val q110 = QueryDef(
     "q110_hard_negatives",
@@ -470,20 +472,13 @@ object Similarity extends QueryGroup {
       SimilarityOps.hardNegatives(knn, comps, 3)
         .orderBy(col("q_id"), col("neg_rank"))
     },
-    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    Some(OracleSql.tunedSemanticCompsPrefix(SharedPipelines.semTables,
+        SharedPipelines.semOccupancy, SharedPipelines.semDepthMin,
+        SharedPipelines.semDepthMax, dim = 64,
+        threshold = SharedPipelines.semPairThreshold) +
+      s""",
            |bk AS (SELECT vec_id, label, v,
            |  ${OracleSql.signLshBucketSql("v", q110Planes)} AS bucket FROM e),
-           |edges AS (
-           |  SELECT a.vec_id AS src, b.vec_id AS dst
-           |  FROM bk a JOIN bk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |  WHERE round(list_dot_product(a.v, b.v)
-           |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
-           |und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-           |walk AS (
-           |  SELECT DISTINCT src AS node, src AS comp FROM und
-           |  UNION
-           |  SELECT u.dst AS node, w.comp FROM walk w JOIN und u ON u.src = w.node),
-           |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
            |qs AS (SELECT vec_id AS q_id, label, bucket, v AS q_emb FROM bk WHERE vec_id < 10),
            |scored AS (
            |  SELECT qs.q_id, e2.vec_id AS n_id,
@@ -1101,8 +1096,48 @@ object Similarity extends QueryGroup {
          |ORDER BY q_id, rank""".stripMargin
     })
 
+  /** X3 the PAIR-geometry sweep as a query ([[SimilarityOps
+    * .pairLshAutoTune]]) — per (tables, planes) config: the measured
+    * recall on the sampled true near-dup pairs (exact cosine ≥ 0.35
+    * within a label cell, vec_id < 200 — the family's own threshold), the
+    * exact bucket pair mass Σ C(n, 2) the config's self-join would cost,
+    * and the recall-contracted recommendation flag. The "measure, don't
+    * guess" instrument for near-dup geometry: it documents ON THE CORPUS
+    * that holding 0.8 recall at the wide-angle threshold forces
+    * wide-bucket (high-mass) geometry — the evidence behind the semantic
+    * family's occupancy-pinned production rule ([[SharedPipelines
+    * .tunedSemanticDepth]]), which trades measured recall for linear
+    * mass. The whole sweep (truth sample, hit tests, mass aggregates,
+    * choice ordering) is integer/exact-division arithmetic, so the hash
+    * oracle covers every figure. */
+  private val q176 = QueryDef(
+    "q176_pair_lsh_sweep",
+    (s, dir) => SimilarityOps.pairLshAutoTune(Tables.embeddings(s, dir),
+        "vec_id", col("embedding"), col("label"),
+        SharedPipelines.semPairThreshold, SharedPipelines.semSweepConfigs,
+        dim = 64, recallTarget = SharedPipelines.semPairRecallTarget,
+        sampleN = SharedPipelines.semPairSampleN)
+      .orderBy(col("cfg")),
+    Some {
+      val cfgVals = SharedPipelines.semSweepConfigs.zipWithIndex
+        .map { case ((t, p), i) => s"($i, $t, $p)" }.mkString(", ")
+      s"""WITH ${OracleSql.pairLshSweepCtes(SharedPipelines.semSweepConfigs,
+            dim = 64, recallBar = SharedPipelines.semPairThreshold,
+            recallTarget = SharedPipelines.semPairRecallTarget,
+            sampleN = SharedPipelines.semPairSampleN)},
+         |cfgtab(cfg, n_tables, n_planes) AS (VALUES $cfgVals)
+         |SELECT c.cfg, c.n_tables, c.n_planes, r.pair_recall,
+         |  CAST(m.pair_mass AS BIGINT) AS pair_mass,
+         |  w.meets AS meets_target, w.chosen
+         |FROM cfgtab c
+         |JOIN rec r ON r.cfg = c.cfg
+         |JOIN mass m ON m.cfg = c.cfg
+         |JOIN win w ON w.cfg = c.cfg
+         |ORDER BY c.cfg""".stripMargin
+    })
+
   override val defs: Seq[QueryDef] =
     Seq(q25, q26, q31, q35, q41, q72, q80, q81, q82, q89, q90, q94, q95,
       q102, q110, q112, q116, q117, q123, q132, q133, q141, q152, q153, q154,
-      q169)
+      q169, q176)
 }

@@ -1140,6 +1140,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(DedupOps.containmentPairs(sh, minContainment = 1.5).count() === 0L)
   }
 
+  test("X2: containment VERIFY scores only the given pairs, on full sets, and normalizes the list") {
+    val sh = Seq(
+      (1L, "all", "a b c"), (1L, "all", "b c d"), (1L, "all", "c d e"),
+      (2L, "all", "a b c"),
+      (3L, "all", "b c d")).toDF("doc_id", "bucket", "sh")
+    // Reversed AND duplicated pair — normalization must fold both to (1,2).
+    val cand = Seq((2L, 1L), (1L, 2L)).toDF("a_id", "b_id")
+    val r = DedupOps.containmentVerifyPairs(cand, sh, minContainment = 0.0)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq === Seq((1L, 2L, 1L, 1.0))) // |A∩B|/min = 1/1, once
+    // The (1,3) overlap exists in the corpus but was not a candidate —
+    // the verifier's bill is bounded by its input, so it is NOT scored.
+    assert(!r.exists(x => x._2 === 3L))
+    // Threshold excludes.
+    assert(DedupOps.containmentVerifyPairs(cand, sh, minContainment = 1.5)
+      .count() === 0L)
+  }
+
+  test("X2: calibration VERIFY matches the corpus-wide report on the same pairs") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d x y z w"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(df, col("doc_id"), lit("all"), col("text"))
+    val full = DedupOps.minhashCalibration(sh, numHashes = 8)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    val cand = full.keys.toSeq.toDF("a_id", "b_id")
+    val v = DedupOps.minhashCalibrationVerify(cand, sh, numHashes = 8)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(v === full, s"pair-routed calibration diverged: $v vs $full")
+    assert(v((1L, 2L))._3 === 8L && v((1L, 2L))._6 === 0.0)
+  }
+
   test("X1: CDC chunking survives a prefix insertion that defeats fixed-width chunks") {
     // two docs: identical 60-token body, doc 2 with one extra leading token
     val body = (0 until 60).map(i => s"tok${i * 7 % 23}x$i").mkString(" ")
@@ -1215,6 +1249,44 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(x._4 >= 0.0 && x._4 <= 1.0 && (x._4 * 8).isWhole)
       assert(math.abs(x._6 - math.abs(x._4 - x._5)) < 1e-15)
     }
+  }
+
+  test("X3: occupancy-pinned LSH depth — integer thresholds, exact boundaries, clamped ladder") {
+    import SimilarityOps.occupancyLshDepth
+    // n <= cells·occ·2^p picks the shallowest rung; boundaries are exact
+    // integer compares (no float log), so both engines agree at n = 2^k.
+    assert(occupancyLshDepth(100L, 10L, 32L) === 2)
+    assert(occupancyLshDepth(1280L, 10L, 32L) === 2) // == 10·32·4: stays at 2
+    assert(occupancyLshDepth(1281L, 10L, 32L) === 3)
+    assert(occupancyLshDepth(200000L, 10L, 32L) === 10) // the sf10 rung
+    assert(occupancyLshDepth(Long.MaxValue / 4, 10L, 32L) === 12) // pMax clamp
+    intercept[IllegalArgumentException](occupancyLshDepth(1L, 0L, 32L))
+  }
+
+  test("X3: pair-LSH sweep — identical vectors collide in every config; cheapest meeting config wins") {
+    // (0,1) identical → cosine 1.0, same bucket under ANY plane set: the
+    // exact-duplicate-recall-is-1.0-by-construction claim, measured.
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f), 0),
+      (1L, Array.fill(8)(1.0f), 0),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f), 0),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.pairLshAutoTune(vecs, "vec_id", col("embedding"),
+        col("label"), recallBar = 0.9, configs = Seq((1, 2), (2, 4)), dim = 8,
+        recallTarget = 0.8, sampleN = 10L)
+      .as[(Int, Int, Int, Double, Long, Boolean, Boolean)].collect()
+    assert(r.forall(_._4 === 1.0), s"exact-dup recall must be 1.0: ${r.toSeq}")
+    assert(r.count(_._7) === 1, s"exactly one chosen: ${r.toSeq}")
+    val chosenMass = r.find(_._7).get._5
+    assert(r.filter(_._6).forall(_._5 >= chosenMass),
+      "chosen must be cheapest-by-mass among meeting configs")
+    // Empty truth sample → vacuous recall 1.0 on every config, mass decides.
+    val v = SimilarityOps.pairLshAutoTune(vecs, "vec_id", col("embedding"),
+        col("label"), recallBar = 0.9, configs = Seq((1, 2)), dim = 8,
+        recallTarget = 0.8, sampleN = 0L)
+      .as[(Int, Int, Int, Double, Long, Boolean, Boolean)].collect()
+    assert(v.head._4 === 1.0 && v.head._7)
   }
 
   test("X3: hard negatives exclude same-cluster neighbors and rank the survivors") {

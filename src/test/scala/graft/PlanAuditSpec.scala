@@ -20,11 +20,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("query ledger matches the documented surface (175 queries, 172 oracles)") {
-    assert(SparkEntry.queries.size >= 175,
-      s"query surface shrank: ${SparkEntry.queries.size} < 175")
-    assert(SparkEntry.oracleSql.size >= 172,
-      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 172")
+  test("query ledger matches the documented surface (176 queries, 173 oracles)") {
+    assert(SparkEntry.queries.size >= 176,
+      s"query surface shrank: ${SparkEntry.queries.size} < 176")
+    assert(SparkEntry.oracleSql.size >= 173,
+      s"oracle surface shrank: ${SparkEntry.oracleSql.size} < 173")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
   }
@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
       "q116_hybrid_rrf" -> "RRF ranks over two top-k candidate lists (≤ 2k rows)",
       "q117_lsh_autotune" -> "cheapest-config choice over the 6-row sweep summary",
       "q118_minhash_quantile_cap" -> "df threshold over the distinct-df histogram (|distinct df values| rows)",
+      "q107_minhash_calibration" -> "same distinct-df histogram threshold as q118 (the calibrated capped universe)",
       "q120_banded_minhash" -> "same distinct-df histogram threshold as q118",
       "q127_shuffle_shards" -> "prefix-sum over shuffleRank's 256-bucket offset aggregate (constant group folds away)",
       "q128_length_bucket_batches" -> "prefix-sum over the per-bucket offset aggregate + batch-stats windows (|buckets×batches| rows)",
@@ -66,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
       "q162_weighted_jaccard" -> "same distinct-df histogram threshold as q118 (over the expanded multiset universe)",
       "q163_blocking_recall_ab" -> "q160's per-bucket offset prefix-sum + q118's distinct-df histogram threshold",
       "q164_snm_multipass" -> "two SNM per-bucket offset prefix-sums (length buckets; 2-char prefix buckets)",
-      "q167_snm_range_bucketed" -> "SNM per-bucket offset prefix-sum over the 16 quantile buckets")
+      "q167_snm_range_bucketed" -> "SNM per-bucket offset prefix-sum over the 16 quantile buckets",
+      "q176_pair_lsh_sweep" -> "chosen-config choice over the 9-row sweep summary (q117's pattern)")
     val globalWindowed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         if (globalWindows(build(spark, dir)) > 0) Some(name) else None
