@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   * band) — no unbounded cross joins at any scale. */
 object Dedup extends QueryGroup {
 
+  /** The fixed-geometry DEMO budget (q32/q88): sits ABOVE the
+    * DuckDB-replay-measured sf10 masses (q32 504.3 M, q88 1.004 B — both
+    * ran to completion, BENCH_sf10_r14) and BELOW their quadratic sf100
+    * extrapolation (~50 B / ~100 B): the demos RUN at sf10 and REFUSE with
+    * the priced guard message at the next decade BY DESIGN — the SURVEY
+    * §6.2 round-15 posture, pinned by the ExtensionOpsSpec posture test.
+    * Production semantic traffic rides the occupancy ladder
+    * ([[SharedPipelines.tunedSemanticDepth]]) under the DEFAULT budget. */
+  val FixedGeometryDemoBudget: Long = 2000000000L
+
+
   private def docShingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
     TextOps.shingleRows(Tables.documents(s, dir), col("doc_id"), col("source"), col("text"))
 
@@ -138,7 +149,7 @@ object Dedup extends QueryGroup {
     // 2 B sits above the measured-payable tier and below the next decade.
     (s, dir) => DedupOps
       .embeddingNearDups(Tables.embeddings(s, dir), "vec_id", col("embedding"), col("label"),
-        0.35, q32Planes, bucketMassBudget = 2000000000L)
+        0.35, q32Planes, bucketMassBudget = FixedGeometryDemoBudget)
       .orderBy(desc("cosine"), col("a_id"), col("b_id")),
     Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
            |bk AS (SELECT vec_id, label, v,
@@ -419,7 +430,7 @@ object Dedup extends QueryGroup {
     // join ran to completion in 103.8 s (BENCH_sf10_r14).
     (s, dir) => DedupOps
       .embeddingNearDupsTables(Tables.embeddings(s, dir), "vec_id", col("embedding"),
-        col("label"), 0.35, q88Tables, bucketMassBudget = 2000000000L)
+        col("label"), 0.35, q88Tables, bucketMassBudget = FixedGeometryDemoBudget)
       .orderBy(desc("cosine"), col("a_id"), col("b_id")),
     Some {
       val bucketCols = q88Tables.zipWithIndex.map { case (p, t) =>

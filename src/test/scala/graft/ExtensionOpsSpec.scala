@@ -1251,6 +1251,31 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("§6.2 posture: fixed-geometry demos run at sf10 and REFUSE at the next decade, priced") {
+    // The r15 decision, pinned (r14 verdict #6): q32/q88 stay literal-
+    // geometry DEMOS. Their shared budget sits above the measured sf10
+    // masses (they RUN there) and below the quadratic sf100 extrapolation
+    // (100× per decade, SURVEY §6.2) — so at sf100 they refuse, priced.
+    val measuredSf10 = Map("q32" -> 504300000L, "q88" -> 1004000000L)
+    assert(measuredSf10.values.forall(_ <= graft.queries.Dedup.FixedGeometryDemoBudget),
+      "budget must admit the measured-payable sf10 masses")
+    assert(measuredSf10.values.forall(m =>
+        m > graft.queries.Dedup.FixedGeometryDemoBudget / 100),
+      "budget must refuse the 100x next-decade extrapolation")
+    // And the refusal is the PRICED guard message, not a bare failure.
+    val embs = (0L until 40L).map(i => (i, Array.fill(8)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Throwable] {
+      DedupOps.embeddingNearDups(embs, "vec_id", col("embedding"),
+        col("label"), 0.0, SimilarityOps.lshPlanes(2, 8),
+        bucketMassBudget = 10L).count()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain(e).contains("bucketMassBudget = 10"), chain(e).take(400))
+    assert(chain(e).contains("pair mass"), chain(e).take(400))
+  }
+
   test("X3: occupancy-pinned LSH depth — integer thresholds, exact boundaries, clamped ladder") {
     import SimilarityOps.occupancyLshDepth
     // n <= cells·occ·2^p picks the shallowest rung; boundaries are exact
