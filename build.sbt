@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g), still env-overridable. In local mode driver and
+  // executors share ONE heap; a long-lived session running the whole
+  // 176-query surface accumulates broadcast/shuffle/codegen state whose
+  // cleanup rides on GC, and under 8g the r15 baseline bench measured
+  // full-GC storms as 4-38 s steady-run spikes (q141 steady [6.8, 8.3,
+  // 38.1] vs 4.2 cold; q162 [6.7, 8.5, 27.7]). At 16g the same bench on
+  // the same box ran 212->170 s cold / 120->92 s steady with every spike
+  // gone (OPTIMIZATION_r15.md). The box has 128 GiB; 16g also covers the
+  // sf10 tier's driver state with margin.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

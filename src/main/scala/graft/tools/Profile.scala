@@ -1,58 +1,77 @@
 package graft.tools
 
-import graft.engine.Tables
-import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.scheduler._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev profiler: stage-by-stage timing of the bench hotspots.
-  * Usage: sbt "runMain graft.tools.Profile /root/testdata/sf0.1"
+import scala.collection.mutable
+
+/** Diagnostic (optimization rounds): run named `SparkEntry` queries once
+  * warm and print a PER-STAGE cost table — executor run time, executor CPU
+  * time, shuffle read/write bytes, spill, task count and the stage's name
+  * (which carries the last call site) — the guide §1 "where is the time
+  * actually going" loop without a live UI. Plus the per-query job count,
+  * the scheduler-overhead proxy that dominates tiny-SF benches.
+  *
+  * Usage: `sbt "runMain graft.tools.Profile q141_tuned_ann ..."`
+  * (SPARK_GRAFT_SF_DIR selects the tier; default sf0.1.)
   */
 object Profile {
-  def t[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    r
-  }
+  private final case class StageRow(name: String, tasks: Int, runMs: Long,
+      cpuMs: Long, shufReadB: Long, shufWriteB: Long, spillB: Long,
+      inputB: Long)
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    val docs = Tables.documents(spark, dir)
-    t("docs.count")(docs.count())
+    val stages = mutable.Map[Int, StageRow]()
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        if (m != null) stages(si.stageId) = StageRow(
+          si.name, si.numTasks, m.executorRunTime, m.executorCpuTime / 1000000L,
+          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled + m.diskBytesSpilled, m.inputMetrics.bytesRead)
+      }
+    }
 
-    val sh = docs.withColumn("shset", array_distinct(TextOps.shingles3(TextOps.tokenize(col("text")))))
-    t("shingles materialize")(sh.select(col("doc_id"), size(col("shset"))).count())
+    try SparkEntryRef.queries("q02_count_all")(spark, dir).count()
+    catch { case _: Throwable => () }
 
-    val sets = sh.select(col("doc_id"), col("source").as("bucket"), col("shset"))
-      .filter(size(col("shset")) > 0)
-    val ex = sets.select(col("doc_id"), col("bucket"), explode(col("shset")).as("sh"))
-    t("explode shingles")(ex.count())
-
-    val common = ex.toDF("a_id", "bucket", "sh")
-      .join(ex.toDF("b_id", "bucket", "sh"), Seq("bucket", "sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-    t("common pairs")(common.count())
-
-    t("q22 full")(graft.queries.Dedup.defs.find(_.name == "q22_ngram_jaccard_topk").get
-      .spark(spark, dir).count())
-
-    val sigs = sets.select(col("doc_id"), col("bucket"),
-      DedupOps.minhashSignature(col("shset"), 8).as("sig"))
-    t("minhash signatures (old)")(sigs.select(col("doc_id"), element_at(col("sig"), 1)).count())
-
-    t("q23 full (old)")(graft.queries.Dedup.defs.find(_.name == "q23_minhash_lsh_pairs").get
-      .spark(spark, dir).count())
-
+    for (n <- args) {
+      // warm run (codegen/JIT) — not profiled
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      graft.engine.Hygiene.sweep(spark)
+      stages.clear(); jobs = 0
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus is async; let the tail drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"\n===== $n wall=$wall%.3f s jobs=$jobs stages=${stages.size} =====")
+      println(f"${"runMs"}%7s ${"cpuMs"}%7s ${"tasks"}%5s ${"shR_KB"}%8s ${"shW_KB"}%8s ${"in_KB"}%8s ${"spill"}%6s  name")
+      stages.toSeq.sortBy(-_._2.runMs).take(25).foreach { case (_, r) =>
+        println(f"${r.runMs}%7d ${r.cpuMs}%7d ${r.tasks}%5d ${r.shufReadB / 1024}%8d ${r.shufWriteB / 1024}%8d ${r.inputB / 1024}%8d ${r.spillB / 1024}%6d  ${r.name.take(110)}")
+      }
+      val totRun = stages.valuesIterator.map(_.runMs).sum
+      val totCpu = stages.valuesIterator.map(_.cpuMs).sum
+      println(f"TOTAL runMs=$totRun cpuMs=$totCpu (wall ${wall * 1000}%.0f ms; sched/plan gap = ${wall * 1000 - totRun / 32.0}%.0f ms if perfectly parallel)")
+      graft.engine.Hygiene.sweep(spark, gc = true)
+    }
     spark.stop()
+  }
+
+  /** Indirection so the warmup tolerates partial tiers like TimeQ. */
+  private object SparkEntryRef {
+    def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      graft.SparkEntry.queries
   }
 }
