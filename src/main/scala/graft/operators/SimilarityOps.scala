@@ -617,21 +617,82 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     require(configs.nonEmpty, "need at least one (tables, planes) config")
     val truth = knnJoin(corpus, queries, cellCol, k)
-    val per = configs.map { case (t, p) =>
-      val tables = lshTables(t, p, dim, seed)
-      val ann = knnJoinTables(corpus, queries, cellCol, k, tables)
-      val c = lshCandidateRows(corpus, "vec_id", col("embedding"), col(cellCol), tables, "n_")
-      val qs = lshCandidateRows(queries, "vec_id", col("embedding"), col(cellCol), tables, "q_")
-      val cand = qs.join(c, Seq("cell", "tb"))
-        .filter(col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id")).distinct()
-        .agg(count(lit(1)).as("candidate_pairs"))
-      recallAtK(truth, ann)
-        .agg(graft.engine.Semantics.roundz(avg(col("recall")), 6).as("mean_recall"))
-        .crossJoin(cand) // two 1-row aggregates
-        .select(lit(t).as("n_tables"), lit(p).as("n_planes"),
-          col("mean_recall"), col("candidate_pairs"))
-    }.reduce(_ union _)
+    // SINGLE-PASS sweep (r15, guide §2.4): [[lshTables]] is PREFIX-CLOSED
+    // in the table index (table t is lshPlanes(p, dim, seed + t) regardless
+    // of how many tables a config stacks), so config (T, p)'s candidate set
+    // is exactly the pairs colliding in some table t < T at depth p. One
+    // exploded (p, t, bucket) row set per side — max-tables-per-depth rows
+    // per vector — therefore serves EVERY config through ONE join: per
+    // joined pair keep min colliding t per depth, then fan the pair out to
+    // the configs it qualifies for (an array_remove'd literal array — pure
+    // codegen). The per-arm form this replaces built two corpus joins PER
+    // CONFIG (one for the ANN list, one for the candidate count) plus a
+    // truth re-read per arm: 156 Exchanges / 70 single-task AQE jobs at 6
+    // configs (plans/r15/q117_lsh_autotune_before.txt) for work the data
+    // supports in one exchange set. Results are bit-identical: same
+    // candidate sets, same pairCosine doubles (computed per match, max()
+    // over bitwise-equal copies), same rank ordering, same rounded
+    // mean-recall arithmetic.
+    val depthMaxT: Seq[(Int, Int)] = configs.groupBy(_._2).toSeq
+      .map { case (p, cs) => (p, cs.map(_._1).max) }.sortBy(_._1)
+    def rows(df: DataFrame, prefix: String): DataFrame = {
+      val v = col(s"${prefix}v")
+      val buckets = array(depthMaxT.flatMap { case (p, maxT) =>
+        lshTables(maxT, p, dim, seed).zipWithIndex.map { case (planes, t) =>
+          struct(lit(p).as("p"), lit(t).as("t"), signLshBucket(v, planes).as("b"))
+        }
+      }: _*)
+      df.select(col("vec_id").as(s"${prefix}id"), col(cellCol).as("cell"),
+          col("embedding").cast("array<double>").as(s"${prefix}v"))
+        .withColumn(s"${prefix}nrm", l2norm(v))
+        .select(col(s"${prefix}id"), col("cell"), v, col(s"${prefix}nrm"),
+          explode(buckets).as("ptb"))
+    }
+    // Per-pair reduction: cosine is computed per MATCH (the knnJoinTables
+    // discipline — vectors never cross the dedup shuffle) and max() folds
+    // the bitwise-identical per-table copies; min(t) is the earliest table
+    // the pair collides in, which decides config membership.
+    val pairs = rows(queries, "q_").join(rows(corpus, "n_"), Seq("cell", "ptb"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("ptb.p").as("p"), col("ptb.t").as("t"),
+        pairCosine(col("n_v"), col("n_nrm"), col("q_v"), col("q_nrm")).as("cosine"))
+      .groupBy(col("q_id"), col("n_id"), col("p"))
+      .agg(min(col("t")).as("__min_t"), max(col("cosine")).as("cosine"))
+    val cfgArms = configs.zipWithIndex.map { case ((t, p), i) =>
+      when(col("p") === lit(p) && col("__min_t") < lit(t), lit(i)).otherwise(lit(-1))
+    }
+    val byCfg = pairs
+      .select(col("q_id"), col("n_id"), col("cosine"),
+        explode(array_remove(array(cfgArms: _*), -1)).as("cfg"))
+    val candCounts = byCfg.groupBy(col("cfg"))
+      .agg(count(lit(1)).as("__cand"))
+    val wr = Window.partitionBy(col("cfg"), col("q_id"))
+      .orderBy(desc("cosine"), col("n_id"))
+    val ann = byCfg.withColumn("__rk", row_number().over(wr))
+      .filter(col("__rk") <= k)
+      .select(col("cfg"), col("q_id"), col("n_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cfgDim = configs.zipWithIndex
+      .map { case ((t, p), i) => (i, t, p) }
+      .toDF("cfg", "n_tables", "n_planes")
+    // recallAtK inlined per config: truth ids are distinct'd once; the ann
+    // lists are rank-unique by construction, so the left join cannot fan.
+    val rec = truth.select(col("q_id"), col("n_id")).distinct()
+      .crossJoin(broadcast(cfgDim.select(col("cfg"))))
+      .join(ann.withColumn("__hit", lit(1L)), Seq("cfg", "q_id", "n_id"), "left")
+      .groupBy(col("cfg"), col("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+      .groupBy(col("cfg"))
+      .agg(graft.engine.Semantics.roundz(avg(col("recall")), 6).as("mean_recall"))
+    val per = cfgDim
+      .join(rec, Seq("cfg"), "left")
+      .join(candCounts, Seq("cfg"), "left")
+      .select(col("n_tables"), col("n_planes"), col("mean_recall"),
+        coalesce(col("__cand"), lit(0L)).as("candidate_pairs"))
     // Tiny frame (one row per config): the single-partition window is fine.
     val w = Window.orderBy(desc("meets_target"), col("candidate_pairs"),
       col("n_tables"), col("n_planes"))
