@@ -120,13 +120,28 @@ object DedupOps {
     * shingle configs pass ≥ 2 so shared evidence always survives. */
   def capShingleDfQuantile(shingles: DataFrame, q: Double, floor: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grp = shingles.groupBy(col("bucket"), col("sh")).agg(count(lit(1)).as("__df"))
-    val thr = dfQuantileThreshold(grp.select(col("__df")), q, floor)
-    shingles
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bucket"), col("sh"))))
+    // ONE exchange feeds both the threshold and the filter (r15, guide
+    // §2.4): the pre-r15 form computed the df histogram from a SEPARATE
+    // groupBy(bucket, sh) aggregate — whose partial-aggregation exchange
+    // cannot be reused for the per-row window — so the upstream shingle
+    // pipeline (split/explode/concat over every document) was evaluated
+    // TWICE per call. Deriving the histogram from the SAME windowed stream
+    // (row_number = 1 picks one row per group, carrying that group's __df)
+    // lets ReusedExchange serve both paths from one shuffle of the
+    // exploded rows; only the cheap post-exchange sort+window re-runs.
+    // The ordered frame pins count() to the whole group (unbounded both
+    // ways), so __df is byte-identical to the unordered-window form.
+    val w = Window.partitionBy(col("bucket"), col("sh")).orderBy(col("doc_id"))
+    val withDf = shingles
+      .withColumn("__df", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__rn", row_number().over(w))
+    val thr = dfQuantileThreshold(
+      withDf.filter(col("__rn") === 1).select(col("__df")), q, floor)
+    withDf
       .crossJoin(broadcast(thr))
       .filter(col("__df") <= col("__thr"))
-      .drop("__df", "__thr")
+      .drop("__df", "__thr", "__rn")
   }
 
   /** The discrete q-quantile threshold (never below `floor`) of a `__df`

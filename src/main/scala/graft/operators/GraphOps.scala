@@ -410,16 +410,24 @@ object GraphOps {
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       val withOd = r.join(outd, Seq("id"), "left")
-      val dang = withOd.filter(col("od").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
-      val dangShare = dang / n
+      // Dangling mass rides the SAME plan as the rank update (r15): the
+      // pre-r15 form collected it per iteration (`.head`), which both
+      // blocked the driver once per round AND re-evaluated the rank⋈outd
+      // join in a separate job. As a broadcast 1-row aggregate the value
+      // is identical (sum of non-negative longs; x DIV n = the collected
+      // form's x / n for x ≥ 0) and each iteration is ONE job — the
+      // localCheckpoint materialization. Driver state unchanged: nothing
+      // corpus-sized is collected either way.
+      val dangDf = withOd.filter(col("od").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
       val share = withOd.filter(col("od").isNotNull)
         .select(col("id").as("src"), expr("r DIV od").as("sh"))
       val contrib = e.join(share, "src")
         .groupBy(col("dst").as("id")).agg(sum(col("sh")).as("c"))
       r = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangDf))
         .select(col("id"), expr(
-          s"$base + ($dampingPct * (coalesce(c, CAST(0 AS BIGINT)) + $dangShare)) DIV 100")
+          s"$base + ($dampingPct * (coalesce(c, CAST(0 AS BIGINT)) + __dang DIV $n)) DIV 100")
           .as("r"))
         .localCheckpoint()
     }
