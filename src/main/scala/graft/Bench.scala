@@ -135,6 +135,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Task-memory page size pinned to 1m (r15, guide §5): Spark derives
+      // the default page from heap/cores — ~16m under a 16g local heap —
+      // so EVERY sort/agg task preallocates ~16m, and wide tiny-partition
+      // stages churn gigabytes of short-lived pages (measured as the
+      // multi-second steady spikes the r15 baseline caught on q162/q141).
+      // 1m pages cost only more page-table entries for genuinely large
+      // per-task state; env-overridable for deployments that want the
+      // auto-derived value. Static conf, so it rides the builder (the
+      // engine's runtime confs live in Engine.ensureInitialized).
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadavgStamp()

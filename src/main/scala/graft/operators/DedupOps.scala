@@ -947,7 +947,18 @@ object DedupOps {
   def editDistanceVerify(docs: DataFrame, id: String, text: Column,
       candidates: DataFrame, maxDist: Int): DataFrame = {
     val d = docs.select(col(id).as("__id"), text.as("__txt"))
+    // Spread the candidate list across the cluster BEFORE attaching texts
+    // (r15, guide §2.5/§8): the pair list is a few BYTES per row but each
+    // pair costs an O(maxDist·len) banded DP — the extreme compute-per-byte
+    // regime where AQE's byte-based coalescing is exactly wrong (measured:
+    // q160's entire 2.2 s DP stage ran in ONE task behind a 50 KB shuffle).
+    // An explicit numPartitions repartition is exempt from AQE coalescing,
+    // so the DP inherits full parallelism; only (a_id, b_id) ids cross the
+    // exchange — texts attach afterwards (broadcast/equi-join), so the
+    // payload never moves twice. defaultParallelism scales with the
+    // cluster, not a literal.
     candidates.select(col("a_id"), col("b_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(d.select(col("__id").as("a_id"), col("__txt").as("a_txt")), "a_id")
       .join(d.select(col("__id").as("b_id"), col("__txt").as("b_txt")), "b_id")
       // Exact prefilter, result-identical: |len(a) − len(b)| lower-bounds
