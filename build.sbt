@@ -40,4 +40,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // gone (OPTIMIZATION_r15.md). The box has 128 GiB; 16g also covers the
   // sf10 tier's driver state with margin.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -146,6 +146,17 @@ object Bench {
       // engine's runtime confs live in Engine.ensureInitialized).
       .config("spark.buffer.pageSize",
         sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "1m"))
+      // Whole-stage-codegen compile cache 100 -> 5000 entries (r15): a
+      // 176-query session generates far more than 100 codegen units, and
+      // many queries share fragment shapes (table scans, shingle windows,
+      // minhash aggregates) - at the default size the cache thrashes
+      // between queries and every cold run recompiles shapes the session
+      // already compiled. Measured: median per-query COLD ratio 0.949 and
+      // shared builds 2.4->1.5 / 4.2->2.9 s on a busier box (full-bench
+      // A/B, OPTIMIZATION_r15.md). Cost: compiled classes live in
+      // metaspace (~tens of MB at this surface). Env-overridable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadavgStamp()

@@ -25,7 +25,8 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "1m")).getOrCreate()
+      .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "1m"))
+      .config("spark.sql.codegen.cache.maxEntries", sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -46,9 +47,12 @@ object Profile {
     try SparkEntryRef.queries("q02_count_all")(spark, dir).count()
     catch { case _: Throwable => () }
 
+    // GRAFT_PROFILE_COLD=1 skips the per-query warm run, so the profiled
+    // run includes one-time work (shared pipeline builds, codegen).
+    val cold = sys.env.get("GRAFT_PROFILE_COLD").contains("1")
     for (n <- args) {
       // warm run (codegen/JIT) — not profiled
-      graft.SparkEntry.queries(n)(spark, dir).count()
+      if (!cold) { graft.SparkEntry.queries(n)(spark, dir).count() }
       graft.engine.Hygiene.sweep(spark)
       stages.clear(); jobs = 0
       spark.sparkContext.addSparkListener(listener)
