@@ -996,8 +996,16 @@ object Dedup extends QueryGroup {
   private val q162 = QueryDef(
     "q162_weighted_jaccard",
     (s, dir) => {
+      // Checkpointed once (q163's idiom, r15): the tf table feeds BOTH the
+      // candidate generator and the verify stage, and since each consumer
+      // prunes different columns below the aggregate's exchange, exchange
+      // reuse cannot dedupe them — the profiler showed the whole
+      // shingle+tf pipeline evaluated twice per run. The tf table is the
+      // AGGREGATED frequency view (≤ one row per (doc, 5-gram)), far
+      // smaller than the positional stream it folds.
       val tfs = DedupOps.featureTfRows(TextOps.shinglePosRows(
         Tables.documents(s, dir), col("doc_id"), lit("all"), col("text"), n = 5))
+        .localCheckpoint(true)
       val cands = DedupOps.nearDupCandidates(
         DedupOps.weightedExpandRows(tfs, tfCap = 4),
         DedupOps.CandidateGen.QuantileCapped(q = 0.95, floor = 2,
