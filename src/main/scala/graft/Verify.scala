@@ -72,6 +72,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same page-size pin as the Bench/TimeQ/Profile builders (r16,
+      // verdict #1/#5): Verify previously inherited the engine's 64k AQE
+      // floor WITHOUT the small-page pin — exactly the floor-alone
+      // combination the r15 A/B measured 3-4× slower on the minhash
+      // family. Engine.ensureInitialized now only applies the floor when
+      // the pages are pinned, so this line both speeds Verify up and is
+      // what arms the floor for it. Static conf, env-overridable.
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "1m"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
