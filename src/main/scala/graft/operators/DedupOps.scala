@@ -120,28 +120,60 @@ object DedupOps {
     * shingle configs pass ≥ 2 so shared evidence always survives. */
   def capShingleDfQuantile(shingles: DataFrame, q: Double, floor: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE exchange feeds both the threshold and the filter (r15, guide
-    // §2.4): the pre-r15 form computed the df histogram from a SEPARATE
-    // groupBy(bucket, sh) aggregate — whose partial-aggregation exchange
-    // cannot be reused for the per-row window — so the upstream shingle
-    // pipeline (split/explode/concat over every document) was evaluated
-    // TWICE per call. Deriving the histogram from the SAME windowed stream
-    // (row_number = 1 picks one row per group, carrying that group's __df)
-    // lets ReusedExchange serve both paths from one shuffle of the
-    // exploded rows; only the cheap post-exchange sort+window re-runs.
-    // The ordered frame pins count() to the whole group (unbounded both
-    // ways), so __df is byte-identical to the unordered-window form.
-    val w = Window.partitionBy(col("bucket"), col("sh")).orderBy(col("doc_id"))
-    val withDf = shingles
-      .withColumn("__df", count(lit(1)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("__rn", row_number().over(w))
-    val thr = dfQuantileThreshold(
-      withDf.filter(col("__rn") === 1).select(col("__df")), q, floor)
-    withDf
-      .crossJoin(broadcast(thr))
-      .filter(col("__df") <= col("__thr"))
-      .drop("__df", "__thr", "__rn")
+    // Two physically different forms, identical results — chosen by what
+    // the INPUT costs to evaluate (r16; every number below is a same-box
+    // sf10 A/B, see OPTIMIZATION_r16.md):
+    //
+    // RAW input (the usual case — the stream is a live tokenize/explode/
+    // window pipeline): checkpoint it once, df per (bucket, sh) group via
+    // a plain hash aggregate (partial aggregation combines map-side, so
+    // the exchange carries ~|groups| rows, not the stream), threshold from
+    // the group table directly, and the filter as a LEFT SEMI join against
+    // the surviving groups. No sort anywhere, one evaluation of the
+    // upstream pipeline. History: the pre-r15 form evaluated the pipeline
+    // TWICE (the sf0.1 cost r15 removed); the r15 one-exchange form
+    // evaluated it once but SORTED the full exploded stream twice
+    // (threshold + filter windows above one ReusedExchange) — fine at
+    // sf0.1, 2-3× WORSE at sf10 where the double string-sort dominates
+    // (r16 drift gate vs frozen r14: shared calibrated build 24 → 77 s,
+    // q118 89 → 154 s; this form: 14-18 s / 80-90 s).
+    //
+    // ALREADY-MATERIALIZED input (the stream reads a caller checkpoint —
+    // q162's tf table, q163's sh5): re-evaluating the stream is a block
+    // read + narrow maps, so a second materialization only adds bytes
+    // (q162's multiset expansion inflates it ~3.4 GB at sf10: the
+    // checkpoint+join form measured 31-37 s vs 22 s). Keep the r15
+    // one-exchange double-window form there: one shuffle, no new blocks;
+    // the ordered frame pins count() to the whole group (unbounded both
+    // ways), so __df is byte-identical to the unordered form, and
+    // row_number = 1 picks one row per group for the histogram.
+    val inputMaterialized = shingles.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    if (inputMaterialized) {
+      val w = Window.partitionBy(col("bucket"), col("sh")).orderBy(col("doc_id"))
+      val withDf = shingles
+        .withColumn("__df", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("__rn", row_number().over(w))
+      val thr = dfQuantileThreshold(
+        withDf.filter(col("__rn") === 1).select(col("__df")), q, floor)
+      withDf
+        .crossJoin(broadcast(thr))
+        .filter(col("__df") <= col("__thr"))
+        .drop("__df", "__thr", "__rn")
+    } else {
+      val mat = shingles.localCheckpoint(true)
+      val dfs = mat.groupBy(col("bucket"), col("sh"))
+        .agg(count(lit(1)).as("__df"))
+      val thr = dfQuantileThreshold(dfs.select(col("__df")), q, floor)
+      val keep = dfs.crossJoin(broadcast(thr))
+        .filter(col("__df") <= col("__thr"))
+        .select(col("bucket"), col("sh"))
+      // USING-join output leads with the join keys; restore the caller's
+      // column order (downstream toDF renames are positional).
+      mat.join(keep, Seq("bucket", "sh"), "left_semi")
+        .select(shingles.columns.map(col): _*)
+    }
   }
 
   /** The discrete q-quantile threshold (never below `floor`) of a `__df`
@@ -691,10 +723,20 @@ object DedupOps {
     // evaluations per row), not per PAIR above it (which would be quadratic
     // in interpreted-lambda evaluations — the dot product is the only
     // per-pair fold left).
+    // The bucketed rows feed THREE subplans — the guard's mass aggregate
+    // and both self-join sides — and the guard wrapper on side `a` makes
+    // the sides canonically different, so ReusedExchange can never serve
+    // them: the r16 executed plan showed the embeddings scan + per-vector
+    // bucket dots evaluated 3× per run. One eager localCheckpoint (the
+    // q162 idiom — materializes INSIDE the run, guide §2.4 "share one
+    // evaluation") makes all three consumers read the same blocks; the
+    // rows are linear in the corpus (|vecs| × tables), so the
+    // materialization is the cheap side of the trade at every tier.
     val raw = embs.select(col(id), cellCol.as("cell"), emb.cast("array<double>").as("v"))
       .withColumn("nrm", SimilarityOps.l2norm(col("v")))
       .withColumn("bucket",
         if (planes.isEmpty) lit(0L) else SimilarityOps.signLshBucket(col("v"), planes))
+      .localCheckpoint(true)
     // Guard ONE side only (the [[embeddingNearDupsTables]] discipline):
     // both sides are the same row set, so Σ C(n, 2) over side `a`'s groups
     // already prices the join — wrapping both sides would duplicate the
@@ -727,12 +769,18 @@ object DedupOps {
   def embeddingNearDupsTables(embs: DataFrame, id: String, emb: Column, cellCol: Column,
       threshold: Double, tables: Seq[Seq[Seq[Double]]],
       bucketMassBudget: Long = DefaultPairMassBudget): DataFrame = {
+    // One eager localCheckpoint of the exploded (vector, table) rows — the
+    // same 3-consumer dedup as [[embeddingNearDups]] (guard mass aggregate
+    // + both join sides previously each re-scanned embeddings and re-paid
+    // the T × planes bucket dots; r16 executed-plan evidence in
+    // plans/r16). Linear rows (|vecs| × T), so cheap to materialize.
+    val rows = SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "a_")
+      .localCheckpoint(true)
     // Guard ONE side: both sides are the same row set, and Σ C(n, 2) over
     // the exploded (cell, tb) groups IS the join's pre-dedup output size.
     val a = bucketPairMassGuard(
-      SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "a_"),
-      Seq("cell", "tb"), bucketMassBudget, "embeddingNearDupsTables", "tb")
-    val b = SimilarityOps.lshCandidateRows(embs, id, emb, cellCol, tables, "b_")
+      rows, Seq("cell", "tb"), bucketMassBudget, "embeddingNearDupsTables", "tb")
+    val b = rows.toDF("b_id", "cell", "b_v", "b_nrm", "tb")
     a.join(b, Seq("cell", "tb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",
@@ -1234,9 +1282,16 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("a_id").as("doc_id"), lit(0).as("side"))
       .union(pairs
         .select(col("a_id"), col("b_id"), col("b_id").as("doc_id"), lit(1).as("side")))
+    // The capped stream feeds BOTH the estimator (minhash signatures) and
+    // the exact side (pairOverlapStats). The expensive shared prefix — the
+    // (bucket, sh) shuffle + sort + df window — is materialized ONCE
+    // inside [[capShingleDfQuantile]] (its r16 checkpoint), so the two
+    // consumers here re-apply only the cheap threshold filter over those
+    // blocks; no second materialization is needed at this level.
+    val capped = cappedShingles
     // Per-hash minwise rows over the SAME capped universe the exact side
     // sees; one row per (doc, hash index) under the global bucket.
-    val sig = minhashBandRows(cappedShingles, numHashes)
+    val sig = minhashBandRows(capped, numHashes)
       .select(col("doc_id"), col("band").as("__j"), col("h"))
     val est = members.join(sig, "doc_id")
       .groupBy(col("a_id"), col("b_id"), col("__j"), col("h"))
@@ -1244,7 +1299,7 @@ object DedupOps {
       .groupBy(col("a_id"), col("b_id"))
       .agg(coalesce(sum(when(col("__hits") === 2, 1L)), lit(0L))
         .as("n_equal_hashes"))
-    val exact = pairOverlapStats(cand, cappedShingles)
+    val exact = pairOverlapStats(cand, capped)
       .filter(col("n_common").isNotNull)
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("a_size") + col("b_size") - col("n_common")).cast("double"))
