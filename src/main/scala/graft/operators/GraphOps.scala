@@ -399,8 +399,14 @@ object GraphOps {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
+    // Persist the caller's edge list — the [[connectedComponents]]
+    // discipline, missing here until r16: nodes, out-degrees, AND every
+    // iteration's contribution join each re-evaluated the caller's edge
+    // pipeline (q159: documents scan + union + distinct per consumer —
+    // 2 + iters evaluations).
     val e = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count()
@@ -433,6 +439,7 @@ object GraphOps {
     }
     nodes.unpersist()
     outd.unpersist()
+    e.unpersist()
     r.select(col("id"), col("r").as("rank_micro"))
   }
 

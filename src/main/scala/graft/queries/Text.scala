@@ -164,8 +164,18 @@ object Text extends QueryGroup {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val terms = docs.select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      // r16 (guide §2.4): df derives FROM tf — tf has exactly one row per
+      // (doc, term), so count-per-term of tf rows IS the document
+      // frequency (the bm25Scores idiom); the pre-r16 form re-tokenized
+      // the corpus under a separate distinct + aggregate. The checkpoint
+      // (q162 idiom) is load-bearing: a lazy tf would be column-pruned
+      // under the df branch (Catalyst rewrites count(non-null tf) back to
+      // count(1) and drops the count from that copy of the aggregate),
+      // recreating the double tokenize. tf is the smallest shared point —
+      // ≤ one narrow row per (doc, distinct term).
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       tf.join(dfreq, "term").crossJoin(n)
         .withColumn("tfidf",
